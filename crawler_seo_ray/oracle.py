@@ -1,0 +1,267 @@
+"""Deterministic single-process reference crawl (the golden oracle).
+
+Reproduces the reference's crawl orchestration semantics exactly, at
+``max_threads``-equivalent single-thread order (the reference itself is
+nondeterministic under threads — SURVEY.md §2.9 — so the deterministic
+single-thread order IS the specification the Ray engine must match):
+
+- wave loop with budget gating       core/crawler.py:71-106
+- FIFO / smart two-queue frontier    core/url_manager.py:248-260,386-404
+- register-at-enqueue seen set       core/url_manager.py:200-246
+- link extract → filter → intake     core/crawler.py:185-213
+- visit-time duplicate flags         analyzers/metatags_analyzer.py:196-228
+- error rows count toward budget     core/crawler.py:129-134
+
+Engine extensions modeled identically here so golden tests cover them:
+per-host politeness quota per wave, and robots-style path rules
+(both OFF by default = exact reference parity).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+from . import datagen
+from .canon import (
+    LOGGED_REASONS,
+    Scope,
+    is_priority,
+    normalize_url,
+    relevance,
+)
+from .stages.analyzers import analyze_page
+from .stages.scoring import finalize_page
+
+
+@dataclass
+class CrawlSpec:
+    """Shared crawl configuration (oracle + Ray engine)."""
+
+    n_pages: int
+    seeds: list[str] = field(default_factory=list)
+    max_urls: int = 100
+    max_depth: int = 10
+    batch_size: int = 25  # the reference's max_threads wave size
+    scope: Scope = field(default_factory=lambda: Scope("suffix", datagen.HOST_SUFFIX))
+    priority_patterns: list[str] | None = None  # None = plain FIFO manager
+    politeness_per_wave: int | None = None  # max URLs per host per wave (None = off)
+    robots_deny_prefixes: dict[str, list[str]] | None = None  # host → path prefixes
+    detect_invisible_colors: bool = True
+
+
+def fetch_page(url: str, n: int) -> dict:
+    """Resolve a canonical URL against the synthetic web.
+
+    ``https://{host(i)}/page/img{i:08d}`` → page i; anything else in
+    scope is a 404 "page" (no links, not analyzable) — the behavior a
+    live crawler sees for a dead in-domain URL.
+    """
+    try:
+        host, _, path = url.partition("://")[2].partition("/")
+        parts = path.split("/")
+        if len(parts) == 2 and parts[0] == "page":
+            i = datagen.parse_image_id(parts[1])
+            if 0 <= i < n and datagen.host(i) == host:
+                return datagen.page_attrs(i, n)
+    except (ValueError, IndexError):
+        pass
+    return {
+        "page_index": -1,
+        "url": url,
+        "status_code": 404,
+        "content_type": "text/html",
+        "final_url": url,
+        "response_time_ms": 10.0,
+        "content_length": 0,
+        "links": [],
+    }
+
+
+class OracleCrawl:
+    def __init__(self, spec: CrawlSpec):
+        self.spec = spec
+        self.seen: set[str] = set()  # registered canonicals (enqueue-time)
+        self.issued: set[str] = set()  # popped canonicals
+        self.pq: deque = deque()  # (url, depth) — priority queue (smart mode)
+        self.nq: deque = deque()  # normal queue
+        self.results: list[dict] = []
+        self.rejected: list[dict] = []
+        self.titles: dict[str, int] = {}  # text → occurrences so far
+        self.descs: dict[str, int] = {}
+        self.stats = {
+            "total_found": 0,
+            "total_duplicates": 0,
+            "total_filtered": 0,
+            "filtered_by_reason": {},
+            "waves": 0,
+        }
+
+    # -- url intake (reference add_url path) --------------------------------
+    def _log_reject(self, url: str, reason: str, detail: str | None):
+        if reason in LOGGED_REASONS:
+            self.stats["total_filtered"] += 1
+            self.stats["filtered_by_reason"][reason] = (
+                self.stats["filtered_by_reason"].get(reason, 0) + 1
+            )
+            self.rejected.append({"url": url, "reason": reason, "details": detail or ""})
+
+    def _robots_allows(self, url: str) -> bool:
+        rules = self.spec.robots_deny_prefixes
+        if not rules:
+            return True
+        host, _, path = url.partition("://")[2].partition("/")
+        for prefix in rules.get(host, []):
+            if ("/" + path).startswith(prefix):
+                return False
+        return True
+
+    def add_url(self, raw: str, depth: int, base_url: str | None, priority: bool = False) -> bool:
+        c, reason = normalize_url(raw, base_url, self.spec.scope)
+        if c is None:
+            self._log_reject(raw, reason, None)
+            return False
+        if c in self.seen:
+            if c not in self.issued:
+                self.stats["total_duplicates"] += 1
+            else:
+                # reference: is_processed() intake check skips silently
+                pass
+            return False
+        ok, rreason, pat = relevance(c)
+        if not ok:
+            self._log_reject(c, rreason, pat)
+            return False
+        if not self._robots_allows(c):
+            self._log_reject(c, "ROBOTS", None)  # engine extension (not in LOGGED_REASONS set)
+            self.stats["filtered_by_reason"]["ROBOTS"] = (
+                self.stats["filtered_by_reason"].get("ROBOTS", 0) + 1
+            )
+            self.rejected.append({"url": c, "reason": "ROBOTS", "details": ""})
+            return False
+        if not priority and self.spec.priority_patterns:
+            priority = is_priority(c, self.spec.priority_patterns)
+        self.seen.add(c)
+        (self.pq if priority and self.spec.priority_patterns is not None else self.nq).append(
+            (c, depth)
+        )
+        self.stats["total_found"] += 1
+        return True
+
+    # -- frontier pop (reference get_next_url, smart variant first) ---------
+    def _pop_batch(self) -> list[tuple[str, int]]:
+        budget = min(self.spec.batch_size, self.spec.max_urls - len(self.results))
+        batch: list[tuple[str, int]] = []
+        holdback: list[tuple[bool, tuple[str, int]]] = []
+        per_host: dict[str, int] = {}
+        quota = self.spec.politeness_per_wave
+        while len(batch) < budget and (self.pq or self.nq):
+            from_pq = bool(self.pq)
+            url, depth = (self.pq if from_pq else self.nq).popleft()
+            if quota is not None:
+                h = url.partition("://")[2].partition("/")[0]
+                if per_host.get(h, 0) >= quota:
+                    holdback.append((from_pq, (url, depth)))
+                    continue
+                per_host[h] = per_host.get(h, 0) + 1
+            self.issued.add(url)
+            batch.append((url, depth))
+        # politeness holdbacks return to the FRONT of their queue, order kept
+        for from_pq, entry in reversed(holdback):
+            (self.pq if from_pq else self.nq).appendleft(entry)
+        return batch
+
+    # -- page processing (reference _process_single_url, single-fetch) ------
+    def _process(self, url: str, depth: int, visit_seq: int) -> dict:
+        n = self.spec.n_pages
+        attrs = fetch_page(url, n)
+        code = attrs["status_code"]
+        row: dict = {
+            "url": url,
+            "depth": depth,
+            "visit_seq": visit_seq,
+            "page_index": attrs.get("page_index", -1),
+            "status_code": str(code),
+            "final_url": attrs.get("final_url", url),
+            "redirected": attrs.get("final_url", url) != url,
+            "content_type": attrs.get("content_type", ""),
+            "response_time_ms": attrs.get("response_time_ms", 0.0),
+            "content_length": attrs.get("content_length", 0),
+            "links_encontrados": [],
+            "processed": False,
+            "error_details": "",
+        }
+        if code == "ERROR":
+            row.update(
+                {
+                    "error_details": "simulated fetch error",
+                    "response_time_ms": 0.0,
+                    "content_type": "",
+                    "final_url": url,
+                    "redirected": False,
+                }
+            )
+            return row
+        if code == 200 and "text/html" in row["content_type"].lower():
+            analyzed = analyze_page(attrs, self.spec.detect_invisible_colors)
+            # visit-time duplicate flags (metatags_analyzer.py:196-228)
+            t = analyzed["title"]
+            tdup = False
+            if t:
+                self.titles[t] = self.titles.get(t, 0) + 1
+                tdup = self.titles[t] > 1
+            d = analyzed["meta_description"]
+            ddup = False
+            if d:
+                self.descs[d] = self.descs.get(d, 0) + 1
+                ddup = self.descs[d] > 1
+            row.update(analyzed)
+            row.update(finalize_page(analyzed, tdup, ddup))
+            row["processed"] = True
+            if depth < self.spec.max_depth:
+                kept = []
+                for raw in attrs["links"]:
+                    c, reason = normalize_url(raw, url, self.spec.scope)
+                    if c is None:
+                        self._log_reject(raw, reason, None)
+                        continue
+                    ok, rreason, pat = relevance(c)
+                    if not ok:
+                        self._log_reject(c, rreason, pat)
+                        continue
+                    kept.append(c)
+                row["links_encontrados"] = kept
+        return row
+
+    def run(self) -> dict:
+        smart = self.spec.priority_patterns is not None
+        for s in self.spec.seeds:
+            self.add_url(s, 0, None, priority=smart)
+        while (self.pq or self.nq) and len(self.results) < self.spec.max_urls:
+            batch = self._pop_batch()
+            if not batch:
+                break
+            wave = self.stats["waves"]
+            self.stats["waves"] += 1
+            wave_rows = [
+                self._process(u, d, len(self.results) + k) for k, (u, d) in enumerate(batch)
+            ]
+            for r in wave_rows:
+                r["wave"] = wave
+            self.results.extend(wave_rows)
+            for row in wave_rows:
+                for link in row["links_encontrados"]:
+                    if link in self.issued:
+                        continue
+                    self.add_url(link, row["depth"] + 1, row["url"])
+        return {
+            "audit": self.results,
+            "visit_order": [(r["visit_seq"], r["url"], r["depth"]) for r in self.results],
+            "seen": set(self.seen),
+            "rejected": list(self.rejected),
+            "stats": dict(self.stats),
+        }
+
+
+def run_oracle(spec: CrawlSpec) -> dict:
+    return OracleCrawl(spec).run()
