@@ -30,8 +30,8 @@ from .canon import (
     normalize_url,
     relevance,
 )
-from .stages.analyzers import analyze_page
 from .stages.scoring import finalize_page
+from .web import build_audit_row, extract_links, fetch_page, robots_allows
 
 
 @dataclass
@@ -48,34 +48,6 @@ class CrawlSpec:
     politeness_per_wave: int | None = None  # max URLs per host per wave (None = off)
     robots_deny_prefixes: dict[str, list[str]] | None = None  # host → path prefixes
     detect_invisible_colors: bool = True
-
-
-def fetch_page(url: str, n: int) -> dict:
-    """Resolve a canonical URL against the synthetic web.
-
-    ``https://{host(i)}/page/img{i:08d}`` → page i; anything else in
-    scope is a 404 "page" (no links, not analyzable) — the behavior a
-    live crawler sees for a dead in-domain URL.
-    """
-    try:
-        host, _, path = url.partition("://")[2].partition("/")
-        parts = path.split("/")
-        if len(parts) == 2 and parts[0] == "page":
-            i = datagen.parse_image_id(parts[1])
-            if 0 <= i < n and datagen.host(i) == host:
-                return datagen.page_attrs(i, n)
-    except (ValueError, IndexError):
-        pass
-    return {
-        "page_index": -1,
-        "url": url,
-        "status_code": 404,
-        "content_type": "text/html",
-        "final_url": url,
-        "response_time_ms": 10.0,
-        "content_length": 0,
-        "links": [],
-    }
 
 
 class OracleCrawl:
@@ -106,16 +78,6 @@ class OracleCrawl:
             )
             self.rejected.append({"url": url, "reason": reason, "details": detail or ""})
 
-    def _robots_allows(self, url: str) -> bool:
-        rules = self.spec.robots_deny_prefixes
-        if not rules:
-            return True
-        host, _, path = url.partition("://")[2].partition("/")
-        for prefix in rules.get(host, []):
-            if ("/" + path).startswith(prefix):
-                return False
-        return True
-
     def add_url(self, raw: str, depth: int, base_url: str | None, priority: bool = False) -> bool:
         c, reason = normalize_url(raw, base_url, self.spec.scope)
         if c is None:
@@ -132,7 +94,7 @@ class OracleCrawl:
         if not ok:
             self._log_reject(c, rreason, pat)
             return False
-        if not self._robots_allows(c):
+        if not robots_allows(c, self.spec.robots_deny_prefixes):
             self._log_reject(c, "ROBOTS", None)  # engine extension (not in LOGGED_REASONS set)
             self.stats["filtered_by_reason"]["ROBOTS"] = (
                 self.stats["filtered_by_reason"].get("ROBOTS", 0) + 1
@@ -173,63 +135,32 @@ class OracleCrawl:
 
     # -- page processing (reference _process_single_url, single-fetch) ------
     def _process(self, url: str, depth: int, visit_seq: int) -> dict:
-        n = self.spec.n_pages
-        attrs = fetch_page(url, n)
-        code = attrs["status_code"]
-        row: dict = {
-            "url": url,
-            "depth": depth,
-            "visit_seq": visit_seq,
-            "page_index": attrs.get("page_index", -1),
-            "status_code": str(code),
-            "final_url": attrs.get("final_url", url),
-            "redirected": attrs.get("final_url", url) != url,
-            "content_type": attrs.get("content_type", ""),
-            "response_time_ms": attrs.get("response_time_ms", 0.0),
-            "content_length": attrs.get("content_length", 0),
-            "links_encontrados": [],
-            "processed": False,
-            "error_details": "",
-        }
-        if code == "ERROR":
-            row.update(
-                {
-                    "error_details": "simulated fetch error",
-                    "response_time_ms": 0.0,
-                    "content_type": "",
-                    "final_url": url,
-                    "redirected": False,
-                }
-            )
-            return row
-        if code == 200 and "text/html" in row["content_type"].lower():
-            analyzed = analyze_page(attrs, self.spec.detect_invisible_colors)
+        attrs = fetch_page(url, self.spec.n_pages)
+        row = build_audit_row(url, depth, attrs, self.spec.detect_invisible_colors)
+        row["visit_seq"] = visit_seq
+        if row["processed"]:
             # visit-time duplicate flags (metatags_analyzer.py:196-228)
-            t = analyzed["title"]
+            t = row["title"]
             tdup = False
             if t:
                 self.titles[t] = self.titles.get(t, 0) + 1
                 tdup = self.titles[t] > 1
-            d = analyzed["meta_description"]
+            d = row["meta_description"]
             ddup = False
             if d:
                 self.descs[d] = self.descs.get(d, 0) + 1
                 ddup = self.descs[d] > 1
-            row.update(analyzed)
-            row.update(finalize_page(analyzed, tdup, ddup))
-            row["processed"] = True
+            row.update(finalize_page(row, tdup, ddup))
             if depth < self.spec.max_depth:
-                kept = []
-                for raw in attrs["links"]:
-                    c, reason = normalize_url(raw, url, self.spec.scope)
-                    if c is None:
-                        self._log_reject(raw, reason, None)
-                        continue
-                    ok, rreason, pat = relevance(c)
-                    if not ok:
-                        self._log_reject(c, rreason, pat)
-                        continue
-                    kept.append(c)
+                kept, rejects = extract_links(
+                    attrs, url, self.spec.scope, self.spec.robots_deny_prefixes
+                )
+                for r in rejects:
+                    self.stats["total_filtered"] += 1
+                    self.stats["filtered_by_reason"][r["reason"]] = (
+                        self.stats["filtered_by_reason"].get(r["reason"], 0) + 1
+                    )
+                    self.rejected.append(r)
                 row["links_encontrados"] = kept
         return row
 

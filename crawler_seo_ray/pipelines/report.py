@@ -1,0 +1,266 @@
+"""Post-crawl Ray Data analytics over the audit table (SURVEY.md A3,
+M17–M20, G2–G5, K1, S5).
+
+The reference computes duplicate flags against mutable dicts at visit
+time and derives scores/issue lists inline; Excel sheets are pandas
+projections at the end (reports/excel_generator.py). Here:
+
+- duplicate flags  = a *narrow* ``groupby(text)`` shuffle over
+  ``(visit_seq, text)`` — flag is ``visit_seq > min(visit_seq)`` within
+  the group, empty text never flagged — joined back to the audit rows
+  by ``visit_seq`` (hash join). Only two slim columns ride the shuffle;
+  the wide audit rows move once, through the join.
+- scoring/issue finalization = a vectorized-ish ``map_batches`` kernel
+  applying ``stages.scoring.finalize_page`` (the same kernel the oracle
+  uses).
+- "sheets" = Dataset pipelines (filter / sort-limit / groupby
+  aggregates) written as parquet directories (the Excel workbook
+  analog; formatting is presentation, out of engine scope).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Mean
+
+from ..stages.scoring import finalize_page
+
+JOIN_PARTITIONS = 16
+
+
+def _dup_flags(ds: Dataset, text_col: str, flag_col: str, num_partitions: int) -> Dataset:
+    """(visit_seq, flag) for every audit row: first occurrence of each
+    non-empty text in visit order unflagged, later occurrences flagged."""
+
+    def flag_group(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        seqs = g.column("visit_seq").to_numpy()
+        texts = g.column(text_col)
+        proc = g.column("processed").to_numpy(zero_copy_only=False)
+        empty = (~proc) | ~pc.is_valid(texts).to_numpy(zero_copy_only=False) | (
+            pc.equal(pc.coalesce(texts, ""), "").to_numpy(zero_copy_only=False)
+        )
+        if empty.all():
+            flags = np.zeros(len(seqs), dtype=bool)
+        else:
+            mn = seqs[~empty].min()
+            flags = (~empty) & (seqs > mn)
+        return pa.table({"visit_seq": seqs, flag_col: flags})
+
+    return (
+        ds.select_columns(["visit_seq", text_col, "processed"])
+        .groupby(text_col)
+        .map_groups(flag_group, batch_format="pyarrow")
+    )
+
+
+def finalize_audit(audit: pa.Table | Dataset, num_partitions: int = JOIN_PARTITIONS) -> Dataset:
+    """Add duplicate flags + score/issue columns to the audit table.
+
+    Only ``(visit_seq, text)`` rides the dup-flag shuffle; the flag
+    vectors (1 bit + int64 per row) are then broadcast once via
+    ``ray.put`` and merged into the wide audit rows inside a single
+    ``map_batches`` pass with a vectorized searchsorted lookup — the
+    wide rows (nested lists/structs, which hash-join aggregators can't
+    carry anyway) never shuffle. Scale path for >RAM flag vectors:
+    write flags as seq-sorted parquet and range-read the aligned slice
+    per audit partition (audit blocks are contiguous in visit_seq by
+    construction) — same merge, no broadcast.
+    """
+    import numpy as np
+
+    ds = ray.data.from_arrow(audit) if isinstance(audit, pa.Table) else audit
+    tflags = _dup_flags(ds, "title", "title_duplicado", num_partitions)
+    dflags = _dup_flags(ds, "meta_description", "description_duplicada", num_partitions)
+
+    def _collect(flags: Dataset, col: str) -> tuple[np.ndarray, np.ndarray]:
+        t = pa.concat_tables(ray.get(flags.to_arrow_refs()))
+        seqs = t.column("visit_seq").to_numpy()
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        order = np.argsort(seqs)
+        return seqs[order], vals[order]
+
+    tseq, tval = _collect(tflags, "title_duplicado")
+    dseq, dval = _collect(dflags, "description_duplicada")
+    flags_ref = ray.put((tseq, tval, dseq, dval))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ts, tv, dsq, dv = ray.get(flags_ref)
+        seqs = batch.column("visit_seq").to_numpy()
+        tflag = tv[np.searchsorted(ts, seqs)]
+        dflag = dv[np.searchsorted(dsq, seqs)]
+        batch = batch.append_column("title_duplicado", pa.array(tflag, pa.bool_()))
+        batch = batch.append_column("description_duplicada", pa.array(dflag, pa.bool_()))
+        rows = batch.to_pylist()
+        extra: dict[str, list] = {
+            k: []
+            for k in (
+                "title_issues",
+                "description_issues",
+                "metatags_score",
+                "score_title",
+                "score_description",
+                "score_headings",
+                "score_bonus",
+                "critical_issues",
+                "warnings",
+                "total_critical",
+                "total_warnings",
+                "all_warnings",
+            )
+        }
+        for r in rows:
+            if r.get("processed"):
+                f = finalize_page(r, bool(r["title_duplicado"]), bool(r["description_duplicada"]))
+            else:
+                f = {}
+            for k in extra:
+                extra[k].append(f.get(k))
+        out = batch
+        for k, v in extra.items():
+            typ = {
+                "metatags_score": pa.int32(),
+                "score_title": pa.int32(),
+                "score_description": pa.int32(),
+                "score_headings": pa.int32(),
+                "score_bonus": pa.int32(),
+                "total_critical": pa.int32(),
+                "total_warnings": pa.int32(),
+            }.get(k, pa.list_(pa.string()))
+            out = out.append_column(k, pa.array(v, type=typ))
+        return out
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# report "sheets" (reports/excel_generator.py analogs)
+# ---------------------------------------------------------------------------
+
+
+def score_ranking(final: Dataset, k: int = 100) -> Dataset:
+    """Top-k by score (K1; excel_generator.py:589 nlargest)."""
+    return final.filter(lambda r: r["processed"]).sort(
+        "metatags_score", descending=True
+    ).limit(k)
+
+
+def duplicates_report(final: Dataset, text_col: str) -> Dataset:
+    """Texts appearing on >1 page with their URL lists (G2;
+    metatags_analyzer.py:387-404)."""
+
+    def per_group(g: pa.Table) -> pa.Table:
+        texts = g.column(text_col).to_pylist()
+        t = texts[0] if texts else None
+        if not t or g.num_rows < 2:
+            return pa.table(
+                {text_col: pa.array([], pa.string()),
+                 "urls": pa.array([], pa.list_(pa.string())),
+                 "count": pa.array([], pa.int64())}
+            )
+        import numpy as np
+
+        order = np.argsort(g.column("visit_seq").to_numpy())
+        urls = [g.column("url").to_pylist()[i] for i in order]
+        return pa.table({text_col: [t], "urls": [urls], "count": [len(urls)]})
+
+    return (
+        final.filter(lambda r: bool(r["processed"]))
+        .select_columns([text_col, "url", "visit_seq"])
+        .groupby(text_col)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
+def summary(final: Dataset) -> dict:
+    """The Resumo sheet's conditional counts (G3;
+    excel_generator.py:611-672). Computed as one pass of indicator sums
+    + small aggregates — no driver-side row loop."""
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        proc = pc.fill_null(batch.column("processed"), False)
+        crit = pc.and_(
+            proc, pc.greater(pc.fill_null(batch.column("total_critical"), 0), 0)
+        )
+        h1abs = pc.and_(proc, pc.fill_null(batch.column("h1_ausente"), False))
+        tdup = pc.and_(proc, pc.fill_null(batch.column("title_duplicado"), False))
+        ddup = pc.and_(proc, pc.fill_null(batch.column("description_duplicada"), False))
+        hprob = pc.and_(
+            proc,
+            pc.greater(pc.fill_null(batch.column("headings_problematicos_count"), 0), 0),
+        )
+        mixed = pc.and_(proc, pc.fill_null(batch.column("has_mixed_content"), False))
+        return pa.table(
+            {
+                "rows": [batch.num_rows],
+                "processed": [pc.sum(pc.cast(proc, pa.int64())).as_py() or 0],
+                "with_critical": [pc.sum(pc.cast(crit, pa.int64())).as_py() or 0],
+                "h1_absent": [pc.sum(pc.cast(h1abs, pa.int64())).as_py() or 0],
+                "title_dups": [pc.sum(pc.cast(tdup, pa.int64())).as_py() or 0],
+                "desc_dups": [pc.sum(pc.cast(ddup, pa.int64())).as_py() or 0],
+                "heading_problem_pages": [pc.sum(pc.cast(hprob, pa.int64())).as_py() or 0],
+                "mixed_content_pages": [pc.sum(pc.cast(mixed, pa.int64())).as_py() or 0],
+                "critical_mixed": [pc.sum(pc.fill_null(batch.column("critical_mixed_count"), 0)).as_py() or 0],
+                "passive_mixed": [pc.sum(pc.fill_null(batch.column("passive_mixed_count"), 0)).as_py() or 0],
+            }
+        )
+
+    parts = final.map_batches(indicators, batch_format="pyarrow").to_pandas()
+    totals = parts.sum(numeric_only=True).to_dict()
+
+    score_stats = (
+        final.filter(lambda r: bool(r["processed"]))
+        .aggregate(Mean("metatags_score", alias_name="avg_score"))
+    )
+    risk = (
+        final.filter(lambda r: bool(r["processed"]))
+        .groupby("risk_level")
+        .aggregate(Count(alias_name="pages"))
+        .to_pandas()
+    )
+    totals["avg_score"] = float(score_stats["avg_score"]) if score_stats else None
+    totals["risk_breakdown"] = dict(zip(risk["risk_level"], risk["pages"].astype(int)))
+    return totals
+
+
+def filter_breakdown(rejected: pa.Table) -> pa.Table:
+    """G5: rejected.groupby(reason).count (url_manager.py:291-309)."""
+    import pyarrow.compute as pc
+
+    return pc.value_counts(rejected.column("reason")).cast(
+        pa.struct([("values", pa.string()), ("counts", pa.int64())])
+    ).flatten() if rejected.num_rows else None
+
+
+def write_report(final: Dataset, rejected: pa.Table, out_dir: str) -> dict:
+    """The multi-sheet workbook analog: one parquet directory per sheet
+    (S5). Returns the summary dict."""
+    import os
+
+    final = final.materialize()
+    final.write_parquet(os.path.join(out_dir, "complete"))
+    final.filter(
+        lambda r: bool(r["processed"]) and (r["total_critical"] or 0) > 0
+    ).write_parquet(os.path.join(out_dir, "criticos"))
+    score_ranking(final).write_parquet(os.path.join(out_dir, "score_ranking"))
+    duplicates_report(final, "title").write_parquet(os.path.join(out_dir, "title_duplicados"))
+    duplicates_report(final, "meta_description").write_parquet(
+        os.path.join(out_dir, "desc_duplicadas")
+    )
+    s = summary(final)
+    import json
+
+    with open(os.path.join(out_dir, "resumo.json"), "w") as f:
+        json.dump({k: (v if not hasattr(v, "item") else v.item()) for k, v in s.items()}, f)
+    if rejected.num_rows:
+        from ..storage import write_table
+
+        write_table(rejected, os.path.join(out_dir, "rejected", "rejected.parquet"))
+    return s

@@ -1,0 +1,116 @@
+"""Host-sharded frontier scheduler (SURVEY.md A2/K3 + politeness S3/S4).
+
+The reference holds one or two driver-local FIFO deques
+(core/url_manager.py:18,346-431) and pops ≤ max_threads per wave. Here
+the frontier is a pool of actors sharded by ``hash(host)``; each shard
+keeps priority/normal queues ordered by the globally-assigned
+``discovered_seq``. A wave take is a two-phase distributed k-way merge:
+
+  1. every shard ``peek``s its smallest (priority_rank, seq) entries,
+     honoring the per-host politeness quota (at most Q per host per
+     wave — each host lives on exactly one shard, so the quota is
+     enforced locally and completely);
+  2. the driver merges the shard heads, keeps the global smallest B,
+     and ``commit``s the taken seqs back to the owning shards.
+
+This reproduces the reference's deterministic pop order exactly
+(priority queue drained first, FIFO within each queue — proven
+equivalent because each host's taken set is always a prefix of its
+queue) while the frontier itself scales horizontally. Hot hosts
+(Zipf skew) can be salted across sub-queues via ``salt_hot_hosts``:
+the politeness quota stays logically per-host while the *storage* of
+a hot host's queue spreads over k sub-lists.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import ray
+
+
+# num_cpus=0: queue bookkeeping is tiny per call; see SeenShard note.
+@ray.remote(num_cpus=0)
+class FrontierShard:
+    def __init__(self, shard_id: int):
+        self.shard_id = shard_id
+        # entries: (seq, url, host, depth); lists stay seq-sorted because
+        # discovered_seq is assigned monotonically before add()
+        self.pq: list[tuple] = []
+        self.nq: list[tuple] = []
+        self.added = 0
+        self.taken = 0
+
+    def add(self, entries: list[tuple], priorities: list[bool]) -> int:
+        for e, p in zip(entries, priorities):
+            (self.pq if p else self.nq).append(e)
+        self.added += len(entries)
+        return len(entries)
+
+    def peek(self, limit: int, host_quota: int | None) -> list[tuple]:
+        """Up to ``limit`` entries in (priority_rank, seq) order with at
+        most ``host_quota`` per host; does not remove them."""
+        out: list[tuple] = []
+        per_host: dict[str, int] = defaultdict(int)
+        for rank, q in ((0, self.pq), (1, self.nq)):
+            for e in q:
+                if len(out) >= limit:
+                    return out
+                host = e[2]
+                if host_quota is not None and per_host[host] >= host_quota:
+                    continue
+                per_host[host] += 1
+                out.append((rank,) + e)
+        return out
+
+    def commit(self, seqs: list[int]) -> None:
+        s = set(seqs)
+        self.pq = [e for e in self.pq if e[0] not in s]
+        self.nq = [e for e in self.nq if e[0] not in s]
+        self.taken += len(s)
+
+    def size(self) -> int:
+        return len(self.pq) + len(self.nq)
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "priority_queue": len(self.pq),
+            "normal_queue": len(self.nq),
+            "added": self.added,
+            "taken": self.taken,
+        }
+
+    def snapshot(self) -> tuple[list[tuple], list[tuple]]:
+        return list(self.pq), list(self.nq)
+
+    def restore(self, pq: list[tuple], nq: list[tuple]) -> None:
+        self.pq = sorted(pq)
+        self.nq = sorted(nq)
+
+
+def take_wave(frontier_shards, budget: int, host_quota: int | None) -> list[tuple]:
+    """Distributed wave take: peek all shards, merge, commit.
+
+    Returns the taken entries as (seq, url, host, depth), in the
+    deterministic global order (priority first, then discovered_seq).
+    """
+    peeks = ray.get([f.peek.remote(budget, host_quota) for f in frontier_shards])
+    merged = sorted((e for p in peeks for e in p))  # (rank, seq, url, host, depth)
+    take = merged[:budget]
+    by_shard: dict[int, list[int]] = defaultdict(list)
+    for k, (rank, seq, url, host, depth) in enumerate(take):
+        by_shard[_owner(host, len(frontier_shards))].append(seq)
+    ray.get(
+        [frontier_shards[s].commit.remote(seqs) for s, seqs in by_shard.items()]
+    )
+    return [(seq, url, host, depth) for rank, seq, url, host, depth in take]
+
+
+def _owner(host: str, num_shards: int) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(host.encode()).digest()[:4], "big") % num_shards
+
+
+owner_shard = _owner

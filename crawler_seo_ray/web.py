@@ -1,0 +1,126 @@
+"""Shared per-page crawl kernel: fetch resolution, audit-row build,
+link extraction. Used by both the pure-Python oracle and the Ray
+PageWorker actors, so their equivalence test isolates *orchestration*
+(ordering, sharding, admission) — the kernels themselves are pinned by
+their own conformance tests.
+
+Semantics mirrored from the reference:
+- fetch → crawl fields            core/crawler.py:139-161
+- error row shape                 core/crawler.py:215-227
+- analyze only 200+text/html      core/crawler.py:163-164
+- link extract = normalize+filter core/crawler.py:185-199
+"""
+
+from __future__ import annotations
+
+from . import datagen
+from .canon import LOGGED_REASONS, Scope, normalize_url, relevance
+from .stages.analyzers import analyze_page
+
+
+def fetch_page(url: str, n: int) -> dict:
+    """Resolve a canonical URL against the synthetic web.
+
+    ``https://{host(i)}/page/img{i:08d}`` → page i; anything else in
+    scope is a 404 "page" (no links, not analyzable) — what a live
+    crawler sees for a dead in-domain URL.
+    """
+    try:
+        host, _, path = url.partition("://")[2].partition("/")
+        parts = path.split("/")
+        if len(parts) == 2 and parts[0] == "page":
+            i = datagen.parse_image_id(parts[1])
+            if 0 <= i < n and datagen.host(i) == host:
+                return datagen.page_attrs(i, n)
+    except (ValueError, IndexError):
+        pass
+    return {
+        "page_index": -1,
+        "url": url,
+        "status_code": 404,
+        "content_type": "text/html",
+        "final_url": url,
+        "response_time_ms": 10.0,
+        "content_length": 0,
+        "links": [],
+    }
+
+
+def build_audit_row(url: str, depth: int, attrs: dict, detect_invisible_colors: bool = True) -> dict:
+    """Crawl fields + (for 200/html pages) analyzer fields.
+
+    Duplicate-flag-dependent fields (score, issue lists) are NOT here —
+    they need crawl-order state and are added post-crawl
+    (pipelines.report / oracle inline).
+    """
+    code = attrs["status_code"]
+    row: dict = {
+        "url": url,
+        "depth": depth,
+        "page_index": attrs.get("page_index", -1),
+        "status_code": str(code),
+        "final_url": attrs.get("final_url", url),
+        "redirected": attrs.get("final_url", url) != url,
+        "content_type": attrs.get("content_type", ""),
+        "response_time_ms": attrs.get("response_time_ms", 0.0),
+        "content_length": attrs.get("content_length", 0),
+        "links_encontrados": [],
+        "processed": False,
+        "error_details": "",
+    }
+    if code == "ERROR":
+        row.update(
+            {
+                "error_details": "simulated fetch error",
+                "response_time_ms": 0.0,
+                "content_type": "",
+                "final_url": url,
+                "redirected": False,
+            }
+        )
+        return row
+    if code == 200 and "text/html" in row["content_type"].lower():
+        row.update(analyze_page(attrs, detect_invisible_colors))
+        row["processed"] = True
+    return row
+
+
+def robots_allows(url: str, rules: dict[str, list[str]] | None) -> bool:
+    """Robots-style per-host path-prefix deny rules (engine extension;
+    the reference has none — north_rule asks for a robots cache)."""
+    if not rules:
+        return True
+    host, _, path = url.partition("://")[2].partition("/")
+    for prefix in rules.get(host, []):
+        if ("/" + path).startswith(prefix):
+            return False
+    return True
+
+
+def extract_links(
+    attrs: dict,
+    page_url: str,
+    scope: Scope,
+    robots_rules: dict[str, list[str]] | None = None,
+) -> tuple[list[str], list[dict]]:
+    """Canonicalize + relevance-filter (+ robots-filter) a page's outlinks.
+
+    Returns (kept canonical links in document order, reject log entries
+    for the reasons the reference logs, plus ROBOTS)."""
+    kept: list[str] = []
+    rejects: list[dict] = []
+    for raw in attrs.get("links") or []:
+        c, reason = normalize_url(raw, page_url, scope)
+        if c is None:
+            if reason in LOGGED_REASONS:
+                rejects.append({"url": raw, "reason": reason, "details": ""})
+            continue
+        ok, rreason, pat = relevance(c)
+        if not ok:
+            rejects.append({"url": c, "reason": rreason, "details": pat or ""})
+            continue
+        if not robots_allows(c, robots_rules):
+            rejects.append({"url": c, "reason": "ROBOTS", "details": ""})
+            continue
+        kept.append(c)
+    return kept, rejects

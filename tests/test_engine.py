@@ -1,0 +1,191 @@
+"""Ray engine ≡ deterministic oracle (orchestration equivalence), plus
+checkpoint/resume and image-invariant checks."""
+
+import collections
+
+import pytest
+
+from crawler_seo_ray import datagen
+from crawler_seo_ray.oracle import CrawlSpec, run_oracle
+from crawler_seo_ray.pipelines.crawl import EngineConfig, run_crawl
+from crawler_seo_ray.pipelines.report import finalize_audit
+
+N = 300
+
+# fields compared row-by-row between oracle and engine (post-finalize)
+COMPARE_FIELDS = [
+    "url",
+    "depth",
+    "status_code",
+    "final_url",
+    "redirected",
+    "content_type",
+    "response_time_ms",
+    "content_length",
+    "processed",
+    "title",
+    "title_length",
+    "title_status",
+    "title_duplicado",
+    "meta_description",
+    "description_status",
+    "description_duplicada",
+    "h1_count",
+    "h1_text",
+    "h1_ausente",
+    "h1_multiple",
+    "hierarquia_correta",
+    "heading_sequence",
+    "heading_sequence_valida",
+    "problemas_hierarquia",
+    "headings_problematicos_count",
+    "headings_vazios_count",
+    "headings_ocultos_count",
+    "headings_gravidade_critica",
+    "total_problemas_headings",
+    "has_open_graph",
+    "meta_viewport",
+    "canonical_url",
+    "status_warnings",
+    "has_mixed_content",
+    "mixed_content_count",
+    "critical_mixed_count",
+    "passive_mixed_count",
+    "risk_level",
+    "risk_score",
+    "metatags_score",
+    "critical_issues",
+    "warnings",
+    "all_warnings",
+    "links_encontrados",
+]
+
+
+def _spec(**kw):
+    base = dict(n_pages=N, seeds=[datagen.url(1)], max_urls=60, batch_size=16)
+    base.update(kw)
+    return CrawlSpec(**base)
+
+
+def _compare(engine_result, oracle_out, finalized_rows=None):
+    audit = engine_result.audit
+    eng_order = list(
+        zip(
+            audit.column("visit_seq").to_pylist(),
+            audit.column("url").to_pylist(),
+            audit.column("depth").to_pylist(),
+        )
+    )
+    assert eng_order == oracle_out["visit_order"]
+    assert engine_result.seen == oracle_out["seen"]
+    eng_rej = collections.Counter(
+        (r["url"], r["reason"]) for r in engine_result.rejected.to_pylist()
+    )
+    ora_rej = collections.Counter((r["url"], r["reason"]) for r in oracle_out["rejected"])
+    assert eng_rej == ora_rej
+
+    if finalized_rows is not None:
+        by_seq = {r["visit_seq"]: r for r in finalized_rows}
+        for orow in oracle_out["audit"]:
+            erow = by_seq[orow["visit_seq"]]
+            for f in COMPARE_FIELDS:
+                ov = orow.get(f)
+                ev = erow.get(f)
+                if ov is None and f not in orow:
+                    # oracle never set it (non-processed row) → engine null/None/default-false
+                    assert ev in (None, False, [], 0) or ev != ev, (f, orow["visit_seq"], ev)
+                    continue
+                assert ev == ov, (f, orow["visit_seq"], ev, ov)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_fifo(small_corpus):
+    corpus_dir, _ = small_corpus
+    spec = _spec()
+    ora = run_oracle(spec)
+    res = run_crawl(spec, corpus_dir, EngineConfig(num_workers=3))
+    finalized = finalize_audit(res.audit).take_all()
+    _compare(res, ora, finalized)
+    # image invariants on every fetched row
+    for r in res.audit.to_pylist():
+        if r["image_id"] is not None:
+            assert r["caption_match"] is True
+            assert r["phash_match"] is True
+            assert r["psnr_db"] is not None and r["psnr_db"] >= 40.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_priority(small_corpus):
+    corpus_dir, _ = small_corpus
+    target = datagen.image_id((1 * 11 + 3) % N)
+    spec = _spec(priority_patterns=[target.lower()], max_urls=40, batch_size=8)
+    ora = run_oracle(spec)
+    res = run_crawl(spec, corpus_dir, EngineConfig(num_workers=2))
+    _compare(res, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_politeness_and_robots(small_corpus):
+    corpus_dir, _ = small_corpus
+    robots = {datagen.host(1): ["/page/img000000"]}  # deny low page ids on seed host
+    spec = _spec(
+        max_urls=50,
+        batch_size=10,
+        politeness_per_wave=2,
+        robots_deny_prefixes=robots,
+        seeds=[datagen.url(250)],
+    )
+    ora = run_oracle(spec)
+    res = run_crawl(spec, corpus_dir, EngineConfig(num_workers=2))
+    _compare(res, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_multi_seed_and_duplicate_seed(small_corpus):
+    corpus_dir, _ = small_corpus
+    spec = _spec(
+        seeds=[datagen.url(1), datagen.url(2), datagen.url(1), "https://other.org/x"],
+        max_urls=30,
+    )
+    ora = run_oracle(spec)
+    res = run_crawl(spec, corpus_dir, EngineConfig(num_workers=2))
+    _compare(res, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_equals_uninterrupted(small_corpus, tmp_path):
+    corpus_dir, _ = small_corpus
+    spec = _spec(max_urls=50, batch_size=10)
+    full = run_crawl(spec, corpus_dir, EngineConfig(num_workers=2))
+
+    ck = str(tmp_path / "ckpt")
+    cfg = EngineConfig(num_workers=2, checkpoint_dir=ck)
+    part = run_crawl(spec, corpus_dir, cfg, stop_after_wave=2)
+    assert part.audit.num_rows < full.audit.num_rows
+    resumed = run_crawl(spec, corpus_dir, cfg, resume=True)
+
+    assert resumed.audit.column("url").to_pylist() == full.audit.column("url").to_pylist()
+    assert resumed.audit.column("visit_seq").to_pylist() == full.audit.column(
+        "visit_seq"
+    ).to_pylist()
+    assert resumed.seen == full.seen
+    assert collections.Counter(
+        (r["url"], r["reason"]) for r in resumed.rejected.to_pylist()
+    ) == collections.Counter((r["url"], r["reason"]) for r in full.rejected.to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_prefilter_no_false_negatives(small_corpus):
+    import ray
+
+    from crawler_seo_ray.state.seen import SeenShard
+
+    shard = SeenShard.remote(0, bloom_capacity=10_000)
+    urls = [datagen.url(i) for i in range(400)]
+    ray.get(shard.admit.remote(urls, list(range(400))))
+    hits = ray.get(shard.probe_bloom.remote(urls))
+    assert all(hits)  # a registered URL may never read as unseen
+    fresh = [datagen.url(i) + "?x=1" for i in range(400, 500)]
+    fp = sum(ray.get(shard.probe_bloom.remote(fresh)))
+    assert fp <= 10  # ~1% fp target
+    ray.kill(shard)
