@@ -1,44 +1,53 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline: the deterministic synthetic
+image+caption web (BASELINE.json input_hint shape) crawled by the
+Ray-native frontier/fetch/analyze engine, followed by the post-crawl
+Ray Data finalization (duplicate flags + scores). Returns the finalized
+audit Dataset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()``/``oracle_sql()`` expose one entry per implemented
+operator class (SURVEY.md §2 + training-data extensions) over the
+driver's parquet tables; see crawler_seo_ray/queries.py.
+
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/ray.shutdown() anywhere on these paths.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crawler_seo_ray import datagen  # noqa: E402
+from crawler_seo_ray.canon import Scope  # noqa: E402
+from crawler_seo_ray.queries import ORACLE_SQL, QUERIES, corpus_dir  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship crawl on the synthetic corpus + sf0.001 table smoke."""
+    from crawler_seo_ray.oracle import CrawlSpec
+    from crawler_seo_ray.pipelines.crawl import EngineConfig, run_crawl
+    from crawler_seo_ray.pipelines.report import excel_projection, finalize_audit
+
+    spec = CrawlSpec(
+        n_pages=300,
+        seeds=[datagen.url(1)],
+        max_urls=150,
+        batch_size=25,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+    )
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=4))
+    return excel_projection(finalize_audit(res.audit))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -28,6 +28,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Mean
 
 from ..stages.scoring import finalize_page
+from ..util import collect_arrow
 
 JOIN_PARTITIONS = 16
 
@@ -79,7 +80,7 @@ def finalize_audit(audit: pa.Table | Dataset, num_partitions: int = JOIN_PARTITI
     dflags = _dup_flags(ds, "meta_description", "description_duplicada", num_partitions)
 
     def _collect(flags: Dataset, col: str) -> tuple[np.ndarray, np.ndarray]:
-        t = pa.concat_tables(ray.get(flags.to_arrow_refs()))
+        t = collect_arrow(flags)
         seqs = t.column("visit_seq").to_numpy()
         vals = t.column(col).to_numpy(zero_copy_only=False)
         order = np.argsort(seqs)
@@ -136,6 +137,69 @@ def finalize_audit(audit: pa.Table | Dataset, num_partitions: int = JOIN_PARTITI
         return out
 
     return ds.map_batches(finalize, batch_format="pyarrow")
+
+
+def excel_projection(final: Dataset) -> Dataset:
+    """M19/M20 — the reference's fixed-schema report projection
+    (analyzers/metatags_analyzer.py:329-373, main.py:121-162): booleans
+    rendered 'SIM'/'NÃO', list columns flattened with ' | ' / ' → '
+    joins, reference column names. Flat schema (strings/numbers only) —
+    safe for pandas/Excel-style consumers."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        def sim(col, default=False):
+            vals = batch.column(col).to_pylist()
+            return ["SIM" if (v if v is not None else default) else "NÃO" for v in vals]
+
+        def join(col, sep):
+            return [sep.join(v) if v else "" for v in batch.column(col).to_pylist()]
+
+        def plain(col, default=None):
+            return [v if v is not None else default for v in batch.column(col).to_pylist()]
+
+        return pa.table(
+            {
+                "visit_seq": batch.column("visit_seq"),
+                "wave": batch.column("wave"),
+                "URL": batch.column("url"),
+                "Depth": batch.column("depth"),
+                "Status_Code": batch.column("status_code"),
+                "Response_Time_ms": batch.column("response_time_ms"),
+                "Title": plain("title", ""),
+                "Title_Length": plain("title_length", 0),
+                "Title_Status": plain("title_status", "Ausente"),
+                "Title_Duplicado": sim("title_duplicado"),
+                "Meta_Description": plain("meta_description", ""),
+                "Description_Length": plain("description_length", 0),
+                "Description_Status": plain("description_status", "Ausente"),
+                "Description_Duplicada": sim("description_duplicada"),
+                "H1_Count": plain("h1_count", 0),
+                "H1_Text": plain("h1_text", ""),
+                "H1_Ausente": sim("h1_ausente", True),
+                "H1_Multiple": sim("h1_multiple"),
+                "Hierarquia_Correta": sim("hierarquia_correta", True),
+                "Headings_Problematicos_Total": plain("headings_problematicos_count", 0),
+                "Headings_Vazios": plain("headings_vazios_count", 0),
+                "Headings_Ocultos": plain("headings_ocultos_count", 0),
+                "Headings_Criticos": plain("headings_gravidade_critica", 0),
+                "Heading_Sequence_Completa": join("heading_sequence", " → "),
+                "Heading_Sequence_Valida": join("heading_sequence_valida", " → "),
+                "Total_Problemas_Headings": plain("total_problemas_headings", 0),
+                "Problemas_Hierarquia": join("problemas_hierarquia", " | "),
+                "Metatags_Score": plain("metatags_score", 0),
+                "Critical_Issues": join("critical_issues", " | "),
+                "Warnings": join("all_warnings", " | "),
+                "Has_Mixed_Content": sim("has_mixed_content"),
+                "Mixed_Content_Count": plain("mixed_content_count", 0),
+                "Canonical_URL": plain("canonical_url", ""),
+                "Meta_Viewport": plain("meta_viewport", ""),
+                "Has_Open_Graph": sim("has_open_graph"),
+                "Caption_Match": sim("caption_match", True),
+                "Phash_Match": sim("phash_match", True),
+            }
+        )
+
+    return final.map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

