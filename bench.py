@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-component sec...}, "sf": ..., "num_cpus": N,
+   "crawl_urls_per_sec": ...}
+
+``--scaling`` runs the same job in two fresh processes at 8 and 32
+CPUs on the same input and reports both throughputs + the scaling
+efficiency (the sandbox substitute for the N vs 4N cluster-size
+criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench crawl sizing (sf-independent synthetic web, cached on disk)
+BENCH_CORPUS_N = 20_000
+BENCH_DIMS = (16, 33)
+BENCH_MAX_URLS = 6_000
+BENCH_BATCH = 600
+
+
+def _bench_corpus_dir() -> str:
+    return f"/tmp/crawler_seo_ray_cache/bench_corpus_n{BENCH_CORPUS_N}_d{BENCH_DIMS[0]}_{BENCH_DIMS[1]}"
+
+
+def ensure_bench_corpus() -> str:
+    from crawler_seo_ray import datagen
+
+    d = _bench_corpus_dir()
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        datagen.write_corpus_parallel(
+            d, BENCH_CORPUS_N, rows_per_shard=2048,
+            dim_base=BENCH_DIMS[0], dim_mod=BENCH_DIMS[1],
+        )
+    return d
+
+
+def run_components(num_cpus: int) -> dict:
+    import shutil
+
+    from crawler_seo_ray import datagen
+    from crawler_seo_ray.canon import Scope
+    from crawler_seo_ray.oracle import CrawlSpec
+    from crawler_seo_ray.pipelines.crawl import (
+        EngineConfig,
+        audit_dataset_from_checkpoint,
+        run_crawl,
+    )
+    from crawler_seo_ray.pipelines.report import excel_projection, finalize_audit
+    from crawler_seo_ray import queries as Q
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    corpus = ensure_bench_corpus()
+
+    # --- headline: the crawl (URLs fetched+deduped/s, BASELINE.json
+    # metric), checkpointing every wave (per-partition lineage)
+    ckpt = "/tmp/crawler_seo_ray_cache/bench_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.perf_counter()
+    spec = CrawlSpec(
+        n_pages=BENCH_CORPUS_N,
+        seeds=[datagen.url(1)],
+        max_urls=BENCH_MAX_URLS,
+        batch_size=BENCH_BATCH,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+    )
+    cfg = EngineConfig(
+        num_seen_shards=8,
+        num_frontier_shards=8,
+        num_workers=max(2, num_cpus - 2),
+        psnr_every=7,  # full-PSNR on a 1/7 sample; decode+phash on every row
+        checkpoint_dir=ckpt,
+    )
+    res = run_crawl(spec, corpus, cfg)
+    crawl_sec = time.perf_counter() - t0
+    timings["crawl"] = crawl_sec
+    extras["crawl_urls"] = res.stats["visited"]
+    extras["crawl_urls_per_sec"] = res.stats["visited"] / crawl_sec
+    extras["crawl_dedup_seen"] = res.stats["seen"]
+
+    # --- post-crawl analytics (dup flags + scores + report projection)
+    # streamed from the checkpointed audit partitions (the scale path)
+    t0 = time.perf_counter()
+    audit_ds = audit_dataset_from_checkpoint(ckpt)
+    final = excel_projection(finalize_audit(audit_ds)).materialize()
+    assert final.count() == res.stats["visited"]
+    timings["finalize_report"] = time.perf_counter() - t0
+
+    # --- relational / text / similarity operators over $GRAFT_SF_DIR
+    for name in (
+        "lineitem_agg",
+        "orders_topk",
+        "events_hourly",
+        "events_anti_join",
+        "docs_token_stats",
+        "docs_minhash_dups",
+        "embeddings_knn",
+        "corpus_image_stats",
+    ):
+        t0 = time.perf_counter()
+        out = Q.QUERIES[name](SF_DIR)
+        # consume: Dataset → count via materialize; Table is already done
+        if hasattr(out, "materialize"):
+            out = out.materialize()
+            out.count()
+        timings[name] = time.perf_counter() - t0
+
+    return {"timings": timings, "extras": extras}
+
+
+def main() -> None:
+    import ray
+
+    # Ray's raylet warnings write to fd 1 regardless of log_to_driver —
+    # shunt everything to stderr for the run and restore stdout only for
+    # the single JSON line the driver parses.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    try:
+        out = run_components(NUM_CPUS)
+    finally:
+        ray.shutdown()
+        sys.stdout.flush()
+        os.dup2(real_stdout, 1)
+
+    timings = out["timings"]
+    line = {
+        "metric": "crawl+operators wall time over synthetic web + " + SF_DIR,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_urls_per_sec": round(out["extras"]["crawl_urls_per_sec"], 1),
+        "crawl_urls": out["extras"]["crawl_urls"],
+    }
+    print(json.dumps(line))
+
+
+def scaling() -> None:
+    """Same job, same input, fresh processes at 8 and 32 CPUs."""
+    import subprocess
+
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    r8, r32 = results[8], results[32]
+    eff_time = (r8["value"] / r32["value"]) / 4.0
+    eff_crawl = (r32["crawl_urls_per_sec"] / r8["crawl_urls_per_sec"]) / 4.0
+    print(
+        json.dumps(
+            {
+                "sec_8": r8["value"],
+                "sec_32": r32["value"],
+                "crawl_urls_per_sec_8": r8["crawl_urls_per_sec"],
+                "crawl_urls_per_sec_32": r32["crawl_urls_per_sec"],
+                "scaling_efficiency_total": round(eff_time, 3),
+                "scaling_efficiency_crawl": round(eff_crawl, 3),
+                "queries_8": r8["queries"],
+                "queries_32": r32["queries"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

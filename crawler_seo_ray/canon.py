@@ -116,6 +116,14 @@ LOGGED_REASONS = {REASON_INVALID, REASON_ECOMMERCE, REASON_EXTENSION, REASON_TEC
 
 _MULTI_SLASH = re.compile(r"/+")
 
+# Fast path: URLs already in canonical form — absolute http(s), lowercase
+# host without www., single-slash path with no trailing slash, no query/
+# fragment. For these normalize(url) == url, so the urllib pipeline can
+# be skipped (the synthetic web and most real canonical links hit this).
+_CANONICAL_RE = re.compile(
+    r"^(https?)://((?!www\.)[a-z0-9.\-]+(?::\d+)?)/(?:[A-Za-z0-9_.\-~]+/)*[A-Za-z0-9_.\-~]+$"
+)
+
 
 @dataclass(frozen=True)
 class Scope:
@@ -177,6 +185,22 @@ def normalize_url(url: str, base_url: str | None, scope: Scope) -> tuple[str | N
         return None, REASON_INVALID
     try:
         url = url.strip()
+        m = _CANONICAL_RE.match(url)
+        if m:
+            # already canonical (urljoin of an absolute URL is the URL);
+            # only the scope check remains. Equivalence with the full
+            # path is property-tested (tests/test_canon.py).
+            if not scope.allows(m.group(2)):
+                return None, REASON_SCOPE
+            return url, None
+        return _normalize_full(url, base_url, scope)
+    except Exception:
+        return None, REASON_INVALID
+
+
+def _normalize_full(url: str, base_url: str | None, scope: Scope) -> tuple[str | None, str | None]:
+    """The complete urllib normalization pipeline (no fast path)."""
+    try:
         if base_url:
             url = urljoin(base_url, url)
         parsed = urlparse(url)

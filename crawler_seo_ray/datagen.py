@@ -87,6 +87,7 @@ def _phrase(words: list[str], i: int, salt: str, lo: int, hi: int) -> str:
     return " ".join(words[_h(i, f"{salt}:{k}") % len(words)] for k in range(n))
 
 
+@lru_cache(maxsize=1 << 18)
 def caption(i: int) -> str:
     """Title/caption text; rows i ≡ 13 (mod 26) duplicate row i-13.
 
@@ -98,6 +99,7 @@ def caption(i: int) -> str:
     return _phrase(_WORDS, base, "caption", 2, 12).capitalize()
 
 
+@lru_cache(maxsize=1 << 18)
 def description(i: int) -> str:
     """Meta description; rows i ≡ 17 (mod 34) duplicate row i-17; absent at i%11==0."""
     if i % 11 == 0:
@@ -106,6 +108,7 @@ def description(i: int) -> str:
     return _phrase(_DESC_WORDS, base, "desc", 12, 30).capitalize() + "."
 
 
+@lru_cache(maxsize=1 << 18)
 def host(i: int) -> str:
     """Zipf-skewed host assignment (hot hosts exercise skew handling)."""
     u = (_h(i, "host") % 10**9) / 10**9
@@ -381,6 +384,51 @@ def write_corpus(
     import json
     import os
 
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def write_corpus_parallel(
+    out_dir: str,
+    n: int,
+    rows_per_shard: int = 2048,
+    dim_base: int = 32,
+    dim_mod: int = 97,
+) -> dict:
+    """Parallel corpus materialization: one Ray task per shard (pure
+    functions of the row index → embarrassingly parallel, identical
+    output to write_corpus). Requires an initialized Ray session."""
+    import json
+    import os
+
+    import ray
+
+    from . import storage
+
+    @ray.remote
+    def gen_shard(shard: int, start: int, end: int) -> int:
+        t = corpus_batch(range(start, end), dim_base, dim_mod)
+        storage.write_table(
+            t, os.path.join(out_dir, f"part-{shard:05d}.parquet"), for_take=True
+        )
+        return t.num_rows
+
+    os.makedirs(out_dir, exist_ok=True)
+    futures = [
+        gen_shard.remote(k, start, min(start + rows_per_shard, n))
+        for k, start in enumerate(range(0, n, rows_per_shard))
+    ]
+    counts = ray.get(futures)
+    manifest = {
+        "rows_per_shard": rows_per_shard,
+        "num_rows": sum(counts),
+        "num_shards": len(counts),
+        "dim_base": dim_base,
+        "dim_mod": dim_mod,
+        "n": n,
+        "seed": SEED,
+    }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest

@@ -125,16 +125,15 @@ def phash64(pixels: np.ndarray) -> int:
     # mean-pool onto an 8x8 grid using cumulative sums (works for any h,w >= 8)
     ys = np.linspace(0, h, 9).astype(np.int64)
     xs = np.linspace(0, w, 9).astype(np.int64)
-    cells = np.empty((8, 8))
     integral = np.zeros((h + 1, w + 1))
     integral[1:, 1:] = gray.cumsum(0).cumsum(1)
-    for i in range(8):
-        for j in range(8):
-            y0, y1, x0, x1 = ys[i], ys[i + 1], xs[j], xs[j + 1]
-            area = (y1 - y0) * (x1 - x0)
-            cells[i, j] = (
-                integral[y1, x1] - integral[y0, x1] - integral[y1, x0] + integral[y0, x0]
-            ) / max(area, 1)
+    # vectorized 8x8 box sums from the integral image
+    i11 = integral[ys[1:]][:, xs[1:]]
+    i00 = integral[ys[:-1]][:, xs[:-1]]
+    i01 = integral[ys[:-1]][:, xs[1:]]
+    i10 = integral[ys[1:]][:, xs[:-1]]
+    areas = np.maximum(np.outer(np.diff(ys), np.diff(xs)), 1)
+    cells = (i11 - i01 - i10 + i00) / areas
     med = np.median(cells)
     bits = (cells.reshape(-1) > med).astype(np.uint64)
     val = np.uint64(0)

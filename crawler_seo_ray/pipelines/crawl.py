@@ -219,11 +219,16 @@ class _Engine:
             by_shard.setdefault(shard_of(url, len(self.seen)), []).append(url)
         ray.get([self.seen[s].mark_issued.remote(us) for s, us in by_shard.items()])
 
-        # dispatch ordered contiguous chunks to the worker pool
+        # dispatch chunks to the worker pool. visit_seq is assigned in the
+        # deterministic batch order FIRST; the dispatch order is then
+        # locality-sorted by corpus page index so each worker's point-take
+        # touches contiguous row groups (ordering is a data property —
+        # the audit table is re-sorted by visit_seq after the gather).
         entries = [
             (self.visited + k, url, host, depth)
             for k, (seq, url, host, depth) in enumerate(batch)
         ]
+        entries.sort(key=lambda e: e[1].rpartition("/")[2])
         W = len(self.workers)
         chunk = min(self.cfg.max_chunk, max(1, -(-len(entries) // W)))
         futures = []
@@ -233,6 +238,10 @@ class _Engine:
             )
         parts = ray.get(futures)
         audit = pa.concat_tables([p[0] for p in parts]) if parts else AUDIT_SCHEMA.empty_table()
+        if audit.num_rows:
+            import pyarrow.compute as pc
+
+            audit = audit.take(pc.sort_indices(audit.column("visit_seq")))
         cands = pa.concat_tables([p[1] for p in parts]) if parts else CANDIDATE_SCHEMA.empty_table()
         rejects = pa.concat_tables([p[2] for p in parts]) if parts else REJECT_SCHEMA.empty_table()
 
@@ -380,6 +389,19 @@ class _Engine:
     def shutdown(self) -> None:
         for a in self.seen + self.frontier + self.workers:
             ray.kill(a)
+
+
+def audit_dataset_from_checkpoint(checkpoint_dir: str):
+    """Streaming Dataset over the checkpointed audit (one parquet per
+    wave) — the scale path for post-crawl analytics: at 10^10 URLs the
+    audit never lives as a driver table; finalize/report read it from
+    the wave partitions with normal Ray Data streaming."""
+    import glob
+
+    import ray.data as rd
+
+    paths = sorted(glob.glob(os.path.join(checkpoint_dir, "waves", "wave=*", "audit.parquet")))
+    return rd.read_parquet(paths)
 
 
 def run_crawl(

@@ -75,29 +75,88 @@ def finalize_audit(audit: pa.Table | Dataset, num_partitions: int = JOIN_PARTITI
     """
     import numpy as np
 
-    ds = ray.data.from_arrow(audit) if isinstance(audit, pa.Table) else audit
-    tflags = _dup_flags(ds, "title", "title_duplicado", num_partitions)
-    dflags = _dup_flags(ds, "meta_description", "description_duplicada", num_partitions)
+    if isinstance(audit, pa.Table):
+        ds = ray.data.from_arrow(audit.combine_chunks())
+    else:
+        ds = audit
 
-    def _collect(flags: Dataset, col: str) -> tuple[np.ndarray, np.ndarray]:
-        t = collect_arrow(flags)
+    # ONE tagged-union shuffle computes both flag families: rows
+    # (visit_seq, key=text, src∈{t,d}) → groupby(src, key) → flag =
+    # visit_seq > min(visit_seq) within group (empty/unprocessed never
+    # flagged). Narrow columns only.
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        # only processed rows with a non-empty key participate — rows
+        # outside the shuffle default to flag=False at lookup (matching
+        # the reference: empty text never tracked, non-HTML never analyzed)
+        proc = pc.fill_null(batch.column("processed"), False)
+        out = []
+        for src, col in (("t", "title"), ("d", "meta_description")):
+            keys = batch.column(col)
+            keep = pc.and_(
+                proc, pc.invert(pc.equal(pc.coalesce(keys, ""), ""))
+            )
+            sub = batch.filter(keep)
+            out.append(
+                pa.table(
+                    {
+                        "visit_seq": sub.column("visit_seq"),
+                        "src": pa.array([src] * sub.num_rows, pa.string()),
+                        "key": sub.column(col),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    def flag_group(g: pa.Table) -> pa.Table:
+        seqs = g.column("visit_seq").to_numpy()
+        flags = seqs > seqs.min()
+        return pa.table({"visit_seq": seqs, "src": g.column("src"), "flag": flags})
+
+    flag_tbl = collect_arrow(
+        ds.select_columns(["visit_seq", "title", "meta_description", "processed"])
+        .map_batches(tag_rows, batch_format="pyarrow")
+        .groupby(["src", "key"])
+        .map_groups(flag_group, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("visit_seq", pa.int64()), ("src", pa.string()), ("flag", pa.bool_())]
+        ),
+    )
+
+    def _split(src: str) -> tuple[np.ndarray, np.ndarray]:
+        t = flag_tbl.filter(pc.equal(flag_tbl.column("src"), src))
         seqs = t.column("visit_seq").to_numpy()
-        vals = t.column(col).to_numpy(zero_copy_only=False)
+        vals = t.column("flag").to_numpy(zero_copy_only=False)
         order = np.argsort(seqs)
         return seqs[order], vals[order]
 
-    tseq, tval = _collect(tflags, "title_duplicado")
-    dseq, dval = _collect(dflags, "description_duplicada")
+    tseq, tval = _split("t")
+    dseq, dval = _split("d")
     flags_ref = ray.put((tseq, tval, dseq, dval))
+
+    # only the fields finalize_page reads — materializing the heavy
+    # nested columns (problem structs, sequences, resources) per row
+    # would dominate the stage
+    _NEEDED = [
+        "processed", "title_status", "title_length", "description_status",
+        "description_length", "h1_ausente", "h1_multiple", "hierarquia_correta",
+        "headings_gravidade_critica", "headings_problematicos_count",
+        "has_open_graph", "meta_viewport", "canonical_url", "status_warnings",
+    ]
+
+    def _lookup(sorted_seqs, sorted_vals, seqs):
+        if len(sorted_seqs) == 0:
+            return np.zeros(len(seqs), dtype=bool)
+        idx = np.clip(np.searchsorted(sorted_seqs, seqs), 0, len(sorted_seqs) - 1)
+        return (sorted_seqs[idx] == seqs) & sorted_vals[idx]
 
     def finalize(batch: pa.Table) -> pa.Table:
         ts, tv, dsq, dv = ray.get(flags_ref)
         seqs = batch.column("visit_seq").to_numpy()
-        tflag = tv[np.searchsorted(ts, seqs)]
-        dflag = dv[np.searchsorted(dsq, seqs)]
+        tflag = _lookup(ts, tv, seqs)
+        dflag = _lookup(dsq, dv, seqs)
         batch = batch.append_column("title_duplicado", pa.array(tflag, pa.bool_()))
         batch = batch.append_column("description_duplicada", pa.array(dflag, pa.bool_()))
-        rows = batch.to_pylist()
+        rows = batch.select(_NEEDED + ["title_duplicado", "description_duplicada"]).to_pylist()
         extra: dict[str, list] = {
             k: []
             for k in (

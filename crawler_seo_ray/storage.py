@@ -17,19 +17,26 @@ from typing import Iterable
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-# Row-group granularity for point reads: a fetch touches one row group
-# per hit, so keep them small-ish but not absurd (metadata overhead).
-TAKE_ROW_GROUP_SIZE = 512
+# Row-group granularity for point reads: a scattered take decompresses
+# whole row groups, so the group size IS the read amplification factor.
+# 64 rows ≈ a few hundred KB of image bytes per group — the parquet
+# stand-in for Lance's fine-grained take.
+TAKE_ROW_GROUP_SIZE = 64
 
 
 def write_table(table: pa.Table, path: str, *, for_take: bool = False) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
+    # binary payloads (encoded images) are already compressed — recoding
+    # them in zstd wastes CPU at write AND at every point read
+    compression: str | dict = "zstd"
+    if "bytes" in table.column_names:
+        compression = {c: ("NONE" if c == "bytes" else "zstd") for c in table.column_names}
     pq.write_table(
         table,
         tmp,
         row_group_size=TAKE_ROW_GROUP_SIZE if for_take else 64 * 1024,
-        compression="zstd",
+        compression=compression,
     )
     os.replace(tmp, path)  # atomic publish → resumable layout
 
@@ -60,7 +67,9 @@ class ShardedTakeReader:
     def _file(self, shard: int) -> pq.ParquetFile:
         f = self._files.get(shard)
         if f is None:
-            f = pq.ParquetFile(os.path.join(self.dir, f"part-{shard:05d}.parquet"))
+            f = pq.ParquetFile(
+                os.path.join(self.dir, f"part-{shard:05d}.parquet"), memory_map=True
+            )
             self._files[shard] = f
         return f
 
@@ -81,16 +90,21 @@ class ShardedTakeReader:
                 end += 1
             local = sorted_idx[start:end] - shard * self.rows_per_shard
             pf = self._file(shard)
-            # map local offsets → row groups
+            # map local offsets → row groups; one batched read per file
             rg_sizes = [pf.metadata.row_group(g).num_rows for g in range(pf.num_row_groups)]
             rg_starts = np.cumsum([0] + rg_sizes)
             groups = np.searchsorted(rg_starts, local, side="right") - 1
-            for g in sorted(set(groups.tolist())):
-                mask = groups == g
-                tbl = pf.read_row_group(g, columns=self.columns)
-                rows = local[mask] - rg_starts[g]
-                tables.append(tbl.take(pa.array(rows)))
-                positions.extend(out_order[start:end][mask].tolist())
+            wanted = sorted(set(groups.tolist()))
+            tbl = pf.read_row_groups(wanted, columns=self.columns)
+            # offsets of each wanted group within the concatenated read
+            concat_starts = np.cumsum([0] + [rg_sizes[g] for g in wanted])
+            gpos = {g: concat_starts[k] for k, g in enumerate(wanted)}
+            rows = np.array(
+                [gpos[g] + (l - rg_starts[g]) for g, l in zip(groups, local)],
+                dtype=np.int64,
+            )
+            tables.append(tbl.take(pa.array(rows)))
+            positions.extend(out_order[start:end].tolist())
             start = end
         if not tables:
             empty = self._file(0).schema_arrow

@@ -110,6 +110,36 @@ def test_priority_and_scope_helpers():
     assert not Scope("suffix", "example.test").allows("example.org")
 
 
+def test_fast_path_equals_full_pipeline():
+    """The canonical-form fast path must agree with the full urllib
+    pipeline on every input (property test over generated + adversarial
+    URLs)."""
+    from crawler_seo_ray import datagen
+    from crawler_seo_ray.canon import _normalize_full
+
+    sc = Scope("suffix", datagen.HOST_SUFFIX)
+    cases = []
+    for i in range(0, 80):
+        cases.extend(datagen.links(i, 400))
+        cases.append(datagen.url(i))
+    cases += [
+        "https://example.test/a/b", "https://example.test/a/b/",
+        "https://example.test", "https://example.test/",
+        "https://h1.example.test/a.b-c_d~e", "http://h1.example.test/x",
+        "https://h1.example.test/x?a=1", "https://h1.example.test/x#f",
+        "https://WWW.h1.example.test/x", "https://www.h1.example.test/x",
+        "https://h1.example.test//x", "https://h1.example.test/x/",
+        "https://h1.example.test:8080/x", "ftp://h1.example.test/x",
+    ]
+    for u in cases:
+        fast = normalize_url(u, None, sc)
+        full = _normalize_full(u.strip(), None, sc)
+        assert fast == full, (u, fast, full)
+        with_base = normalize_url(u, datagen.url(0), sc)
+        full_base = _normalize_full(u.strip(), datagen.url(0), sc)
+        assert with_base == full_base, (u, with_base, full_base)
+
+
 def test_batch_kernel_matches_scalar():
     urls = [
         "https://example.com/page1/",

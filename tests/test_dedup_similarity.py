@@ -1,0 +1,150 @@
+"""Correctness of the training-data operators: planted near-dups must be
+found, kNN must agree with a numpy reference, text kernels sane."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls softly "
+    "on the green hills and the river runs through the quiet valley at dawn "
+    "bringing fresh water to the farms below the old stone bridge"
+)
+
+
+def _docs_table():
+    texts = []
+    for i in range(40):
+        words = (BASE + f" variant {i}").split()
+        rng = np.random.default_rng(i)
+        extra = " ".join(rng.choice(words, size=30))
+        texts.append(" ".join(words) + " " + extra)
+    # planted near-dup pair: 100 == 1 with one word changed
+    texts.append(texts[1].replace("river", "stream"))
+    # planted exact dup of 2
+    texts.append(texts[2])
+    ids = list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_finds_planted_near_dups():
+    from crawler_seo_ray.stages.dedup import minhash_pipeline
+
+    t = _docs_table()
+    ds = rd.from_arrow(t)
+    out = minhash_pipeline(ds, "text", "doc_id", jaccard_threshold=0.6)
+    pairs = {(r["id_a"], r["id_b"]) for r in out["pairs"].to_pylist()}
+    assert (1, 40) in pairs  # near-dup (one word changed)
+    assert (2, 41) in pairs  # exact dup
+    groups = {r["id"]: r["rep"] for r in out["groups"].to_pylist()}
+    assert groups[40] == 1 and groups[41] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_finds_planted_dups():
+    from crawler_seo_ray.stages.dedup import simhash_pipeline
+
+    ds = rd.from_arrow(_docs_table())
+    out = simhash_pipeline(ds, "text", "doc_id", hamming_threshold=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in out["pairs"].to_pylist()}
+    assert (2, 41) in pairs  # exact dup → hamming 0
+    sigs = {r["doc_id"]: r["simhash"] for r in out["signatures"].to_pylist()}
+    assert sigs[2] == sigs[41]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_keep_first():
+    from crawler_seo_ray.stages.dedup import exact_dedup
+    from crawler_seo_ray.util import collect_arrow
+
+    t = _docs_table()
+    ds = rd.from_arrow(t)
+    out = collect_arrow(exact_dedup(ds, "text", "doc_id"))
+    kept = sorted(out.column("doc_id").to_pylist())
+    assert 2 in kept and 41 not in kept  # first of the exact-dup group wins
+    assert len(kept) == t.num_rows - 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_brute_matches_numpy_reference():
+    from crawler_seo_ray.stages.similarity import knn_brute
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16))
+    ids = np.arange(200)
+    t = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64()))}
+    )
+    queries = vecs[:3]
+    out = knn_brute(rd.from_arrow(t), "embedding", "vec_id", queries, k=5)
+    # numpy reference
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = vn @ qn.T
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["query_idx"], []).append(r["neighbor_id"])
+    for qi in range(3):
+        expect = np.lexsort((ids, -sims[:, qi]))[:5].tolist()
+        assert got[qi] == expect
+        assert got[qi][0] == qi  # self is the nearest neighbor
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_ivf_recall():
+    from crawler_seo_ray.stages.similarity import knn_brute, knn_ivf
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 16))
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(300), pa.int64()),
+         "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64()))}
+    )
+    ds = rd.from_arrow(t)
+    queries = vecs[:4]
+    exact = knn_brute(ds, "embedding", "vec_id", queries, k=5)
+    approx = knn_ivf(ds, "embedding", "vec_id", queries, k=5, nlist=8, nprobe=4)
+    ex = {}
+    ap = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_idx"], set()).add(r["neighbor_id"])
+    for r in approx.to_pylist():
+        ap.setdefault(r["query_idx"], set()).add(r["neighbor_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert np.mean(recalls) >= 0.6, recalls  # nprobe=4 of 8 cells
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_stats_and_resize(small_corpus):
+    import glob
+
+    from crawler_seo_ray.stages.multimodal import image_stats, resize_corpus
+    from crawler_seo_ray.util import collect_arrow
+
+    corpus_dir, _ = small_corpus
+    paths = sorted(glob.glob(corpus_dir + "/part-*.parquet"))
+    ds = rd.read_parquet(paths, columns=["image_id", "bytes", "fmt"])
+    stats = collect_arrow(image_stats(ds, concurrency=2, batch_size=64))
+    assert stats.num_rows == 300
+    assert all(stats.column("decode_ok").to_pylist())
+    resized = collect_arrow(resize_corpus(ds, out_h=24, out_w=24, concurrency=2))
+    assert resized.num_rows == 300
+    # resized payloads decode to the target size
+    from crawler_seo_ray.functions.imagecodec import png_decode
+
+    r0 = resized.to_pylist()[0]
+    assert png_decode(r0["bytes"]).shape == (24, 24, 3)
+
+
+def test_multimodal_stubs_raise():
+    from crawler_seo_ray.stages.multimodal import DecodeAudio, SampleVideoFrames
+
+    with pytest.raises(NotImplementedError):
+        DecodeAudio()(pa.table({"audio_id": ["a"]}))
+    with pytest.raises(NotImplementedError):
+        SampleVideoFrames()(pa.table({"video_id": ["v"]}))
