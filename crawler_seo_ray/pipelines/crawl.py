@@ -72,6 +72,7 @@ class EngineConfig:
     num_frontier_shards: int = 4
     num_workers: int = 4
     worker_num_cpus: float = 1.0
+    frontier_salt: int = 1  # >1 spreads each host's queue over k sub-shards (hot-host split)
     checkpoint_dir: str | None = None
     verify_images: bool = True
     psnr_every: int = 1  # full-PSNR sample stride (1 = every page)
@@ -102,6 +103,9 @@ class _Engine:
             "verify_images": cfg.verify_images,
             "psnr_every": cfg.psnr_every,
             "robots": spec.robots_deny_prefixes,
+            "num_seen_shards": cfg.num_seen_shards,
+            "num_frontier_shards": cfg.num_frontier_shards,
+            "frontier_salt": cfg.frontier_salt,
         }
         self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
         self.frontier = [FrontierShard.remote(i) for i in range(cfg.num_frontier_shards)]
@@ -119,49 +123,64 @@ class _Engine:
         self.seed_rejects: list[dict] = []
 
     # ------------------------------------------------------------------
-    def _admit(self, urls, hosts, depths, priorities, order_keys, wave: int) -> pa.Table:
+    def _admit(self, cands: pa.Table, wave: int) -> pa.Table:
         """Order-aware admission via seen shards → frontier adds.
 
-        Returns the admitted entries (ADMITTED_SCHEMA) in discovery order.
+        ``cands`` follows CANDIDATE_SCHEMA (shard routing precomputed by
+        the workers, so this merge does no hashing). Returns the
+        admitted entries (ADMITTED_SCHEMA) in discovery order.
         """
-        S = len(self.seen)
-        by_shard: dict[int, list[int]] = {}
-        for k, u in enumerate(urls):
-            by_shard.setdefault(shard_of(u, S), []).append(k)
-        futures = {}
-        for s, ks in by_shard.items():
-            futures[s] = self.seen[s].admit.remote(
-                [urls[k] for k in ks], [order_keys[k] for k in ks]
-            )
-        admitted_positions: list[int] = []
-        for s, ks in by_shard.items():
-            for local in ray.get(futures[s]):
-                admitted_positions.append(ks[local])
-        admitted_positions.sort(key=lambda k: order_keys[k])
+        import numpy as np
 
-        rows = []
-        adds: dict[int, tuple[list, list]] = {}
-        for k in admitted_positions:
-            seq = self.next_seq
-            self.next_seq += 1
-            rows.append(
-                {
-                    "discovered_seq": seq,
-                    "url": urls[k],
-                    "host": hosts[k],
-                    "depth": depths[k],
-                    "priority": bool(priorities[k]),
-                    "wave": wave,
-                }
+        if cands.num_rows == 0:
+            return ADMITTED_SCHEMA.empty_table()
+        sh = cands.column("seen_shard").to_numpy()
+        urls = cands.column("url").to_pylist()
+        keys = cands.column("order_key").to_numpy()
+        futures = {}
+        idx_by_shard: dict[int, np.ndarray] = {}
+        for s in np.unique(sh):
+            ks = np.flatnonzero(sh == s)
+            idx_by_shard[int(s)] = ks
+            futures[int(s)] = self.seen[int(s)].admit.remote(
+                [urls[k] for k in ks], keys[ks].tolist()
             )
-            fs = owner_shard(hosts[k], len(self.frontier))
-            ent, pri = adds.setdefault(fs, ([], []))
-            ent.append((seq, urls[k], hosts[k], depths[k]))
-            pri.append(bool(priorities[k]))
-        ray.get(
-            [self.frontier[s].add.remote(ent, pri) for s, (ent, pri) in adds.items()]
+        positions: list[int] = []
+        for s, ks in idx_by_shard.items():
+            got = ray.get(futures[s])
+            positions.extend(ks[got].tolist() if len(got) else [])
+        pos = np.asarray(positions, dtype=np.int64)
+        pos = pos[np.argsort(keys[pos], kind="stable")]
+
+        adm = cands.take(pa.array(pos))
+        n = adm.num_rows
+        seqs = np.arange(self.next_seq, self.next_seq + n, dtype=np.int64)
+        self.next_seq += n
+        admitted = pa.table(
+            {
+                "discovered_seq": pa.array(seqs),
+                "url": adm.column("url"),
+                "host": adm.column("host"),
+                "depth": adm.column("depth"),
+                "priority": adm.column("priority"),
+                "wave": pa.array(np.full(n, wave, dtype=np.int32)),
+            },
+            schema=ADMITTED_SCHEMA,
         )
-        return rows_to_table(rows, ADMITTED_SCHEMA)
+        # frontier adds grouped by the precomputed owner shard
+        fsh = adm.column("frontier_shard").to_numpy()
+        a_urls = adm.column("url").to_pylist()
+        a_hosts = adm.column("host").to_pylist()
+        a_depths = adm.column("depth").to_numpy()
+        a_pris = adm.column("priority").to_numpy(zero_copy_only=False)
+        add_futs = []
+        for s in np.unique(fsh):
+            ks = np.flatnonzero(fsh == s)
+            ent = [(int(seqs[k]), a_urls[k], a_hosts[k], int(a_depths[k])) for k in ks]
+            pri = [bool(a_pris[k]) for k in ks]
+            add_futs.append(self.frontier[int(s)].add.remote(ent, pri))
+        ray.get(add_futs)
+        return admitted
 
     def seed(self) -> None:
         """Seed admission — the reference add_url path for the start URL
@@ -192,7 +211,24 @@ class _Engine:
             depths.append(0)
             pris.append(smart)
             keys.append(k)
-        t = self._admit(urls, hosts, depths, pris, keys, wave=-1)
+        cands = rows_to_table(
+            [
+                {
+                    "url": urls[i],
+                    "host": hosts[i],
+                    "depth": depths[i],
+                    "order_key": keys[i],
+                    "priority": pris[i],
+                    "seen_shard": shard_of(urls[i], len(self.seen)),
+                    "frontier_shard": owner_shard(
+                        hosts[i], len(self.frontier), urls[i], self.cfg.frontier_salt
+                    ),
+                }
+                for i in range(len(urls))
+            ],
+            CANDIDATE_SCHEMA,
+        )
+        t = self._admit(cands, wave=-1)
         self.admitted_tables.append(t)
         if self.cfg.checkpoint_dir:
             d = os.path.join(self.cfg.checkpoint_dir, "seeds")
@@ -205,10 +241,17 @@ class _Engine:
 
     # ------------------------------------------------------------------
     def run_wave(self) -> bool:
+        import time as _time
+
+        t_phase = _time.perf_counter
+        t0 = t_phase()
         budget = min(self.spec.batch_size, self.spec.max_urls - self.visited)
         if budget <= 0:
             return False
-        batch = take_wave(self.frontier, budget, self.spec.politeness_per_wave)
+        batch = take_wave(
+            self.frontier, budget, self.spec.politeness_per_wave, self.cfg.frontier_salt
+        )
+        t_take = t_phase() - t0
         if not batch:
             return False
         wave = self.wave
@@ -217,7 +260,11 @@ class _Engine:
         by_shard: dict[int, list[str]] = {}
         for _, url, _, _ in batch:
             by_shard.setdefault(shard_of(url, len(self.seen)), []).append(url)
-        ray.get([self.seen[s].mark_issued.remote(us) for s, us in by_shard.items()])
+        # no barrier needed: Ray orders actor calls per caller, so each
+        # shard sees mark_issued before this wave's admit
+        for s, us in by_shard.items():
+            self.seen[s].mark_issued.remote(us)
+        t_issue = t_phase() - t0 - t_take
 
         # dispatch chunks to the worker pool. visit_seq is assigned in the
         # deterministic batch order FIRST; the dispatch order is then
@@ -230,32 +277,58 @@ class _Engine:
         ]
         entries.sort(key=lambda e: e[1].rpartition("/")[2])
         W = len(self.workers)
-        chunk = min(self.cfg.max_chunk, max(1, -(-len(entries) // W)))
-        futures = []
-        for c, start in enumerate(range(0, len(entries), chunk)):
-            futures.append(
-                self.workers[c % W].process.remote(entries[start : start + chunk], wave)
-            )
-        parts = ray.get(futures)
-        audit = pa.concat_tables([p[0] for p in parts]) if parts else AUDIT_SCHEMA.empty_table()
-        if audit.num_rows:
-            import pyarrow.compute as pc
+        # ~2 chunks per worker + dynamic assignment: stragglers get fed
+        # less instead of stalling the wave barrier
+        chunk = min(self.cfg.max_chunk, max(1, -(-len(entries) // (W * 2))))
+        ckpt = self.cfg.checkpoint_dir
+        wave_dir = os.path.join(ckpt, "waves", f"wave={wave:05d}") if ckpt else None
+        chunks = [
+            (c, entries[start : start + chunk])
+            for c, start in enumerate(range(0, len(entries), chunk))
+        ]
+        parts: list = [None] * len(chunks)
+        pending: dict = {}  # future -> (chunk_idx, worker_idx)
+        free = list(range(W))
+        queue = list(chunks)
 
-            audit = audit.take(pc.sort_indices(audit.column("visit_seq")))
+        def dispatch(widx):
+            c, ent = queue.pop(0)
+            audit_out = (
+                os.path.join(wave_dir, f"audit-{c:03d}.parquet") if wave_dir else None
+            )
+            fut = self.workers[widx].process.remote(ent, wave, audit_out)
+            pending[fut] = (c, widx)
+
+        while queue and free:
+            dispatch(free.pop())
+        while pending:
+            done, _ = ray.wait(list(pending), num_returns=1)
+            c, widx = pending.pop(done[0])
+            parts[c] = ray.get(done[0])
+            if queue:
+                dispatch(widx)
+        if wave_dir is None:
+            audit = (
+                pa.concat_tables([p[0] for p in parts])
+                if parts
+                else AUDIT_SCHEMA.empty_table()
+            )
+            if audit.num_rows:
+                import pyarrow.compute as pc
+
+                audit = audit.take(pc.sort_indices(audit.column("visit_seq")))
+        else:
+            audit = None  # workers wrote their chunks directly (parallel sink)
+        t_workers = t_phase() - t0 - t_take - t_issue
         cands = pa.concat_tables([p[1] for p in parts]) if parts else CANDIDATE_SCHEMA.empty_table()
         rejects = pa.concat_tables([p[2] for p in parts]) if parts else REJECT_SCHEMA.empty_table()
 
-        admitted = self._admit(
-            cands.column("url").to_pylist(),
-            cands.column("host").to_pylist(),
-            cands.column("depth").to_pylist(),
-            cands.column("priority").to_pylist(),
-            cands.column("order_key").to_pylist(),
-            wave,
-        )
+        admitted = self._admit(cands, wave)
 
+        t_admit = t_phase() - t0 - t_take - t_issue - t_workers
         self.visited += len(batch)
-        self.audit_tables.append(audit)
+        if audit is not None:
+            self.audit_tables.append(audit)
         self.reject_tables.append(rejects)
         self.admitted_tables.append(admitted)
         metrics = {
@@ -265,15 +338,18 @@ class _Engine:
             "admitted": admitted.num_rows,
             "rejected": rejects.num_rows,
             "visited_total": self.visited,
+            "t_take": round(t_take, 4),
+            "t_issue": round(t_issue, 4),
+            "t_workers": round(t_workers, 4),
+            "t_admit": round(t_admit, 4),
         }
         self.wave_metrics.append(metrics)
 
-        if self.cfg.checkpoint_dir:
-            d = os.path.join(self.cfg.checkpoint_dir, "waves", f"wave={wave:05d}")
-            write_table(audit, os.path.join(d, "audit.parquet"))
-            write_table(admitted, os.path.join(d, "admitted.parquet"))
-            write_table(rejects, os.path.join(d, "rejects.parquet"))
-            self._write_state(os.path.join(d, "state.json"), metrics)
+        if wave_dir is not None:
+            write_table(admitted, os.path.join(wave_dir, "admitted.parquet"))
+            write_table(rejects, os.path.join(wave_dir, "rejects.parquet"))
+            # state.json is the commit marker — written last, atomically
+            self._write_state(os.path.join(wave_dir, "state.json"), metrics)
         self.wave += 1
         return True
 
@@ -313,18 +389,21 @@ class _Engine:
                 d = os.path.join(waves_dir, name)
                 if os.path.exists(os.path.join(d, "state.json")):  # committed
                     waves.append(d)
+        import glob as _glob
+
         issued: set[str] = set()
+        self.visited = 0
         for d in waves:
-            audit = read_table(os.path.join(d, "audit.parquet"))
-            self.audit_tables.append(audit)
+            for ap in sorted(_glob.glob(os.path.join(d, "audit*.parquet"))):
+                urls = read_table(ap, columns=["url"]).column("url").to_pylist()
+                issued.update(urls)
+                self.visited += len(urls)
             self.reject_tables.append(read_table(os.path.join(d, "rejects.parquet")))
             admitted_tables.append(read_table(os.path.join(d, "admitted.parquet")))
-            issued.update(audit.column("url").to_pylist())
             with open(os.path.join(d, "state.json")) as f:
                 self.wave_metrics.append(json.load(f))
         self.admitted_tables = admitted_tables
         all_admitted = pa.concat_tables(admitted_tables)
-        self.visited = sum(t.num_rows for t in self.audit_tables)
         self.wave = len(waves)
         self.next_seq = (
             max(all_admitted.column("discovered_seq").to_pylist()) + 1
@@ -347,7 +426,7 @@ class _Engine:
         for row in all_admitted.to_pylist():
             if row["url"] in issued:
                 continue
-            fs = owner_shard(row["host"], F)
+            fs = owner_shard(row["host"], F, row["url"], self.cfg.frontier_salt)
             ent, pri = adds.setdefault(fs, ([], []))
             ent.append((row["discovered_seq"], row["url"], row["host"], row["depth"]))
             pri.append(row["priority"])
@@ -355,11 +434,31 @@ class _Engine:
         return True
 
     def result(self) -> CrawlResult:
-        audit = (
-            pa.concat_tables(self.audit_tables)
-            if self.audit_tables
-            else AUDIT_SCHEMA.empty_table()
-        )
+        if self.cfg.checkpoint_dir:
+            # workers wrote audit chunks straight to the checkpoint;
+            # read back (test/bench scale — at cluster scale consumers
+            # use audit_dataset_from_checkpoint and never materialize)
+            import glob as _glob
+
+            paths = sorted(
+                _glob.glob(
+                    os.path.join(self.cfg.checkpoint_dir, "waves", "wave=*", "audit*.parquet")
+                )
+            )
+            if paths:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                audit = pa.concat_tables([pq.read_table(p) for p in paths])
+                audit = audit.take(pc.sort_indices(audit.column("visit_seq")))
+            else:
+                audit = AUDIT_SCHEMA.empty_table()
+        else:
+            audit = (
+                pa.concat_tables(self.audit_tables)
+                if self.audit_tables
+                else AUDIT_SCHEMA.empty_table()
+            )
         rejects = [rows_to_table(self.seed_rejects, REJECT_SCHEMA)] + self.reject_tables
         nonempty = [t for t in rejects if t.num_rows > 0]
         rejected = pa.concat_tables(nonempty) if nonempty else REJECT_SCHEMA.empty_table()
@@ -400,7 +499,7 @@ def audit_dataset_from_checkpoint(checkpoint_dir: str):
 
     import ray.data as rd
 
-    paths = sorted(glob.glob(os.path.join(checkpoint_dir, "waves", "wave=*", "audit.parquet")))
+    paths = sorted(glob.glob(os.path.join(checkpoint_dir, "waves", "wave=*", "audit*.parquet")))
     return rd.read_parquet(paths)
 
 
@@ -414,9 +513,18 @@ def run_crawl(
     """Run (or resume) the crawl; Ray must already be initialized by the
     caller (driver contract). ``stop_after_wave`` simulates interruption
     for resume tests."""
+    import time as _time
+
     cfg = cfg or EngineConfig()
+    t0 = _time.perf_counter()
     eng = _Engine(spec, corpus_dir, cfg)
     try:
+        # actor pool startup is a one-time cost (a real cluster keeps the
+        # pool for the whole 10^10-URL job) — surface it separately so
+        # steady-state throughput is measurable
+        ray.get([w.process.remote([], 0) for w in eng.workers])
+        setup_sec = _time.perf_counter() - t0
+        t1 = _time.perf_counter()
         resumed = False
         if resume and cfg.checkpoint_dir:
             resumed = eng.resume()
@@ -427,6 +535,10 @@ def run_crawl(
                 break
             if not eng.run_wave():
                 break
-        return eng.result()
+        loop_sec = _time.perf_counter() - t1
+        result = eng.result()
+        result.stats["setup_sec"] = round(setup_sec, 3)
+        result.stats["loop_sec"] = round(loop_sec, 3)
+        return result
     finally:
         eng.shutdown()

@@ -125,6 +125,31 @@ def events_hourly(sf_dir: str):
     )
 
 
+def events_sessionize(sf_dir: str):
+    """Streaming-shaped session windows (gap-and-island, 30-min timeout):
+    partition by key, sort by time within the group, cumulative gap sum —
+    the groupby(key).map_groups window pattern for stream tables."""
+    import pandas as pd
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum().astype("int64") + 1
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id")
+            .agg(n_events=("ts", "size"), session_start=("ts", "min"), session_end=("ts", "max"))
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
 def events_anti_join(sf_dir: str):
     """Anti-join (SURVEY §2.4): events from users outside the BUILDING
     customer segment (non-trivial at every sf)."""
@@ -377,6 +402,7 @@ QUERIES = {
     "docs_dedup_exact": docs_dedup_exact,
     "docs_dup_texts": docs_dup_texts,
     "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
     "events_anti_join": events_anti_join,
     "customer_per_region": customer_per_region,
     "docs_token_stats": docs_token_stats,
@@ -426,6 +452,24 @@ ORACLE_SQL = {
         SELECT user_id, date_trunc('hour', ts) AS hour,
                count(*) AS n, sum(value) AS sum_value
         FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "events_sessionize": """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM gaps
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
     """,
     "events_anti_join": """
         SELECT e.event_id, e.user_id FROM events e

@@ -27,7 +27,8 @@ import pyarrow as pa
 import ray
 
 from .. import datagen
-from ..canon import Scope, is_priority
+from ..canon import Scope, is_priority, shard_of
+from ..state.frontier import owner_shard
 from ..functions.imagecodec import decode_image, phash64, psnr
 from ..storage import ShardedTakeReader
 from ..web import build_audit_row, extract_links, fetch_page
@@ -140,6 +141,10 @@ CANDIDATE_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("order_key", pa.int64()),
         ("priority", pa.bool_()),
+        # shard routing computed in the (parallel) worker so the driver's
+        # admission merge does no hashing at all
+        ("seen_shard", pa.int32()),
+        ("frontier_shard", pa.int32()),
     ]
 )
 
@@ -152,6 +157,9 @@ REJECT_SCHEMA = pa.schema(
 class PageWorker:
     def __init__(self, corpus_dir: str | None, spec_dict: dict):
         self.n = spec_dict["n_pages"]
+        self.num_seen_shards = spec_dict.get("num_seen_shards", 1)
+        self.num_frontier_shards = spec_dict.get("num_frontier_shards", 1)
+        self.frontier_salt = spec_dict.get("frontier_salt", 1)
         self.max_depth = spec_dict["max_depth"]
         self.scope = Scope(*spec_dict["scope"])
         self.priority_patterns = spec_dict.get("priority_patterns")
@@ -166,9 +174,12 @@ class PageWorker:
             m = self.reader.manifest
             self.dim_base, self.dim_mod = m.get("dim_base", 32), m.get("dim_mod", 97)
 
-    def process(self, entries: list[tuple], wave: int):
+    def process(self, entries: list[tuple], wave: int, audit_out: str | None = None):
         """entries: ordered [(visit_seq, url, host, depth)]. Returns
-        (audit, candidates, rejects) Arrow tables."""
+        (audit, candidates, rejects) Arrow tables; when ``audit_out`` is
+        given the audit chunk is written there as parquet instead of
+        being returned (the wide nested rows then never transit the
+        driver — the checkpoint IS the audit sink at scale)."""
         audit_rows: list[dict] = []
         cand_rows: list[dict] = []
         rej_rows: list[dict] = []
@@ -218,21 +229,32 @@ class PageWorker:
                 for r in rejects:
                     rej_rows.append({**r, "wave": wave})
                 for pos, c in enumerate(kept):
+                    chost = c.partition("://")[2].partition("/")[0]
                     cand_rows.append(
                         {
                             "url": c,
-                            "host": c.partition("://")[2].partition("/")[0],
+                            "host": chost,
                             "depth": depth + 1,
                             "order_key": seq * MAX_LINKS_PER_PAGE + pos,
                             "priority": bool(self.priority_patterns)
                             and is_priority(c, self.priority_patterns),
+                            "seen_shard": shard_of(c, self.num_seen_shards),
+                            "frontier_shard": owner_shard(
+                                chost, self.num_frontier_shards, c, self.frontier_salt
+                            ),
                         }
                     )
             row["links_count"] = len(row["links_encontrados"])
             audit_rows.append(row)
 
+        audit = rows_to_table(audit_rows, AUDIT_SCHEMA)
+        if audit_out is not None:
+            from ..storage import write_table
+
+            write_table(audit, audit_out)
+            audit = None
         return (
-            rows_to_table(audit_rows, AUDIT_SCHEMA),
+            audit,
             rows_to_table(cand_rows, CANDIDATE_SCHEMA),
             rows_to_table(rej_rows, REJECT_SCHEMA),
         )

@@ -89,28 +89,53 @@ class FrontierShard:
         self.nq = sorted(nq)
 
 
-def take_wave(frontier_shards, budget: int, host_quota: int | None) -> list[tuple]:
-    """Distributed wave take: peek all shards, merge, commit.
+def take_wave(
+    frontier_shards, budget: int, host_quota: int | None, salt: int = 1
+) -> list[tuple]:
+    """Distributed wave take: peek all shards, merge with GLOBAL per-host
+    politeness, commit.
+
+    The per-host quota is enforced at the driver merge (the greedy
+    "take each host's first ≤Q entries in global order" — provably the
+    oracle's single-queue pop order). Shards additionally pre-cap their
+    peek at Q per LOCAL host to bound transfer; with salting a host
+    spans ``salt`` sub-shards, each still returning its first ≤Q, so the
+    host's global first-Q entries are always present in the union.
 
     Returns the taken entries as (seq, url, host, depth), in the
     deterministic global order (priority first, then discovered_seq).
     """
     peeks = ray.get([f.peek.remote(budget, host_quota) for f in frontier_shards])
     merged = sorted((e for p in peeks for e in p))  # (rank, seq, url, host, depth)
-    take = merged[:budget]
+    take = []
+    per_host: dict[str, int] = defaultdict(int)
+    for e in merged:
+        if len(take) >= budget:
+            break
+        host = e[3]
+        if host_quota is not None and per_host[host] >= host_quota:
+            continue
+        per_host[host] += 1
+        take.append(e)
     by_shard: dict[int, list[int]] = defaultdict(list)
-    for k, (rank, seq, url, host, depth) in enumerate(take):
-        by_shard[_owner(host, len(frontier_shards))].append(seq)
+    for rank, seq, url, host, depth in take:
+        by_shard[owner_shard(host, len(frontier_shards), url, salt)].append(seq)
     ray.get(
         [frontier_shards[s].commit.remote(seqs) for s, seqs in by_shard.items()]
     )
     return [(seq, url, host, depth) for rank, seq, url, host, depth in take]
 
 
-def _owner(host: str, num_shards: int) -> int:
+def owner_shard(host: str, num_shards: int, url: str = "", salt: int = 1) -> int:
+    """Frontier shard owning a URL. ``salt > 1`` spreads each host's
+    queue over ``salt`` sub-shards keyed by the URL hash — the
+    salted-key split for Zipf-hot hosts (north_rule): storage and peek
+    work fan out while the politeness budget stays logically per-host
+    (enforced globally at the driver merge)."""
     import hashlib
 
-    return int.from_bytes(hashlib.md5(host.encode()).digest()[:4], "big") % num_shards
-
-
-owner_shard = _owner
+    h = int.from_bytes(hashlib.md5(host.encode()).digest()[:4], "big")
+    if salt > 1:
+        s = int.from_bytes(hashlib.md5(url.encode()).digest()[4:8], "big") % salt
+        return (h + s) % num_shards
+    return h % num_shards

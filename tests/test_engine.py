@@ -141,6 +141,19 @@ def test_engine_matches_oracle_politeness_and_robots(small_corpus):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_engine_salted_frontier_matches_oracle(small_corpus):
+    """Hot-host salting (north_rule skew split) must not change the
+    deterministic order — politeness is enforced globally at the merge."""
+    corpus_dir, _ = small_corpus
+    spec = _spec(max_urls=50, batch_size=10, politeness_per_wave=2, seeds=[datagen.url(250)])
+    ora = run_oracle(spec)
+    res = run_crawl(
+        spec, corpus_dir, EngineConfig(num_workers=2, num_frontier_shards=3, frontier_salt=3)
+    )
+    _compare(res, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_engine_multi_seed_and_duplicate_seed(small_corpus):
     corpus_dir, _ = small_corpus
     spec = _spec(
