@@ -59,12 +59,11 @@ def run_components(num_cpus: int) -> dict:
     from crawler_seo_ray import datagen
     from crawler_seo_ray.canon import Scope
     from crawler_seo_ray.oracle import CrawlSpec
-    from crawler_seo_ray.pipelines.crawl import (
-        EngineConfig,
-        audit_dataset_from_checkpoint,
-        run_crawl,
+    from crawler_seo_ray.pipelines.crawl import EngineConfig, run_crawl
+    from crawler_seo_ray.pipelines.report import (
+        excel_projection,
+        finalize_audit_from_checkpoint,
     )
-    from crawler_seo_ray.pipelines.report import excel_projection, finalize_audit
     from crawler_seo_ray import queries as Q
 
     timings: dict[str, float] = {}
@@ -103,8 +102,7 @@ def run_components(num_cpus: int) -> dict:
     # --- post-crawl analytics (dup flags + scores + report projection)
     # streamed from the checkpointed audit partitions (the scale path)
     t0 = time.perf_counter()
-    audit_ds = audit_dataset_from_checkpoint(ckpt)
-    final = excel_projection(finalize_audit(audit_ds)).materialize()
+    final = excel_projection(finalize_audit_from_checkpoint(ckpt)).materialize()
     assert final.count() == res.stats["visited"]
     timings["finalize_report"] = time.perf_counter() - t0
 

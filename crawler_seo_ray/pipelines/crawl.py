@@ -497,10 +497,10 @@ def audit_dataset_from_checkpoint(checkpoint_dir: str):
     the wave partitions with normal Ray Data streaming."""
     import glob
 
-    import ray.data as rd
+    from .report import _compacting_read
 
     paths = sorted(glob.glob(os.path.join(checkpoint_dir, "waves", "wave=*", "audit*.parquet")))
-    return rd.read_parquet(paths)
+    return _compacting_read(paths, 16)
 
 
 def run_crawl(

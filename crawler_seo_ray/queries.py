@@ -54,8 +54,15 @@ def corpus_parquet(columns=None):
     return rd.read_parquet(paths, columns=columns)
 
 
-def _pq(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+def _pq(sf_dir: str, table: str, columns=None, blocks: int | None = None):
+    """Read one driver table; ``blocks`` splits the single-file read so
+    downstream map/aggregate stages actually parallelize (a one-file
+    read is otherwise one block)."""
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        columns=columns,
+        override_num_blocks=blocks,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -66,7 +73,7 @@ def _pq(sf_dir: str, table: str, columns=None):
 def lineitem_agg(sf_dir: str):
     """G1/G4 analog — grouped aggregates with map-side partial combine."""
     ds = _pq(sf_dir, "lineitem",
-             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"], blocks=16)
     return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
         Sum("l_extendedprice", alias_name="sum_base_price"),
@@ -85,7 +92,7 @@ def docs_dedup_exact(sf_dir: str):
     """Exact dedup keep-first (SURVEY §2.7 → hash-partition + per-group first)."""
     from .stages.dedup import exact_dedup
 
-    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
     return exact_dedup(ds, "text", "doc_id").select_columns(["doc_id", "text"])
 
 
@@ -112,7 +119,7 @@ def docs_dup_texts(sf_dir: str):
 
 def events_hourly(sf_dir: str):
     """Streaming-table windowed aggregate: tumbling 1h count+sum per user."""
-    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"], blocks=16)
 
     def add_hour(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
@@ -131,7 +138,7 @@ def events_sessionize(sf_dir: str):
     the groupby(key).map_groups window pattern for stream tables."""
     import pandas as pd
 
-    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
@@ -187,7 +194,7 @@ def customer_per_region(sf_dir: str):
 
 def docs_token_stats(sf_dir: str):
     """Vectorized text metrics aligned with SQL string functions."""
-    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
 
     def stats(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -209,7 +216,7 @@ def docs_token_stats(sf_dir: str):
 def lineitem_conditional(sf_dir: str):
     """G3 analog — sum-of-indicator conditional counts, partials per
     batch then one tiny reduce."""
-    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_quantity"])
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_quantity"], blocks=16)
 
     def indicators(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -273,7 +280,7 @@ def embeddings_cosine_dups(sf_dir: str):
 
 
 def docs_langid(sf_dir: str):
-    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
 
     def lang(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -290,7 +297,7 @@ def docs_langid(sf_dir: str):
 
 
 def docs_quality(sf_dir: str):
-    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
 
     def q(batch: pa.Table) -> pa.Table:
         feats = [quality_features(t) for t in batch.column("text").to_pylist()]
@@ -305,7 +312,7 @@ def docs_quality(sf_dir: str):
 
 
 def docs_fingerprint(sf_dir: str):
-    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
 
     def fp(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -324,14 +331,14 @@ def docs_fingerprint(sf_dir: str):
 def docs_simhash(sf_dir: str):
     from .stages.dedup import simhash_pipeline
 
-    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
     return simhash_pipeline(ds, "text", "doc_id")["signatures"]
 
 
 def docs_minhash_dups(sf_dir: str):
     from .stages.dedup import minhash_pipeline
 
-    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
     return minhash_pipeline(ds, "text", "doc_id", jaccard_threshold=0.5)["pairs"]
 
 
