@@ -101,26 +101,43 @@ def fingerprint64(text: str) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+_token_hash_cache: dict[str, int] = {}
+
+
 def hash_token(tok: str) -> int:
-    """Stable 64-bit token hash (FNV-1a over utf-8 bytes)."""
-    h = 14695981039346656037
-    for b in tok.encode("utf-8"):
-        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    """Stable 64-bit token hash (FNV-1a over utf-8 bytes), memoized —
+    natural-language token vocabularies repeat heavily."""
+    h = _token_hash_cache.get(tok)
+    if h is None:
+        h = 14695981039346656037
+        for b in tok.encode("utf-8"):
+            h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        if len(_token_hash_cache) < 1 << 20:
+            _token_hash_cache[tok] = h
     return h
 
 
+def _token_hash_array(toks: list[str]) -> np.ndarray:
+    return np.array([hash_token(t) for t in toks], dtype=np.uint64)
+
+
 def shingles(text: str, k: int = 5) -> set[int]:
-    """Hashed k-token shingles (w-shingling for near-dup detection)."""
+    """Hashed k-token shingles (w-shingling for near-dup detection).
+
+    The window FNV chain is vectorized across all windows: k shifted
+    xor-multiply passes over the token-hash array (uint64 wraparound is
+    the FNV modulus)."""
     toks = [t.lower() for t in _TOKEN_RE.findall(text or "")]
     if len(toks) < k:
         return {fingerprint64(" ".join(toks))} if toks else set()
-    out = set()
-    for i in range(len(toks) - k + 1):
-        h = 14695981039346656037
-        for tok in toks[i : i + k]:
-            h = ((h ^ hash_token(tok)) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-        out.add(h)
-    return out
+    H = _token_hash_array(toks)
+    n = len(toks) - k + 1
+    with np.errstate(over="ignore"):
+        acc = np.full(n, 14695981039346656037, dtype=np.uint64)
+        prime = np.uint64(1099511628211)
+        for j in range(k):
+            acc = (acc ^ H[j : j + n]) * prime
+    return set(acc.tolist())
 
 
 _BIT_IDX = np.arange(64, dtype=np.uint64)

@@ -108,20 +108,43 @@ def minhash_pipeline(
         sig_batch, batch_format="pyarrow"
     )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(g.column(id_col).to_pylist())
-        out_a, out_b = [], []
-        cap = 50  # guard against degenerate buckets (log + cap, no silent loss below cap)
+    # bucket membership via the combiner pattern: per-block Arrow hash
+    # group-by collects (band, band_hash) → id-list partials; one driver
+    # merge joins the lists. (Cluster scale: the partial merge becomes a
+    # distributed groupby over buckets — already ~#distinct-buckets
+    # rows, a fraction of the band-row count.)
+    def partial_buckets(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["band", "band_hash"]).aggregate([(id_col, "list")])
+
+    parts = collect_arrow(
+        buckets.map_batches(partial_buckets, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("band", pa.int32()), ("band_hash", pa.int64()),
+             (f"{id_col}_list", pa.list_(pa.int64()))]
+        ),
+    )
+    # pyarrow can't hash-aggregate list columns, so the (small) partial
+    # merge is a dict fold on the driver
+    merged: dict[tuple, list] = {}
+    for band, bh, ids_part in zip(
+        parts.column("band").to_pylist(),
+        parts.column("band_hash").to_pylist(),
+        parts.column(f"{id_col}_list").to_pylist(),
+    ):
+        merged.setdefault((band, bh), []).extend(ids_part)
+    cap = 50  # guard against degenerate buckets
+    out_a, out_b = [], []
+    for members in merged.values():
+        if len(members) < 2:
+            continue
+        ids = sorted(members)
         for i in range(min(len(ids), cap)):
             for j in range(i + 1, min(len(ids), cap)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
-        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b)})
-
-    pairs_ds = buckets.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = pa.table(
+        {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
     )
-    pairs = collect_arrow(pairs_ds)
     if pairs.num_rows:
         import pyarrow.compute as pc
 
@@ -129,8 +152,12 @@ def minhash_pipeline(
             pc.multiply(pc.cast(pairs.column("id_a"), pa.int64()), 1 << 32),
             pc.cast(pairs.column("id_b"), pa.int64()),
         )
-        pairs = pairs.take(pc.sort_indices(key))
-        keep = np.flatnonzero(np.diff(key.to_numpy(), prepend=np.int64(-1)) != 0)
+        order = pc.sort_indices(key)
+        pairs = pairs.take(order)
+        key_sorted = key.take(order).to_numpy()
+        keep = np.flatnonzero(
+            np.diff(key_sorted, prepend=key_sorted[0] - 1) != 0
+        )
         pairs = pairs.take(pa.array(keep))
 
     # verify candidates with exact shingle Jaccard (broadcast id→shingles;
