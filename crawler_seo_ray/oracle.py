@@ -19,7 +19,6 @@ per-host politeness quota per wave, and robots-style path rules
 
 from __future__ import annotations
 
-from collections import deque
 from dataclasses import dataclass, field
 
 from . import datagen
@@ -31,7 +30,7 @@ from .canon import (
     relevance,
 )
 from .stages.scoring import finalize_page
-from .web import build_audit_row, extract_links, fetch_page, robots_allows
+from .web import build_audit_row, extract_links, fetch_page, link_rank, robots_allows
 
 
 @dataclass
@@ -45,6 +44,9 @@ class CrawlSpec:
     batch_size: int = 25  # the reference's max_threads wave size
     scope: Scope = field(default_factory=lambda: Scope("suffix", datagen.HOST_SUFFIX))
     priority_patterns: list[str] | None = None  # None = plain FIFO manager
+    # weighted frontier (north_star): {"depth_weight": w, "pattern_boost": b}
+    # — rank = w·depth − b·pattern_match; None = reference two-queue parity
+    link_score: dict | None = None
     politeness_per_wave: int | None = None  # max URLs per host per wave (None = off)
     robots_deny_prefixes: dict[str, list[str]] | None = None  # host → path prefixes
     detect_invisible_colors: bool = True
@@ -55,8 +57,10 @@ class OracleCrawl:
         self.spec = spec
         self.seen: set[str] = set()  # registered canonicals (enqueue-time)
         self.issued: set[str] = set()  # popped canonicals
-        self.pq: deque = deque()  # (url, depth) — priority queue (smart mode)
-        self.nq: deque = deque()  # normal queue
+        # unified rank-ordered frontier: (rank, enq_seq, url, depth);
+        # parity mode gives rank 0/1 = the reference's two-queue drain
+        self.frontier: list[tuple] = []
+        self.enq_seq = 0
         self.results: list[dict] = []
         self.rejected: list[dict] = []
         self.titles: dict[str, int] = {}  # text → occurrences so far
@@ -101,12 +105,17 @@ class OracleCrawl:
             )
             self.rejected.append({"url": c, "reason": "ROBOTS", "details": ""})
             return False
-        if not priority and self.spec.priority_patterns:
-            priority = is_priority(c, self.spec.priority_patterns)
-        self.seen.add(c)
-        (self.pq if priority and self.spec.priority_patterns is not None else self.nq).append(
-            (c, depth)
+        patterns = self.spec.priority_patterns or (
+            (self.spec.link_score or {}).get("patterns")
         )
+        if not priority and patterns:
+            priority = is_priority(c, patterns)
+        if self.spec.priority_patterns is None and self.spec.link_score is None:
+            priority = False  # plain FIFO manager has no priority lane
+        self.seen.add(c)
+        rank = link_rank(depth, priority, self.spec.link_score)
+        self.frontier.append((rank, self.enq_seq, c, depth))
+        self.enq_seq += 1
         self.stats["total_found"] += 1
         return True
 
@@ -114,23 +123,23 @@ class OracleCrawl:
     def _pop_batch(self) -> list[tuple[str, int]]:
         budget = min(self.spec.batch_size, self.spec.max_urls - len(self.results))
         batch: list[tuple[str, int]] = []
-        holdback: list[tuple[bool, tuple[str, int]]] = []
+        taken_idx: set[int] = set()
         per_host: dict[str, int] = {}
         quota = self.spec.politeness_per_wave
-        while len(batch) < budget and (self.pq or self.nq):
-            from_pq = bool(self.pq)
-            url, depth = (self.pq if from_pq else self.nq).popleft()
+        self.frontier.sort()  # (rank, enq_seq) — timsort, nearly sorted
+        for k, (rank, eseq, url, depth) in enumerate(self.frontier):
+            if len(batch) >= budget:
+                break
             if quota is not None:
                 h = url.partition("://")[2].partition("/")[0]
                 if per_host.get(h, 0) >= quota:
-                    holdback.append((from_pq, (url, depth)))
-                    continue
+                    continue  # holdback: stays in the frontier, order kept
                 per_host[h] = per_host.get(h, 0) + 1
             self.issued.add(url)
             batch.append((url, depth))
-        # politeness holdbacks return to the FRONT of their queue, order kept
-        for from_pq, entry in reversed(holdback):
-            (self.pq if from_pq else self.nq).appendleft(entry)
+            taken_idx.add(k)
+        if taken_idx:
+            self.frontier = [e for k, e in enumerate(self.frontier) if k not in taken_idx]
         return batch
 
     # -- page processing (reference _process_single_url, single-fetch) ------
@@ -165,10 +174,10 @@ class OracleCrawl:
         return row
 
     def run(self) -> dict:
-        smart = self.spec.priority_patterns is not None
+        smart = self.spec.priority_patterns is not None or self.spec.link_score is not None
         for s in self.spec.seeds:
             self.add_url(s, 0, None, priority=smart)
-        while (self.pq or self.nq) and len(self.results) < self.spec.max_urls:
+        while self.frontier and len(self.results) < self.spec.max_urls:
             batch = self._pop_batch()
             if not batch:
                 break

@@ -52,7 +52,7 @@ from ..stages.page_worker import (
 from ..state.frontier import FrontierShard, owner_shard, take_wave
 from ..state.seen import SeenShard
 from ..storage import read_table, write_table
-from ..web import robots_allows
+from ..web import link_rank, robots_allows
 
 ADMITTED_SCHEMA = pa.schema(
     [
@@ -61,6 +61,7 @@ ADMITTED_SCHEMA = pa.schema(
         ("host", pa.string()),
         ("depth", pa.int32()),
         ("priority", pa.bool_()),
+        ("rank", pa.float64()),
         ("wave", pa.int32()),
     ]
 )
@@ -103,6 +104,7 @@ class _Engine:
             "verify_images": cfg.verify_images,
             "psnr_every": cfg.psnr_every,
             "robots": spec.robots_deny_prefixes,
+            "link_score": spec.link_score,
             "num_seen_shards": cfg.num_seen_shards,
             "num_frontier_shards": cfg.num_frontier_shards,
             "frontier_salt": cfg.frontier_salt,
@@ -163,6 +165,7 @@ class _Engine:
                 "host": adm.column("host"),
                 "depth": adm.column("depth"),
                 "priority": adm.column("priority"),
+                "rank": adm.column("rank"),
                 "wave": pa.array(np.full(n, wave, dtype=np.int32)),
             },
             schema=ADMITTED_SCHEMA,
@@ -172,20 +175,24 @@ class _Engine:
         a_urls = adm.column("url").to_pylist()
         a_hosts = adm.column("host").to_pylist()
         a_depths = adm.column("depth").to_numpy()
-        a_pris = adm.column("priority").to_numpy(zero_copy_only=False)
+        a_ranks = adm.column("rank").to_numpy()
         add_futs = []
         for s in np.unique(fsh):
             ks = np.flatnonzero(fsh == s)
-            ent = [(int(seqs[k]), a_urls[k], a_hosts[k], int(a_depths[k])) for k in ks]
-            pri = [bool(a_pris[k]) for k in ks]
-            add_futs.append(self.frontier[int(s)].add.remote(ent, pri))
+            ent = [
+                (float(a_ranks[k]), int(seqs[k]), a_urls[k], a_hosts[k], int(a_depths[k]))
+                for k in ks
+            ]
+            add_futs.append(self.frontier[int(s)].add.remote(ent))
         ray.get(add_futs)
         return admitted
 
     def seed(self) -> None:
         """Seed admission — the reference add_url path for the start URL
         (core/crawler.py:55, priority=True in smart mode)."""
-        smart = self.spec.priority_patterns is not None
+        smart = (
+            self.spec.priority_patterns is not None or self.spec.link_score is not None
+        )
         urls, hosts, depths, pris, keys = [], [], [], [], []
         for k, s in enumerate(self.spec.seeds):
             c, reason = normalize_url(s, None, self.spec.scope)
@@ -219,6 +226,7 @@ class _Engine:
                     "depth": depths[i],
                     "order_key": keys[i],
                     "priority": pris[i],
+                    "rank": link_rank(depths[i], pris[i], self.spec.link_score),
                     "seen_shard": shard_of(urls[i], len(self.seen)),
                     "frontier_shard": owner_shard(
                         hosts[i], len(self.frontier), urls[i], self.cfg.frontier_salt
@@ -422,15 +430,15 @@ class _Engine:
         )
         # restore frontier: admitted entries not yet issued
         F = len(self.frontier)
-        adds: dict[int, tuple[list, list]] = {}
+        adds: dict[int, list] = {}
         for row in all_admitted.to_pylist():
             if row["url"] in issued:
                 continue
             fs = owner_shard(row["host"], F, row["url"], self.cfg.frontier_salt)
-            ent, pri = adds.setdefault(fs, ([], []))
-            ent.append((row["discovered_seq"], row["url"], row["host"], row["depth"]))
-            pri.append(row["priority"])
-        ray.get([self.frontier[s].add.remote(ent, pri) for s, (ent, pri) in adds.items()])
+            adds.setdefault(fs, []).append(
+                (row["rank"], row["discovered_seq"], row["url"], row["host"], row["depth"])
+            )
+        ray.get([self.frontier[s].add.remote(ent) for s, ent in adds.items()])
         return True
 
     def result(self) -> CrawlResult:
@@ -479,9 +487,7 @@ class _Engine:
             "total_found": admitted.num_rows,
             "total_duplicates": sum(s["duplicates"] for s in seen_stats),
             "seen": sum(s["seen"] for s in seen_stats),
-            "frontier_remaining": sum(
-                s["priority_queue"] + s["normal_queue"] for s in frontier_stats
-            ),
+            "frontier_remaining": sum(s["queued"] for s in frontier_stats),
         }
         return CrawlResult(audit, rejected, admitted, seen, stats, self.wave_metrics)
 

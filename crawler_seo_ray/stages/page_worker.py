@@ -31,7 +31,7 @@ from ..canon import Scope, is_priority, shard_of
 from ..state.frontier import owner_shard
 from ..functions.imagecodec import decode_image, phash64, psnr
 from ..storage import ShardedTakeReader
-from ..web import build_audit_row, extract_links, fetch_page
+from ..web import build_audit_row, extract_links, fetch_page, link_rank
 
 MAX_LINKS_PER_PAGE = 4096  # order_key = visit_seq * MAX_LINKS + position
 
@@ -141,6 +141,7 @@ CANDIDATE_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("order_key", pa.int64()),
         ("priority", pa.bool_()),
+        ("rank", pa.float64()),  # frontier order rank (web.link_rank)
         # shard routing computed in the (parallel) worker so the driver's
         # admission merge does no hashing at all
         ("seen_shard", pa.int32()),
@@ -163,6 +164,10 @@ class PageWorker:
         self.max_depth = spec_dict["max_depth"]
         self.scope = Scope(*spec_dict["scope"])
         self.priority_patterns = spec_dict.get("priority_patterns")
+        self.link_score = spec_dict.get("link_score")
+        self.rank_patterns = self.priority_patterns or (
+            (self.link_score or {}).get("patterns")
+        )
         self.detect_colors = spec_dict.get("detect_invisible_colors", True)
         self.psnr_every = spec_dict.get("psnr_every", 1)
         self.robots = spec_dict.get("robots")  # per-host deny rules, cached per actor
@@ -230,14 +235,17 @@ class PageWorker:
                     rej_rows.append({**r, "wave": wave})
                 for pos, c in enumerate(kept):
                     chost = c.partition("://")[2].partition("/")[0]
+                    pri = bool(self.rank_patterns) and is_priority(c, self.rank_patterns)
+                    if self.priority_patterns is None and self.link_score is None:
+                        pri = False
                     cand_rows.append(
                         {
                             "url": c,
                             "host": chost,
                             "depth": depth + 1,
                             "order_key": seq * MAX_LINKS_PER_PAGE + pos,
-                            "priority": bool(self.priority_patterns)
-                            and is_priority(c, self.priority_patterns),
+                            "priority": pri,
+                            "rank": link_rank(depth + 1, pri, self.link_score),
                             "seen_shard": shard_of(c, self.num_seen_shards),
                             "frontier_shard": owner_shard(
                                 chost, self.num_frontier_shards, c, self.frontier_salt

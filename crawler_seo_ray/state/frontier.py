@@ -34,59 +34,60 @@ import ray
 class FrontierShard:
     def __init__(self, shard_id: int):
         self.shard_id = shard_id
-        # entries: (seq, url, host, depth); lists stay seq-sorted because
-        # discovered_seq is assigned monotonically before add()
-        self.pq: list[tuple] = []
-        self.nq: list[tuple] = []
+        # entries: (rank, seq, url, host, depth) — rank computed at
+        # admission (web.link_rank); parity mode uses rank 0/1 = the
+        # reference's two-queue drain, weighted mode any float
+        self.entries: list[tuple] = []
+        self.dirty = False
         self.added = 0
         self.taken = 0
 
-    def add(self, entries: list[tuple], priorities: list[bool]) -> int:
-        for e, p in zip(entries, priorities):
-            (self.pq if p else self.nq).append(e)
+    def add(self, entries: list[tuple]) -> int:
+        self.entries.extend(entries)
+        self.dirty = True
         self.added += len(entries)
         return len(entries)
 
     def peek(self, limit: int, host_quota: int | None) -> list[tuple]:
-        """Up to ``limit`` entries in (priority_rank, seq) order with at
-        most ``host_quota`` per host; does not remove them."""
+        """Up to ``limit`` entries in (rank, seq) order with at most
+        ``host_quota`` per LOCAL host; does not remove them."""
+        if self.dirty:
+            self.entries.sort()  # timsort; appends keep it nearly sorted
+            self.dirty = False
         out: list[tuple] = []
         per_host: dict[str, int] = defaultdict(int)
-        for rank, q in ((0, self.pq), (1, self.nq)):
-            for e in q:
-                if len(out) >= limit:
-                    return out
-                host = e[2]
-                if host_quota is not None and per_host[host] >= host_quota:
-                    continue
-                per_host[host] += 1
-                out.append((rank,) + e)
+        for e in self.entries:
+            if len(out) >= limit:
+                break
+            host = e[3]
+            if host_quota is not None and per_host[host] >= host_quota:
+                continue
+            per_host[host] += 1
+            out.append(e)
         return out
 
     def commit(self, seqs: list[int]) -> None:
         s = set(seqs)
-        self.pq = [e for e in self.pq if e[0] not in s]
-        self.nq = [e for e in self.nq if e[0] not in s]
+        self.entries = [e for e in self.entries if e[1] not in s]
         self.taken += len(s)
 
     def size(self) -> int:
-        return len(self.pq) + len(self.nq)
+        return len(self.entries)
 
     def stats(self) -> dict:
         return {
             "shard": self.shard_id,
-            "priority_queue": len(self.pq),
-            "normal_queue": len(self.nq),
+            "queued": len(self.entries),
             "added": self.added,
             "taken": self.taken,
         }
 
-    def snapshot(self) -> tuple[list[tuple], list[tuple]]:
-        return list(self.pq), list(self.nq)
+    def snapshot(self) -> list[tuple]:
+        return list(self.entries)
 
-    def restore(self, pq: list[tuple], nq: list[tuple]) -> None:
-        self.pq = sorted(pq)
-        self.nq = sorted(nq)
+    def restore(self, entries: list[tuple]) -> None:
+        self.entries = sorted(entries)
+        self.dirty = False
 
 
 def take_wave(
@@ -118,12 +119,12 @@ def take_wave(
         per_host[host] += 1
         take.append(e)
     by_shard: dict[int, list[int]] = defaultdict(list)
-    for rank, seq, url, host, depth in take:
+    for _rank, seq, url, host, depth in take:
         by_shard[owner_shard(host, len(frontier_shards), url, salt)].append(seq)
     ray.get(
         [frontier_shards[s].commit.remote(seqs) for s, seqs in by_shard.items()]
     )
-    return [(seq, url, host, depth) for rank, seq, url, host, depth in take]
+    return [(seq, url, host, depth) for _rank, seq, url, host, depth in take]
 
 
 def owner_shard(host: str, num_shards: int, url: str = "", salt: int = 1) -> int:

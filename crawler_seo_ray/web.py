@@ -85,6 +85,29 @@ def build_audit_row(url: str, depth: int, attrs: dict, detect_invisible_colors: 
     return row
 
 
+def link_rank(
+    depth: int, priority: bool, link_score: dict | None
+) -> float:
+    """Frontier ordering rank (lower = fetched earlier).
+
+    Reference-parity mode (``link_score is None``): the smart manager's
+    two-queue semantics — priority entries first (rank 0), normal after
+    (rank 1), FIFO by discovery within each (core/url_manager.py:386-404).
+
+    Weighted mode (north_star: "weighted priority queue keyed by
+    depth/link-score"): rank = depth_weight·depth − pattern_boost·match,
+    i.e. shallow + pattern-matching URLs first. Rank is computed at
+    admission and stored with the entry, so ordering stays a data
+    property (deterministic at any parallelism).
+    """
+    if link_score is None:
+        return 0.0 if priority else 1.0
+    return float(
+        link_score.get("depth_weight", 1.0) * depth
+        - link_score.get("pattern_boost", 0.0) * bool(priority)
+    )
+
+
 def robots_allows(url: str, rules: dict[str, list[str]] | None) -> bool:
     """Robots-style per-host path-prefix deny rules (engine extension;
     the reference has none — north_rule asks for a robots cache)."""

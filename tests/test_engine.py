@@ -141,6 +141,28 @@ def test_engine_matches_oracle_politeness_and_robots(small_corpus):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_engine_weighted_frontier_matches_oracle(small_corpus):
+    """north_star: weighted priority queue keyed by depth/link-score.
+    Shallow + pattern-matching URLs first; engine ≡ oracle; order differs
+    from plain FIFO."""
+    corpus_dir, _ = small_corpus
+    target = datagen.image_id((1 * 13 + 7) % N)
+    weighted = _spec(
+        max_urls=40,
+        batch_size=8,
+        link_score={"depth_weight": 1.0, "pattern_boost": 10.0, "patterns": [target.lower()]},
+    )
+    ora = run_oracle(weighted)
+    res = run_crawl(weighted, corpus_dir, EngineConfig(num_workers=2))
+    _compare(res, ora)
+    fifo = run_oracle(_spec(max_urls=40, batch_size=8))
+    assert ora["visit_order"] != fifo["visit_order"]
+    # depth ordering: within the crawl, shallow pages dominate early waves
+    depths = [d for _, _, d in ora["visit_order"]]
+    assert sorted(depths[:10]) == depths[:10] or max(depths[:10]) <= min(depths[-10:]) + 2
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_engine_salted_frontier_matches_oracle(small_corpus):
     """Hot-host salting (north_rule skew split) must not change the
     deterministic order — politeness is enforced globally at the merge."""
