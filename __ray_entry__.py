@@ -41,7 +41,9 @@ def entry() -> Any:
         batch_size=25,
         scope=Scope("suffix", datagen.HOST_SUFFIX),
     )
-    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=4))
+    from crawler_seo_ray.queries import _safe_workers
+
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=_safe_workers()))
     return excel_projection(finalize_audit(res.audit))
 
 

@@ -39,6 +39,16 @@ CORPUS_N = 300
 _CORPUS_DIMS = (16, 33)
 
 
+def _safe_workers(cap: int = 4) -> int:
+    """Worker-pool size that can actually schedule in the host's Ray
+    session (a fixed count deadlocks when the driver inits fewer CPUs)."""
+    try:
+        cpus = int(ray.available_resources().get("CPU", cap))
+    except Exception:
+        cpus = cap
+    return max(1, min(cap, cpus - 1 if cpus > 1 else 1))
+
+
 def corpus_dir() -> str:
     d = os.path.join(_CACHE_ROOT, f"corpus_n{CORPUS_N}_d{_CORPUS_DIMS[0]}_{_CORPUS_DIMS[1]}")
     if not os.path.exists(os.path.join(d, "manifest.json")):
@@ -362,8 +372,24 @@ def crawl_visit_order(sf_dir: str):
         n_pages=CORPUS_N, seeds=[datagen.url(1)], max_urls=120, batch_size=25,
         scope=Scope("suffix", datagen.HOST_SUFFIX),
     )
-    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=4))
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=_safe_workers()))
     return res.audit.select(["visit_seq", "url", "depth", "status_code"])
+
+
+def crawl_visit_order_weighted(sf_dir: str):
+    """Flagship crawl under the weighted frontier (depth/link-score rank,
+    north_star); deterministic order differs from FIFO."""
+    from .oracle import CrawlSpec
+    from .pipelines.crawl import EngineConfig, run_crawl
+
+    spec = CrawlSpec(
+        n_pages=CORPUS_N, seeds=[datagen.url(1)], max_urls=120, batch_size=25,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+        link_score={"depth_weight": 1.0, "pattern_boost": 10.0,
+                    "patterns": ["/page/img0000002"]},
+    )
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=_safe_workers()))
+    return res.audit.select(["visit_seq", "url", "depth"])
 
 
 def crawl_audit_scores(sf_dir: str):
@@ -375,7 +401,7 @@ def crawl_audit_scores(sf_dir: str):
         n_pages=CORPUS_N, seeds=[datagen.url(1)], max_urls=120, batch_size=25,
         scope=Scope("suffix", datagen.HOST_SUFFIX),
     )
-    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=4))
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=_safe_workers()))
     final = finalize_audit(res.audit)
     return final.select_columns(
         ["visit_seq", "url", "metatags_score", "risk_level", "title_duplicado",
@@ -423,6 +449,7 @@ QUERIES = {
     "docs_minhash_dups": docs_minhash_dups,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "crawl_visit_order": crawl_visit_order,
+    "crawl_visit_order_weighted": crawl_visit_order_weighted,
     "crawl_audit_scores": crawl_audit_scores,
     "corpus_image_stats": corpus_image_stats,
     "corpus_resize": corpus_resize,

@@ -86,6 +86,8 @@ def test_rows_only_queries_run(registry):
         "docs_minhash_dups": lambda df: {"id_a", "id_b", "jaccard"} <= set(df.columns),
         "embeddings_knn_ivf": lambda df: set(df["query_idx"]) <= set(range(5)),
         "crawl_visit_order": lambda df: len(df) == 120 and list(df["visit_seq"]) == list(range(120)),
+        "crawl_visit_order_weighted": lambda df: len(df) == 120
+        and list(df["visit_seq"]) == list(range(120)),
         "crawl_audit_scores": lambda df: len(df) == 120,
         "corpus_image_stats": lambda df: len(df) == 300 and df["decode_ok"].all(),
         "corpus_resize": lambda df: len(df) == 300 and (df["w"] == 32).all(),
