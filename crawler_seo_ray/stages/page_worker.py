@@ -203,31 +203,55 @@ class PageWorker:
                 page_rows = {datagen.parse_image_id(r["image_id"]): r for r in t.to_pylist()}
 
         for (seq, url, host, depth), attrs in zip(entries, all_attrs):
-            row = build_audit_row(url, depth, attrs, self.detect_colors)
+            try:
+                row = build_audit_row(url, depth, attrs, self.detect_colors)
+            except Exception as exc:  # per-row fault containment — a bad
+                # page becomes an ERROR row (core/crawler.py:129-134
+                # semantics: failures count toward the budget, never kill
+                # the wave)
+                row = {
+                    "url": url, "depth": depth, "page_index": -1,
+                    "status_code": "ERROR", "final_url": url, "redirected": False,
+                    "content_type": "", "response_time_ms": 0.0, "content_length": 0,
+                    "links_encontrados": [], "processed": False,
+                    "error_details": f"analyze error: {exc}",
+                }
             row["visit_seq"] = seq
             row["wave"] = wave
             row["host"] = host
             i = attrs.get("page_index", -1)
             crow = page_rows.get(i)
             if crow is not None:
-                dec = decode_image(crow["bytes"], crow["fmt"])
-                row.update(
-                    {
-                        "image_id": crow["image_id"],
-                        "img_w": crow["w"],
-                        "img_h": crow["h"],
-                        "img_fmt": crow["fmt"],
-                        "phash": crow["phash"],
-                        "caption": crow["caption"],
-                        # invariants vs the reference functions (input_hint)
-                        "caption_match": crow["caption"] == datagen.caption(i),
-                        "phash_match": phash64(dec) == crow["phash"],
-                    }
-                )
-                if self.psnr_every and i % self.psnr_every == 0:
-                    ref_px = datagen.pixels(i, self.dim_base, self.dim_mod)
-                    row["psnr_db"] = psnr(ref_px, dec)
-                del dec
+                try:
+                    dec = decode_image(crow["bytes"], crow["fmt"])
+                    row.update(
+                        {
+                            "image_id": crow["image_id"],
+                            "img_w": crow["w"],
+                            "img_h": crow["h"],
+                            "img_fmt": crow["fmt"],
+                            "phash": crow["phash"],
+                            "caption": crow["caption"],
+                            # invariants vs the reference functions (input_hint)
+                            "caption_match": crow["caption"] == datagen.caption(i),
+                            "phash_match": phash64(dec) == crow["phash"],
+                        }
+                    )
+                    if self.psnr_every and i % self.psnr_every == 0:
+                        ref_px = datagen.pixels(i, self.dim_base, self.dim_mod)
+                        row["psnr_db"] = psnr(ref_px, dec)
+                    del dec
+                except Exception as exc:
+                    # corrupted payload: keep the crawl row, record the
+                    # failed invariant instead of killing the wave
+                    row.update(
+                        {
+                            "image_id": crow["image_id"],
+                            "caption_match": False,
+                            "phash_match": False,
+                            "error_details": f"decode error: {exc}",
+                        }
+                    )
             if row["processed"] and depth < self.max_depth:
                 kept, rejects = extract_links(attrs, url, self.scope, self.robots)
                 row["links_encontrados"] = kept
