@@ -20,3 +20,11 @@ host (driver, tests' conftest, bench.py) owns the Ray session.
 """
 
 __version__ = "0.1.0"
+
+
+def quick_analysis(*args, **kwargs):
+    """Programmatic crawl+audit (the reference's quick_analysis surface);
+    see crawler_seo_ray.cli.quick_analysis."""
+    from .cli import quick_analysis as _qa
+
+    return _qa(*args, **kwargs)
