@@ -272,6 +272,15 @@ def embeddings_knn(sf_dir: str):
     )
 
 
+def docs_ngram_jaccard(sf_dir: str):
+    """Exact token-set Jaccard similarity self-join (prefix-filtered
+    PPJoin-style; SQL oracle is the brute-force cross join)."""
+    from .stages.dedup import token_jaccard_pipeline
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    return token_jaccard_pipeline(ds, "text", "doc_id", threshold=0.9)
+
+
 def embeddings_cosine_dups(sf_dir: str):
     """Embedding near-dup pairs (LSH-bucketed exact cosine ≥ 0.95).
 
@@ -343,6 +352,13 @@ def docs_simhash(sf_dir: str):
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
     return simhash_pipeline(ds, "text", "doc_id")["signatures"]
+
+
+def docs_simhash_dups(sf_dir: str):
+    from .stages.dedup import simhash_pipeline
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    return simhash_pipeline(ds, "text", "doc_id", hamming_threshold=3)["pairs"]
 
 
 def docs_minhash_dups(sf_dir: str):
@@ -441,11 +457,13 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "lineitem_conditional": lineitem_conditional,
     "embeddings_knn": embeddings_knn,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
     "embeddings_cosine_dups": embeddings_cosine_dups,
     "docs_langid": docs_langid,
     "docs_quality": docs_quality,
     "docs_fingerprint": docs_fingerprint,
     "docs_simhash": docs_simhash,
+    "docs_simhash_dups": docs_simhash_dups,
     "docs_minhash_dups": docs_minhash_dups,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "crawl_visit_order": crawl_visit_order,
@@ -544,6 +562,17 @@ ORACLE_SQL = {
           FROM (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5) q
           CROSS JOIN embeddings e) t
         WHERE rnk <= 5
+    """,
+    "docs_ngram_jaccard": """
+        WITH d AS (
+          SELECT doc_id,
+                 list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+          FROM documents WHERE trim(text) <> ''
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(a.toks || b.toks)) >= 0.9
     """,
     "embeddings_cosine_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b

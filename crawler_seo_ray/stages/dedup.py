@@ -385,3 +385,120 @@ def embedding_cosine_pairs(
     if out.num_rows:
         out = out.take(pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
     return out
+
+
+def token_jaccard_pipeline(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    bucket_cap: int = 2000,
+) -> pa.Table:
+    """EXACT token-set Jaccard similarity self-join (n-gram Jaccard with
+    n=1, SQL-checkable) via prefix filtering (PPJoin-style):
+
+    1. global token document-frequency via per-block combiner partials
+       (rare-token ordering maximizes pruning), broadcast as rank map;
+    2. each doc emits its ⌊(1−t)·|T|⌋+1 rarest tokens as blocking keys —
+       any pair with Jaccard ≥ t provably shares one;
+    3. candidate pairs within token buckets (combiner + driver fold),
+       verified with exact set Jaccard.
+
+    Token normalization matches DuckDB's
+    ``list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))``.
+    ``bucket_cap`` only guards runaway buckets and is logged — below the
+    cap the join is exact.
+    """
+    import math
+
+    def tokens_of(t: str) -> list[str]:
+        return sorted(set((t or "").strip().lower().split()))
+
+    # pass 1: document frequency per token (combiner)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            if (t or "").strip():
+                c.update(tokens_of(t))
+        return pa.table(
+            {"tok": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    parts = collect_arrow(
+        ds.select_columns([text_col]).map_batches(df_partial, batch_format="pyarrow"),
+        schema=pa.schema([("tok", pa.string()), ("n", pa.int64())]),
+    )
+    merged = parts.group_by("tok").aggregate([("n", "sum")])
+    freq = dict(zip(merged.column("tok").to_pylist(), merged.column("n_sum").to_pylist()))
+    rank = {t: i for i, (f, t) in enumerate(sorted((f, t) for t, f in freq.items()))}
+    rank_ref = ray.put(rank)
+
+    # pass 2: prefix blocking keys
+    def prefix_keys(batch: pa.Table) -> pa.Table:
+        rk = ray.get(rank_ref)
+        out_tok, out_id = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            toks = tokens_of(t)
+            if not toks:
+                continue
+            p = len(toks) - math.ceil(threshold * len(toks)) + 1
+            for tok in sorted(toks, key=lambda x: rk[x])[:p]:
+                out_tok.append(tok)
+                out_id.append(i)
+        return pa.table(
+            {"tok": pa.array(out_tok, pa.string()), id_col: pa.array(out_id, pa.int64())}
+        )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("tok").aggregate([(id_col, "list")])
+
+    bparts = collect_arrow(
+        ds.select_columns([id_col, text_col])
+        .map_batches(prefix_keys, batch_format="pyarrow")
+        .map_batches(bucket_partial, batch_format="pyarrow"),
+        schema=pa.schema([("tok", pa.string()), (f"{id_col}_list", pa.list_(pa.int64()))]),
+    )
+    buckets: dict[str, list] = {}
+    for tok, ids in zip(
+        bparts.column("tok").to_pylist(), bparts.column(f"{id_col}_list").to_pylist()
+    ):
+        buckets.setdefault(tok, []).extend(ids)
+    cand: set[tuple] = set()
+    overflow = 0
+    for ids in buckets.values():
+        if len(ids) > bucket_cap:
+            overflow += 1
+            ids = ids[:bucket_cap]
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cand.add((ids[x], ids[y]))
+    if overflow:
+        print(f"token_jaccard: {overflow} buckets over cap={bucket_cap} (join no longer exact)")
+
+    # verify with exact token-set jaccard (broadcast id→token set)
+    def collect_tokens(batch: pa.Table) -> pa.Table:
+        rows_i, rows_t = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            rows_i.append(i)
+            rows_t.append(tokens_of(t))
+        return pa.table(
+            {"id": pa.array(rows_i, pa.int64()), "toks": pa.array(rows_t, pa.list_(pa.string()))}
+        )
+
+    tok_tbl = collect_arrow(
+        ds.select_columns([id_col, text_col]).map_batches(collect_tokens, batch_format="pyarrow"),
+        schema=pa.schema([("id", pa.int64()), ("toks", pa.list_(pa.string()))]),
+    )
+    tok_map = {r["id"]: set(r["toks"]) for r in tok_tbl.to_pylist()}
+    va, vb = [], []
+    for ia, ib in sorted(cand):
+        sa, sb = tok_map.get(ia, set()), tok_map.get(ib, set())
+        u = len(sa | sb)
+        if u and len(sa & sb) / u >= threshold:
+            va.append(ia)
+            vb.append(ib)
+    return pa.table({"id_a": pa.array(va, pa.int64()), "id_b": pa.array(vb, pa.int64())})
