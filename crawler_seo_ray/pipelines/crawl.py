@@ -496,6 +496,35 @@ class _Engine:
             ray.kill(a)
 
 
+def compact_checkpoint(checkpoint_dir: str) -> int:
+    """Merge each committed wave's per-worker audit chunk files into one
+    consolidated file (small-file compaction — at cluster scale a
+    periodic background task over old waves). Safe w.r.t. resume: the
+    merged file is published atomically before the chunks are removed,
+    and readers glob ``audit*.parquet`` either way. Returns the number
+    of files removed."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    removed = 0
+    for wave_dir in sorted(glob.glob(os.path.join(checkpoint_dir, "waves", "wave=*"))):
+        if not os.path.exists(os.path.join(wave_dir, "state.json")):
+            continue  # uncommitted wave: leave untouched
+        chunks = sorted(glob.glob(os.path.join(wave_dir, "audit-*.parquet")))
+        if len(chunks) <= 1:
+            continue
+        merged = pa.concat_tables([pq.read_table(p) for p in chunks])
+        import pyarrow.compute as pc
+
+        merged = merged.take(pc.sort_indices(merged.column("visit_seq")))
+        write_table(merged, os.path.join(wave_dir, "audit-merged.parquet"))
+        for p in chunks:
+            os.remove(p)
+            removed += 1
+    return removed
+
+
 def audit_dataset_from_checkpoint(checkpoint_dir: str):
     """Streaming Dataset over the checkpointed audit (one parquet per
     wave) — the scale path for post-crawl analytics: at 10^10 URLs the

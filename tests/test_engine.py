@@ -224,3 +224,27 @@ def test_bloom_prefilter_no_false_negatives(small_corpus):
     fp = sum(ray.get(shard.probe_bloom.remote(fresh)))
     assert fp <= 10  # ~1% fp target
     ray.kill(shard)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_preserves_resume_and_reads(small_corpus, tmp_path):
+    from crawler_seo_ray.pipelines.crawl import (
+        audit_dataset_from_checkpoint,
+        compact_checkpoint,
+    )
+
+    corpus_dir, _ = small_corpus
+    spec = _spec(max_urls=50, batch_size=10)
+    full = run_crawl(spec, corpus_dir, EngineConfig(num_workers=3))
+
+    ck = str(tmp_path / "ck")
+    cfg = EngineConfig(num_workers=3, checkpoint_dir=ck)
+    run_crawl(spec, corpus_dir, cfg, stop_after_wave=3)
+    removed = compact_checkpoint(ck)
+    assert removed > 0
+    resumed = run_crawl(spec, corpus_dir, cfg, resume=True)
+    assert resumed.audit.column("url").to_pylist() == full.audit.column("url").to_pylist()
+    # compacted + fresh chunks both readable
+    compact_checkpoint(ck)
+    ds = audit_dataset_from_checkpoint(ck)
+    assert ds.count() == 50
