@@ -5,11 +5,11 @@ The reference computes duplicate flags against mutable dicts at visit
 time and derives scores/issue lists inline; Excel sheets are pandas
 projections at the end (reports/excel_generator.py). Here:
 
-- duplicate flags  = a *narrow* ``groupby(text)`` shuffle over
-  ``(visit_seq, text)`` — flag is ``visit_seq > min(visit_seq)`` within
-  the group, empty text never flagged — joined back to the audit rows
-  by ``visit_seq`` (hash join). Only two slim columns ride the shuffle;
-  the wide audit rows move once, through the join.
+- duplicate flags = the combiner pattern over ``(visit_seq, text)``:
+  per-block Arrow hash group-by partial mins (both text families in one
+  pass), one tiny partial merge, broadcast key→min-seq dict; flag =
+  ``visit_seq > min`` among processed non-empty occurrences. The wide
+  audit rows never shuffle.
 - scoring/issue finalization = a vectorized-ish ``map_batches`` kernel
   applying ``stages.scoring.finalize_page`` (the same kernel the oracle
   uses).
@@ -33,45 +33,15 @@ from ..util import collect_arrow
 JOIN_PARTITIONS = 16
 
 
-def _dup_flags(ds: Dataset, text_col: str, flag_col: str, num_partitions: int) -> Dataset:
-    """(visit_seq, flag) for every audit row: first occurrence of each
-    non-empty text in visit order unflagged, later occurrences flagged."""
-
-    def flag_group(g: pa.Table) -> pa.Table:
-        import numpy as np
-
-        seqs = g.column("visit_seq").to_numpy()
-        texts = g.column(text_col)
-        proc = g.column("processed").to_numpy(zero_copy_only=False)
-        empty = (~proc) | ~pc.is_valid(texts).to_numpy(zero_copy_only=False) | (
-            pc.equal(pc.coalesce(texts, ""), "").to_numpy(zero_copy_only=False)
-        )
-        if empty.all():
-            flags = np.zeros(len(seqs), dtype=bool)
-        else:
-            mn = seqs[~empty].min()
-            flags = (~empty) & (seqs > mn)
-        return pa.table({"visit_seq": seqs, flag_col: flags})
-
-    return (
-        ds.select_columns(["visit_seq", text_col, "processed"])
-        .groupby(text_col)
-        .map_groups(flag_group, batch_format="pyarrow")
-    )
-
-
 def finalize_audit(audit: pa.Table | Dataset, num_partitions: int = JOIN_PARTITIONS) -> Dataset:
     """Add duplicate flags + score/issue columns to the audit table.
 
-    Only ``(visit_seq, text)`` rides the dup-flag shuffle; the flag
-    vectors (1 bit + int64 per row) are then broadcast once via
-    ``ray.put`` and merged into the wide audit rows inside a single
-    ``map_batches`` pass with a vectorized searchsorted lookup — the
-    wide rows (nested lists/structs, which hash-join aggregators can't
-    carry anyway) never shuffle. Scale path for >RAM flag vectors:
-    write flags as seq-sorted parquet and range-read the aligned slice
-    per audit partition (audit blocks are contiguous in visit_seq by
-    construction) — same merge, no broadcast.
+    Flags come from the combiner pattern (see _finalize_with_narrow) and
+    are merged into the wide rows via a broadcast key→min-seq dict in a
+    single ``map_batches`` pass — the wide nested rows never shuffle.
+    Scale path for >RAM flag dicts: write the merged mins as key-sorted
+    parquet and probe per batch (or a distributed partial merge) — the
+    per-block combine is unchanged.
     """
     import numpy as np
 
@@ -85,9 +55,9 @@ def finalize_audit(audit: pa.Table | Dataset, num_partitions: int = JOIN_PARTITI
 def finalize_audit_from_checkpoint(
     checkpoint_dir: str, num_partitions: int = JOIN_PARTITIONS
 ) -> Dataset:
-    """Finalize straight from the checkpointed audit partitions with a
-    column-pruned read for the flag shuffle (only 4 narrow columns leave
-    storage for the shuffle pass; the wide rows are read once)."""
+    """Finalize straight from the checkpointed audit partitions via one
+    shared compacting read (see _compacting_read for why not
+    read_parquet(columns=...))."""
     import glob
     import os
 

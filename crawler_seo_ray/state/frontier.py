@@ -2,24 +2,24 @@
 
 The reference holds one or two driver-local FIFO deques
 (core/url_manager.py:18,346-431) and pops ≤ max_threads per wave. Here
-the frontier is a pool of actors sharded by ``hash(host)``; each shard
-keeps priority/normal queues ordered by the globally-assigned
-``discovered_seq``. A wave take is a two-phase distributed k-way merge:
+the frontier is a pool of actors sharded by ``hash(host)`` (optionally
+salted by URL hash for Zipf-hot hosts); each shard keeps entries
+ordered by ``(rank, discovered_seq)`` where rank is computed at
+admission (``web.link_rank`` — 0/1 for reference two-queue parity, a
+depth/link-score float in weighted mode). A wave take is a two-phase
+distributed k-way merge:
 
-  1. every shard ``peek``s its smallest (priority_rank, seq) entries,
-     honoring the per-host politeness quota (at most Q per host per
-     wave — each host lives on exactly one shard, so the quota is
-     enforced locally and completely);
-  2. the driver merges the shard heads, keeps the global smallest B,
-     and ``commit``s the taken seqs back to the owning shards.
+  1. every shard ``peek``s its smallest (rank, seq) entries, pre-capped
+     at the per-host politeness quota Q per LOCAL host;
+  2. the driver merges the shard heads, applies the GLOBAL per-host
+     quota greedily in (rank, seq) order — provably the oracle's
+     single-queue pop order — keeps the smallest B, and ``commit``s the
+     taken seqs back to the owning shards.
 
-This reproduces the reference's deterministic pop order exactly
-(priority queue drained first, FIFO within each queue — proven
-equivalent because each host's taken set is always a prefix of its
-queue) while the frontier itself scales horizontally. Hot hosts
-(Zipf skew) can be salted across sub-queues via ``salt_hot_hosts``:
-the politeness quota stays logically per-host while the *storage* of
-a hot host's queue spreads over k sub-lists.
+With salting a host spans k sub-shards, each still returning its first
+≤Q entries, so the host's global first-Q entries are always present in
+the union while its queue storage and peek work fan out; the
+politeness budget stays logically per-host at the driver merge.
 """
 
 from __future__ import annotations
