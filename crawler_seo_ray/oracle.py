@@ -48,8 +48,18 @@ class CrawlSpec:
     # — rank = w·depth − b·pattern_match; None = reference two-queue parity
     link_score: dict | None = None
     politeness_per_wave: int | None = None  # max URLs per host per wave (None = off)
+    # adaptive per-host priority (north_star: per-host priority recomputed
+    # between waves): rank offset = error_penalty * cumulative_error_rate
+    # of the host, from per-host (visits, errors) aggregated each wave
+    adaptive_host_priority: dict | None = None
     robots_deny_prefixes: dict[str, list[str]] | None = None  # host → path prefixes
     detect_invisible_colors: bool = True
+
+
+def _err_rate(st) -> float:
+    if not st or not st[0]:
+        return 0.0
+    return st[1] / st[0]
 
 
 class OracleCrawl:
@@ -61,6 +71,7 @@ class OracleCrawl:
         # parity mode gives rank 0/1 = the reference's two-queue drain
         self.frontier: list[tuple] = []
         self.enq_seq = 0
+        self.host_stats: dict[str, list] = {}  # host -> [visits, errors]
         self.results: list[dict] = []
         self.rejected: list[dict] = []
         self.titles: dict[str, int] = {}  # text → occurrences so far
@@ -127,7 +138,23 @@ class OracleCrawl:
         per_host: dict[str, int] = {}
         quota = self.spec.politeness_per_wave
         self.frontier.sort()  # (rank, enq_seq) — timsort, nearly sorted
-        for k, (rank, eseq, url, depth) in enumerate(self.frontier):
+        ahp = self.spec.adaptive_host_priority
+        if ahp:
+            pen = ahp.get("error_penalty", 0.0)
+            order = sorted(
+                range(len(self.frontier)),
+                key=lambda k: (
+                    self.frontier[k][0]
+                    + pen * _err_rate(self.host_stats.get(
+                        self.frontier[k][2].partition("://")[2].partition("/")[0]
+                    )),
+                    self.frontier[k][1],
+                ),
+            )
+            entries = [self.frontier[k] for k in order]
+        else:
+            entries = self.frontier
+        for k, (rank, eseq, url, depth) in enumerate(entries):
             if len(batch) >= budget:
                 break
             if quota is not None:
@@ -139,7 +166,7 @@ class OracleCrawl:
             batch.append((url, depth))
             taken_idx.add(k)
         if taken_idx:
-            self.frontier = [e for k, e in enumerate(self.frontier) if k not in taken_idx]
+            self.frontier = [e for k, e in enumerate(entries) if k not in taken_idx]
         return batch
 
     # -- page processing (reference _process_single_url, single-fetch) ------
@@ -188,6 +215,13 @@ class OracleCrawl:
             ]
             for r in wave_rows:
                 r["wave"] = wave
+            if self.spec.adaptive_host_priority:
+                for r in wave_rows:
+                    h = r["url"].partition("://")[2].partition("/")[0]
+                    st = self.host_stats.setdefault(h, [0, 0])
+                    st[0] += 1
+                    if r["status_code"] != "200":
+                        st[1] += 1
             self.results.extend(wave_rows)
             for row in wave_rows:
                 for link in row["links_encontrados"]:

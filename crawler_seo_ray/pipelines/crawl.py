@@ -123,6 +123,7 @@ class _Engine:
         self.admitted_tables: list[pa.Table] = []
         self.wave_metrics: list[dict] = []
         self.seed_rejects: list[dict] = []
+        self.host_stats: dict[str, list] = {}  # host -> [visits, errors]
 
     # ------------------------------------------------------------------
     def _admit(self, cands: pa.Table, wave: int) -> pa.Table:
@@ -256,8 +257,19 @@ class _Engine:
         budget = min(self.spec.batch_size, self.spec.max_urls - self.visited)
         if budget <= 0:
             return False
+        offsets = None
+        ahp = self.spec.adaptive_host_priority
+        if ahp:
+            pen = ahp.get("error_penalty", 0.0)
+            offsets = {
+                h: pen * st[1] / st[0] for h, st in self.host_stats.items() if st[1]
+            }
         batch = take_wave(
-            self.frontier, budget, self.spec.politeness_per_wave, self.cfg.frontier_salt
+            self.frontier,
+            budget,
+            self.spec.politeness_per_wave,
+            self.cfg.frontier_salt,
+            offsets,
         )
         t_take = t_phase() - t0
         if not batch:
@@ -330,6 +342,18 @@ class _Engine:
         t_workers = t_phase() - t0 - t_take - t_issue
         cands = pa.concat_tables([p[1] for p in parts]) if parts else CANDIDATE_SCHEMA.empty_table()
         rejects = pa.concat_tables([p[2] for p in parts]) if parts else REJECT_SCHEMA.empty_table()
+        if self.spec.adaptive_host_priority:
+            # fold per-chunk host partials (combiner merge between waves)
+            for ptbl in parts:
+                hstats = ptbl[3]
+                for h, v, er in zip(
+                    hstats.column("host").to_pylist(),
+                    hstats.column("visits").to_pylist(),
+                    hstats.column("errors").to_pylist(),
+                ):
+                    st = self.host_stats.setdefault(h, [0, 0])
+                    st[0] += v
+                    st[1] += er
 
         admitted = self._admit(cands, wave)
 
@@ -403,9 +427,18 @@ class _Engine:
         self.visited = 0
         for d in waves:
             for ap in sorted(_glob.glob(os.path.join(d, "audit*.parquet"))):
-                urls = read_table(ap, columns=["url"]).column("url").to_pylist()
+                t = read_table(ap, columns=["url", "host", "status_code"])
+                urls = t.column("url").to_pylist()
                 issued.update(urls)
                 self.visited += len(urls)
+                if self.spec.adaptive_host_priority:
+                    for h, sc in zip(
+                        t.column("host").to_pylist(), t.column("status_code").to_pylist()
+                    ):
+                        st = self.host_stats.setdefault(h, [0, 0])
+                        st[0] += 1
+                        if sc != "200":
+                            st[1] += 1
             self.reject_tables.append(read_table(os.path.join(d, "rejects.parquet")))
             admitted_tables.append(read_table(os.path.join(d, "admitted.parquet")))
             with open(os.path.join(d, "state.json")) as f:

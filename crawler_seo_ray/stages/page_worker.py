@@ -280,6 +280,21 @@ class PageWorker:
             audit_rows.append(row)
 
         audit = rows_to_table(audit_rows, AUDIT_SCHEMA)
+        # per-host partial stats for adaptive priority (combiner pattern:
+        # one tiny (host, visits, errors) table per chunk)
+        hs: dict[str, list] = {}
+        for r in audit_rows:
+            st = hs.setdefault(r["host"], [0, 0])
+            st[0] += 1
+            if r.get("status_code") != "200":
+                st[1] += 1
+        host_stats = pa.table(
+            {
+                "host": pa.array(list(hs.keys()), pa.string()),
+                "visits": pa.array([v[0] for v in hs.values()], pa.int64()),
+                "errors": pa.array([v[1] for v in hs.values()], pa.int64()),
+            }
+        )
         if audit_out is not None:
             from ..storage import write_table
 
@@ -289,6 +304,7 @@ class PageWorker:
             audit,
             rows_to_table(cand_rows, CANDIDATE_SCHEMA),
             rows_to_table(rej_rows, REJECT_SCHEMA),
+            host_stats,
         )
 
 

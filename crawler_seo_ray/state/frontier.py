@@ -48,15 +48,27 @@ class FrontierShard:
         self.added += len(entries)
         return len(entries)
 
-    def peek(self, limit: int, host_quota: int | None) -> list[tuple]:
+    def peek(
+        self, limit: int, host_quota: int | None, host_offsets: dict | None = None
+    ) -> list[tuple]:
         """Up to ``limit`` entries in (rank, seq) order with at most
-        ``host_quota`` per LOCAL host; does not remove them."""
+        ``host_quota`` per LOCAL host; does not remove them.
+
+        ``host_offsets`` (adaptive per-host priority, recomputed between
+        waves from aggregated per-host stats) are added to each entry's
+        rank; returned tuples carry the ADJUSTED rank so the driver
+        merge orders globally by it."""
         if self.dirty:
             self.entries.sort()  # timsort; appends keep it nearly sorted
             self.dirty = False
+        entries = self.entries
+        if host_offsets:
+            entries = sorted(
+                ((e[0] + host_offsets.get(e[3], 0.0),) + e[1:] for e in entries)
+            )
         out: list[tuple] = []
         per_host: dict[str, int] = defaultdict(int)
-        for e in self.entries:
+        for e in entries:
             if len(out) >= limit:
                 break
             host = e[3]
@@ -91,7 +103,11 @@ class FrontierShard:
 
 
 def take_wave(
-    frontier_shards, budget: int, host_quota: int | None, salt: int = 1
+    frontier_shards,
+    budget: int,
+    host_quota: int | None,
+    salt: int = 1,
+    host_offsets: dict | None = None,
 ) -> list[tuple]:
     """Distributed wave take: peek all shards, merge with GLOBAL per-host
     politeness, commit.
@@ -106,7 +122,9 @@ def take_wave(
     Returns the taken entries as (seq, url, host, depth), in the
     deterministic global order (priority first, then discovered_seq).
     """
-    peeks = ray.get([f.peek.remote(budget, host_quota) for f in frontier_shards])
+    peeks = ray.get(
+        [f.peek.remote(budget, host_quota, host_offsets) for f in frontier_shards]
+    )
     merged = sorted((e for p in peeks for e in p))  # (rank, seq, url, host, depth)
     take = []
     per_host: dict[str, int] = defaultdict(int)

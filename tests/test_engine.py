@@ -248,3 +248,23 @@ def test_compaction_preserves_resume_and_reads(small_corpus, tmp_path):
     compact_checkpoint(ck)
     ds = audit_dataset_from_checkpoint(ck)
     assert ds.count() == 50
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_adaptive_host_priority_matches_oracle(small_corpus, tmp_path):
+    """north_star: per-host priority recomputed between waves from
+    aggregated per-host stats (error-rate penalty)."""
+    corpus_dir, _ = small_corpus
+    spec = _spec(max_urls=150, batch_size=10,
+                 adaptive_host_priority={"error_penalty": 10.0})
+    ora = run_oracle(spec)
+    res = run_crawl(spec, corpus_dir, EngineConfig(num_workers=3))
+    _compare(res, ora)
+    plain = run_oracle(_spec(max_urls=150, batch_size=10))
+    assert ora["visit_order"] != plain["visit_order"]
+    # resume path rebuilds host stats identically
+    ck = str(tmp_path / "ck")
+    cfg = EngineConfig(num_workers=3, checkpoint_dir=ck)
+    run_crawl(spec, corpus_dir, cfg, stop_after_wave=5)
+    resumed = run_crawl(spec, corpus_dir, cfg, resume=True)
+    assert resumed.audit.column("url").to_pylist() == res.audit.column("url").to_pylist()
