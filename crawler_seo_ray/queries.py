@@ -167,6 +167,31 @@ def events_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
 
 
+def events_props_extract(sf_dir: str):
+    """Semi-structured column extraction: parse the JSON props column and
+    aggregate by the extracted key (vectorized json.loads per batch)."""
+    import json as _json
+
+    ds = _pq(sf_dir, "events", ["event_id", "props", "value"], blocks=16)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch.column("props").to_pylist():
+            try:
+                ks.append(int(_json.loads(p)["k"]))
+            except Exception:
+                ks.append(None)
+        return pa.table(
+            {"k": pa.array(ks, pa.int64()), "value": batch.column("value")}
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+
 def events_anti_join(sf_dir: str):
     """Anti-join (SURVEY §2.4): events from users outside the BUILDING
     customer segment (non-trivial at every sf)."""
@@ -452,6 +477,7 @@ QUERIES = {
     "docs_dup_texts": docs_dup_texts,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_props_extract": events_props_extract,
     "events_anti_join": events_anti_join,
     "customer_per_region": customer_per_region,
     "docs_token_stats": docs_token_stats,
@@ -522,6 +548,11 @@ ORACLE_SQL = {
         SELECT user_id, session_id, count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end
         FROM sess GROUP BY user_id, session_id
+    """,
+    "events_props_extract": """
+        SELECT json_extract(props, '$.k')::BIGINT AS k,
+               count(*) AS n, sum(value) AS sum_value
+        FROM events GROUP BY 1
     """,
     "events_anti_join": """
         SELECT e.event_id, e.user_id FROM events e

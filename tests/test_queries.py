@@ -128,3 +128,29 @@ def test_entry_smoke():
     assert {"visit_seq", "URL", "Metatags_Score", "Title_Duplicado"} <= set(df.columns)
     assert set(df["Title_Duplicado"].unique()) <= {"SIM", "NÃO"}
     assert (df["Caption_Match"] != "NÃO").all() and (df["Phash_Match"] != "NÃO").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_report_sheets_with_duplicates(tmp_path):
+    """write_report emits the duplicate-text sheets when the crawl
+    actually found duplicates (G2; they're absent on dup-free crawls)."""
+    import os
+
+    from crawler_seo_ray import datagen
+    from crawler_seo_ray.oracle import CrawlSpec
+    from crawler_seo_ray.pipelines.crawl import EngineConfig, run_crawl
+    from crawler_seo_ray.pipelines.report import finalize_audit, write_report
+    from crawler_seo_ray.queries import corpus_dir
+
+    spec = CrawlSpec(n_pages=300, seeds=[datagen.url(0)], max_urls=150, batch_size=25)
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=2))
+    final = finalize_audit(res.audit).materialize()
+    dups = final.select_columns(["title_duplicado"]).to_pandas()
+    assert dups["title_duplicado"].fillna(False).any(), "crawl should hit caption dups"
+    out = str(tmp_path / "report")
+    write_report(final, res.rejected, out)
+    assert os.path.isdir(os.path.join(out, "title_duplicados"))
+    import pandas as pd
+
+    sheet = pd.read_parquet(os.path.join(out, "title_duplicados"))
+    assert (sheet["count"] > 1).all() and len(sheet) > 0
