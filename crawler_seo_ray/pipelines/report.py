@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Count, Mean
+from ray.data.aggregate import Count, Max, Mean, Min
 
 from ..stages.scoring import finalize_page
 from ..util import collect_arrow
@@ -360,7 +360,11 @@ def summary(final: Dataset) -> dict:
 
     score_stats = (
         final.filter(lambda r: bool(r["processed"]))
-        .aggregate(Mean("metatags_score", alias_name="avg_score"))
+        .aggregate(
+            Mean("metatags_score", alias_name="avg_score"),
+            Min("metatags_score", alias_name="min_score"),
+            Max("metatags_score", alias_name="max_score"),
+        )
     )
     risk = (
         final.filter(lambda r: bool(r["processed"]))
@@ -369,6 +373,8 @@ def summary(final: Dataset) -> dict:
         .to_pandas()
     )
     totals["avg_score"] = float(score_stats["avg_score"]) if score_stats else None
+    totals["min_score"] = int(score_stats["min_score"]) if score_stats else None
+    totals["max_score"] = int(score_stats["max_score"]) if score_stats else None
     totals["risk_breakdown"] = dict(zip(risk["risk_level"], risk["pages"].astype(int)))
     return totals
 
