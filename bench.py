@@ -33,7 +33,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CORPUS_N = 50_000
 BENCH_DIMS = (16, 33)
 BENCH_MAX_URLS = 20_000
-BENCH_BATCH = 4_000
+BENCH_BATCH = 8_000  # larger waves amortize the per-wave serial floor
 BENCH_NUM_SEEDS = 100  # realistic seed list → frontier fills without BFS ramp
 
 
