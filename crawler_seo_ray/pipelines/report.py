@@ -27,7 +27,7 @@ import ray.data
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Mean, Min
 
-from ..stages.scoring import finalize_page
+from ..stages.scoring import finalize_batch, finalize_page
 from ..util import collect_arrow
 
 JOIN_PARTITIONS = 16
@@ -176,31 +176,7 @@ def _finalize_with_narrow(ds: Dataset, narrow: Dataset, num_partitions: int) -> 
         )
         batch = batch.append_column("title_duplicado", pa.array(tflag, pa.bool_()))
         batch = batch.append_column("description_duplicada", pa.array(dflag, pa.bool_()))
-        rows = batch.select(_NEEDED + ["title_duplicado", "description_duplicada"]).to_pylist()
-        extra: dict[str, list] = {
-            k: []
-            for k in (
-                "title_issues",
-                "description_issues",
-                "metatags_score",
-                "score_title",
-                "score_description",
-                "score_headings",
-                "score_bonus",
-                "critical_issues",
-                "warnings",
-                "total_critical",
-                "total_warnings",
-                "all_warnings",
-            )
-        }
-        for r in rows:
-            if r.get("processed"):
-                f = finalize_page(r, bool(r["title_duplicado"]), bool(r["description_duplicada"]))
-            else:
-                f = {}
-            for k in extra:
-                extra[k].append(f.get(k))
+        extra = finalize_batch(batch.select(_NEEDED), tflag, dflag)
         out = batch
         for k, v in extra.items():
             typ = {

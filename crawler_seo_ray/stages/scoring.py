@@ -117,3 +117,146 @@ def finalize_page(a: dict, title_dup: bool, desc_dup: bool) -> dict:
         + [f"CRÍTICO: {c}" for c in critical]
     )
     return out
+
+
+def finalize_batch(batch, tflag, dflag):
+    """Vectorized finalization over a narrow Arrow batch (numpy for all
+    scalar columns; per-row Python only for the short issue/warning
+    string lists). Must produce EXACTLY the columns/values of
+    :func:`finalize_page` row-wise — A/B-tested in
+    tests/test_analyzers_fixtures.py and transitively pinned by the
+    engine≡oracle comparison.
+
+    ``batch`` needs columns: processed, title_status, title_length,
+    description_status, description_length, h1_ausente, h1_multiple,
+    hierarquia_correta, headings_gravidade_critica,
+    headings_problematicos_count, has_open_graph, meta_viewport,
+    canonical_url, status_warnings. ``tflag``/``dflag`` are boolean
+    numpy arrays. Returns a dict of column lists/arrays (None rows where
+    processed is falsy).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    proc = pc.fill_null(batch.column("processed"), False).to_numpy(zero_copy_only=False)
+    ts = batch.column("title_status").to_pylist()
+    tl = pc.fill_null(batch.column("title_length"), 0).to_numpy(zero_copy_only=False)
+    ds_ = batch.column("description_status").to_pylist()
+    dl = pc.fill_null(batch.column("description_length"), 0).to_numpy(zero_copy_only=False)
+
+    def b(col):
+        return pc.fill_null(batch.column(col), False).to_numpy(zero_copy_only=False)
+
+    def i(col):
+        return pc.fill_null(batch.column(col), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    h1_abs = b("h1_ausente")
+    h1_mul = b("h1_multiple")
+    hier = b("hierarquia_correta")
+    crit_h = i("headings_gravidade_critica")
+    probl = i("headings_problematicos_count")
+    og = b("has_open_graph")
+    viewport = np.array(
+        [bool(v) for v in pc.coalesce(batch.column("meta_viewport"), "").to_pylist()]
+    )
+    canonical = np.array(
+        [bool(v) for v in pc.coalesce(batch.column("canonical_url"), "").to_pylist()]
+    )
+
+    ts_ok = np.array([s == STATUS_OK for s in ts])
+    ds_ok = np.array([s == STATUS_OK for s in ds_])
+
+    # headings sub-score (analyzers.headings_score, vectorized)
+    h_score = (
+        np.where(~h1_abs & ~h1_mul, 20, np.where(~h1_abs, 10, 0))
+        + np.where(hier, 15, 0)
+        - crit_h * 10
+        - (probl - crit_h) * 3
+        - np.where(~hier, 15, 0)
+    )
+    h_score = np.clip(h_score, 0, 35)
+
+    t_score = np.where(ts_ok & ~tflag, SCORE_TITLE_OK, np.where(tflag, SCORE_TITLE_OK - PENALTY_DUP_TITLE, 0))
+    d_score = np.where(
+        ds_ok & ~dflag, SCORE_DESCRIPTION_OK, np.where(dflag, SCORE_DESCRIPTION_OK - PENALTY_DUP_DESCRIPTION, 0)
+    )
+    bonus = og * 5 + viewport * 3 + canonical * 2
+    final_score = np.minimum(t_score + d_score + h_score + bonus, 100)
+
+    out = {
+        "title_issues": [None] * n,
+        "description_issues": [None] * n,
+        "metatags_score": [None] * n,
+        "score_title": [None] * n,
+        "score_description": [None] * n,
+        "score_headings": [None] * n,
+        "score_bonus": [None] * n,
+        "critical_issues": [None] * n,
+        "warnings": [None] * n,
+        "total_critical": [None] * n,
+        "total_warnings": [None] * n,
+        "all_warnings": [None] * n,
+    }
+    status_warn = batch.column("status_warnings").to_pylist()
+    for k in np.flatnonzero(proc):
+        tsk, dsk = ts[k], ds_[k]
+        t_issues = []
+        if tsk == STATUS_ABSENT:
+            t_issues.append("Title ausente")
+        elif tsk == STATUS_TOO_SHORT:
+            t_issues.append(f"Title muito curto ({tl[k]} chars)")
+        elif tsk == STATUS_TOO_LONG:
+            t_issues.append(f"Title muito longo ({tl[k]} chars)")
+        if tflag[k]:
+            t_issues.append("Title duplicado")
+        d_issues = []
+        if dsk == STATUS_ABSENT:
+            d_issues.append("Meta description ausente")
+        elif dsk == STATUS_TOO_SHORT:
+            d_issues.append(f"Description muito curta ({dl[k]} chars)")
+        elif dsk == STATUS_TOO_LONG:
+            d_issues.append(f"Description muito longa ({dl[k]} chars)")
+        if dflag[k]:
+            d_issues.append("Description duplicada")
+
+        critical = []
+        warnings = []
+        if tsk == STATUS_ABSENT:
+            critical.append("Title ausente")
+        if dsk == STATUS_ABSENT:
+            critical.append("Meta description ausente")
+        if h1_abs[k]:
+            critical.append("H1 ausente")
+        if crit_h[k] > 0:
+            critical.append(f"H1s problemáticos ({crit_h[k]})")
+        if tflag[k]:
+            warnings.append("Title duplicado")
+        if dflag[k]:
+            warnings.append("Description duplicada")
+        if h1_mul[k]:
+            warnings.append("Múltiplos H1")
+        if not hier[k]:
+            warnings.append("Hierarquia de headings incorreta")
+        if probl[k] > 0:
+            warnings.append(f"Headings problemáticos ({probl[k]})")
+        if tsk in (STATUS_TOO_SHORT, STATUS_TOO_LONG):
+            warnings.append(f"Title {tsk.lower()}")
+        if dsk in (STATUS_TOO_SHORT, STATUS_TOO_LONG):
+            warnings.append(f"Description {dsk.lower()}")
+
+        out["title_issues"][k] = t_issues
+        out["description_issues"][k] = d_issues
+        out["metatags_score"][k] = int(final_score[k])
+        out["score_title"][k] = SCORE_TITLE_OK if ts_ok[k] else 0
+        out["score_description"][k] = SCORE_DESCRIPTION_OK if ds_ok[k] else 0
+        out["score_headings"][k] = int(h_score[k])
+        out["score_bonus"][k] = int(bonus[k])
+        out["critical_issues"][k] = critical
+        out["warnings"][k] = warnings
+        out["total_critical"][k] = len(critical)
+        out["total_warnings"][k] = len(warnings)
+        out["all_warnings"][k] = (
+            list(status_warn[k] or []) + warnings + [f"CRÍTICO: {c}" for c in critical]
+        )
+    return out

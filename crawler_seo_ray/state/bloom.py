@@ -1,7 +1,11 @@
 """Numpy-backed Bloom filter — the scale path of the URL-seen index.
 
 At a 10^10-URL frontier, exact per-shard string sets don't fit one
-node; the north_rule asks for a Bloom/cuckoo membership structure.
+node; the north_rule asks for a Bloom/cuckoo membership structure
+(the learned-cuckoo-filter line of work — SIGMOD'23, see PAPERS.md —
+is the drop-in upgrade path behind this same prefilter interface:
+lower fp rate at equal memory, still verification-backed here so the
+final seen set stays exact).
 Design (SURVEY.md §2.5/§7.5): the Bloom filter is a *prefilter* —
 "definitely new" admits immediately; "maybe seen" is verified against
 the shard's exact set so the final seen-set stays exact while the

@@ -19,7 +19,9 @@ distributed k-way merge:
 With salting a host spans k sub-shards, each still returning its first
 ≤Q entries, so the host's global first-Q entries are always present in
 the union while its queue storage and peek work fan out; the
-politeness budget stays logically per-host at the driver merge.
+politeness budget stays logically per-host at the driver merge (the
+weighted-load-balancing-over-skewed-streams pattern, EDBT'21 — see
+PAPERS.md).
 """
 
 from __future__ import annotations

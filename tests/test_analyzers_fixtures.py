@@ -199,3 +199,47 @@ def test_invisible_rgb_and_class_detection():
         ]
     )
     assert m["headings_ocultos_count"] == 3
+
+def test_finalize_batch_matches_finalize_page():
+    """The vectorized kernel must equal the scalar reference kernel on
+    every field, across a grid of statuses/flags/heading shapes."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_seo_ray.stages.scoring import finalize_batch, finalize_page
+
+    rows = []
+    statuses = ["OK", "Ausente", "Muito curto", "Muito longo"]
+    for ts, ds_, h1a, h1m, hier, crit, probl, og in itertools.product(
+        statuses, statuses, [False, True], [False, True], [False, True], [0, 2], [0, 3], [False, True]
+    ):
+        rows.append(
+            {
+                "processed": True,
+                "title_status": ts, "title_length": 12,
+                "description_status": ds_, "description_length": 80,
+                "h1_ausente": h1a, "h1_multiple": h1m, "hierarquia_correta": hier,
+                "headings_gravidade_critica": crit,
+                "headings_problematicos_count": crit + probl,
+                "has_open_graph": og, "meta_viewport": "w" if og else "",
+                "canonical_url": "" if h1a else "https://x/c",
+                "status_warnings": ["w1"] if h1m else [],
+            }
+        )
+    rows.append({**rows[0], "processed": False})
+    batch = pa.Table.from_pylist(rows)
+    n = len(rows)
+    rng = np.random.default_rng(0)
+    tflag = rng.random(n) < 0.5
+    dflag = rng.random(n) < 0.5
+    tflag[-1] = dflag[-1] = False
+    out = finalize_batch(batch, tflag, dflag)
+    for k, r in enumerate(rows):
+        if not r["processed"]:
+            assert out["metatags_score"][k] is None
+            continue
+        ref = finalize_page(r, bool(tflag[k]), bool(dflag[k]))
+        for field in out:
+            assert out[field][k] == ref[field], (k, field, out[field][k], ref[field])
