@@ -364,9 +364,106 @@ def filter_breakdown(rejected: pa.Table) -> pa.Table:
     ).flatten() if rejected.num_rows else None
 
 
+def problematic_headings_sheet(final: Dataset) -> Dataset:
+    """The Headings_Problematicos consolidated sheet
+    (headings_analyzer.py:376-412 HeadingsReportGenerator): one row per
+    page with problematic headings; detail strings joined ' | ',
+    unique motives joined ', ', gravity escalated to CRÍTICO when any
+    h1 is problematic."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        rows = batch.select(
+            ["url", "headings_problematicos", "headings_vazios_count",
+             "headings_ocultos_count", "h1_count", "hierarquia_correta",
+             "heading_sequence", "heading_sequence_valida", "metatags_score",
+             "processed"]
+        ).to_pylist()
+        out = []
+        for r in rows:
+            probs = r.get("headings_problematicos") or []
+            if not r.get("processed") or not probs:
+                continue
+            gravidades = [p.get("gravidade") for p in probs]
+            motivos = []
+            for p in probs:
+                motivos.extend(p.get("motivos") or [])
+            out.append(
+                {
+                    "URL": r["url"],
+                    "Total_Problemas": len(probs),
+                    "Headings_Vazios": r.get("headings_vazios_count") or 0,
+                    "Headings_Ocultos": r.get("headings_ocultos_count") or 0,
+                    "Gravidade_Geral": "CRÍTICO" if "CRÍTICO" in gravidades else "MÉDIO",
+                    "Problemas_Detalhados": " | ".join(p.get("descricao", "") for p in probs),
+                    "Motivos_Unicos": ", ".join(sorted(set(motivos))),
+                    "H1_Count": r.get("h1_count") or 0,
+                    "Hierarquia_Correta": "SIM" if r.get("hierarquia_correta") else "NÃO",
+                    "Sequencia_Completa": " → ".join(r.get("heading_sequence") or []),
+                    "Sequencia_Valida": " → ".join(r.get("heading_sequence_valida") or []),
+                    "Score": r.get("metatags_score") or 0,
+                }
+            )
+        if not out:
+            return pa.table(
+                {c: pa.array([], t) for c, t in [
+                    ("URL", pa.string()), ("Total_Problemas", pa.int64()),
+                    ("Headings_Vazios", pa.int64()), ("Headings_Ocultos", pa.int64()),
+                    ("Gravidade_Geral", pa.string()), ("Problemas_Detalhados", pa.string()),
+                    ("Motivos_Unicos", pa.string()), ("H1_Count", pa.int64()),
+                    ("Hierarquia_Correta", pa.string()), ("Sequencia_Completa", pa.string()),
+                    ("Sequencia_Valida", pa.string()), ("Score", pa.int64())]}
+            )
+        return pa.Table.from_pylist(out)
+
+    return final.map_batches(project, batch_format="pyarrow")
+
+
+def hierarchy_problems_sheet(final: Dataset) -> Dataset:
+    """The Hierarquia sheet (headings_analyzer.py:414-433): pages whose
+    hierarchy is incorrect or that logged hierarchy problems."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        rows = batch.select(
+            ["url", "problemas_hierarquia", "h1_count", "h1_text",
+             "heading_sequence", "heading_sequence_valida",
+             "total_problemas_headings", "hierarquia_correta", "processed"]
+        ).to_pylist()
+        out = []
+        for r in rows:
+            if not r.get("processed"):
+                continue
+            probs = r.get("problemas_hierarquia") or []
+            if r.get("hierarquia_correta", True) and not probs:
+                continue
+            out.append(
+                {
+                    "URL": r["url"],
+                    "Problemas_Hierarquia": " | ".join(probs),
+                    "H1_Count": r.get("h1_count") or 0,
+                    "H1_Text": r.get("h1_text") or "",
+                    "Sequencia_Completa": " → ".join(r.get("heading_sequence") or []),
+                    "Sequencia_Valida": " → ".join(r.get("heading_sequence_valida") or []),
+                    "Total_Problemas": r.get("total_problemas_headings") or 0,
+                    "Hierarquia_Correta": "SIM" if r.get("hierarquia_correta") else "NÃO",
+                }
+            )
+        if not out:
+            return pa.table(
+                {c: pa.array([], t) for c, t in [
+                    ("URL", pa.string()), ("Problemas_Hierarquia", pa.string()),
+                    ("H1_Count", pa.int64()), ("H1_Text", pa.string()),
+                    ("Sequencia_Completa", pa.string()), ("Sequencia_Valida", pa.string()),
+                    ("Total_Problemas", pa.int64()), ("Hierarquia_Correta", pa.string())]}
+            )
+        return pa.Table.from_pylist(out)
+
+    return final.map_batches(project, batch_format="pyarrow")
+
+
 def write_report(final: Dataset, rejected: pa.Table, out_dir: str) -> dict:
     """The multi-sheet workbook analog: one parquet directory per sheet
-    (S5). Returns the summary dict."""
+    (S5; reference sheet inventory utils/constants.py:71-80). Returns
+    the summary dict."""
     import os
 
     final = final.materialize()
@@ -379,6 +476,10 @@ def write_report(final: Dataset, rejected: pa.Table, out_dir: str) -> dict:
     duplicates_report(final, "meta_description").write_parquet(
         os.path.join(out_dir, "desc_duplicadas")
     )
+    problematic_headings_sheet(final).write_parquet(
+        os.path.join(out_dir, "headings_problematicos")
+    )
+    hierarchy_problems_sheet(final).write_parquet(os.path.join(out_dir, "hierarquia"))
     s = summary(final)
     import json
 
