@@ -204,6 +204,28 @@ def events_anti_join(sf_dir: str):
     ).select_columns(["event_id", "user_id"])
 
 
+def revenue_by_part_type(sf_dir: str):
+    """Large-side hash join (Dataset.join inner, SURVEY §2.4): lineitem ⋈
+    part on partkey, revenue = extendedprice·(1−discount), grouped by
+    p_type. The fact table streams; only the join keys + needed measures
+    ride the exchange."""
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"], blocks=16)
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"l_partkey": batch.column("l_partkey"), "revenue": rev})
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    part = _pq(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = li.join(part, "inner", 8, on=("l_partkey",), right_on=("p_partkey",))
+    return joined.groupby("p_type").aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n_items")
+    )
+
+
 def customer_per_region(sf_dir: str):
     """Broadcast join of small dimension tables (ray.put once, probe per
     batch) + grouped count — the broadcast-small-side join pattern."""
@@ -479,6 +501,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_props_extract": events_props_extract,
     "events_anti_join": events_anti_join,
+    "revenue_by_part_type": revenue_by_part_type,
     "customer_per_region": customer_per_region,
     "docs_token_stats": docs_token_stats,
     "lineitem_conditional": lineitem_conditional,
@@ -559,6 +582,12 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
           SELECT 1 FROM customer c
           WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
+    """,
+    "revenue_by_part_type": """
+        SELECT p.p_type, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type
     """,
     "customer_per_region": """
         SELECT r.r_name AS region, count(*) AS customers
