@@ -268,3 +268,52 @@ def test_engine_adaptive_host_priority_matches_oracle(small_corpus, tmp_path):
     run_crawl(spec, corpus_dir, cfg, stop_after_wave=5)
     resumed = run_crawl(spec, corpus_dir, cfg, resume=True)
     assert resumed.audit.column("url").to_pylist() == res.audit.column("url").to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_single_domain_scope_matches_oracle(small_corpus):
+    """Reference-parity mode: scope = the seed's exact host (the
+    reference is a single-domain crawler) — cross-host links are
+    silently rejected and the crawl stays on one host."""
+    from crawler_seo_ray.canon import Scope
+
+    corpus_dir, _ = small_corpus
+    seed_host = datagen.host(1)
+    spec = _spec(
+        max_urls=40,
+        batch_size=8,
+        scope=Scope("domain", seed_host),
+        detect_invisible_colors=False,  # also exercise the analyzer flag
+    )
+    ora = run_oracle(spec)
+    res = run_crawl(spec, corpus_dir, EngineConfig(num_workers=2))
+    _compare(res, ora)
+    hosts = set(res.audit.column("host").to_pylist())
+    assert hosts == {seed_host}
+
+
+import os
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RAY_GRAFT_BIGTEST"),
+    reason="bench-scale equivalence (set RAY_GRAFT_BIGTEST=1; ~2min)",
+)
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_at_bench_scale():
+    """20k-URL crawl over the 50k-page bench corpus: engine visit order
+    and seen set must equal the single-thread oracle at full scale."""
+    corpus = "/tmp/crawler_seo_ray_cache/bench_corpus_n50000_d16_33"
+    if not os.path.exists(os.path.join(corpus, "manifest.json")):
+        datagen.write_corpus_parallel(corpus, 50000, rows_per_shard=2048,
+                                      dim_base=16, dim_mod=33)
+    spec = CrawlSpec(
+        n_pages=50000,
+        seeds=[datagen.url(i * 379 % 50000) for i in range(100)],
+        max_urls=20000,
+        batch_size=8000,
+    )
+    ora = run_oracle(spec)
+    res = run_crawl(spec, corpus, EngineConfig(num_workers=3, psnr_every=97))
+    assert res.audit.column("url").to_pylist() == [u for _, u, _ in ora["visit_order"]]
+    assert res.seen == ora["seen"]
