@@ -114,6 +114,18 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _phash_grid(h: int, w: int):
+    # identical values to the original inline linspace — cached per size
+    return (
+        np.linspace(0, h, 9).astype(np.int64),
+        np.linspace(0, w, 9).astype(np.int64),
+    )
+
+
 def phash64(pixels: np.ndarray) -> int:
     """Stable 64-bit perceptual hash: 8x8 mean-pool vs median, row-major bits.
 
@@ -123,8 +135,7 @@ def phash64(pixels: np.ndarray) -> int:
     h, w, _ = pixels.shape
     gray = pixels.astype(np.float64).mean(axis=2)
     # mean-pool onto an 8x8 grid using cumulative sums (works for any h,w >= 8)
-    ys = np.linspace(0, h, 9).astype(np.int64)
-    xs = np.linspace(0, w, 9).astype(np.int64)
+    ys, xs = _phash_grid(h, w)
     integral = np.zeros((h + 1, w + 1))
     integral[1:, 1:] = gray.cumsum(0).cumsum(1)
     # vectorized 8x8 box sums from the integral image

@@ -5,11 +5,16 @@ but with per-actor state amortized across every wave (SURVEY.md S1/S2):
 the sharded corpus reader (open parquet handles = the Lance-take
 session), the crawl scope, and the analyzer config are built once in
 ``__init__``. Each ``process`` call handles a contiguous, ordered chunk
-of a wave and returns three Arrow tables:
+of a wave and returns four Arrow tables:
 
-- ``audit``      one row per URL (crawl + analyzer fields, pre-dup)
-- ``candidates`` flattened outlinks with global order keys
+- ``audit``      one row per URL (crawl + analyzer fields, pre-dup) —
+                 written straight to the checkpoint when ``audit_out``
+                 is given
+- ``candidates`` flattened outlinks with global order keys + precomputed
+                 shard routing and frontier rank
 - ``rejects``    the reasoned filter log (SURVEY.md A6)
+- ``host_stats`` per-host (visits, errors) partials for the adaptive
+                 between-wave priority recompute
 
 Image invariants (BASELINE.json input_hint) are enforced here: every
 fetched row's stored bytes are decoded and checked — caption equality
