@@ -317,3 +317,49 @@ def test_engine_matches_oracle_at_bench_scale():
     res = run_crawl(spec, corpus, EngineConfig(num_workers=3, psnr_every=97))
     assert res.audit.column("url").to_pylist() == [u for _, u, _ in ora["visit_order"]]
     assert res.seen == ora["seen"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_fuzzed_configs_match_oracle(small_corpus):
+    """Seeded config fuzz: random combinations of seeds, wave size,
+    politeness, salting, priority modes and budgets must all match the
+    oracle exactly."""
+    import numpy as np
+
+    corpus_dir, _ = small_corpus
+    rng = np.random.default_rng(2024)
+    for trial in range(5):
+        n_seeds = int(rng.integers(1, 4))
+        seeds = [datagen.url(int(rng.integers(0, N))) for _ in range(n_seeds)]
+        mode = ["fifo", "smart", "weighted", "adaptive"][int(rng.integers(0, 4))]
+        kw = {}
+        if mode == "smart":
+            kw["priority_patterns"] = [datagen.image_id(int(rng.integers(0, N)))[:6].lower()]
+        elif mode == "weighted":
+            kw["link_score"] = {
+                "depth_weight": float(rng.integers(0, 3)),
+                "pattern_boost": float(rng.integers(0, 20)),
+                "patterns": ["img0000"],
+            }
+        elif mode == "adaptive":
+            kw["adaptive_host_priority"] = {"error_penalty": float(rng.integers(1, 20))}
+        if rng.random() < 0.5:
+            kw["politeness_per_wave"] = int(rng.integers(1, 4))
+        spec = _spec(
+            seeds=seeds,
+            max_urls=int(rng.integers(20, 80)),
+            batch_size=int(rng.integers(3, 30)),
+            **kw,
+        )
+        cfg = EngineConfig(
+            num_workers=int(rng.integers(1, 4)),
+            num_seen_shards=int(rng.integers(1, 6)),
+            num_frontier_shards=int(rng.integers(1, 6)),
+            frontier_salt=int(rng.integers(1, 4)),
+        )
+        ora = run_oracle(spec)
+        res = run_crawl(spec, corpus_dir, cfg)
+        try:
+            _compare(res, ora)
+        except AssertionError as ex:
+            raise AssertionError(f"trial {trial} mode={mode} spec={spec} cfg={cfg}") from ex
