@@ -480,6 +480,15 @@ def corpus_image_stats(sf_dir: str):
     return image_stats(ds, concurrency=2, batch_size=64)
 
 
+def corpus_phash_dups(sf_dir: str):
+    """Image near-dup pairs by perceptual-hash Hamming banding over the
+    corpus phash column (multimodal dedup)."""
+    from .stages.dedup import phash_pairs
+
+    ds = corpus_parquet(columns=["image_id", "phash"])
+    return phash_pairs(ds, hamming_threshold=4)
+
+
 def corpus_resize(sf_dir: str):
     from .stages.multimodal import resize_corpus
 
@@ -519,6 +528,7 @@ QUERIES = {
     "crawl_visit_order_weighted": crawl_visit_order_weighted,
     "crawl_audit_scores": crawl_audit_scores,
     "corpus_image_stats": corpus_image_stats,
+    "corpus_phash_dups": corpus_phash_dups,
     "corpus_resize": corpus_resize,
 }
 

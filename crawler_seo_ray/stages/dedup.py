@@ -502,3 +502,85 @@ def token_jaccard_pipeline(
             va.append(ia)
             vb.append(ib)
     return pa.table({"id_a": pa.array(va, pa.int64()), "id_b": pa.array(vb, pa.int64())})
+
+
+def phash_pairs(
+    ds: Dataset,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    hamming_threshold: int = 6,
+    bands: int = 8,
+) -> pa.Table:
+    """Near-duplicate IMAGES by perceptual-hash Hamming distance: band
+    the 64-bit phash into ``bands`` segments (any pair within Hamming ≤
+    bands−1 shares an exact band), bucket via the combiner pattern,
+    verify exact Hamming. Same machinery as SimHash text dedup applied
+    to the corpus ``phash`` column (multimodal near-dup)."""
+    band_bits = 64 // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = batch.column(phash_col).to_pylist()
+        out_i, out_b, out_v = [], [], []
+        for i, h in zip(ids, hs):
+            uh = (h if h is not None else 0) & 0xFFFFFFFFFFFFFFFF
+            for band in range(bands):
+                out_i.append(i)
+                out_b.append(band)
+                out_v.append((uh >> (band * band_bits)) & ((1 << band_bits) - 1))
+        return pa.table(
+            {
+                id_col: pa.array(out_i, pa.string()),
+                "band": pa.array(out_b, pa.int32()),
+                "band_val": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    def partial_buckets(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["band", "band_val"]).aggregate([(id_col, "list")])
+
+    parts = collect_arrow(
+        ds.select_columns([id_col, phash_col])
+        .map_batches(band_rows, batch_format="pyarrow")
+        .map_batches(partial_buckets, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("band", pa.int32()), ("band_val", pa.int64()),
+             (f"{id_col}_list", pa.list_(pa.string()))]
+        ),
+    )
+    merged: dict[tuple, list] = {}
+    for band, bv, ids_part in zip(
+        parts.column("band").to_pylist(),
+        parts.column("band_val").to_pylist(),
+        parts.column(f"{id_col}_list").to_pylist(),
+    ):
+        merged.setdefault((band, bv), []).extend(ids_part)
+    cand: set[tuple] = set()
+    cap = 200
+    for members in merged.values():
+        if len(members) < 2:
+            continue
+        ids = sorted(set(members))
+        for x in range(min(len(ids), cap)):
+            for y in range(x + 1, min(len(ids), cap)):
+                cand.add((ids[x], ids[y]))
+    # verify exact hamming with a broadcast id→phash map
+    ph_tbl = collect_arrow(
+        ds.select_columns([id_col, phash_col]),
+        schema=pa.schema([(id_col, pa.string()), (phash_col, pa.int64())]),
+    )
+    ph = dict(zip(ph_tbl.column(id_col).to_pylist(), ph_tbl.column(phash_col).to_pylist()))
+    va, vb, vd = [], [], []
+    for ia, ib in sorted(cand):
+        d = bin((ph[ia] ^ ph[ib]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if d <= hamming_threshold:
+            va.append(ia)
+            vb.append(ib)
+            vd.append(d)
+    return pa.table(
+        {
+            "id_a": pa.array(va, pa.string()),
+            "id_b": pa.array(vb, pa.string()),
+            "hamming": pa.array(vd, pa.int32()),
+        }
+    )

@@ -148,3 +148,33 @@ def test_multimodal_stubs_raise():
         DecodeAudio()(pa.table({"audio_id": ["a"]}))
     with pytest.raises(NotImplementedError):
         SampleVideoFrames()(pa.table({"video_id": ["v"]}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phash_pairs_finds_planted_image_dups(small_corpus):
+    """Planted exact + near-duplicate images must be found by phash
+    banding; the untouched corpus has no near-dups by construction."""
+    import glob
+
+    from crawler_seo_ray.stages.dedup import phash_pairs
+
+    import pandas as pd
+
+    corpus_dir, _ = small_corpus
+    paths = sorted(glob.glob(corpus_dir + "/part-*.parquet"))
+    df = rd.read_parquet(paths, columns=["image_id", "phash"]).to_pandas()
+
+    # plant: an exact copy of img0 and a 2-bit-flipped variant of img1
+    p0 = int(df.loc[df.image_id == "img00000000", "phash"].iloc[0])
+    p1 = int(df.loc[df.image_id == "img00000001", "phash"].iloc[0])
+    planted = pd.DataFrame(
+        {"image_id": ["planted_exact", "planted_near"], "phash": [p0, p1 ^ 0b101]}
+    )
+    ds2 = rd.from_pandas(pd.concat([df, planted], ignore_index=True))
+    out = phash_pairs(ds2, hamming_threshold=6)
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.to_pylist()}
+    # (the half-flat synthetic images legitimately cluster in phash space,
+    # so OTHER near pairs exist too — assert the planted ones precisely)
+    assert ham.get(("img00000000", "planted_exact")) == 0
+    assert ham.get(("img00000001", "planted_near")) == 2
+    assert all(d <= 6 for d in ham.values())

@@ -92,6 +92,7 @@ def test_rows_only_queries_run(registry):
         "crawl_audit_scores": lambda df: len(df) == 120,
         "corpus_image_stats": lambda df: len(df) == 300 and df["decode_ok"].all(),
         "corpus_resize": lambda df: len(df) == 300 and (df["w"] == 32).all(),
+        "corpus_phash_dups": lambda df: {"id_a", "id_b", "hamming"} <= set(df.columns),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
