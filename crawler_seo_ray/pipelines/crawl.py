@@ -138,15 +138,16 @@ class _Engine:
         if cands.num_rows == 0:
             return ADMITTED_SCHEMA.empty_table()
         sh = cands.column("seen_shard").to_numpy()
-        urls = cands.column("url").to_pylist()
         keys = cands.column("order_key").to_numpy()
         futures = {}
         idx_by_shard: dict[int, np.ndarray] = {}
+        narrow = cands.select(["url", "order_key"])
         for s in np.unique(sh):
             ks = np.flatnonzero(sh == s)
             idx_by_shard[int(s)] = ks
-            futures[int(s)] = self.seen[int(s)].admit.remote(
-                [urls[k] for k in ks], keys[ks].tolist()
+            # ship an Arrow slice; the shard pays the python conversion
+            futures[int(s)] = self.seen[int(s)].admit_arrow.remote(
+                narrow.take(pa.array(ks))
             )
         positions: list[int] = []
         for s, ks in idx_by_shard.items():
@@ -171,20 +172,22 @@ class _Engine:
             },
             schema=ADMITTED_SCHEMA,
         )
-        # frontier adds grouped by the precomputed owner shard
+        # frontier adds grouped by the precomputed owner shard — Arrow
+        # slices out, tuple building in the (parallel) shard
         fsh = adm.column("frontier_shard").to_numpy()
-        a_urls = adm.column("url").to_pylist()
-        a_hosts = adm.column("host").to_pylist()
-        a_depths = adm.column("depth").to_numpy()
-        a_ranks = adm.column("rank").to_numpy()
+        ftbl = pa.table(
+            {
+                "rank": adm.column("rank"),
+                "seq": pa.array(seqs),
+                "url": adm.column("url"),
+                "host": adm.column("host"),
+                "depth": adm.column("depth"),
+            }
+        )
         add_futs = []
         for s in np.unique(fsh):
             ks = np.flatnonzero(fsh == s)
-            ent = [
-                (float(a_ranks[k]), int(seqs[k]), a_urls[k], a_hosts[k], int(a_depths[k]))
-                for k in ks
-            ]
-            add_futs.append(self.frontier[int(s)].add.remote(ent))
+            add_futs.append(self.frontier[int(s)].add_arrow.remote(ftbl.take(pa.array(ks))))
         ray.get(add_futs)
         return admitted
 

@@ -50,6 +50,21 @@ class FrontierShard:
         self.added += len(entries)
         return len(entries)
 
+    def add_arrow(self, tbl) -> int:
+        """Arrow-table variant: columns rank/seq/url/host/depth — the
+        driver ships a column slice, the shard builds its tuples."""
+        return self.add(
+            list(
+                zip(
+                    tbl.column("rank").to_pylist(),
+                    tbl.column("seq").to_pylist(),
+                    tbl.column("url").to_pylist(),
+                    tbl.column("host").to_pylist(),
+                    tbl.column("depth").to_pylist(),
+                )
+            )
+        )
+
     def peek(
         self, limit: int, host_quota: int | None, host_offsets: dict | None = None
     ) -> list[tuple]:

@@ -39,7 +39,13 @@ class SeenShard:
         self.bloom = BloomFilter(bloom_capacity)
         self.dup_count = 0
 
-    def admit(self, urls: list[str], order_keys: list[tuple]) -> list[int]:
+    def admit_arrow(self, tbl) -> list[int]:
+        """Arrow-table variant of admit: columns ``url`` + ``order_key``.
+        The driver ships a zero-copy slice; the (parallel) shard pays the
+        to_pylist conversion."""
+        return self.admit(tbl.column("url").to_pylist(), tbl.column("order_key").to_pylist())
+
+    def admit(self, urls: list[str], order_keys: list) -> list[int]:
         """Register-if-absent, first occurrence by order key wins.
 
         Returns input positions admitted (new, now registered).
