@@ -644,6 +644,38 @@ ORACLE_SQL = {
         WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
               / len(list_distinct(a.toks || b.toks)) >= 0.9
     """,
+    "docs_quality": """
+        WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 CASE WHEN trim(text)='' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+                 length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+                 list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ÿ]+'), w -> lower(w)) AS words
+          FROM documents
+        ), g AS (
+          SELECT doc_id, n_chars, n_tokens,
+                 CASE WHEN n_tokens=0 THEN 0.0 ELSE n_nonspace::DOUBLE / n_tokens END AS mean_token_len,
+                 CASE WHEN n_chars=0 THEN 0.0 ELSE n_digits::DOUBLE / n_chars END AS digit_ratio,
+                 CASE WHEN n_chars=0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars END AS punct_ratio,
+                 CASE WHEN len(words)=0 THEN 0.0
+                      ELSE len(list_filter(words, w -> list_contains(
+                             ['the','and','of','to','in','is','that','it','for','with','was','on'], w)))::DOUBLE
+                           / len(words) END AS stopword_ratio
+          FROM f
+        )
+        SELECT doc_id, n_tokens, mean_token_len, digit_ratio, punct_ratio, stopword_ratio,
+               greatest(0.0,
+                 1.0
+                 - CASE WHEN n_chars < 50 THEN 0.5 ELSE 0.0 END
+                 - CASE WHEN n_tokens > 0 AND NOT (mean_token_len BETWEEN 3.0 AND 12.0) THEN 0.2 ELSE 0.0 END
+                 - CASE WHEN n_chars > 0 AND digit_ratio > 0.2 THEN 0.2 ELSE 0.0 END
+                 - CASE WHEN n_chars > 0 AND punct_ratio > 0.2 THEN 0.1 ELSE 0.0 END
+               ) AS quality_score
+        FROM g
+    """,
     "embeddings_cosine_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a CROSS JOIN embeddings b
