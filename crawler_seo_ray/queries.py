@@ -644,6 +644,33 @@ ORACLE_SQL = {
         WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
               / len(list_distinct(a.toks || b.toks)) >= 0.9
     """,
+    "docs_langid": """
+        WITH w AS (
+          SELECT doc_id, text, length(text) AS n_chars,
+                 length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS n_cjk,
+                 list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ÿ]+'), x -> lower(x)) AS words
+          FROM documents
+        ), h AS (
+          SELECT doc_id, n_chars, n_cjk, len(words) AS n_words,
+                 len(list_filter(words, x -> list_contains(['the','and','of','to','in','is','that','it','for','with','was','on'], x))) AS h_en,
+                 len(list_filter(words, x -> list_contains(['el','la','de','que','y','los','las','en','un','una','por','con'], x))) AS h_es,
+                 len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für','auf'], x))) AS h_de,
+                 len(list_filter(words, x -> list_contains(['le','la','les','de','des','et','est','un','une','dans','pour','que'], x))) AS h_fr
+          FROM w
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN n_chars = 0 THEN 'unknown'
+                 WHEN n_cjk > 0 AND n_cjk >= 0.05 * n_chars THEN 'zh'
+                 WHEN n_words = 0 THEN 'unknown'
+                 WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'unknown'
+                 WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+                 WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+                 WHEN h_de >= h_fr THEN 'de'
+                 ELSE 'fr'
+               END AS lang_pred
+        FROM h
+    """,
     "docs_quality": """
         WITH f AS (
           SELECT doc_id,

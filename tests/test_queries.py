@@ -79,7 +79,6 @@ def test_rows_only_queries_run(registry):
     queries, oracles = registry
     n_docs = len(pd.read_parquet(os.path.join(SF, "documents.parquet"), columns=["doc_id"]))
     expectations = {
-        "docs_langid": lambda df: len(df) == n_docs and set(df.columns) == {"doc_id", "lang_pred"},
         "docs_fingerprint": lambda df: len(df) == n_docs and df["fingerprint"].nunique() == n_docs,
         "docs_simhash": lambda df: len(df) == n_docs,
         "docs_minhash_dups": lambda df: {"id_a", "id_b", "jaccard"} <= set(df.columns),
