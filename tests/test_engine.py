@@ -363,3 +363,32 @@ def test_engine_fuzzed_configs_match_oracle(small_corpus):
             _compare(res, ora)
         except AssertionError as ex:
             raise AssertionError(f"trial {trial} mode={mode} spec={spec} cfg={cfg}") from ex
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kitchen_sink_resume_matches_oracle(small_corpus, tmp_path):
+    """Everything at once: weighted rank + adaptive host priority +
+    politeness + salted frontier + robots, interrupted mid-crawl,
+    compacted, resumed — still bit-identical to the oracle."""
+    from crawler_seo_ray.pipelines.crawl import compact_checkpoint
+
+    corpus_dir, _ = small_corpus
+    spec = _spec(
+        seeds=[datagen.url(1), datagen.url(250)],
+        max_urls=120,
+        batch_size=12,
+        politeness_per_wave=3,
+        robots_deny_prefixes={datagen.host(250): ["/page/img000002"]},
+        link_score={"depth_weight": 1.0, "pattern_boost": 8.0, "patterns": ["img00000"]},
+        adaptive_host_priority={"error_penalty": 6.0},
+    )
+    ora = run_oracle(spec)
+    ck = str(tmp_path / "ck")
+    cfg = EngineConfig(
+        num_workers=3, num_frontier_shards=5, num_seen_shards=3,
+        frontier_salt=2, checkpoint_dir=ck,
+    )
+    run_crawl(spec, corpus_dir, cfg, stop_after_wave=4)
+    compact_checkpoint(ck)
+    res = run_crawl(spec, corpus_dir, cfg, resume=True)
+    _compare(res, ora)
