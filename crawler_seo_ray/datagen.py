@@ -297,6 +297,19 @@ def other_meta(i: int) -> dict:
     }
 
 
+def robots_rules(host: str) -> list[str]:
+    """Synthetic per-host robots.txt deny prefixes (pure function of the
+    host — the deterministic stand-in for fetching /robots.txt once per
+    host). Every third host denies a one-digit page-id prefix."""
+    try:
+        k = int(host.partition(".")[0][1:])
+    except ValueError:
+        return []
+    if k % 5 == 3:
+        return ["/page/"]  # host fully disallowed (robots Disallow: /page/)
+    return []
+
+
 def page_attrs(i: int, n: int) -> dict:
     """Everything the fetch of page i yields (the parsed 'HTML')."""
     om = other_meta(i)

@@ -53,6 +53,7 @@ class CrawlSpec:
     # of the host, from per-host (visits, errors) aggregated each wave
     adaptive_host_priority: dict | None = None
     robots_deny_prefixes: dict[str, list[str]] | None = None  # host → path prefixes
+    synthetic_robots: bool = False  # consult datagen.robots_rules per host (lazy cache)
     detect_invisible_colors: bool = True
 
 
@@ -72,6 +73,13 @@ class OracleCrawl:
         self.frontier: list[tuple] = []
         self.enq_seq = 0
         self.host_stats: dict[str, list] = {}  # host -> [visits, errors]
+        from .web import RobotsCache
+
+        self.robots = (
+            RobotsCache(spec.robots_deny_prefixes, spec.synthetic_robots)
+            if (spec.robots_deny_prefixes or spec.synthetic_robots)
+            else None
+        )
         self.results: list[dict] = []
         self.rejected: list[dict] = []
         self.titles: dict[str, int] = {}  # text → occurrences so far
@@ -109,7 +117,7 @@ class OracleCrawl:
         if not ok:
             self._log_reject(c, rreason, pat)
             return False
-        if not robots_allows(c, self.spec.robots_deny_prefixes):
+        if not robots_allows(c, self.robots):
             self._log_reject(c, "ROBOTS", None)  # engine extension (not in LOGGED_REASONS set)
             self.stats["filtered_by_reason"]["ROBOTS"] = (
                 self.stats["filtered_by_reason"].get("ROBOTS", 0) + 1
@@ -188,9 +196,7 @@ class OracleCrawl:
                 ddup = self.descs[d] > 1
             row.update(finalize_page(row, tdup, ddup))
             if depth < self.spec.max_depth:
-                kept, rejects = extract_links(
-                    attrs, url, self.spec.scope, self.spec.robots_deny_prefixes
-                )
+                kept, rejects = extract_links(attrs, url, self.spec.scope, self.robots)
                 for r in rejects:
                     self.stats["total_filtered"] += 1
                     self.stats["filtered_by_reason"][r["reason"]] = (

@@ -104,6 +104,7 @@ class _Engine:
             "verify_images": cfg.verify_images,
             "psnr_every": cfg.psnr_every,
             "robots": spec.robots_deny_prefixes,
+            "synthetic_robots": spec.synthetic_robots,
             "link_score": spec.link_score,
             "num_seen_shards": cfg.num_seen_shards,
             "num_frontier_shards": cfg.num_frontier_shards,
@@ -124,6 +125,13 @@ class _Engine:
         self.wave_metrics: list[dict] = []
         self.seed_rejects: list[dict] = []
         self.host_stats: dict[str, list] = {}  # host -> [visits, errors]
+        from ..web import RobotsCache
+
+        self._robots = (
+            RobotsCache(spec.robots_deny_prefixes, spec.synthetic_robots)
+            if (spec.robots_deny_prefixes or spec.synthetic_robots)
+            else None
+        )
 
     # ------------------------------------------------------------------
     def _admit(self, cands: pa.Table, wave: int) -> pa.Table:
@@ -212,7 +220,7 @@ class _Engine:
                     {"url": c, "reason": rreason, "details": pat or "", "wave": -1}
                 )
                 continue
-            if not robots_allows(c, self.spec.robots_deny_prefixes):
+            if not robots_allows(c, self._robots):
                 self.seed_rejects.append(
                     {"url": c, "reason": "ROBOTS", "details": "", "wave": -1}
                 )

@@ -175,7 +175,15 @@ class PageWorker:
         )
         self.detect_colors = spec_dict.get("detect_invisible_colors", True)
         self.psnr_every = spec_dict.get("psnr_every", 1)
-        self.robots = spec_dict.get("robots")  # per-host deny rules, cached per actor
+        from ..web import RobotsCache
+
+        static_robots = spec_dict.get("robots")
+        synth = spec_dict.get("synthetic_robots", False)
+        # per-host rules resolved lazily, once per host per actor (the
+        # robots.txt fetch cache)
+        self.robots = (
+            RobotsCache(static_robots, synth) if (static_robots or synth) else None
+        )
         self.verify_images = spec_dict.get("verify_images", True) and corpus_dir is not None
         self.reader = (
             ShardedTakeReader(corpus_dir) if self.verify_images else None

@@ -108,11 +108,44 @@ def link_rank(
     )
 
 
-def robots_allows(url: str, rules: dict[str, list[str]] | None) -> bool:
-    """Robots-style per-host path-prefix deny rules (engine extension;
-    the reference has none — north_rule asks for a robots cache)."""
+class RobotsCache:
+    """Per-host robots rules with fetch-once-per-host caching semantics
+    (north_rule: robots.txt cache in the fetch path). Static rules come
+    from the crawl spec; ``synthetic=True`` additionally consults the
+    deterministic synthetic-web robots (datagen.robots_rules) the first
+    time a host is seen — the no-network stand-in for fetching and
+    parsing /robots.txt once per host."""
+
+    def __init__(self, static_rules: dict[str, list[str]] | None, synthetic: bool = False):
+        self.static = static_rules or {}
+        self.synthetic = synthetic
+        self._cache: dict[str, list[str]] = {}
+
+    def rules_for(self, host: str) -> list[str]:
+        rules = self._cache.get(host)
+        if rules is None:
+            rules = list(self.static.get(host, []))
+            if self.synthetic:
+                from . import datagen
+
+                rules += datagen.robots_rules(host)
+            self._cache[host] = rules
+        return rules
+
+    def allows(self, url: str) -> bool:
+        host, _, path = url.partition("://")[2].partition("/")
+        for prefix in self.rules_for(host):
+            if ("/" + path).startswith(prefix):
+                return False
+        return True
+
+
+def robots_allows(url: str, rules) -> bool:
+    """Robots check over a static dict or a RobotsCache."""
     if not rules:
         return True
+    if isinstance(rules, RobotsCache):
+        return rules.allows(url)
     host, _, path = url.partition("://")[2].partition("/")
     for prefix in rules.get(host, []):
         if ("/" + path).startswith(prefix):
@@ -124,7 +157,7 @@ def extract_links(
     attrs: dict,
     page_url: str,
     scope: Scope,
-    robots_rules: dict[str, list[str]] | None = None,
+    robots_rules=None,
 ) -> tuple[list[str], list[dict]]:
     """Canonicalize + relevance-filter (+ robots-filter) a page's outlinks.
 

@@ -392,3 +392,18 @@ def test_kitchen_sink_resume_matches_oracle(small_corpus, tmp_path):
     compact_checkpoint(ck)
     res = run_crawl(spec, corpus_dir, cfg, resume=True)
     _compare(res, ora)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_synthetic_robots_cache_matches_oracle(small_corpus):
+    """Per-host robots rules resolved lazily (the robots.txt fetch cache):
+    engine == oracle, and the synthetic deny rules actually reject URLs."""
+    corpus_dir, _ = small_corpus
+    spec = _spec(max_urls=120, batch_size=15, synthetic_robots=True)
+    ora = run_oracle(spec)
+    res = run_crawl(spec, corpus_dir, EngineConfig(num_workers=3))
+    _compare(res, ora)
+    reasons = {r["reason"] for r in res.rejected.to_pylist()}
+    assert "ROBOTS" in reasons  # synthetic rules fired
+    plain = run_oracle(_spec(max_urls=120, batch_size=15))
+    assert ora["visit_order"] != plain["visit_order"]
