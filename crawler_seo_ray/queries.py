@@ -226,6 +226,26 @@ def revenue_by_part_type(sf_dir: str):
     )
 
 
+def top_suppliers(sf_dir: str):
+    """Join + grouped aggregate + deterministic top-k: the ten suppliers
+    with the highest lineitem revenue."""
+    li = _pq(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"], blocks=16)
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"l_suppkey": batch.column("l_suppkey"), "revenue": rev})
+
+    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    joined = li.map_batches(revenue, batch_format="pyarrow").join(
+        sup, "inner", 8, on=("l_suppkey",), right_on=("s_suppkey",)
+    )
+    agg = joined.groupby("s_name").aggregate(Sum("revenue", alias_name="revenue"))
+    return agg.sort(["revenue", "s_name"], descending=[True, False]).limit(10)
+
+
 def customer_per_region(sf_dir: str):
     """Broadcast join of small dimension tables (ray.put once, probe per
     batch) + grouped count — the broadcast-small-side join pattern."""
@@ -511,6 +531,7 @@ QUERIES = {
     "events_props_extract": events_props_extract,
     "events_anti_join": events_anti_join,
     "revenue_by_part_type": revenue_by_part_type,
+    "top_suppliers": top_suppliers,
     "customer_per_region": customer_per_region,
     "docs_token_stats": docs_token_stats,
     "lineitem_conditional": lineitem_conditional,
@@ -598,6 +619,12 @@ ORACLE_SQL = {
                count(*) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_type
+    """,
+    "top_suppliers": """
+        SELECT s.s_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY revenue DESC, s.s_name LIMIT 10
     """,
     "customer_per_region": """
         SELECT r.r_name AS region, count(*) AS customers
