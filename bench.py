@@ -38,7 +38,12 @@ BENCH_NUM_SEEDS = 100  # realistic seed list → frontier fills without BFS ramp
 
 
 def _bench_corpus_dir() -> str:
-    return f"/tmp/crawler_seo_ray_cache/bench_corpus_n{BENCH_CORPUS_N}_d{BENCH_DIMS[0]}_{BENCH_DIMS[1]}"
+    from crawler_seo_ray import datagen
+
+    return (
+        f"/tmp/crawler_seo_ray_cache/bench_corpus_n{BENCH_CORPUS_N}"
+        f"_d{BENCH_DIMS[0]}_{BENCH_DIMS[1]}_v{datagen.GEN_VERSION}"
+    )
 
 
 def ensure_bench_corpus() -> str:

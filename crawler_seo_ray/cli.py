@@ -118,7 +118,9 @@ def quick_analysis(
         else:
             import os
 
-            corpus = f"/tmp/crawler_seo_ray_cache/cli_corpus_n{n_pages}_d16_33"
+            from . import datagen as _dg
+
+            corpus = f"/tmp/crawler_seo_ray_cache/cli_corpus_n{n_pages}_d16_33_v{_dg.GEN_VERSION}"
             if not os.path.exists(os.path.join(corpus, "manifest.json")):
                 datagen.write_corpus_parallel(
                     corpus, n_pages, rows_per_shard=2048, dim_base=16, dim_mod=33

@@ -28,6 +28,8 @@ import pyarrow as pa
 from .functions.imagecodec import decode_image, encode_image, phash64
 
 SEED = 42
+# bump when any pure generator changes — cache dir names include it
+GEN_VERSION = 1
 NUM_HOSTS = 64
 HOST_SUFFIX = "example.test"
 ZIPF_ALPHA = 1.2  # hot-host skew for salted-key splitting tests

@@ -50,7 +50,10 @@ def _safe_workers(cap: int = 4) -> int:
 
 
 def corpus_dir() -> str:
-    d = os.path.join(_CACHE_ROOT, f"corpus_n{CORPUS_N}_d{_CORPUS_DIMS[0]}_{_CORPUS_DIMS[1]}")
+    d = os.path.join(
+        _CACHE_ROOT,
+        f"corpus_n{CORPUS_N}_d{_CORPUS_DIMS[0]}_{_CORPUS_DIMS[1]}_v{datagen.GEN_VERSION}",
+    )
     if not os.path.exists(os.path.join(d, "manifest.json")):
         datagen.write_corpus(d, CORPUS_N, rows_per_shard=64,
                              dim_base=_CORPUS_DIMS[0], dim_mod=_CORPUS_DIMS[1])
