@@ -115,7 +115,10 @@ def run_components(num_cpus: int) -> dict:
     for name in (
         "lineitem_agg",
         "orders_topk",
+        "revenue_by_part_type",
+        "top_suppliers",
         "events_hourly",
+        "events_sessionize",
         "events_anti_join",
         "docs_token_stats",
         "docs_minhash_dups",
