@@ -302,7 +302,7 @@ def other_meta(i: int) -> dict:
 def robots_rules(host: str) -> list[str]:
     """Synthetic per-host robots.txt deny prefixes (pure function of the
     host — the deterministic stand-in for fetching /robots.txt once per
-    host). Every third host denies a one-digit page-id prefix."""
+    host). Every fifth host (k % 5 == 3) disallows its /page/ tree."""
     try:
         k = int(host.partition(".")[0][1:])
     except ValueError:

@@ -428,10 +428,18 @@ class _Engine:
         waves_dir = os.path.join(ck, "waves")
         waves = []
         if os.path.isdir(waves_dir):
+            import shutil as _shutil
+
             for name in sorted(os.listdir(waves_dir)):
                 d = os.path.join(waves_dir, name)
                 if os.path.exists(os.path.join(d, "state.json")):  # committed
                     waves.append(d)
+                else:
+                    # interrupted wave: its dir may hold stale worker
+                    # audit chunks that would survive a re-run with a
+                    # different chunking — drop it before re-running the
+                    # wave under the same number (ADVICE r01)
+                    _shutil.rmtree(d, ignore_errors=True)
         import glob as _glob
 
         issued: set[str] = set()
@@ -462,7 +470,18 @@ class _Engine:
             if all_admitted.num_rows
             else 0
         )
-        # restore seen shards (url → issued flag)
+        # restore seen shards (url → issued flag) + per-shard duplicate
+        # counters from the last committed state.json, so stats of an
+        # interrupted+resumed crawl equal an uninterrupted one (ADVICE r01)
+        if self.wave_metrics:
+            last_state = self.wave_metrics[-1]
+        else:  # only the seed wave committed — its state.json has stats too
+            with open(seeds_state) as f:
+                last_state = json.load(f)
+        dup_by_shard = {
+            s.get("shard"): s.get("duplicates", 0)
+            for s in last_state.get("seen_shards", [])
+        }
         S = len(self.seen)
         per_shard: dict[int, tuple[list, list]] = {}
         for u in all_admitted.column("url").to_pylist():
@@ -470,7 +489,10 @@ class _Engine:
             us.append(u)
             fl.append(u in issued)
         ray.get(
-            [self.seen[s].restore.remote(us, fl) for s, (us, fl) in per_shard.items()]
+            [
+                self.seen[s].restore.remote(us, fl, dup_by_shard.get(s, 0))
+                for s, (us, fl) in per_shard.items()
+            ]
         )
         # restore frontier: admitted entries not yet issued
         F = len(self.frontier)
@@ -490,13 +512,7 @@ class _Engine:
             # workers wrote audit chunks straight to the checkpoint;
             # read back (test/bench scale — at cluster scale consumers
             # use audit_dataset_from_checkpoint and never materialize)
-            import glob as _glob
-
-            paths = sorted(
-                _glob.glob(
-                    os.path.join(self.cfg.checkpoint_dir, "waves", "wave=*", "audit*.parquet")
-                )
-            )
+            paths = committed_audit_paths(self.cfg.checkpoint_dir)
             if paths:
                 import pyarrow.compute as pc
                 import pyarrow.parquet as pq
@@ -540,6 +556,21 @@ class _Engine:
             ray.kill(a)
 
 
+def committed_audit_paths(checkpoint_dir: str) -> list[str]:
+    """Audit chunk paths from COMMITTED waves only. ``state.json`` is the
+    commit marker (written last, atomically); a wave dir without it may
+    hold stale worker-written chunks from an interrupted wave — readers
+    that glob blindly would double-count those rows after a resume with
+    a different chunking (ADVICE r01)."""
+    import glob
+
+    paths: list[str] = []
+    for d in sorted(glob.glob(os.path.join(checkpoint_dir, "waves", "wave=*"))):
+        if os.path.exists(os.path.join(d, "state.json")):
+            paths.extend(sorted(glob.glob(os.path.join(d, "audit*.parquet"))))
+    return paths
+
+
 def compact_checkpoint(checkpoint_dir: str) -> int:
     """Merge each committed wave's per-worker audit chunk files into one
     consolidated file (small-file compaction — at cluster scale a
@@ -574,12 +605,9 @@ def audit_dataset_from_checkpoint(checkpoint_dir: str):
     wave) — the scale path for post-crawl analytics: at 10^10 URLs the
     audit never lives as a driver table; finalize/report read it from
     the wave partitions with normal Ray Data streaming."""
-    import glob
-
     from .report import _compacting_read
 
-    paths = sorted(glob.glob(os.path.join(checkpoint_dir, "waves", "wave=*", "audit*.parquet")))
-    return _compacting_read(paths, 16)
+    return _compacting_read(committed_audit_paths(checkpoint_dir), 16)
 
 
 def run_crawl(

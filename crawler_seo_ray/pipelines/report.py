@@ -285,7 +285,8 @@ def duplicates_report(final: Dataset, text_col: str) -> Dataset:
         import numpy as np
 
         order = np.argsort(g.column("visit_seq").to_numpy())
-        urls = [g.column("url").to_pylist()[i] for i in order]
+        urls_list = g.column("url").to_pylist()
+        urls = [urls_list[i] for i in order]
         return pa.table({text_col: [t], "urls": [urls], "count": [len(urls)]})
 
     return (
@@ -356,12 +357,18 @@ def summary(final: Dataset) -> dict:
 
 
 def filter_breakdown(rejected: pa.Table) -> pa.Table:
-    """G5: rejected.groupby(reason).count (url_manager.py:291-309)."""
+    """G5: rejected.groupby(reason).count (url_manager.py:291-309).
+    Always returns a table (empty-schema'd for a reject-free crawl)."""
     import pyarrow.compute as pc
 
-    return pc.value_counts(rejected.column("reason")).cast(
+    if rejected.num_rows == 0:
+        return pa.table(
+            {"values": pa.array([], pa.string()), "counts": pa.array([], pa.int64())}
+        )
+    arrs = pc.value_counts(rejected.column("reason")).cast(
         pa.struct([("values", pa.string()), ("counts", pa.int64())])
-    ).flatten() if rejected.num_rows else None
+    ).flatten()
+    return pa.table({"values": arrs[0], "counts": arrs[1]})
 
 
 def problematic_headings_sheet(final: Dataset) -> Dataset:

@@ -26,12 +26,7 @@ from ray.data.aggregate import Count, Mean, Sum
 
 from . import datagen
 from .canon import Scope
-from .functions.text import (
-    detect_language,
-    fingerprint64,
-    quality_features,
-    token_count,
-)
+from .functions.text import detect_language, fingerprint64, quality_features
 
 # --- corpus cache for crawl-flagship queries (sf-independent) -----------
 _CACHE_ROOT = "/tmp/crawler_seo_ray_cache"
@@ -83,15 +78,51 @@ def _pq(sf_dir: str, table: str, columns=None, blocks: int | None = None):
 # ---------------------------------------------------------------------------
 
 
+def _cents(col) -> pa.Array:
+    """Exact integer cents via floor(x·100 + 0.5) — written identically
+    in the paired DuckDB SQL, so the grouped SUM is order-independent
+    int64 math. Float sums otherwise accumulate in nondeterministic
+    block order and flip last-bit value hashes (CORRECTNESS r01)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+def _cents_to_dollars(batch: pa.Table, cents_col: str, out_col: str) -> pa.Table:
+    """cents::DOUBLE / 100.0 — the one deterministic division back to
+    dollars, mirrored in SQL."""
+    d = pc.divide(pc.cast(batch.column(cents_col), pa.float64()), 100.0)
+    return batch.drop_columns([cents_col]).append_column(out_col, d)
+
+
 def lineitem_agg(sf_dir: str):
-    """G1/G4 analog — grouped aggregates with map-side partial combine."""
+    """G1/G4 analog — grouped aggregates with map-side partial combine.
+    l_quantity is whole-valued (exact double sums); l_extendedprice
+    carries cents, so its sum rides int64 cents (see _cents)."""
     ds = _pq(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"], blocks=16)
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Count(alias_name="count_order"),
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "l_quantity": batch.column("l_quantity"),
+                "price_cents": _cents(batch.column("l_extendedprice")),
+            }
+        )
+
+    agg = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="price_cents"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: _cents_to_dollars(b, "price_cents", "sum_base_price"),
+        batch_format="pyarrow",
     )
 
 
@@ -116,11 +147,11 @@ def docs_dup_texts(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["text"])
 
     def key(batch: pa.Table) -> pa.Table:
-        ks = []
-        for t in batch.column("text").to_pylist():
-            toks = (t or "").strip().split(" ")
-            ks.append((" ".join(toks[:2])).lower())
-        return pa.table({"text_key": pa.array(ks, pa.string())})
+        # whitespace-RUN splitting (Python .split() semantics) — a '  '
+        # double space must not yield an empty token (ADVICE r01)
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        first2 = pc.list_slice(pc.split_pattern_regex(trimmed, r"\s+"), 0, 2)
+        return pa.table({"text_key": pc.utf8_lower(pc.binary_join(first2, " "))})
 
     grouped = (
         ds.map_batches(key, batch_format="pyarrow")
@@ -135,63 +166,84 @@ def events_hourly(sf_dir: str):
     ds = _pq(sf_dir, "events", ["user_id", "ts", "value"], blocks=16)
 
     def add_hour(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        return batch.append_column("hour", hour).drop_columns(["ts"])
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "hour": pc.cast(
+                    pc.floor_temporal(batch.column("ts"), unit="hour"), pa.timestamp("us")
+                ),
+                "value_cents": _cents(batch.column("value")),
+            }
+        )
 
-    return (
+    agg = (
         ds.map_batches(add_hour, batch_format="pyarrow")
         .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+    return agg.map_batches(
+        lambda b: _cents_to_dollars(b, "value_cents", "sum_value"),
+        batch_format="pyarrow",
     )
 
 
 def events_sessionize(sf_dir: str):
     """Streaming-shaped session windows (gap-and-island, 30-min timeout):
-    partition by key, sort by time within the group, cumulative gap sum —
-    the groupby(key).map_groups window pattern for stream tables."""
-    import pandas as pd
+    partition by key, sort by time within the group, cumulative gap count
+    — the groupby(key).map_groups window pattern for stream tables.
+
+    Arrow-native kernel with explicit output types (session_id int64,
+    timestamps timestamp[us]) so the value hash matches the DuckDB
+    oracle bit-for-bit — the round-1 pandas path emitted ns timestamps
+    (CORRECTNESS r01 hash mismatch)."""
+    GAP_US = 30 * 60 * 1_000_000
 
     ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum().astype("int64") + 1
-        out = (
-            g.assign(session_id=sid)
-            .groupby("session_id")
-            .agg(n_events=("ts", "size"), session_start=("ts", "min"), session_end=("ts", "max"))
-            .reset_index()
+    def sess(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id")[0].as_py()
+        t = np.sort(
+            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+        sid = np.concatenate(([0], np.cumsum(np.diff(t) > GAP_US))).astype(np.int64) + 1
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sid)) + 1))
+        ends = np.concatenate((starts[1:] - 1, [len(t) - 1]))
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(starts), uid, dtype=np.int64)),
+                "session_id": pa.array(sid[starts]),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+                "session_start": pa.array(t[starts]).cast(pa.timestamp("us")),
+                "session_end": pa.array(t[ends]).cast(pa.timestamp("us")),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
 
 
 def events_props_extract(sf_dir: str):
-    """Semi-structured column extraction: parse the JSON props column and
-    aggregate by the extracted key (vectorized json.loads per batch)."""
-    import json as _json
-
+    """Semi-structured column extraction: pull the integer `k` key out of
+    the JSON props column with a vectorized Arrow regex kernel (no
+    per-row json.loads) and aggregate by it."""
     ds = _pq(sf_dir, "events", ["event_id", "props", "value"], blocks=16)
 
     def extract(batch: pa.Table) -> pa.Table:
-        ks = []
-        for p in batch.column("props").to_pylist():
-            try:
-                ks.append(int(_json.loads(p)["k"]))
-            except Exception:
-                ks.append(None)
+        m = pc.extract_regex(batch.column("props"), r'"k"\s*:\s*(?P<k>-?\d+)')
         return pa.table(
-            {"k": pa.array(ks, pa.int64()), "value": batch.column("value")}
+            {
+                "k": pc.cast(pc.struct_field(m, "k"), pa.int64()),
+                "value_cents": _cents(batch.column("value")),
+            }
         )
 
-    return (
+    agg = (
         ds.map_batches(extract, batch_format="pyarrow")
         .groupby("k")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+    return agg.map_batches(
+        lambda b: _cents_to_dollars(b, "value_cents", "sum_value"),
+        batch_format="pyarrow",
     )
 
 
@@ -219,13 +271,16 @@ def revenue_by_part_type(sf_dir: str):
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return pa.table({"l_partkey": batch.column("l_partkey"), "revenue": rev})
+        return pa.table({"l_partkey": batch.column("l_partkey"), "rev_cents": _cents(rev)})
 
     li = li.map_batches(revenue, batch_format="pyarrow")
     part = _pq(sf_dir, "part", ["p_partkey", "p_type"])
     joined = li.join(part, "inner", 8, on=("l_partkey",), right_on=("p_partkey",))
-    return joined.groupby("p_type").aggregate(
-        Sum("revenue", alias_name="revenue"), Count(alias_name="n_items")
+    agg = joined.groupby("p_type").aggregate(
+        Sum("rev_cents", alias_name="rev_cents"), Count(alias_name="n_items")
+    )
+    return agg.map_batches(
+        lambda b: _cents_to_dollars(b, "rev_cents", "revenue"), batch_format="pyarrow"
     )
 
 
@@ -239,13 +294,16 @@ def top_suppliers(sf_dir: str):
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return pa.table({"l_suppkey": batch.column("l_suppkey"), "revenue": rev})
+        return pa.table({"l_suppkey": batch.column("l_suppkey"), "rev_cents": _cents(rev)})
 
     sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name"])
     joined = li.map_batches(revenue, batch_format="pyarrow").join(
         sup, "inner", 8, on=("l_suppkey",), right_on=("s_suppkey",)
     )
-    agg = joined.groupby("s_name").aggregate(Sum("revenue", alias_name="revenue"))
+    agg = joined.groupby("s_name").aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    agg = agg.map_batches(
+        lambda b: _cents_to_dollars(b, "rev_cents", "revenue"), batch_format="pyarrow"
+    )
     return agg.sort(["revenue", "s_name"], descending=[True, False]).limit(10)
 
 
@@ -277,15 +335,22 @@ def docs_token_stats(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
 
     def stats(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        txt = batch.column("text")
+        trimmed = pc.utf8_trim_whitespace(txt)
+        n_tokens = pc.if_else(
+            pc.equal(trimmed, ""),
+            pa.scalar(0, pa.int64()),
+            pc.cast(pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")), pa.int64()),
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array([token_count(t) for t in texts], pa.int64()),
-                "n_chars_calc": pa.array([len(t or "") for t in texts], pa.int64()),
-                "n_periods": pa.array([(t or "").count(".") for t in texts], pa.int64()),
-                "n_digits": pa.array(
-                    [sum(ch.isdigit() for ch in (t or "")) for t in texts], pa.int64()
+                "n_tokens": n_tokens,
+                "n_chars_calc": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "n_periods": pc.cast(pc.count_substring(txt, "."), pa.int64()),
+                "n_digits": pc.cast(
+                    pc.utf8_length(pc.replace_substring_regex(txt, "[^0-9]", "")),
+                    pa.int64(),
                 ),
             }
         )
@@ -560,7 +625,8 @@ ORACLE_SQL = {
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_base_price,
+               sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0
+                 AS sum_base_price,
                avg(l_quantity) AS avg_qty,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -577,15 +643,15 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "docs_dup_texts": """
-        SELECT lower(split_part(trim(text), ' ', 1) ||
-                     CASE WHEN split_part(trim(text), ' ', 2) = '' THEN ''
-                          ELSE ' ' || split_part(trim(text), ' ', 2) END) AS text_key,
+        SELECT lower(array_to_string(
+                 (regexp_split_to_array(trim(text), '\\s+'))[1:2], ' ')) AS text_key,
                count(*) AS n
         FROM documents GROUP BY 1 HAVING count(*) > 1
     """,
     "events_hourly": """
         SELECT user_id, date_trunc('hour', ts) AS hour,
-               count(*) AS n, sum(value) AS sum_value
+               count(*) AS n,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0 AS sum_value
         FROM events GROUP BY user_id, date_trunc('hour', ts)
     """,
     "events_sessionize": """
@@ -602,13 +668,14 @@ ORACLE_SQL = {
                                   ROWS UNBOUNDED PRECEDING) AS session_id
           FROM gaps
         )
-        SELECT user_id, session_id, count(*) AS n_events,
+        SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end
         FROM sess GROUP BY user_id, session_id
     """,
     "events_props_extract": """
         SELECT json_extract(props, '$.k')::BIGINT AS k,
-               count(*) AS n, sum(value) AS sum_value
+               count(*) AS n,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0 AS sum_value
         FROM events GROUP BY 1
     """,
     "events_anti_join": """
@@ -618,13 +685,17 @@ ORACLE_SQL = {
           WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
     """,
     "revenue_by_part_type": """
-        SELECT p.p_type, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+        SELECT p.p_type,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                        AS BIGINT))::DOUBLE / 100.0 AS revenue,
                count(*) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_type
     """,
     "top_suppliers": """
-        SELECT s.s_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        SELECT s.s_name,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                        AS BIGINT))::DOUBLE / 100.0 AS revenue
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY s.s_name
         ORDER BY revenue DESC, s.s_name LIMIT 10

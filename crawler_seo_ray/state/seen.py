@@ -87,8 +87,12 @@ class SeenShard:
     def snapshot(self) -> tuple[list[str], list[bool]]:
         return list(self.seen.keys()), list(self.seen.values())
 
-    def restore(self, urls: list[str], issued: list[bool]) -> None:
+    def restore(self, urls: list[str], issued: list[bool], dup_count: int = 0) -> None:
         self.seen = dict(zip(urls, issued))
+        # duplicate counter travels via the wave state.json (stats());
+        # without it a resumed run undercounts total_duplicates vs an
+        # uninterrupted one (ADVICE r01)
+        self.dup_count = dup_count
         fresh = [url_digest(u) for u in urls]
         if fresh:
             self.bloom.add_many(*digest_halves(fresh))
