@@ -511,7 +511,8 @@ def embeddings_knn_ivf(sf_dir: str):
         ds.filter(lambda r: r["vec_id"] < 5).take_all(), key=lambda r: r["vec_id"]
     )
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    return knn_ivf(ds, "embedding", "vec_id", queries, k=5, nlist=8, nprobe=3)
+    # nlist ≫ nprobe·nq so the probe demonstrably prunes (logged fraction)
+    return knn_ivf(ds, "embedding", "vec_id", queries, k=5, nlist=32, nprobe=3)
 
 
 def crawl_visit_order(sf_dir: str):

@@ -10,13 +10,24 @@ Five families, each expressed Ray-Data-first:
 - embedding cosine: normalized-vector blocking (random-hyperplane LSH)
                 → in-bucket exact cosine
 
-Scale notes (10^10-row honest): signatures/buckets shuffles carry only
-(id, band_hash)-width rows; texts are re-fetched for verification via a
-broadcast id→shingle-set map at test scale and would be a bucketed
-self-join of (id, shingles) at cluster scale — the groupby-bucket
-structure is identical. Connected components use driver union-find on
-the *candidate-pair* set (tiny vs corpus); the scale path is iterative
-min-label propagation with the same pair table.
+Scale shape (10^10-row honest, round-2 rework): every stage that scales
+with the corpus is distributed —
+
+- bucket membership is a ``groupby(band, band_hash).map_groups`` over
+  narrow (id, band, hash) rows; candidate pairs are emitted *inside*
+  the owning group (no driver-side bucket dict).
+- signature-verifiable families (SimHash, phash) carry the 64-bit
+  signature along the band rows and verify Hamming inside the group —
+  zero extra passes.
+- exact-verification families (MinHash-Jaccard, token Jaccard)
+  distinct the candidate pairs with a ``groupby(id_a, id_b)``
+  aggregate, then JOIN the pair table back to the text column (twice:
+  a-side, b-side) and verify inside ``map_batches`` — no broadcast
+  id→shingles map; the only driver-resident tables are final verified
+  outputs.
+- connected components use driver union-find on the *verified-pair*
+  set (output-sized); the scale path is iterative min-label
+  propagation over the same pair table.
 """
 
 from __future__ import annotations
@@ -62,6 +73,60 @@ def _stable_hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "big") >> 1
 
 
+def _emit_bucket_pairs(id_col: str, cap: int):
+    """map_groups kernel: emit candidate (id_a, id_b) pairs from one
+    LSH bucket. Runs inside the owning group after the distributed
+    ``groupby(band, hash)`` shuffle — no driver-side bucket dict.
+    ``cap`` bounds degenerate buckets (quadratic blowup guard);
+    overflow keeps the ``cap`` smallest ids deterministically."""
+
+    def emit(g: pa.Table) -> pa.Table:
+        ids = sorted(set(g.column(id_col).to_pylist()))
+        if len(ids) > cap:
+            print(f"dedup: bucket over cap={cap} ({len(ids)} ids) — truncated")
+            ids = ids[:cap]
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
+        )
+
+    return emit
+
+
+def _distinct_pairs(pairs: Dataset) -> Dataset:
+    """Distributed pair-dedup (a pair colliding in k bands is emitted k
+    times): one narrow groupby over the candidate-pair keys."""
+    from ray.data.aggregate import Count as _Count
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(_Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def _attach_texts(pairs: Dataset, ds: Dataset, text_col: str, id_col: str,
+                  num_partitions: int = 4) -> Dataset:
+    """JOIN the candidate-pair table back to the text column, a-side and
+    b-side — the distributed replacement for a broadcast id→text map.
+    Pair count is LSH-candidate-sized (≪ corpus), so the join's shuffle
+    ships only colliding rows plus the narrow pair keys."""
+
+    def _side(side: str) -> Dataset:
+        key, val = f"_{side}id", f"text_{side}"
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({key: batch.column(id_col), val: batch.column(text_col)})
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            rename, batch_format="pyarrow"
+        )
+
+    j = pairs.join(_side("a"), "inner", num_partitions, on=("id_a",), right_on=("_aid",))
+    j = j.join(_side("b"), "inner", num_partitions, on=("id_b",), right_on=("_bid",))
+    return j
+
+
 def minhash_pipeline(
     ds: Dataset,
     text_col: str,
@@ -70,9 +135,15 @@ def minhash_pipeline(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
+    bucket_cap: int = 200,
 ) -> dict:
     """MinHash+LSH near-dup detection. Returns
     {"pairs": pa.Table(id_a, id_b, jaccard), "groups": pa.Table(id, rep)}.
+
+    Fully distributed: band rows → ``groupby(band, hash)`` bucket pair
+    emission → pair-distinct groupby → text join (a/b sides) → exact
+    shingle-Jaccard verify in ``map_batches``. Only the verified pairs
+    (output-sized) ever land on the driver.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
@@ -98,111 +169,59 @@ def minhash_pipeline(
                 out_hash.append(bh)
         return pa.table(
             {
-                id_col: pa.array(out_ids),
+                id_col: pa.array(out_ids, pa.int64()),
                 "band": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_hash, pa.int64()),
             }
         )
 
-    buckets = ds.select_columns([id_col, text_col]).map_batches(
+    band_rows = ds.select_columns([id_col, text_col]).map_batches(
         sig_batch, batch_format="pyarrow"
     )
+    cand = _distinct_pairs(
+        band_rows.groupby(["band", "band_hash"]).map_groups(
+            _emit_bucket_pairs(id_col, bucket_cap), batch_format="pyarrow"
+        )
+    ).materialize()  # candidate pairs: small, reused by both join sides
 
-    # bucket membership via the combiner pattern: per-block Arrow hash
-    # group-by collects (band, band_hash) → id-list partials; one driver
-    # merge joins the lists. (Cluster scale: the partial merge becomes a
-    # distributed groupby over buckets — already ~#distinct-buckets
-    # rows, a fraction of the band-row count.)
-    def partial_buckets(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["band", "band_hash"]).aggregate([(id_col, "list")])
+    if cand.count() == 0:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        return {"pairs": empty, "groups": pa.table(
+            {"id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})}
 
-    parts = collect_arrow(
-        buckets.map_batches(partial_buckets, batch_format="pyarrow"),
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for ia, ib, ta, tb in zip(
+            batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist(),
+            batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist(),
+        ):
+            sa, sb = shingles(ta, shingle_k), shingles(tb, shingle_k)
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            if j >= jaccard_threshold:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_j.append(j)
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64()),
+             "jaccard": pa.array(out_j, pa.float64())}
+        )
+
+    verified = collect_arrow(
+        _attach_texts(cand, ds, text_col, id_col).map_batches(
+            verify, batch_format="pyarrow"
+        ),
         schema=pa.schema(
-            [("band", pa.int32()), ("band_hash", pa.int64()),
-             (f"{id_col}_list", pa.list_(pa.int64()))]
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
         ),
     )
-    # pyarrow can't hash-aggregate list columns, so the (small) partial
-    # merge is a dict fold on the driver
-    merged: dict[tuple, list] = {}
-    for band, bh, ids_part in zip(
-        parts.column("band").to_pylist(),
-        parts.column("band_hash").to_pylist(),
-        parts.column(f"{id_col}_list").to_pylist(),
-    ):
-        merged.setdefault((band, bh), []).extend(ids_part)
-    cap = 50  # guard against degenerate buckets
-    out_a, out_b = [], []
-    for members in merged.values():
-        if len(members) < 2:
-            continue
-        ids = sorted(members)
-        for i in range(min(len(ids), cap)):
-            for j in range(i + 1, min(len(ids), cap)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-    pairs = pa.table(
-        {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
-    )
-    if pairs.num_rows:
-        import pyarrow.compute as pc
+    verified = _sort_pairs(verified)
 
-        key = pc.add(
-            pc.multiply(pc.cast(pairs.column("id_a"), pa.int64()), 1 << 32),
-            pc.cast(pairs.column("id_b"), pa.int64()),
-        )
-        order = pc.sort_indices(key)
-        pairs = pairs.take(order)
-        key_sorted = key.take(order).to_numpy()
-        keep = np.flatnonzero(
-            np.diff(key_sorted, prepend=key_sorted[0] - 1) != 0
-        )
-        pairs = pairs.take(pa.array(keep))
-
-    # verify candidates with exact shingle Jaccard (broadcast id→shingles;
-    # cluster-scale: bucketed self-join of (id, shingles) instead)
-    cand_ids = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
-    sh_map: dict = {}
-    if cand_ids:
-        cand_ref = ray.put(cand_ids)
-
-        def collect_shingles(batch: pa.Table) -> pa.Table:
-            want = ray.get(cand_ref)
-            ids = batch.column(id_col).to_pylist()
-            texts = batch.column(text_col).to_pylist()
-            rows = [
-                {"id": i, "sh": list(shingles(t, shingle_k))}
-                for i, t in zip(ids, texts)
-                if i in want
-            ]
-            return pa.table(
-                {
-                    "id": pa.array([r["id"] for r in rows]),
-                    "sh": pa.array([r["sh"] for r in rows], pa.list_(pa.uint64())),
-                }
-            )
-
-        sh_tbl = collect_arrow(
-            ds.select_columns([id_col, text_col]).map_batches(
-                collect_shingles, batch_format="pyarrow"
-            )
-        )
-        sh_map = {r["id"]: set(r["sh"]) for r in sh_tbl.to_pylist()}
-
-    va, vb, vj = [], [], []
-    for ia, ib in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
-        sa, sb = sh_map.get(ia, set()), sh_map.get(ib, set())
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        if j >= jaccard_threshold:
-            va.append(ia)
-            vb.append(ib)
-            vj.append(j)
-    verified = pa.table(
-        {"id_a": pa.array(va, pa.int64()), "id_b": pa.array(vb, pa.int64()), "jaccard": pa.array(vj, pa.float64())}
-    )
-
+    va = verified.column("id_a").to_pylist()
+    vb = verified.column("id_b").to_pylist()
     groups = _connected_components(va, vb)
     groups_tbl = pa.table(
         {
@@ -211,6 +230,16 @@ def minhash_pipeline(
         }
     )
     return {"pairs": verified, "groups": groups_tbl}
+
+
+def _sort_pairs(tbl: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return tbl
+    return tbl.take(
+        pc.sort_indices(tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
+    )
 
 
 def _connected_components(a: list, b: list) -> dict:
@@ -241,79 +270,109 @@ def simhash_pipeline(
 ) -> dict:
     """SimHash near-dup: 64-bit signatures, band-of-bits bucketing
     (any pair within Hamming ≤ bands-1 shares ≥1 exact band), Hamming
-    verify. Returns {"signatures": Table(id, simhash), "pairs": Table}."""
-    band_bits = 64 // bands
+    verify. Returns {"signatures": Table(id, simhash), "pairs": Table}.
 
+    Distributed shape: the band rows CARRY the full signature (one
+    int64), so exact Hamming verification happens inside the bucket
+    group — no driver-side id→signature map, no second corpus pass.
+    The final distinct is over verified pairs only (output-sized)."""
+    pairs, sigs = _signature_band_pairs(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _simhash_sig_batch(text_col, id_col), batch_format="pyarrow"
+        ),
+        id_col, "simhash", hamming_threshold, bands,
+    )
+    return {"signatures": sigs, "pairs": pairs}
+
+
+def _simhash_sig_batch(text_col: str, id_col: str):
     def sig_batch(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        sigs = [simhash64(t) for t in texts]
+        sigs = [simhash64(t) for t in batch.column(text_col).to_pylist()]
         return pa.table(
-            {id_col: pa.array(ids), "simhash": pa.array(sigs, pa.int64())}
+            {id_col: batch.column(id_col), "simhash": pa.array(sigs, pa.int64())}
         )
 
-    sigs = ds.select_columns([id_col, text_col]).map_batches(
-        sig_batch, batch_format="pyarrow"
-    ).materialize()
+    return sig_batch
+
+
+def _signature_band_pairs(
+    sigs: Dataset,
+    id_col: str,
+    sig_col: str,
+    hamming_threshold: int,
+    bands: int,
+    cap: int = 200,
+    id_type: pa.DataType = pa.int64(),
+) -> tuple[pa.Table, pa.Table]:
+    """Shared distributed Hamming-banding machinery for 64-bit
+    signature families (SimHash text, phash images): band the signature
+    into ``bands`` segments, groupby ``(band, segment value)``, emit
+    exact-Hamming-verified pairs inside the owning group (signatures
+    ride the narrow band rows), distinct the (output-sized) verified
+    pairs driver-side. Returns (pairs, signatures)."""
+    band_bits = 64 // bands
+    sigs = sigs.materialize()  # reused: band expansion + returned signatures
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        hs = batch.column("simhash").to_pylist()
-        out_i, out_b, out_v = [], [], []
+        hs = batch.column(sig_col).to_pylist()
+        out_i, out_b, out_v, out_s = [], [], [], []
         for i, h in zip(ids, hs):
-            uh = h & 0xFFFFFFFFFFFFFFFF
+            uh = (h if h is not None else 0) & 0xFFFFFFFFFFFFFFFF
             for band in range(bands):
                 out_i.append(i)
                 out_b.append(band)
                 out_v.append((uh >> (band * band_bits)) & ((1 << band_bits) - 1))
+                out_s.append(h if h is not None else 0)
         return pa.table(
             {
-                id_col: pa.array(out_i),
+                id_col: pa.array(out_i, id_type),
                 "band": pa.array(out_b, pa.int32()),
                 "band_val": pa.array(out_v, pa.int64()),
+                sig_col: pa.array(out_s, pa.int64()),
             }
         )
 
-    buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
-
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(g.column(id_col).to_pylist())
-        cap = 50
-        out_a, out_b = [], []
-        for i in range(min(len(ids), cap)):
-            for j in range(i + 1, min(len(ids), cap)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pa.table({"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())})
-
-    cand = collect_arrow(
-        buckets.groupby(["band", "band_val"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-    sig_map = dict(
-        zip(
-            collect_arrow(sigs).column(id_col).to_pylist(),
-            collect_arrow(sigs).column("simhash").to_pylist(),
+    def bucket_verified_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_pylist()
+        hs = g.column(sig_col).to_pylist()
+        order = sorted(range(len(ids)), key=lambda k: ids[k])
+        if len(order) > cap:
+            print(f"dedup: signature bucket over cap={cap} ({len(order)} ids) — truncated")
+            order = order[:cap]
+        out_a, out_b, out_d = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                d = bin((hs[i] ^ hs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= hamming_threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_d.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, id_type),
+                "id_b": pa.array(out_b, id_type),
+                "hamming": pa.array(out_d, pa.int32()),
+            }
         )
+
+    verified = collect_arrow(
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_verified_pairs, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("id_a", id_type), ("id_b", id_type), ("hamming", pa.int32())]
+        ),
     )
-    seen = set()
-    va, vb, vd = [], [], []
-    for ia, ib in zip(cand.column("id_a").to_pylist(), cand.column("id_b").to_pylist()):
-        if (ia, ib) in seen:
-            continue
-        seen.add((ia, ib))
-        d = bin((sig_map[ia] ^ sig_map[ib]) & 0xFFFFFFFFFFFFFFFF).count("1")
-        if d <= hamming_threshold:
-            va.append(ia)
-            vb.append(ib)
-            vd.append(d)
-    pairs = pa.table(
-        {
-            "id_a": pa.array(va, pa.int64()),
-            "id_b": pa.array(vb, pa.int64()),
-            "hamming": pa.array(vd, pa.int32()),
-        }
-    )
-    return {"signatures": collect_arrow(sigs), "pairs": pairs}
+    # distinct over verified pairs (a pair may collide in several bands)
+    if verified.num_rows:
+        verified = verified.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
+        verified = verified.rename_columns(["id_a", "id_b", "hamming"])
+        verified = _sort_pairs(verified)
+    return verified, collect_arrow(sigs)
 
 
 def embedding_cosine_pairs(
@@ -398,11 +457,15 @@ def token_jaccard_pipeline(
     n=1, SQL-checkable) via prefix filtering (PPJoin-style):
 
     1. global token document-frequency via per-block combiner partials
-       (rare-token ordering maximizes pruning), broadcast as rank map;
+       (rare-token ordering maximizes pruning), broadcast as rank map
+       (vocabulary-sized — the PPJoin global token order);
     2. each doc emits its ⌊(1−t)·|T|⌋+1 rarest tokens as blocking keys —
        any pair with Jaccard ≥ t provably shares one;
-    3. candidate pairs within token buckets (combiner + driver fold),
-       verified with exact set Jaccard.
+    3. candidate pairs emitted inside the distributed token-bucket
+       groupby, pair-distincted with a second narrow groupby, joined
+       back to the texts (a/b sides) and verified with exact set
+       Jaccard in ``map_batches`` — no driver-side bucket dict or
+       broadcast id→token-set map.
 
     Token normalization matches DuckDB's
     ``list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))``.
@@ -452,56 +515,39 @@ def token_jaccard_pipeline(
             {"tok": pa.array(out_tok, pa.string()), id_col: pa.array(out_id, pa.int64())}
         )
 
-    def bucket_partial(batch: pa.Table) -> pa.Table:
-        return batch.group_by("tok").aggregate([(id_col, "list")])
-
-    bparts = collect_arrow(
+    cand = _distinct_pairs(
         ds.select_columns([id_col, text_col])
         .map_batches(prefix_keys, batch_format="pyarrow")
-        .map_batches(bucket_partial, batch_format="pyarrow"),
-        schema=pa.schema([("tok", pa.string()), (f"{id_col}_list", pa.list_(pa.int64()))]),
-    )
-    buckets: dict[str, list] = {}
-    for tok, ids in zip(
-        bparts.column("tok").to_pylist(), bparts.column(f"{id_col}_list").to_pylist()
-    ):
-        buckets.setdefault(tok, []).extend(ids)
-    cand: set[tuple] = set()
-    overflow = 0
-    for ids in buckets.values():
-        if len(ids) > bucket_cap:
-            overflow += 1
-            ids = ids[:bucket_cap]
-        ids = sorted(ids)
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                cand.add((ids[x], ids[y]))
-    if overflow:
-        print(f"token_jaccard: {overflow} buckets over cap={bucket_cap} (join no longer exact)")
+        .groupby("tok")
+        .map_groups(_emit_bucket_pairs(id_col, bucket_cap), batch_format="pyarrow")
+    ).materialize()
 
-    # verify with exact token-set jaccard (broadcast id→token set)
-    def collect_tokens(batch: pa.Table) -> pa.Table:
-        rows_i, rows_t = [], []
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            rows_i.append(i)
-            rows_t.append(tokens_of(t))
+    if cand.count() == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for ia, ib, ta, tb in zip(
+            batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist(),
+            batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist(),
+        ):
+            sa, sb = set(tokens_of(ta)), set(tokens_of(tb))
+            u = len(sa | sb)
+            if u and len(sa & sb) / u >= threshold:
+                out_a.append(ia)
+                out_b.append(ib)
         return pa.table(
-            {"id": pa.array(rows_i, pa.int64()), "toks": pa.array(rows_t, pa.list_(pa.string()))}
+            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
         )
 
-    tok_tbl = collect_arrow(
-        ds.select_columns([id_col, text_col]).map_batches(collect_tokens, batch_format="pyarrow"),
-        schema=pa.schema([("id", pa.int64()), ("toks", pa.list_(pa.string()))]),
+    return _sort_pairs(
+        collect_arrow(
+            _attach_texts(cand, ds, text_col, id_col).map_batches(
+                verify, batch_format="pyarrow"
+            ),
+            schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+        )
     )
-    tok_map = {r["id"]: set(r["toks"]) for r in tok_tbl.to_pylist()}
-    va, vb = [], []
-    for ia, ib in sorted(cand):
-        sa, sb = tok_map.get(ia, set()), tok_map.get(ib, set())
-        u = len(sa | sb)
-        if u and len(sa & sb) / u >= threshold:
-            va.append(ia)
-            vb.append(ib)
-    return pa.table({"id_a": pa.array(va, pa.int64()), "id_b": pa.array(vb, pa.int64())})
 
 
 def phash_pairs(
@@ -511,76 +557,14 @@ def phash_pairs(
     hamming_threshold: int = 6,
     bands: int = 8,
 ) -> pa.Table:
-    """Near-duplicate IMAGES by perceptual-hash Hamming distance: band
-    the 64-bit phash into ``bands`` segments (any pair within Hamming ≤
-    bands−1 shares an exact band), bucket via the combiner pattern,
-    verify exact Hamming. Same machinery as SimHash text dedup applied
-    to the corpus ``phash`` column (multimodal near-dup)."""
-    band_bits = 64 // bands
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        hs = batch.column(phash_col).to_pylist()
-        out_i, out_b, out_v = [], [], []
-        for i, h in zip(ids, hs):
-            uh = (h if h is not None else 0) & 0xFFFFFFFFFFFFFFFF
-            for band in range(bands):
-                out_i.append(i)
-                out_b.append(band)
-                out_v.append((uh >> (band * band_bits)) & ((1 << band_bits) - 1))
-        return pa.table(
-            {
-                id_col: pa.array(out_i, pa.string()),
-                "band": pa.array(out_b, pa.int32()),
-                "band_val": pa.array(out_v, pa.int64()),
-            }
-        )
-
-    def partial_buckets(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["band", "band_val"]).aggregate([(id_col, "list")])
-
-    parts = collect_arrow(
-        ds.select_columns([id_col, phash_col])
-        .map_batches(band_rows, batch_format="pyarrow")
-        .map_batches(partial_buckets, batch_format="pyarrow"),
-        schema=pa.schema(
-            [("band", pa.int32()), ("band_val", pa.int64()),
-             (f"{id_col}_list", pa.list_(pa.string()))]
-        ),
-    )
-    merged: dict[tuple, list] = {}
-    for band, bv, ids_part in zip(
-        parts.column("band").to_pylist(),
-        parts.column("band_val").to_pylist(),
-        parts.column(f"{id_col}_list").to_pylist(),
-    ):
-        merged.setdefault((band, bv), []).extend(ids_part)
-    cand: set[tuple] = set()
-    cap = 200
-    for members in merged.values():
-        if len(members) < 2:
-            continue
-        ids = sorted(set(members))
-        for x in range(min(len(ids), cap)):
-            for y in range(x + 1, min(len(ids), cap)):
-                cand.add((ids[x], ids[y]))
-    # verify exact hamming with a broadcast id→phash map
-    ph_tbl = collect_arrow(
+    """Near-duplicate IMAGES by perceptual-hash Hamming distance: the
+    same distributed Hamming-banding machinery as SimHash text dedup
+    (_signature_band_pairs) applied to the corpus ``phash`` column —
+    band the 64-bit phash into ``bands`` segments (any pair within
+    Hamming ≤ bands−1 shares an exact band), verify exact Hamming
+    inside the distributed bucket group (multimodal near-dup)."""
+    pairs, _ = _signature_band_pairs(
         ds.select_columns([id_col, phash_col]),
-        schema=pa.schema([(id_col, pa.string()), (phash_col, pa.int64())]),
+        id_col, phash_col, hamming_threshold, bands, id_type=pa.string(),
     )
-    ph = dict(zip(ph_tbl.column(id_col).to_pylist(), ph_tbl.column(phash_col).to_pylist()))
-    va, vb, vd = [], [], []
-    for ia, ib in sorted(cand):
-        d = bin((ph[ia] ^ ph[ib]) & 0xFFFFFFFFFFFFFFFF).count("1")
-        if d <= hamming_threshold:
-            va.append(ia)
-            vb.append(ib)
-            vd.append(d)
-    return pa.table(
-        {
-            "id_a": pa.array(va, pa.string()),
-            "id_b": pa.array(vb, pa.string()),
-            "hamming": pa.array(vd, pa.int32()),
-        }
-    )
+    return pairs

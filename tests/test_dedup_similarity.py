@@ -109,6 +109,12 @@ def test_knn_ivf_recall():
     queries = vecs[:4]
     exact = knn_brute(ds, "embedding", "vec_id", queries, k=5)
     approx = knn_ivf(ds, "embedding", "vec_id", queries, k=5, nlist=8, nprobe=4)
+    # real IVF must PRUNE: a single 2-of-8-cell probe reads <¼ of the rows
+    stats: dict = {}
+    knn_ivf(ds, "embedding", "vec_id", vecs[:1], k=5, nlist=8, nprobe=2,
+            scan_stats=stats)
+    assert stats["cells_scanned"] <= 2, stats
+    assert stats["rows_scanned"] < stats["rows_total"], stats
     ex = {}
     ap = {}
     for r in exact.to_pylist():
