@@ -55,6 +55,14 @@ class CrawlSpec:
     robots_deny_prefixes: dict[str, list[str]] | None = None  # host → path prefixes
     synthetic_robots: bool = False  # consult datagen.robots_rules per host (lazy cache)
     detect_invisible_colors: bool = True
+    # connection-level retry budget (reference session_manager.py:33-38
+    # max_retries=3); transient faults injected deterministically via
+    # fault_rate (web.transient_failures) for tests/bench
+    max_retries: int = 3
+    fault_rate: float = 0.0
+    # test hook: (url_substring, seconds) — workers sleep on matching
+    # URLs to exercise the engine's straggler-chunk timeout
+    synthetic_hang: tuple | None = None
 
 
 def _err_rate(st) -> float:
@@ -179,7 +187,9 @@ class OracleCrawl:
 
     # -- page processing (reference _process_single_url, single-fetch) ------
     def _process(self, url: str, depth: int, visit_seq: int) -> dict:
-        attrs = fetch_page(url, self.spec.n_pages)
+        attrs = fetch_page(
+            url, self.spec.n_pages, self.spec.max_retries, self.spec.fault_rate
+        )
         row = build_audit_row(url, depth, attrs, self.spec.detect_invisible_colors)
         row["visit_seq"] = visit_seq
         if row["processed"]:

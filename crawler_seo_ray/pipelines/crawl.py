@@ -78,6 +78,11 @@ class EngineConfig:
     verify_images: bool = True
     psnr_every: int = 1  # full-PSNR sample stride (1 = every page)
     max_chunk: int = 512  # max entries per worker call
+    # straggler containment (reference core/crawler.py:120 future.result
+    # timeout=30): a worker chunk exceeding this wall-clock bound is
+    # killed, its worker replaced, and its entries become ERROR rows —
+    # a hung node can no longer stall the wave barrier. None = off.
+    chunk_timeout_sec: float | None = 300.0
 
 
 @dataclass
@@ -109,7 +114,11 @@ class _Engine:
             "num_seen_shards": cfg.num_seen_shards,
             "num_frontier_shards": cfg.num_frontier_shards,
             "frontier_salt": cfg.frontier_salt,
+            "max_retries": spec.max_retries,
+            "fault_rate": spec.fault_rate,
+            "synthetic_hang": spec.synthetic_hang,
         }
+        self._spec_dict = spec_dict  # kept for straggler worker replacement
         self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
         self.frontier = [FrontierShard.remote(i) for i in range(cfg.num_frontier_shards)]
         self.workers = [
@@ -319,8 +328,10 @@ class _Engine:
         ]
         parts: list = [None] * len(chunks)
         pending: dict = {}  # future -> (chunk_idx, worker_idx)
+        deadline: dict = {}  # future -> monotonic deadline
         free = list(range(W))
         queue = list(chunks)
+        tmo = self.cfg.chunk_timeout_sec
 
         def dispatch(widx):
             c, ent = queue.pop(0)
@@ -329,15 +340,41 @@ class _Engine:
             )
             fut = self.workers[widx].process.remote(ent, wave, audit_out)
             pending[fut] = (c, widx)
+            if tmo is not None:
+                deadline[fut] = _time.monotonic() + tmo
 
         while queue and free:
             dispatch(free.pop())
         while pending:
-            done, _ = ray.wait(list(pending), num_returns=1)
-            c, widx = pending.pop(done[0])
-            parts[c] = ray.get(done[0])
-            if queue:
-                dispatch(widx)
+            if tmo is None:
+                done, _ = ray.wait(list(pending), num_returns=1)
+            else:
+                wait_t = max(
+                    0.05, min(deadline[f] for f in pending) - _time.monotonic()
+                )
+                done, _ = ray.wait(list(pending), num_returns=1, timeout=wait_t)
+            if done:
+                c, widx = pending.pop(done[0])
+                deadline.pop(done[0], None)
+                parts[c] = ray.get(done[0])
+                if queue:
+                    dispatch(widx)
+                continue
+            # straggler containment: kill the hung worker FIRST (so it
+            # can't race our error-chunk write), replace it, convert the
+            # chunk's entries to ERROR rows (reference core/crawler.py:
+            # 120,129-134 — a timeout burns budget, never stalls the wave)
+            now = _time.monotonic()
+            for f in [f for f in list(pending) if deadline.get(f, now + 1) <= now]:
+                c, widx = pending.pop(f)
+                deadline.pop(f, None)
+                ray.kill(self.workers[widx], no_restart=True)
+                self.workers[widx] = PageWorker.options(
+                    num_cpus=self.cfg.worker_num_cpus
+                ).remote(self.corpus_dir, self._spec_dict)
+                parts[c] = self._timeout_chunk(chunks[c][1], wave, wave_dir, c)
+                if queue:
+                    dispatch(widx)
         if wave_dir is None:
             audit = (
                 pa.concat_tables([p[0] for p in parts])
@@ -395,6 +432,53 @@ class _Engine:
             self._write_state(os.path.join(wave_dir, "state.json"), metrics)
         self.wave += 1
         return True
+
+    def _timeout_chunk(self, entries: list, wave: int, wave_dir: str | None, c: int):
+        """Synthesize the (audit, candidates, rejects, host_stats) result
+        for a chunk whose worker blew the straggler deadline: every entry
+        becomes an ERROR row (no links), exactly the reference's
+        _create_error_result shape for a timed-out future."""
+        from ..web import build_audit_row
+
+        rows = []
+        hs: dict[str, list] = {}
+        for seq, url, host, depth in entries:
+            row = build_audit_row(
+                url,
+                depth,
+                {
+                    "page_index": -1,
+                    "status_code": "ERROR",
+                    "error_details": f"chunk timeout after {self.cfg.chunk_timeout_sec}s",
+                    "content_type": "",
+                    "final_url": url,
+                    "response_time_ms": 0.0,
+                    "content_length": 0,
+                    "links": [],
+                },
+            )
+            row.update(visit_seq=seq, wave=wave, host=host, links_count=0)
+            rows.append(row)
+            st = hs.setdefault(host, [0, 0])
+            st[0] += 1
+            st[1] += 1
+        audit = rows_to_table(rows, AUDIT_SCHEMA)
+        host_stats = pa.table(
+            {
+                "host": pa.array(list(hs.keys()), pa.string()),
+                "visits": pa.array([v[0] for v in hs.values()], pa.int64()),
+                "errors": pa.array([v[1] for v in hs.values()], pa.int64()),
+            }
+        )
+        if wave_dir is not None:
+            write_table(audit, os.path.join(wave_dir, f"audit-{c:03d}.parquet"))
+            audit = None
+        return (
+            audit,
+            CANDIDATE_SCHEMA.empty_table(),
+            REJECT_SCHEMA.empty_table(),
+            host_stats,
+        )
 
     def _write_state(self, path: str, extra: dict) -> None:
         seen_stats = ray.get([s.stats.remote() for s in self.seen])

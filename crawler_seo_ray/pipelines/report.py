@@ -467,6 +467,149 @@ def hierarchy_problems_sheet(final: Dataset) -> Dataset:
     return final.map_batches(project, batch_format="pyarrow")
 
 
+def empty_headings_sheet(final: Dataset) -> Dataset:
+    """Headings_Vazios — one row per EMPTY heading occurrence (flat map
+    over the headings_problematicos struct list, 'Vazio' motive only;
+    reference reports/excel_generator.py:82,391 _aba_headings_vazios)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        rows = batch.select(
+            ["url", "headings_problematicos", "metatags_score", "processed"]
+        ).to_pylist()
+        out = []
+        for r in rows:
+            if not r.get("processed"):
+                continue
+            for p in r.get("headings_problematicos") or []:
+                motivos = p.get("motivos") or []
+                if "Vazio" not in motivos and "vazio" not in motivos:
+                    continue
+                tag = (p.get("tag") or "").upper()
+                out.append(
+                    {
+                        "URL": r["url"],
+                        "Tag": tag,
+                        "Posicao": p.get("posicao") or 0,
+                        "Gravidade": "CRÍTICO" if tag == "H1" else "MÉDIO",
+                        "Descricao": p.get("descricao") or "",
+                        "Texto": p.get("texto") or "",
+                        "Score_Pagina": r.get("metatags_score") or 0,
+                    }
+                )
+        if not out:
+            return pa.table(
+                {c: pa.array([], t) for c, t in [
+                    ("URL", pa.string()), ("Tag", pa.string()), ("Posicao", pa.int64()),
+                    ("Gravidade", pa.string()), ("Descricao", pa.string()),
+                    ("Texto", pa.string()), ("Score_Pagina", pa.int64())]}
+            )
+        return pa.Table.from_pylist(out)
+
+    return final.map_batches(project, batch_format="pyarrow")
+
+
+def heading_sequence_sheet(final: Dataset) -> Dataset:
+    """Sequencia_Headings — complete vs valid heading sequence per page
+    with derived totals (reference excel_generator.py:90,433
+    _aba_sequencia_headings)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        def join(col):
+            return pa.array(
+                [" → ".join(v) if v else "" for v in batch.column(col).to_pylist()],
+                pa.string(),
+            )
+
+        h1 = pc.cast(pc.fill_null(batch.column("h1_count"), 0), pa.int64())
+        total_prob = pc.cast(
+            pc.fill_null(batch.column("total_problemas_headings"), 0), pa.int64()
+        )
+        probl = pc.cast(
+            pc.fill_null(batch.column("headings_problematicos_count"), 0), pa.int64()
+        )
+        total = pc.add(h1, total_prob)
+        return pa.table(
+            {
+                "URL": batch.column("url"),
+                "Sequencia_Completa": join("heading_sequence"),
+                "Sequencia_Valida": join("heading_sequence_valida"),
+                "H1s": h1,
+                "Problematicos": probl,
+                "Hierarquia_OK": batch.column("hierarquia_correta"),
+                "Total_Problemas": total_prob,
+                "Problemas_Hierarquia": pa.array(
+                    [" | ".join(v) if v else ""
+                     for v in batch.column("problemas_hierarquia").to_pylist()],
+                    pa.string(),
+                ),
+                "Score": pc.cast(pc.fill_null(batch.column("metatags_score"), 0), pa.int64()),
+                "Total_Headings": total,
+                "Headings_Validos": pc.subtract(total, probl),
+            }
+        )
+
+    return final.filter(lambda r: bool(r["processed"])).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
+def heading_gravity_sheet(final: Dataset) -> Dataset:
+    """Gravidade_Headings — pages with critical or problematic headings
+    (reference excel_generator.py:98,468 _aba_gravidade_headings)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "URL": batch.column("url"),
+                "Criticos": pc.cast(
+                    pc.fill_null(batch.column("headings_gravidade_critica"), 0), pa.int64()
+                ),
+                "Total_Problematicos": pc.cast(
+                    pc.fill_null(batch.column("headings_problematicos_count"), 0), pa.int64()
+                ),
+                "H1s": pc.cast(pc.fill_null(batch.column("h1_count"), 0), pa.int64()),
+                "H1_Multiplo": batch.column("h1_multiple"),
+                "Score": pc.cast(pc.fill_null(batch.column("metatags_score"), 0), pa.int64()),
+            }
+        )
+
+    return final.filter(
+        lambda r: bool(r["processed"])
+        and ((r["headings_gravidade_critica"] or 0) > 0
+             or (r["headings_problematicos_count"] or 0) > 0)
+    ).map_batches(project, batch_format="pyarrow")
+
+
+def mixed_content_sheet(final: Dataset) -> Dataset:
+    """Mixed_Content — pages serving insecure subresources over HTTPS
+    (reference excel_generator.py:155,674 _aba_mixed)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "URL": batch.column("url"),
+                "Tem_Mixed_Content": pa.array(
+                    ["SIM"] * batch.num_rows, pa.string()
+                ),
+                "Quantidade": pc.cast(
+                    pc.fill_null(batch.column("mixed_content_count"), 0), pa.int64()
+                ),
+                "Criticos": pc.cast(
+                    pc.fill_null(batch.column("critical_mixed_count"), 0), pa.int64()
+                ),
+                "Passivos": pc.cast(
+                    pc.fill_null(batch.column("passive_mixed_count"), 0), pa.int64()
+                ),
+                "Nivel_de_Risco": batch.column("risk_level"),
+                "Score": pc.cast(pc.fill_null(batch.column("metatags_score"), 0), pa.int64()),
+            }
+        )
+
+    return final.filter(
+        lambda r: bool(r["processed"]) and bool(r["has_mixed_content"])
+    ).map_batches(project, batch_format="pyarrow")
+
+
 def write_report(final: Dataset, rejected: pa.Table, out_dir: str) -> dict:
     """The multi-sheet workbook analog: one parquet directory per sheet
     (S5; reference sheet inventory utils/constants.py:71-80). Returns
@@ -487,6 +630,17 @@ def write_report(final: Dataset, rejected: pa.Table, out_dir: str) -> dict:
         os.path.join(out_dir, "headings_problematicos")
     )
     hierarchy_problems_sheet(final).write_parquet(os.path.join(out_dir, "hierarquia"))
+    empty_headings_sheet(final).write_parquet(os.path.join(out_dir, "headings_vazios"))
+    heading_sequence_sheet(final).write_parquet(
+        os.path.join(out_dir, "sequencia_headings")
+    )
+    heading_gravity_sheet(final).write_parquet(
+        os.path.join(out_dir, "gravidade_headings")
+    )
+    mixed_content_sheet(final).write_parquet(os.path.join(out_dir, "mixed_content"))
+    from ..storage import write_table as _wt
+
+    _wt(filter_breakdown(rejected), os.path.join(out_dir, "filtros", "breakdown.parquet"))
     s = summary(final)
     import json
 

@@ -175,6 +175,9 @@ class PageWorker:
         )
         self.detect_colors = spec_dict.get("detect_invisible_colors", True)
         self.psnr_every = spec_dict.get("psnr_every", 1)
+        self.max_retries = spec_dict.get("max_retries", 3)
+        self.fault_rate = spec_dict.get("fault_rate", 0.0)
+        self.synthetic_hang = spec_dict.get("synthetic_hang")
         from ..web import RobotsCache
 
         static_robots = spec_dict.get("robots")
@@ -201,7 +204,16 @@ class PageWorker:
         audit_rows: list[dict] = []
         cand_rows: list[dict] = []
         rej_rows: list[dict] = []
-        all_attrs = [fetch_page(url, self.n) for _, url, _, _ in entries]
+        if self.synthetic_hang:  # test hook for straggler containment
+            sub, sec = self.synthetic_hang
+            if any(sub in url for _, url, _, _ in entries):
+                import time as _t
+
+                _t.sleep(float(sec))
+        all_attrs = [
+            fetch_page(url, self.n, self.max_retries, self.fault_rate)
+            for _, url, _, _ in entries
+        ]
         page_rows = {}
         if self.verify_images:
             valid = sorted(

@@ -18,13 +18,47 @@ from .canon import LOGGED_REASONS, Scope, normalize_url, relevance
 from .stages.analyzers import analyze_page
 
 
-def fetch_page(url: str, n: int) -> dict:
+def transient_failures(url: str, fault_rate: float) -> int:
+    """Deterministic synthetic transient-fault count for a URL — the
+    no-network stand-in for flaky connections. A URL draws u ∈ [0,1)
+    from md5(url); u < fault_rate ⇒ the first 1–3 fetch attempts fail
+    (then the connection 'recovers'). Pure function of the URL, so the
+    oracle and every Ray worker see identical behavior."""
+    if fault_rate <= 0.0:
+        return 0
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(("fault:" + url).encode()).digest()[:8], "big")
+    if (h >> 16) / float(1 << 48) >= fault_rate:
+        return 0
+    return 1 + (h & 0xFFFF) % 3
+
+
+def fetch_page(url: str, n: int, max_retries: int = 0, fault_rate: float = 0.0) -> dict:
     """Resolve a canonical URL against the synthetic web.
 
     ``https://{host(i)}/page/img{i:08d}`` → page i; anything else in
     scope is a 404 "page" (no links, not analyzable) — what a live
     crawler sees for a dead in-domain URL.
+
+    Connection-level retry semantics (reference
+    core/session_manager.py:33-38 ``max_retries=3``): a transient
+    failure is retried up to ``max_retries`` times; exhaustion yields
+    an ERROR row (the reference's requests.ConnectionError path).
     """
+    fails = transient_failures(url, fault_rate)
+    if fails > max_retries:
+        return {
+            "page_index": -1,
+            "url": url,
+            "status_code": "ERROR",
+            "error_details": f"connection error after {max_retries} retries",
+            "content_type": "",
+            "final_url": url,
+            "response_time_ms": 0.0,
+            "content_length": 0,
+            "links": [],
+        }
     try:
         host, _, path = url.partition("://")[2].partition("/")
         parts = path.split("/")
@@ -71,7 +105,7 @@ def build_audit_row(url: str, depth: int, attrs: dict, detect_invisible_colors: 
     if code == "ERROR":
         row.update(
             {
-                "error_details": "simulated fetch error",
+                "error_details": attrs.get("error_details") or "simulated fetch error",
                 "response_time_ms": 0.0,
                 "content_type": "",
                 "final_url": url,

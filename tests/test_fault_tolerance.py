@@ -39,3 +39,78 @@ def test_corrupted_corpus_rows_yield_failure_records(small_corpus, tmp_path):
     # untouched shards still verify
     clean = [r for r in rows if r["page_index"] is not None and r["page_index"] >= 64 and r["image_id"]]
     assert clean and all(r["phash_match"] for r in clean)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_straggler_chunk_times_out_into_error_rows(small_corpus):
+    """A hung worker must not stall the wave barrier: its chunk becomes
+    ERROR rows, the worker is replaced, and the crawl completes with the
+    full budget (reference core/crawler.py:120 future timeout)."""
+    from crawler_seo_ray.oracle import run_oracle
+
+    corpus_dir, _ = small_corpus
+    base = dict(n_pages=300, seeds=[datagen.url(1)], max_urls=30, batch_size=10)
+    # hang a URL the crawl actually visits mid-way (derived from a clean run)
+    hang_url = [r["url"] for r in run_oracle(CrawlSpec(**base))["audit"]][12]
+    spec = CrawlSpec(**base, synthetic_hang=(hang_url.rpartition("/")[2], 60.0))
+    cfg = EngineConfig(num_workers=2, max_chunk=4, chunk_timeout_sec=3.0)
+    res = run_crawl(spec, corpus_dir, cfg)
+    rows = res.audit.to_pylist()
+    assert res.audit.num_rows == 30, "crawl must complete despite the hang"
+    assert [r["visit_seq"] for r in rows] == list(range(30))
+    timed_out = [r for r in rows if "chunk timeout" in (r["error_details"] or "")]
+    assert timed_out, "the hung chunk should surface as ERROR rows"
+    for r in timed_out:
+        assert r["status_code"] == "ERROR" and not r["processed"]
+    # pages outside the hung chunk still fully processed + verified
+    ok = [r for r in rows if r["status_code"] == "200"]
+    assert ok and all(r["phash_match"] for r in ok if r["image_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connection_retries_salvage_transient_faults(small_corpus):
+    """With the reference's max_retries=3 every 1-3-attempt transient
+    fault is retried through: the audit equals the fault-free crawl.
+    With retries off the same faults surface as ERROR rows."""
+    corpus_dir, _ = small_corpus
+    base = dict(n_pages=300, seeds=[datagen.url(1)], max_urls=40, batch_size=10)
+    clean = run_crawl(CrawlSpec(**base), corpus_dir, EngineConfig(num_workers=2))
+    retried = run_crawl(
+        CrawlSpec(**base, fault_rate=0.5, max_retries=3),
+        corpus_dir,
+        EngineConfig(num_workers=2),
+    )
+    assert retried.audit.column("url").to_pylist() == clean.audit.column("url").to_pylist()
+    assert retried.audit.column("status_code").to_pylist() == clean.audit.column(
+        "status_code"
+    ).to_pylist()
+    fragile = run_crawl(
+        CrawlSpec(**base, fault_rate=0.5, max_retries=0),
+        corpus_dir,
+        EngineConfig(num_workers=2),
+    )
+    errs = [
+        r for r in fragile.audit.to_pylist()
+        if "connection error" in (r["error_details"] or "")
+    ]
+    assert errs, "retry-exhausted fetches must surface as ERROR rows"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fault_injected_engine_matches_oracle(small_corpus):
+    """Retry semantics are part of the shared kernel: the engine and the
+    single-thread oracle stay bit-equal under injected faults."""
+    from crawler_seo_ray.oracle import run_oracle
+
+    corpus_dir, _ = small_corpus
+    spec = CrawlSpec(
+        n_pages=300, seeds=[datagen.url(1)], max_urls=40, batch_size=10,
+        fault_rate=0.5, max_retries=1,
+    )
+    ora = run_oracle(spec)
+    eng = run_crawl(spec, corpus_dir, EngineConfig(num_workers=3))
+    assert eng.audit.column("url").to_pylist() == [r["url"] for r in ora["audit"]]
+    assert eng.seen == ora["seen"]
+    assert eng.audit.column("status_code").to_pylist() == [
+        r["status_code"] for r in ora["audit"]
+    ]

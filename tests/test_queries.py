@@ -153,3 +153,26 @@ def test_report_sheets_with_duplicates(tmp_path):
 
     sheet = pd.read_parquet(os.path.join(out, "title_duplicados"))
     assert (sheet["count"] > 1).all() and len(sheet) > 0
+
+    # round-2 sheets: full reference inventory (excel_generator.py
+    # Headings_Vazios / Sequencia_Headings / Gravidade_Headings /
+    # Mixed_Content) — the corpus plants empty headings (i%17==0) and
+    # insecure subresources, so each sheet must be non-empty
+    vaz = pd.read_parquet(os.path.join(out, "headings_vazios"))
+    assert len(vaz) > 0 and set(vaz["Gravidade"]) <= {"CRÍTICO", "MÉDIO"}
+    assert (vaz["Tag"].str.upper() == vaz["Tag"]).all()
+
+    seq = pd.read_parquet(os.path.join(out, "sequencia_headings"))
+    assert len(seq) > 0
+    assert (seq["Total_Headings"] == seq["H1s"] + seq["Total_Problemas"]).all()
+    assert (seq["Headings_Validos"] == seq["Total_Headings"] - seq["Problematicos"]).all()
+
+    grav = pd.read_parquet(os.path.join(out, "gravidade_headings"))
+    assert len(grav) > 0 and ((grav["Criticos"] > 0) | (grav["Total_Problematicos"] > 0)).all()
+
+    mixed = pd.read_parquet(os.path.join(out, "mixed_content"))
+    assert len(mixed) > 0 and (mixed["Tem_Mixed_Content"] == "SIM").all()
+    assert (mixed["Quantidade"] > 0).all()
+
+    bd = pd.read_parquet(os.path.join(out, "filtros"))
+    assert {"values", "counts"} <= set(bd.columns)
