@@ -805,6 +805,113 @@ ORACLE_SQL = {
                ) AS quality_score
         FROM g
     """,
+    # MinHash+LSH pairs vs the brute-force exact shingle-Jaccard cross
+    # join (same 5-token-window FNV shingles as functions.text.shingles).
+    # Equality holds as long as LSH recall is total at the threshold —
+    # verified on this corpus (every true pair has j ≥ 0.857, band miss
+    # probability < 1e-6); same caveat pattern as embeddings_cosine_dups.
+    "docs_minhash_dups": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(coalesce(text, ''), '\\S+'),
+                                t -> lower(t)) AS tk
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 list_transform(tk, tok ->
+                   list_reduce(
+                     list_prepend(14695981039346656037::HUGEINT,
+                       list_transform(range(1, length(tok)+1), i -> ascii(tok[i]))),
+                     (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                                  * 1099511628211::HUGEINT)
+                                 % 18446744073709551616::HUGEINT)) AS hs
+          FROM toks
+        ), sh AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN len(hs) = 0 THEN []::HUGEINT[]
+                   WHEN len(hs) < 5 THEN [list_reduce(
+                       list_prepend(14695981039346656037::HUGEINT, hs),
+                       (acc, h) -> (xor(acc::HUGEINT, h::HUGEINT)
+                                    * 1099511628211::HUGEINT)
+                                   % 18446744073709551616::HUGEINT)]
+                   ELSE list_distinct(list_transform(range(1, len(hs) - 3), i ->
+                     list_reduce(
+                       list_prepend(14695981039346656037::HUGEINT, hs[i:i+4]),
+                       (acc, h) -> (xor(acc::HUGEINT, h::HUGEINT)
+                                    * 1099511628211::HUGEINT)
+                                   % 18446744073709551616::HUGEINT)))
+                 END AS sset
+          FROM th
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sset, b.sset))::DOUBLE
+                 / len(list_distinct(a.sset || b.sset)) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(a.sset || b.sset)) > 0
+          AND len(list_intersect(a.sset, b.sset))::DOUBLE
+              / len(list_distinct(a.sset || b.sset)) >= 0.5
+    """,
+    # fingerprint64 = FNV-1a chain over FNV-1a token hashes — expressible
+    # exactly in SQL over the ASCII corpus with HUGEINT mod-2^64 math
+    "docs_fingerprint": """
+        WITH th AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(coalesce(text, ''), '\\S+'), tok ->
+                   list_reduce(
+                     list_prepend(14695981039346656037::HUGEINT,
+                       list_transform(range(1, length(tok)+1), i -> ascii(tok[i]))),
+                     (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                                  * 1099511628211::HUGEINT)
+                                 % 18446744073709551616::HUGEINT)) AS hs
+          FROM documents
+        ), fp AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(14695981039346656037::HUGEINT, hs),
+                   (acc, h) -> (xor(acc::HUGEINT, h::HUGEINT)
+                                * 1099511628211::HUGEINT)
+                               % 18446744073709551616::HUGEINT) AS h
+          FROM th
+        )
+        SELECT doc_id,
+               CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+                    ELSE h::BIGINT END AS fingerprint
+        FROM fp
+    """,
+    # simhash64 = per-bit majority vote over FNV-1a hashes of lowercased
+    # tokens (Charikar) — unnest tokens × 64 bit positions, sum votes
+    "docs_simhash": """
+        WITH th AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(coalesce(text, ''), '\\S+'), tok ->
+                   list_reduce(
+                     list_prepend(14695981039346656037::HUGEINT,
+                       list_transform(range(1, length(tok)+1), i -> ascii(lower(tok)[i]))),
+                     (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                                  * 1099511628211::HUGEINT)
+                                 % 18446744073709551616::HUGEINT)) AS hs
+          FROM documents
+        ), votes AS (
+          SELECT t.doc_id, bits.bit,
+                 sum(CASE WHEN (u.h // CAST(power(2, bits.bit) AS HUGEINT)) % 2 = 1
+                          THEN 1 ELSE -1 END) AS s
+          FROM th t, unnest(t.hs) AS u(h), (SELECT unnest(range(64)) AS bit) bits
+          GROUP BY t.doc_id, bits.bit
+        ), sig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS HUGEINT)
+                          ELSE 0::HUGEINT END) AS h
+          FROM votes GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(
+                 CASE WHEN s.h >= 9223372036854775808::HUGEINT
+                      THEN (s.h - 18446744073709551616::HUGEINT)::BIGINT
+                      ELSE s.h::BIGINT END, 0) AS simhash
+        FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+    """,
     "embeddings_cosine_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a CROSS JOIN embeddings b

@@ -51,8 +51,10 @@ class FrontierShard:
         return len(entries)
 
     def add_arrow(self, tbl) -> int:
-        """Arrow-table variant: columns rank/seq/url/host/depth — the
-        driver ships a column slice, the shard builds its tuples."""
+        """Arrow-table variant: columns rank/seq/url/host/depth/sshard —
+        the driver ships a column slice, the shard builds its tuples.
+        ``sshard`` (the URL's seen-shard id) rides along so the wave
+        take returns it and mark_issued needs no driver-side re-hash."""
         return self.add(
             list(
                 zip(
@@ -61,6 +63,7 @@ class FrontierShard:
                     tbl.column("url").to_pylist(),
                     tbl.column("host").to_pylist(),
                     tbl.column("depth").to_pylist(),
+                    tbl.column("sshard").to_pylist(),
                 )
             )
         )
@@ -94,6 +97,37 @@ class FrontierShard:
             per_host[host] += 1
             out.append(e)
         return out
+
+    def peek_arrow(
+        self, limit: int, host_quota: int | None, host_offsets: dict | None = None
+    ):
+        """Arrow-table variant of peek — the wave take ships columns,
+        not 10^4 pickled tuples, and the driver merge stays numpy."""
+        import pyarrow as pa
+
+        out = self.peek(limit, host_quota, host_offsets)
+        if not out:
+            return pa.table(
+                {
+                    "rank": pa.array([], pa.float64()),
+                    "seq": pa.array([], pa.int64()),
+                    "url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "depth": pa.array([], pa.int32()),
+                    "sshard": pa.array([], pa.int32()),
+                }
+            )
+        rank, seq, url, host, depth, sshard = zip(*out)
+        return pa.table(
+            {
+                "rank": pa.array(rank, pa.float64()),
+                "seq": pa.array(seq, pa.int64()),
+                "url": pa.array(url, pa.string()),
+                "host": pa.array(host, pa.string()),
+                "depth": pa.array(depth, pa.int32()),
+                "sshard": pa.array(sshard, pa.int32()),
+            }
+        )
 
     def commit(self, seqs: list[int]) -> None:
         s = set(seqs)
@@ -139,27 +173,56 @@ def take_wave(
     Returns the taken entries as (seq, url, host, depth), in the
     deterministic global order (priority first, then discovered_seq).
     """
-    peeks = ray.get(
-        [f.peek.remote(budget, host_quota, host_offsets) for f in frontier_shards]
+    import numpy as np
+    import pyarrow as pa
+
+    tbls = ray.get(
+        [f.peek_arrow.remote(budget, host_quota, host_offsets) for f in frontier_shards]
     )
-    merged = sorted((e for p in peeks for e in p))  # (rank, seq, url, host, depth)
-    take = []
-    per_host: dict[str, int] = defaultdict(int)
-    for e in merged:
-        if len(take) >= budget:
-            break
-        host = e[3]
-        if host_quota is not None and per_host[host] >= host_quota:
-            continue
-        per_host[host] += 1
-        take.append(e)
-    by_shard: dict[int, list[int]] = defaultdict(list)
-    for _rank, seq, url, host, depth in take:
-        by_shard[owner_shard(host, len(frontier_shards), url, salt)].append(seq)
-    ray.get(
-        [frontier_shards[s].commit.remote(seqs) for s, seqs in by_shard.items()]
+    merged = pa.concat_tables(tbls)
+    if merged.num_rows == 0:
+        return []
+    # commit routing by PROVENANCE (which shard answered), not by
+    # re-hashing hosts on the driver
+    shard_ids = np.concatenate(
+        [np.full(t.num_rows, i, dtype=np.int32) for i, t in enumerate(tbls)]
     )
-    return [(seq, url, host, depth) for _rank, seq, url, host, depth in take]
+    rank = merged.column("rank").to_numpy()
+    seq = merged.column("seq").to_numpy()
+    order = np.lexsort((seq, rank))  # (rank, seq) — seq unique ⇒ total order
+    if host_quota is None:
+        sel = order[:budget]
+    else:  # politeness: greedy global per-host quota in (rank, seq) order
+        hosts = merged.column("host").to_pylist()
+        per_host: dict[str, int] = defaultdict(int)
+        sel_list: list[int] = []
+        for k in order:
+            if len(sel_list) >= budget:
+                break
+            h = hosts[k]
+            if per_host[h] >= host_quota:
+                continue
+            per_host[h] += 1
+            sel_list.append(int(k))
+        sel = np.asarray(sel_list, dtype=np.int64)
+    taken = merged.take(pa.array(sel))
+    taken_seq = seq[sel]
+    taken_shard = shard_ids[sel]
+    futs = []
+    for s in np.unique(taken_shard):
+        futs.append(
+            frontier_shards[int(s)].commit.remote(taken_seq[taken_shard == s].tolist())
+        )
+    ray.get(futs)
+    return list(
+        zip(
+            taken_seq.tolist(),
+            taken.column("url").to_pylist(),
+            taken.column("host").to_pylist(),
+            taken.column("depth").to_pylist(),
+            taken.column("sshard").to_pylist(),
+        )
+    )
 
 
 def owner_shard(host: str, num_shards: int, url: str = "", salt: int = 1) -> int:

@@ -36,6 +36,7 @@ class SeenShard:
         # distinguishes the reference's silent intake skip from the
         # counted duplicate, core/crawler.py:207 vs url_manager.py:209)
         self.seen: dict[str, bool] = {}
+        self.pending: dict[str, int] = {}  # in-wave buffered url → min order key
         self.bloom = BloomFilter(bloom_capacity)
         self.dup_count = 0
 
@@ -44,6 +45,47 @@ class SeenShard:
         The driver ships a zero-copy slice; the (parallel) shard pays the
         to_pylist conversion."""
         return self.admit(tbl.column("url").to_pylist(), tbl.column("order_key").to_pylist())
+
+    def buffer_candidates(self, tbl) -> None:
+        """Wave-overlapped admission, phase 1: candidates stream in per
+        completed worker chunk WHILE the wave is still running; the
+        shard tracks, per unseen URL, the smallest order key seen so
+        far (the deterministic winner — identical to admit()'s
+        first-occurrence-by-order rule, since min(key) is order-free).
+        Duplicate counting matches admit(): every occurrence of a
+        registered-but-unissued URL, and every repeat occurrence within
+        the wave buffer."""
+        urls = tbl.column("url").to_pylist()
+        keys = tbl.column("order_key").to_pylist()
+        pend = self.pending
+        for u, k in zip(urls, keys):
+            if u in self.seen:
+                if not self.seen[u]:
+                    self.dup_count += 1
+                continue
+            cur = pend.get(u)
+            if cur is None:
+                pend[u] = k
+            else:
+                self.dup_count += 1
+                if k < cur:
+                    pend[u] = k
+
+    def finalize_wave(self) -> list[int]:
+        """Wave-overlapped admission, phase 2 (at the wave barrier):
+        register the buffered winners and return their order keys —
+        order keys are globally unique, so the driver selects the
+        admitted candidate rows by key membership."""
+        pend = self.pending
+        if not pend:
+            return []
+        for u in pend:
+            self.seen[u] = False
+        fresh = [url_digest(u) for u in pend]
+        self.bloom.add_many(*digest_halves(fresh))
+        keys = list(pend.values())
+        self.pending = {}
+        return keys
 
     def admit(self, urls: list[str], order_keys: list) -> list[int]:
         """Register-if-absent, first occurrence by order key wins.
