@@ -150,6 +150,56 @@ def run_components(num_cpus: int) -> dict:
     if BENCH_COMPONENTS == "crawl":
         return {"timings": timings, "extras": extras}
 
+    # --- skewed-host crawl (north_rule hot-domain handling): the corpus
+    # hosts are Zipf(1.2)-skewed (hottest host = 29% of pages); this run
+    # bounds every host to a per-wave politeness quota and spreads each
+    # hot host's queue over salt=4 frontier sub-shards. Skew evidence
+    # (per-wave phase timings + taken-host concentration) lands in the
+    # JSON line.
+    ckpt_skew = "/tmp/crawler_seo_ray_cache/bench_ckpt_skew"
+    shutil.rmtree(ckpt_skew, ignore_errors=True)
+    t0 = time.perf_counter()
+    spec_skew = CrawlSpec(
+        n_pages=BENCH_CORPUS_N,
+        seeds=[datagen.url(i * 379 % BENCH_CORPUS_N) for i in range(BENCH_NUM_SEEDS)],
+        max_urls=BENCH_MAX_URLS,
+        batch_size=BENCH_BATCH,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+        politeness_per_wave=256,
+    )
+    cfg_skew = EngineConfig(
+        num_seen_shards=8,
+        num_frontier_shards=8,
+        num_workers=max(2, num_cpus - 2),
+        psnr_every=1,
+        frontier_salt=4,
+        checkpoint_dir=ckpt_skew,
+    )
+    res_skew = run_crawl(spec_skew, corpus, cfg_skew)
+    timings["crawl_skew"] = time.perf_counter() - t0
+    hosts = res_skew.audit.column("host").to_pylist()
+    from collections import Counter as _Counter
+
+    top_host, top_n = _Counter(hosts).most_common(1)[0]
+    # politeness caps each wave below the nominal budget — average the
+    # phases over the large (≥1000-URL) waves instead of exact-full ones
+    full = [
+        m for m in res_skew.wave_metrics
+        if m["issued"] >= 1000 and "t_workers" in m
+    ]
+    extras["skew"] = {
+        "salt": cfg_skew.frontier_salt,
+        "politeness_per_wave": spec_skew.politeness_per_wave,
+        "urls": res_skew.stats["visited"],
+        "urls_per_sec": round(res_skew.stats["visited"] / timings["crawl_skew"], 1),
+        "max_host_share": round(top_n / max(1, len(hosts)), 4),
+        "waves": res_skew.stats["waves"],
+        "avg_full_wave_phases": {
+            k: round(sum(m[k] for m in full) / len(full), 4)
+            for k in ("t_take", "t_issue", "t_workers", "t_admit")
+        } if full else {},
+    }
+
     # --- relational / text / similarity operators over $GRAFT_SF_DIR
     for name in (
         "lineitem_agg",
@@ -223,6 +273,8 @@ def main() -> None:
         "crawl_setup_sec": out["extras"]["crawl_setup_sec"],
         "crawl_urls": out["extras"]["crawl_urls"],
     }
+    if "skew" in out["extras"]:
+        line["skew"] = out["extras"]["skew"]
     print(json.dumps(line))
 
 
