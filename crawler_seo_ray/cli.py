@@ -151,7 +151,7 @@ def quick_analysis(
         checkpoint_dir=checkpoint,
     )
     res = run_crawl(spec, corpus, cfg, resume=resume)
-    final = finalize_audit(res.audit)
+    final = finalize_audit(res.audit).materialize()
     report_path = None
     if output:
         write_report(final, res.rejected, output)
@@ -161,6 +161,10 @@ def quick_analysis(
         df = df.sort_values("visit_seq", ignore_index=True)
     stats = dict(res.stats)
     stats["waves"] = res.stats.get("waves")
+    # the reference's consolidated end-of-run tree (main.py:465-545)
+    from .pipelines.report import final_stats_report
+
+    stats["final_report"] = final_stats_report(res, final)
     return report_path, df, stats
 
 

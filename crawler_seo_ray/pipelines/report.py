@@ -349,10 +349,15 @@ def summary(final: Dataset) -> dict:
         .aggregate(Count(alias_name="pages"))
         .to_pandas()
     )
-    totals["avg_score"] = float(score_stats["avg_score"]) if score_stats else None
-    totals["min_score"] = int(score_stats["min_score"]) if score_stats else None
-    totals["max_score"] = int(score_stats["max_score"]) if score_stats else None
-    totals["risk_breakdown"] = dict(zip(risk["risk_level"], risk["pages"].astype(int)))
+    has_scores = bool(score_stats) and score_stats.get("avg_score") is not None
+    totals["avg_score"] = float(score_stats["avg_score"]) if has_scores else None
+    totals["min_score"] = int(score_stats["min_score"]) if has_scores else None
+    totals["max_score"] = int(score_stats["max_score"]) if has_scores else None
+    totals["risk_breakdown"] = (
+        dict(zip(risk["risk_level"], risk["pages"].astype(int)))
+        if "risk_level" in risk.columns
+        else {}
+    )
     return totals
 
 
@@ -465,6 +470,93 @@ def hierarchy_problems_sheet(final: Dataset) -> Dataset:
         return pa.Table.from_pylist(out)
 
     return final.map_batches(project, batch_format="pyarrow")
+
+
+def final_stats_report(res, final: Dataset) -> dict:
+    """The reference's consolidated end-of-run statistics tree
+    (main.py:465-545 'FASE 3: ESTATÍSTICAS FINAIS INTEGRADAS'):
+    crawler / integrated-analysis / metatags / status / report
+    sections plus the filter breakdown, computed as narrow Dataset
+    aggregates over the finalized audit (no driver row loops)."""
+    from ray.data.aggregate import Count as _Count
+
+    s = summary(final)
+
+    def dup_key_count(col: str) -> int:
+        return (
+            final.filter(lambda r: bool(r["processed"]) and (r[col] or "") != "")
+            .groupby(col)
+            .aggregate(_Count(alias_name="n"))
+            .filter(lambda r: r["n"] > 1)
+            .count()
+        )
+
+    def status_indicators(batch: pa.Table) -> pa.Table:
+        ok = pc.equal(pc.fill_null(batch.column("status_code"), ""), "200")
+        red = pc.fill_null(batch.column("redirected"), False)
+        return pa.table(
+            {
+                "n_200": [pc.sum(pc.cast(ok, pa.int64())).as_py() or 0],
+                "n_redirect": [pc.sum(pc.cast(red, pa.int64())).as_py() or 0],
+            }
+        )
+
+    st = (
+        final.select_columns(["status_code", "redirected"])
+        .map_batches(status_indicators, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    rows = int(s.get("rows", 0) or 0)
+    processed = int(s.get("processed", 0) or 0)
+    n_200 = int(st.get("n_200", 0) or 0)
+    stats = dict(res.stats)
+    reject_counts = {}
+    if res.rejected.num_rows:
+        bd = filter_breakdown(res.rejected)
+        reject_counts = dict(
+            zip(bd.column("values").to_pylist(), bd.column("counts").to_pylist())
+        )
+    return {
+        "crawler": {
+            "urls_found": stats.get("total_found"),
+            "urls_processed": stats.get("visited"),
+            "urls_successful": n_200,
+            "urls_failed": rows - n_200,
+            "success_rate": round(100.0 * n_200 / rows, 1) if rows else 0.0,
+            "total_crawling_time": stats.get("setup_sec", 0) + stats.get("loop_sec", 0),
+            "waves": stats.get("waves"),
+            "duplicates_skipped": stats.get("total_duplicates"),
+            "frontier_remaining": stats.get("frontier_remaining"),
+        },
+        "integrated": {
+            "urls_processadas": processed,
+            "urls_com_erro": rows - processed,
+            "success_rate": round(100.0 * processed / rows, 1) if rows else 0.0,
+        },
+        "metatags": {
+            "total_duplicate_titles": dup_key_count("title"),
+            "total_duplicate_descriptions": dup_key_count("meta_description"),
+            "pages_title_duplicado": int(s.get("title_dups", 0) or 0),
+            "pages_description_duplicada": int(s.get("desc_dups", 0) or 0),
+        },
+        "status": {
+            "status_errors": rows - n_200,
+            "mixed_content_found": int(s.get("mixed_content_pages", 0) or 0),
+            "redirects_found": int(st.get("n_redirect", 0) or 0),
+        },
+        "report": {
+            "pages": processed,
+            "avg_score": s.get("avg_score"),
+            "min_score": s.get("min_score"),
+            "max_score": s.get("max_score"),
+            "critical_pages": int(s.get("with_critical", 0) or 0),
+            "heading_problem_pages": int(s.get("heading_problem_pages", 0) or 0),
+            "mixed_content_pages": int(s.get("mixed_content_pages", 0) or 0),
+            "risk_breakdown": s.get("risk_breakdown", {}),
+        },
+        "filters": reject_counts,
+    }
 
 
 def empty_headings_sheet(final: Dataset) -> Dataset:
