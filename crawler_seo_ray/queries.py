@@ -94,35 +94,64 @@ def _cents_to_dollars(batch: pa.Table, cents_col: str, out_col: str) -> pa.Table
 
 
 def lineitem_agg(sf_dir: str):
-    """G1/G4 analog — grouped aggregates with map-side partial combine.
-    l_quantity is whole-valued (exact double sums); l_extendedprice
-    carries cents, so its sum rides int64 cents (see _cents)."""
+    """G1/G4 analog — grouped aggregates with a FULL map-side combine:
+    6 output groups means per-block Arrow hash-aggregate partials plus
+    one tiny driver merge beat an all-to-all groupby shuffle outright
+    (the "pre-aggregate inside map_batches" scale pattern). l_quantity
+    is whole-valued (exact double sums); l_extendedprice rides int64
+    cents (_cents), so all sums are order-independent."""
+    from .util import collect_arrow
+
     ds = _pq(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"], blocks=16)
 
-    def to_cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "l_quantity": batch.column("l_quantity"),
+                "sum_qty": batch.column("l_quantity"),
                 "price_cents": _cents(batch.column("l_extendedprice")),
             }
         )
-
-    agg = (
-        ds.map_batches(to_cents, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="price_cents"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("sum_qty", "sum"), ("price_cents", "sum"), ([], "count_all")])
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "sum_qty", "price_cents", "n"]
+            )
         )
+
+    parts = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("sum_qty", pa.float64()),
+                ("price_cents", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
     )
-    return agg.map_batches(
-        lambda b: _cents_to_dollars(b, "price_cents", "sum_base_price"),
-        batch_format="pyarrow",
+    merged = (
+        parts.group_by(["l_returnflag", "l_linestatus"])
+        .aggregate([("sum_qty", "sum"), ("price_cents", "sum"), ("n", "sum")])
+        .rename_columns(["l_returnflag", "l_linestatus", "sum_qty", "price_cents", "n"])
+    )
+    return pa.table(
+        {
+            "l_returnflag": merged.column("l_returnflag"),
+            "l_linestatus": merged.column("l_linestatus"),
+            "sum_qty": merged.column("sum_qty"),
+            "sum_base_price": pc.divide(
+                pc.cast(merged.column("price_cents"), pa.float64()), 100.0
+            ),
+            "avg_qty": pc.divide(
+                merged.column("sum_qty"), pc.cast(merged.column("n"), pa.float64())
+            ),
+            "count_order": merged.column("n"),
+        }
     )
 
 
@@ -181,10 +210,17 @@ def events_hourly(sf_dir: str):
         .groupby(["user_id", "hour"])
         .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
     )
-    return agg.map_batches(
-        lambda b: _cents_to_dollars(b, "value_cents", "sum_value"),
-        batch_format="pyarrow",
-    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # the groupby narrows the hour key to timestamp[s]; restore the
+        # oracle's µs unit so pandas dtypes agree bit-for-bit
+        b = b.set_column(
+            b.schema.get_field_index("hour"), "hour",
+            pc.cast(b.column("hour"), pa.timestamp("us")),
+        )
+        return _cents_to_dollars(b, "value_cents", "sum_value")
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def events_sessionize(sf_dir: str):
@@ -266,45 +302,116 @@ def revenue_by_part_type(sf_dir: str):
     ride the exchange."""
     li = _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"], blocks=16)
 
-    def revenue(batch: pa.Table) -> pa.Table:
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        # pre-aggregate by the JOIN KEY inside the block (~30× row
+        # compression here) so the join exchange ships partials, not
+        # the raw fact table — the pre-aggregate-before-shuffle pattern
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return pa.table({"l_partkey": batch.column("l_partkey"), "rev_cents": _cents(rev)})
+        t = pa.table({"l_partkey": batch.column("l_partkey"), "rev_cents": _cents(rev)})
+        return (
+            t.group_by("l_partkey")
+            .aggregate([("rev_cents", "sum"), ([], "count_all")])
+            .rename_columns(["l_partkey", "rev_cents", "n"])
+        )
 
-    li = li.map_batches(revenue, batch_format="pyarrow")
+    li = li.map_batches(rev_partial, batch_format="pyarrow")
     part = _pq(sf_dir, "part", ["p_partkey", "p_type"])
     joined = li.join(part, "inner", 8, on=("l_partkey",), right_on=("p_partkey",))
-    agg = joined.groupby("p_type").aggregate(
-        Sum("rev_cents", alias_name="rev_cents"), Count(alias_name="n_items")
+
+    # p_type has ~6 values: finish with per-block partials + tiny merge
+    def type_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["p_type", "rev_cents", "n"])
+            .group_by("p_type")
+            .aggregate([("rev_cents", "sum"), ("n", "sum")])
+            .rename_columns(["p_type", "rev_cents", "n"])
+        )
+
+    from .util import collect_arrow
+
+    parts = collect_arrow(
+        joined.map_batches(type_partial, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("p_type", pa.string()), ("rev_cents", pa.int64()), ("n", pa.int64())]
+        ),
     )
-    return agg.map_batches(
-        lambda b: _cents_to_dollars(b, "rev_cents", "revenue"), batch_format="pyarrow"
+    merged = (
+        parts.group_by("p_type")
+        .aggregate([("rev_cents", "sum"), ("n", "sum")])
+        .rename_columns(["p_type", "rev_cents", "n"])
+    )
+    return pa.table(
+        {
+            "p_type": merged.column("p_type"),
+            "revenue": pc.divide(pc.cast(merged.column("rev_cents"), pa.float64()), 100.0),
+            "n_items": merged.column("n"),
+        }
     )
 
 
 def top_suppliers(sf_dir: str):
     """Join + grouped aggregate + deterministic top-k: the ten suppliers
     with the highest lineitem revenue."""
+    from .util import collect_arrow
+
     li = _pq(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"], blocks=16)
 
-    def revenue(batch: pa.Table) -> pa.Table:
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        # ~600× compression by the join key before the exchange
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return pa.table({"l_suppkey": batch.column("l_suppkey"), "rev_cents": _cents(rev)})
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"), "rev_cents": _cents(rev)})
+        return (
+            t.group_by("l_suppkey").aggregate([("rev_cents", "sum")])
+            .rename_columns(["l_suppkey", "rev_cents"])
+        )
 
-    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name"])
-    joined = li.map_batches(revenue, batch_format="pyarrow").join(
-        sup, "inner", 8, on=("l_suppkey",), right_on=("s_suppkey",)
+    # supplier is a classic tiny dimension (100–1000 rows): broadcast it
+    # (ray.put once, probe per batch) instead of an all-to-all shuffle
+    # join — the small-side-broadcast pattern
+    sup = {
+        r["s_suppkey"]: r["s_name"]
+        for r in _pq(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()
+    }
+    sup_ref = ray.put(sup)
+
+    def name_partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(sup_ref)
+        names = pa.array(
+            [lut.get(k) for k in batch.column("l_suppkey").to_pylist()], pa.string()
+        )
+        t = pa.table({"s_name": names, "rev_cents": batch.column("rev_cents")})
+        t = t.filter(pc.is_valid(t.column("s_name")))
+        return (
+            t.group_by("s_name").aggregate([("rev_cents", "sum")])
+            .rename_columns(["s_name", "rev_cents"])
+        )
+
+    parts = collect_arrow(
+        li.map_batches(rev_partial, batch_format="pyarrow").map_batches(
+            name_partial, batch_format="pyarrow"
+        ),
+        schema=pa.schema([("s_name", pa.string()), ("rev_cents", pa.int64())]),
     )
-    agg = joined.groupby("s_name").aggregate(Sum("rev_cents", alias_name="rev_cents"))
-    agg = agg.map_batches(
-        lambda b: _cents_to_dollars(b, "rev_cents", "revenue"), batch_format="pyarrow"
+    merged = (
+        parts.group_by("s_name").aggregate([("rev_cents", "sum")])
+        .rename_columns(["s_name", "rev_cents"])
     )
-    return agg.sort(["revenue", "s_name"], descending=[True, False]).limit(10)
+    out = pa.table(
+        {
+            "s_name": merged.column("s_name"),
+            "revenue": pc.divide(pc.cast(merged.column("rev_cents"), pa.float64()), 100.0),
+        }
+    )
+    order = pc.sort_indices(
+        out, sort_keys=[("revenue", "descending"), ("s_name", "ascending")]
+    )
+    return out.take(order[:10])
 
 
 def customer_per_region(sf_dir: str):
