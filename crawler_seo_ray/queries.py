@@ -156,9 +156,28 @@ def lineitem_agg(sf_dir: str):
 
 
 def orders_topk(sf_dir: str):
-    """K1 analog — global top-100 by price (deterministic tie-break)."""
-    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+    """K1 analog — global top-100 by price (deterministic tie-break) via
+    the distributed top-k pattern: each block emits its local top-100
+    (sorted Arrow take), the driver merges 16×100 candidate rows — no
+    global sort shuffle. (The full Dataset.sort K1 shape remains
+    demonstrated by report.score_ranking.)"""
+    from .util import collect_arrow
+
+    K = 100
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"], blocks=16)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        )
+        return batch.take(idx[:K])
+
+    parts = collect_arrow(ds.map_batches(local_topk, batch_format="pyarrow"))
+    idx = pc.sort_indices(
+        parts, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+    )
+    return parts.take(idx[:K])
 
 
 def docs_dedup_exact(sf_dir: str):
@@ -281,6 +300,91 @@ def events_props_extract(sf_dir: str):
         lambda b: _cents_to_dollars(b, "value_cents", "sum_value"),
         batch_format="pyarrow",
     )
+
+
+def events_hopping(sf_dir: str):
+    """Hopping-window aggregate (1h window, 30min hop): every event is
+    flat-mapped into its two covering windows, then a window-keyed
+    groupby — the standard stream hopping-window shape."""
+    HOP_US = 30 * 60 * 1_000_000
+
+    ds = _pq(sf_dir, "events", ["ts", "value"], blocks=16)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        b0 = pc.cast(
+            pc.floor_temporal(batch.column("ts"), multiple=30, unit="minute"),
+            pa.timestamp("us"),
+        )
+        b1 = pc.subtract(
+            pc.cast(b0, pa.int64()), pa.scalar(HOP_US, pa.int64())
+        ).cast(pa.timestamp("us"))
+        cents = _cents(batch.column("value"))
+        return pa.table(
+            {
+                "w_start": pa.concat_arrays(
+                    [b0.combine_chunks(), b1.combine_chunks()]
+                ),
+                "value_cents": pa.concat_arrays(
+                    [cents, cents] if isinstance(cents, pa.Array)
+                    else [cents.combine_chunks(), cents.combine_chunks()]
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("w_start")
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.set_column(
+            b.schema.get_field_index("w_start"), "w_start",
+            pc.cast(b.column("w_start"), pa.timestamp("us")),
+        )
+        return _cents_to_dollars(b, "value_cents", "sum_value")
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_top3_per_user(sf_dir: str):
+    """Per-group top-k (grouped window-rank): each user's three highest-
+    value events — groupby(key).map_groups with a deterministic
+    (value desc, event_id asc) tie-break."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "value"], blocks=16)
+
+    def top3(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("value", "descending"), ("event_id", "ascending")]
+        )
+        out = g.take(idx[:3])
+        return out.append_column(
+            "rk", pa.array(range(1, out.num_rows + 1), pa.int64())
+        )
+
+    return ds.groupby("user_id").map_groups(top3, batch_format="pyarrow")
+
+
+def docs_split(sf_dir: str):
+    """Deterministic train/val/test assignment by md5(doc_id) bucket —
+    the reproducible hash-split every training-data pipeline needs
+    (stable across any parallelism/partitioning)."""
+    import hashlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id"], blocks=8)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10 for i in ids
+        ]
+        split = pa.array(
+            ["train" if b < 8 else ("val" if b == 8 else "test") for b in buckets],
+            pa.string(),
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "split": split})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def events_anti_join(sf_dir: str):
@@ -453,6 +557,12 @@ def docs_token_stats(sf_dir: str):
             {
                 "doc_id": batch.column("doc_id"),
                 "n_tokens": n_tokens,
+                # BPE-ish sub-word segmentation count (letter runs /
+                # digit runs / punctuation runs), vectorized
+                "n_tokens_bpe": pc.cast(
+                    pc.count_substring_regex(txt, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"),
+                    pa.int64(),
+                ),
                 "n_chars_calc": pc.cast(pc.utf8_length(txt), pa.int64()),
                 "n_periods": pc.cast(pc.count_substring(txt, "."), pa.int64()),
                 "n_digits": pc.cast(
@@ -704,7 +814,10 @@ QUERIES = {
     "docs_dup_texts": docs_dup_texts,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_hopping": events_hopping,
+    "events_top3_per_user": events_top3_per_user,
     "events_props_extract": events_props_extract,
+    "docs_split": docs_split,
     "events_anti_join": events_anti_join,
     "revenue_by_part_type": revenue_by_part_type,
     "top_suppliers": top_suppliers,
@@ -780,6 +893,35 @@ ORACLE_SQL = {
                min(ts) AS session_start, max(ts) AS session_end
         FROM sess GROUP BY user_id, session_id
     """,
+    "events_hopping": """
+        WITH w AS (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value FROM events
+        ), e AS (
+          SELECT b AS w_start, value FROM w
+          UNION ALL
+          SELECT b - INTERVAL '30 minutes' AS w_start, value FROM w
+        )
+        SELECT w_start, count(*) AS n,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0 AS sum_value
+        FROM e GROUP BY w_start
+    """,
+    "events_top3_per_user": """
+        SELECT user_id, event_id, value, rk FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, event_id
+                 ) AS rk
+          FROM events) t
+        WHERE rk <= 3
+    """,
+    "docs_split": """
+        SELECT doc_id,
+               CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS b
+          FROM documents) t
+    """,
     "events_props_extract": """
         SELECT json_extract(props, '$.k')::BIGINT AS k,
                count(*) AS n,
@@ -819,6 +961,8 @@ ORACLE_SQL = {
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT
+                 AS n_tokens_bpe,
                length(text)::BIGINT AS n_chars_calc,
                (length(text) - length(replace(text, '.', '')))::BIGINT AS n_periods,
                length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digits
