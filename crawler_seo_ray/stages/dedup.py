@@ -136,6 +136,7 @@ def minhash_pipeline(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
     bucket_cap: int = 200,
+    components: str = "driver",
 ) -> dict:
     """MinHash+LSH near-dup detection. Returns
     {"pairs": pa.Table(id_a, id_b, jaccard), "groups": pa.Table(id, rep)}.
@@ -220,15 +221,20 @@ def minhash_pipeline(
     )
     verified = _sort_pairs(verified)
 
-    va = verified.column("id_a").to_pylist()
-    vb = verified.column("id_b").to_pylist()
-    groups = _connected_components(va, vb)
-    groups_tbl = pa.table(
-        {
-            "id": pa.array(list(groups.keys()), pa.int64()),
-            "rep": pa.array(list(groups.values()), pa.int64()),
-        }
-    )
+    if components == "distributed":
+        # cluster-scale path: iterative min-label propagation when even
+        # the verified-pair set outgrows driver memory
+        groups_tbl = connected_components_distributed(verified)
+    else:
+        va = verified.column("id_a").to_pylist()
+        vb = verified.column("id_b").to_pylist()
+        groups = _connected_components(va, vb)
+        groups_tbl = pa.table(
+            {
+                "id": pa.array(list(groups.keys()), pa.int64()),
+                "rep": pa.array(list(groups.values()), pa.int64()),
+            }
+        )
     return {"pairs": verified, "groups": groups_tbl}
 
 
@@ -240,6 +246,70 @@ def _sort_pairs(tbl: pa.Table) -> pa.Table:
     return tbl.take(
         pc.sort_indices(tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
     )
+
+
+def connected_components_distributed(
+    pairs: pa.Table | Dataset, max_iters: int = 25
+) -> pa.Table:
+    """Distributed connected components over a verified-pair edge table
+    via iterative MIN-LABEL PROPAGATION — the cluster-scale path for
+    component labeling when the pair set itself exceeds driver memory
+    (the driver union-find in _connected_components is output-sized and
+    fine below that).
+
+    Each round every vertex takes the min label among itself and its
+    neighbors (one join edges⋈labels + one groupby-min); convergence in
+    O(component diameter) rounds, detected by the monotone global label
+    sum. Returns Table(id, rep) with rep = component min id.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    tbl = pairs if isinstance(pairs, pa.Table) else collect_arrow(pairs)
+    if tbl.num_rows == 0:
+        return pa.table({"id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})
+    # both edge directions, narrow (src, dst) int64 columns
+    edges_tbl = pa.table(
+        {
+            "src": pa.concat_arrays(
+                [tbl.column("id_a").combine_chunks(), tbl.column("id_b").combine_chunks()]
+            ).cast(pa.int64()),
+            "dst": pa.concat_arrays(
+                [tbl.column("id_b").combine_chunks(), tbl.column("id_a").combine_chunks()]
+            ).cast(pa.int64()),
+        }
+    )
+    edges = rd.from_arrow(edges_tbl)
+    ids = pc.unique(
+        pa.concat_arrays(
+            [edges_tbl.column("src").combine_chunks(), edges_tbl.column("dst").combine_chunks()]
+        )
+    )
+    labels = rd.from_arrow(pa.table({"id": ids, "label": ids}))
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor messages: edge (src,dst) ships src's current label to dst
+        msgs = edges.join(
+            labels, "inner", 4, on=("src",), right_on=("id",)
+        ).map_batches(
+            lambda b: pa.table({"id": b.column("dst"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("id")
+            .aggregate(_Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.aggregate(_Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    out = collect_arrow(labels)
+    out = out.rename_columns(["id", "rep"])
+    return out.take(pc.sort_indices(out.column("id")))
 
 
 def _connected_components(a: list, b: list) -> dict:

@@ -126,6 +126,29 @@ def test_knn_ivf_recall():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_distributed_components_equal_union_find():
+    """Min-label propagation (the cluster-scale component labeling)
+    must agree with the driver union-find — including a chain long
+    enough to need several propagation rounds."""
+    import pyarrow as pa
+
+    from crawler_seo_ray.stages.dedup import (
+        _connected_components,
+        connected_components_distributed,
+    )
+
+    # chain 1-2-3-4-5-6, triangle 10-11-12, isolated pair 20-21
+    a = [1, 2, 3, 4, 5, 10, 11, 10, 20]
+    b = [2, 3, 4, 5, 6, 11, 12, 12, 21]
+    pairs = pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+    dist = connected_components_distributed(pairs)
+    uf = _connected_components(a, b)
+    got = dict(zip(dist.column("id").to_pylist(), dist.column("rep").to_pylist()))
+    assert got == uf
+    assert set(got.values()) == {1, 10, 20}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_image_stats_and_resize(small_corpus):
     import glob
 
