@@ -732,6 +732,133 @@ def embeddings_knn_ivf(sf_dir: str):
     return knn_ivf(ds, "embedding", "vec_id", queries, k=5, nlist=32, nprobe=3)
 
 
+def events_asof_order(sf_dir: str):
+    """Backward as-of join (temporal): each event picks the user's most
+    recent order at event time — union-tag + one co-partition by key +
+    in-group vectorized searchsorted (stages/joins.asof_join). The
+    LATERAL oracle mirrors the (o_orderdate, o_orderkey) max tie-break."""
+    from .stages.joins import asof_join
+
+    events = _pq(sf_dir, "events", ["event_id", "user_id", "ts"], blocks=8)
+    orders = _pq(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"], blocks=8
+    ).map_batches(
+        lambda b: b.rename_columns(["user_id", "o_orderkey", "o_orderdate", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    return asof_join(
+        events, orders,
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"], right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+
+PRICE_BAND_EDGES = [0.0, 50_000.0, 100_000.0, 200_000.0, 300_000.0, 1_000_000.0]
+PRICE_BAND_LABELS = ["b1_lt50k", "b2_50_100k", "b3_100_200k", "b4_200_300k", "b5_ge300k"]
+
+
+def orders_price_band(sf_dir: str):
+    """Static range join (banded): orders labeled against a constant
+    band table via broadcast searchsorted (stages/joins.band_by_edges)
+    — zero shuffle — then a map-side-combined grouped aggregate.
+    Totals ride int64 cents (_cents) for order-independent sums."""
+    from .stages.joins import band_by_edges
+    from .util import collect_arrow
+
+    ds = band_by_edges(
+        _pq(sf_dir, "orders", ["o_totalprice"], blocks=8),
+        "o_totalprice", PRICE_BAND_EDGES, PRICE_BAND_LABELS,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"band": b.column("band"), "cents": _cents(b.column("o_totalprice"))}
+        )
+        return (
+            t.group_by(["band"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+            .rename_columns(["band", "n_orders", "cents"])
+        )
+
+    parts = collect_arrow(ds.map_batches(partial, batch_format="pyarrow"))
+    merged = (
+        parts.group_by(["band"])
+        .aggregate([("n_orders", "sum"), ("cents", "sum")])
+        .rename_columns(["band", "n_orders", "cents"])
+    )
+    merged = _cents_to_dollars(merged, "cents", "total_price")
+    return merged.take(pc.sort_indices(merged, sort_keys=[("band", "ascending")]))
+
+
+def events_running_total(sf_dir: str):
+    """Cumulative window: per-user running sum of event value ordered
+    by (ts, event_id) — groupby(key).map_groups with an in-group sort +
+    int64-cents cumsum (exact regardless of accumulation order)."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"], blocks=16)
+
+    def running(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = g.take(idx)
+        cents = _cents(g.column("value")).to_numpy()
+        run = np.cumsum(cents)
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_id": g.column("event_id"),
+                "ts": pc.cast(g.column("ts"), pa.timestamp("us")),
+                "running_value": pa.array(run.astype(np.float64) / 100.0, pa.float64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
+
+
+def docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: ~20 % of documents per stratum
+    via a multiplicative hash on doc_id (Knuth constant) — a pure
+    filter, no shuffle, identical expression in the oracle. Never
+    Python hash() (process-salted)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"], blocks=8)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        h = (d * 2654435761) % 4294967296
+        return b.filter(pa.array(h % 5 == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def lineitem_price_quantiles(sf_dir: str):
+    """Exact grouped discrete quantiles WITHOUT a distributed sort:
+    iterative histogram refinement over int64 cents (stages/quantile) —
+    3–4 streaming scans with O(groups×bins) partials, matching DuckDB's
+    quantile_disc (rank = ceil(q·n)) bit-for-bit."""
+    from .stages.quantile import grouped_quantile_disc
+
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"], blocks=16).map_batches(
+        lambda b: pa.table(
+            {"l_returnflag": b.column("l_returnflag"), "cents": _cents(b.column("l_extendedprice"))}
+        ),
+        batch_format="pyarrow",
+    )
+    t = grouped_quantile_disc(ds, "l_returnflag", "cents", [0.25, 0.5, 0.75, 0.95])
+    cols = {"l_returnflag": t.column("l_returnflag")}
+    for q in ("q25", "q50", "q75", "q95"):
+        cols[q] = pc.divide(pc.cast(t.column(q), pa.float64()), 100.0)
+    return pa.table(cols)
+
+
+def events_approx_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch per event type (stages/sketch)
+    — deterministic splitmix64 registers, max-merged map-side; rows-only
+    (DuckDB's approx_count_distinct is a different HLL), error bound
+    asserted in tests."""
+    from .stages.sketch import grouped_hll
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"], blocks=8)
+    return grouped_hll(ds, "event_type", "user_id", p=12)
+
+
 def crawl_visit_order(sf_dir: str):
     """The flagship crawl's deterministic visit order (north_rule)."""
     from .oracle import CrawlSpec
@@ -834,6 +961,12 @@ QUERIES = {
     "docs_simhash_dups": docs_simhash_dups,
     "docs_minhash_dups": docs_minhash_dups,
     "embeddings_knn_ivf": embeddings_knn_ivf,
+    "events_asof_order": events_asof_order,
+    "orders_price_band": orders_price_band,
+    "events_running_total": events_running_total,
+    "docs_stratified_sample": docs_stratified_sample,
+    "lineitem_price_quantiles": lineitem_price_quantiles,
+    "events_approx_users": events_approx_users,
     "crawl_visit_order": crawl_visit_order,
     "crawl_visit_order_weighted": crawl_visit_order_weighted,
     "crawl_audit_scores": crawl_audit_scores,
@@ -1168,5 +1301,49 @@ ORACLE_SQL = {
         FROM embeddings a CROSS JOIN embeddings b
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+    # backward as-of join; DESC/DESC LIMIT 1 mirrors the engine's
+    # (right_ts, o_orderkey) ascending-sort searchsorted tie-break
+    "events_asof_order": """
+        SELECT e.user_id, e.ts, e.event_id, o.o_orderkey, o.o_totalprice
+        FROM events e LEFT JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+        ) o ON TRUE
+    """,
+    "orders_price_band": """
+        WITH bands(band, lo, hi) AS (VALUES
+          ('b1_lt50k',        0.0,    50000.0),
+          ('b2_50_100k',  50000.0,   100000.0),
+          ('b3_100_200k', 100000.0,  200000.0),
+          ('b4_200_300k', 200000.0,  300000.0),
+          ('b5_ge300k',   300000.0, 1000000.0))
+        SELECT b.band, count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0
+                 AS total_price
+        FROM orders o JOIN bands b
+          ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band ORDER BY b.band
+    """,
+    "events_running_total": """
+        SELECT user_id, event_id, ts,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+                 AS running_value
+        FROM events
+    """,
+    "docs_stratified_sample": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE ((doc_id * 2654435761) % 4294967296) % 5 = 0
+    """,
+    "lineitem_price_quantiles": """
+        SELECT l_returnflag,
+               quantile_disc(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.25)::DOUBLE / 100.0 AS q25,
+               quantile_disc(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.50)::DOUBLE / 100.0 AS q50,
+               quantile_disc(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.75)::DOUBLE / 100.0 AS q75,
+               quantile_disc(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT), 0.95)::DOUBLE / 100.0 AS q95
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }

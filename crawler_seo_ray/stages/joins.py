@@ -1,0 +1,155 @@
+"""Temporal / range join operators Ray Data lacks natively.
+
+``asof_join`` — backward as-of join (each left row picks the latest
+right row with right_ts <= left_ts for the same key), expressed as the
+union-tag + co-partition pattern: both sides are projected to one
+aligned narrow schema, unioned, hash-partitioned ONCE by key through
+``groupby(key).map_groups``, and merged inside the group with a
+vectorized ``np.searchsorted`` — no driver-side state, one shuffle.
+Partitioning assumption: a single key's rows fit in one worker's heap
+(same assumption as any per-key window; salt hot keys upstream if not).
+
+``band_by_edges`` — static range join against a tiny sorted band table
+(the broadcast-small-side pattern): the band edges ride the closure
+(constant-size), each batch is labeled with one ``np.searchsorted`` —
+a pure map, no shuffle at any scale.
+
+Reference parity: the reference has no temporal joins (its Excel report
+joins are equality joins, reports/excel_generator.py); these extend the
+engine for training-data pipelines (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> Dataset:
+    """Backward as-of LEFT join. Every left row is kept; ``right_cols``
+    are taken from the latest right row with ``right_ts <= left_ts`` for
+    the same ``key`` (null when no such row). Ties on ``right_ts`` break
+    to the row greatest under (right_ts, *right_cols) ascending sort —
+    deterministic, mirrored in the paired LATERAL oracle.
+
+    Timestamps are compared as int64 microseconds; ``left_ts`` is
+    emitted back as timestamp[us] so value hashes are stable.
+    """
+    l_schema_cols = [key, left_ts, *left_cols]
+    r_schema_cols = [key, right_ts, *right_cols]
+
+    l_arrow = left.schema()
+    l_types = dict(zip(l_arrow.names, l_arrow.types))
+    r_arrow = right.schema()
+    r_types = dict(zip(r_arrow.names, r_arrow.types))
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {
+            key: pc.cast(b.column(key), pa.int64()),
+            "__ts": pc.cast(pc.cast(b.column(left_ts), pa.timestamp("us")), pa.int64()),
+            "__side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        }
+        for c in left_cols:
+            cols[c] = b.column(c)
+        for c in right_cols:
+            cols[c] = pa.nulls(b.num_rows, r_types[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {
+            key: pc.cast(b.column(key), pa.int64()),
+            "__ts": pc.cast(pc.cast(b.column(right_ts), pa.timestamp("us")), pa.int64()),
+            "__side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(b.num_rows, l_types[c])
+        for c in right_cols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    tagged = (
+        left.select_columns(l_schema_cols)
+        .map_batches(tag_left, batch_format="pyarrow")
+        .union(
+            right.select_columns(r_schema_cols).map_batches(tag_right, batch_format="pyarrow")
+        )
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lmask, rmask = side == 1, side == 0
+        lt = g.filter(pa.array(lmask))
+        if lt.num_rows == 0:
+            return _empty_out(g, key, left_ts, left_cols, right_cols)
+        rt = g.filter(pa.array(rmask))
+        out = {
+            key: lt.column(key),
+            left_ts: pc.cast(lt.column("__ts"), pa.timestamp("us")),
+        }
+        for c in left_cols:
+            out[c] = lt.column(c)
+        if rt.num_rows == 0:
+            for c in right_cols:
+                out[c] = pa.nulls(lt.num_rows, g.schema.field(c).type)
+            return pa.table(out)
+        # sort right ascending by (ts, *right_cols): searchsorted(side
+        # ='right')-1 then lands on the max-tiebreak row among equal ts
+        rt = rt.take(
+            pc.sort_indices(rt, sort_keys=[("__ts", "ascending")] + [(c, "ascending") for c in right_cols])
+        )
+        rts = rt.column("__ts").to_numpy()
+        idx = np.searchsorted(rts, lt.column("__ts").to_numpy(), side="right") - 1
+        matched = idx >= 0
+        take_idx = pa.array(
+            np.where(matched, idx, 0), pa.int64(), mask=~matched
+        )  # null index -> null value
+        for c in right_cols:
+            out[c] = rt.column(c).take(take_idx)
+        return pa.table(out)
+
+    return tagged.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+def _empty_out(g: pa.Table, key, left_ts, left_cols, right_cols) -> pa.Table:
+    fields = [
+        pa.field(key, pa.int64()),
+        pa.field(left_ts, pa.timestamp("us")),
+        *[g.schema.field(c) for c in left_cols],
+        *[g.schema.field(c) for c in right_cols],
+    ]
+    return pa.schema(fields).empty_table()
+
+
+def band_by_edges(
+    ds: Dataset, col: str, edges: list[float], labels: list[str], out_col: str = "band"
+) -> Dataset:
+    """Label each row with the half-open band [edges[i], edges[i+1])
+    its ``col`` value falls in (``labels[i]``); values below edges[0]
+    or >= edges[-1] get a null label. len(labels) == len(edges) - 1.
+
+    The band table is constant-size and rides the task closure — the
+    broadcast-small-side range join; zero shuffle.
+    """
+    e = np.asarray(edges, dtype=np.float64)
+    if len(labels) != len(e) - 1:
+        raise ValueError("labels must be one shorter than edges")
+    lab = pa.array(labels, pa.string())
+
+    def apply(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(e, v, side="right") - 1
+        ok = (idx >= 0) & (idx < len(labels)) & ~np.isnan(v)
+        band = lab.take(pa.array(np.where(ok, idx, 0), pa.int64(), mask=~ok))
+        return b.append_column(out_col, band)
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -1,0 +1,116 @@
+"""Distributed cardinality sketch (HyperLogLog).
+
+``grouped_hll`` estimates distinct-count per group with the classic
+HyperLogLog register array (Flajolet et al. 2007) over a deterministic
+splitmix64 hash — per-block register partials (O(groups × 2^p) bytes)
+merged by element-wise max, so the combine is associative/commutative
+and shuffle-free: the per-block partial IS the map-side combine, the
+driver merge is tiny. 2^p registers at p=12 gives ~1.6 % standard
+error regardless of input size — the scale path for "how many distinct
+users/URLs" over 10^10 rows where an exact groupby-distinct would
+shuffle every key.
+
+Deterministic by construction (fixed hash, max-merge), so results are
+reproducible across runs/cluster sizes — but NOT SQL-pairable (DuckDB's
+approx_count_distinct uses its own HLL); tests bound the error vs the
+exact count instead.
+
+The reference has no sketches; this extends the engine for
+training-data dedup/coverage accounting (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..util import collect_arrow
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public-domain splitmix64 finalizer) —
+    never Python hash() (process-salted, memory: ray-graft landmines)."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hll_registers(keys: np.ndarray, p: int) -> np.ndarray:
+    """HLL register array (uint8[2^p]) for one group's int64 keys."""
+    m = 1 << p
+    h = splitmix64(keys)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # top 64-p bits shifted up
+    # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest==0)
+    lz = np.full(len(h), 64 - p, dtype=np.uint8)
+    mask = rest != 0
+    if mask.any():
+        # float log2 is exact for counting leading zeros of a uint64's
+        # top bits only below 2^53 — use a bit-halving loop instead
+        r = rest[mask]
+        n = np.zeros(len(r), dtype=np.uint8)
+        for shift in (32, 16, 8, 4, 2, 1):
+            s = np.uint64(shift)
+            high_zero = r < (np.uint64(1) << np.uint64(64 - shift))
+            n[high_zero] += np.uint8(shift)
+            r = np.where(high_zero, r << s, r)
+        lz[mask] = n
+    ranks = lz + 1
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, ranks)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def grouped_hll(ds: Dataset, key: str, value: str, p: int = 12) -> pa.Table:
+    """Approximate distinct ``value`` (int64) per ``key``. Returns a
+    small driver table (key, approx_distinct:int64) sorted by key."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        gcol = b.column(key)
+        v = b.column(value).to_numpy(zero_copy_only=False).astype(np.int64)
+        garr = gcol.to_numpy(zero_copy_only=False)
+        keys_out, regs_out = [], []
+        for g in np.unique(garr):
+            regs = _hll_registers(v[garr == g], p)
+            keys_out.append(g)
+            regs_out.append(regs.tobytes())
+        return pa.table(
+            {key: pa.array(keys_out, gcol.type), "regs": pa.array(regs_out, pa.binary())}
+        )
+
+    parts = collect_arrow(
+        ds.select_columns([key, value]).map_batches(partial, batch_format="pyarrow")
+    )
+    merged: dict = {}
+    for g, blob in zip(parts.column(key).to_pylist(), parts.column("regs").to_pylist()):
+        regs = np.frombuffer(blob, dtype=np.uint8)
+        if g in merged:
+            merged[g] = np.maximum(merged[g], regs)
+        else:
+            merged[g] = regs.copy()
+    ks = sorted(merged)
+    out = pa.table(
+        {
+            key: pa.array(ks, parts.column(key).type if parts.num_rows else pa.string()),
+            "approx_distinct": pa.array(
+                [int(round(_hll_estimate(merged[k]))) for k in ks], pa.int64()
+            ),
+        }
+    )
+    return out

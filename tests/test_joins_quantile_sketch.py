@@ -1,0 +1,117 @@
+"""Unit semantics for the temporal/range join, streaming exact
+quantile, and HLL sketch stages (the SQL-pair conformance at sf0.001
+lives in test_queries.py; these pin edge cases and conventions)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _tbl_to_rows(tbl):
+    return sorted(map(tuple, zip(*[c.to_pylist() for c in tbl.columns])))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_semantics():
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.joins import asof_join
+    from crawler_seo_ray.util import collect_arrow
+
+    ts = pa.timestamp("us")
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], pa.int64()),
+                "t": pa.array([100, 5, 50, 10], ts),
+                "lid": pa.array([10, 11, 12, 13], pa.int64()),
+            }
+        )
+    )
+    # key 1: rows at ts 10 and two ties at ts 40 (rid 7 wins: max tiebreak)
+    # key 2: only row AFTER the left ts (no match); key 9: right-only
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 9], pa.int64()),
+                "rt": pa.array([10, 40, 40, 60, 1], ts),
+                "rid": pa.array([5, 6, 7, 8, 9], pa.int64()),
+            }
+        )
+    )
+    out = collect_arrow(
+        asof_join(left, right, key="k", left_ts="t", right_ts="rt",
+                  left_cols=["lid"], right_cols=["rid"])
+    )
+    got = {r[2]: r[3] for r in zip(*[c.to_pylist() for c in out.columns])}  # lid -> rid
+    assert out.column_names == ["k", "t", "lid", "rid"]
+    assert out.schema.field("t").type == ts
+    assert got == {10: 7, 11: None, 12: None, 13: None}
+    assert out.num_rows == 4  # every left row kept, right-only key dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_band_by_edges_bounds():
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.joins import band_by_edges
+    from crawler_seo_ray.util import collect_arrow
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([-1.0, 0.0, 9.9, 10.0, 25.0, 30.0], pa.float64())}))
+    out = collect_arrow(band_by_edges(ds, "v", [0.0, 10.0, 30.0], ["lo", "hi"]))
+    by_v = dict(zip(out.column("v").to_pylist(), out.column("band").to_pylist()))
+    assert by_v == {-1.0: None, 0.0: "lo", 9.9: "lo", 10.0: "hi", 25.0: "hi", 30.0: None}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantile_matches_sorted_rank():
+    """Histogram refinement must equal the direct sorted-rank pick
+    (DuckDB quantile_disc convention: 1-based rank ceil(q*n)) — wide
+    value range forces at least two refinement passes."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.quantile import grouped_quantile_disc
+
+    rng = np.random.RandomState(7)
+    gs, vs = [], []
+    for g, n in (("a", 1000), ("b", 37), ("c", 1)):
+        gs += [g] * n
+        vs += rng.randint(-(10**9), 10**9, size=n).tolist()
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(gs), "v": pa.array(vs, pa.int64())})
+    ).repartition(5)
+    qs = [0.25, 0.5, 0.75, 0.95]
+    out = grouped_quantile_disc(ds, "g", "v", qs)
+    arr = np.array(vs)
+    garr = np.array(gs)
+    for i, g in enumerate(out.column("g").to_pylist()):
+        sv = np.sort(arr[garr == g])
+        for q in qs:
+            want = int(sv[int(np.ceil(q * len(sv))) - 1])
+            gotv = out.column(f"q{int(round(q*100))}")[i].as_py()
+            assert gotv == want, (g, q, gotv, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_error_bound_and_determinism():
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.sketch import grouped_hll
+
+    rng = np.random.RandomState(3)
+    rows_g, rows_v = [], []
+    truth = {"big": 5000, "small": 100, "one": 1}
+    for g, n in truth.items():
+        ids = rng.randint(0, 10**12, size=n)
+        for _ in range(2):  # duplicates must not inflate the estimate
+            rows_g += [g] * n
+            rows_v += ids.tolist()
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(rows_g), "v": pa.array(rows_v, pa.int64())})
+    ).repartition(7)
+    t1 = grouped_hll(ds, "g", "v", p=12)
+    t2 = grouped_hll(ds, "g", "v", p=12)
+    assert t1.equals(t2)  # deterministic hash + max-merge
+    est = dict(zip(t1.column("g").to_pylist(), t1.column("approx_distinct").to_pylist()))
+    for g, n in truth.items():
+        assert abs(est[g] - n) <= max(2, 0.05 * n), (g, est[g], n)

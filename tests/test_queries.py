@@ -88,6 +88,9 @@ def test_rows_only_queries_run(registry):
         "corpus_image_stats": lambda df: len(df) == 300 and df["decode_ok"].all(),
         "corpus_resize": lambda df: len(df) == 300 and (df["w"] == 32).all(),
         "corpus_phash_dups": lambda df: {"id_a", "id_b", "hamming"} <= set(df.columns),
+        "events_approx_users": lambda df: {"event_type", "approx_distinct"}
+        <= set(df.columns)
+        and (df["approx_distinct"] > 0).all(),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
