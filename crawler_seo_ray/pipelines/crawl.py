@@ -549,6 +549,14 @@ class _Engine:
     ) -> None:
         write_table(admitted, os.path.join(wave_dir, "admitted.parquet"))
         write_table(rejects, os.path.join(wave_dir, "rejects.parquet"))
+        # compact this wave's per-chunk audit files into one before the
+        # commit marker: the straggler-sized chunks (2×workers/wave) are
+        # the right SCHEDULING unit but a terrible FILE unit — hundreds
+        # of ~50-row parquet files per run made every downstream read
+        # (result(), resume, report) metadata-bound. Runs on the
+        # background commit thread (barrier-idle driver cycles); a crash
+        # mid-merge leaves an uncommitted wave that resume() re-runs.
+        _merge_wave_audit(wave_dir)
         # state.json is the commit marker — written last, atomically
         self._write_state(
             os.path.join(wave_dir, "state.json"), metrics, snapshot, stats_futs
@@ -730,16 +738,26 @@ class _Engine:
 
     def result(self) -> CrawlResult:
         self._join_commit()  # the last wave's background commit must land
+        # launch the shard snapshots FIRST so the actors serialize their
+        # state while the driver reads audit chunks (overlapped, not
+        # sequential — result() was ~40% of the skew-bench wall)
+        snap_futs = [s.snapshot.remote() for s in self.seen]
         if self.cfg.checkpoint_dir:
             # workers wrote audit chunks straight to the checkpoint;
             # read back (test/bench scale — at cluster scale consumers
             # use audit_dataset_from_checkpoint and never materialize)
             paths = committed_audit_paths(self.cfg.checkpoint_dir)
             if paths:
+                from concurrent.futures import ThreadPoolExecutor
+
                 import pyarrow.compute as pc
                 import pyarrow.parquet as pq
 
-                audit = pa.concat_tables([pq.read_table(p) for p in paths])
+                # pq.read_table releases the GIL — threads turn ~200
+                # serial chunk reads into a parallel scan
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    tables = list(pool.map(pq.read_table, paths))
+                audit = pa.concat_tables(tables)
                 audit = audit.take(pc.sort_indices(audit.column("visit_seq")))
             else:
                 audit = AUDIT_SCHEMA.empty_table()
@@ -757,7 +775,7 @@ class _Engine:
             if self.admitted_tables
             else ADMITTED_SCHEMA.empty_table()
         )
-        seen_snap = ray.get([s.snapshot.remote() for s in self.seen])
+        seen_snap = ray.get(snap_futs)
         seen = set()
         for urls, _flags in seen_snap:
             seen.update(urls)
@@ -794,32 +812,44 @@ def committed_audit_paths(checkpoint_dir: str) -> list[str]:
     return paths
 
 
+def _merge_wave_audit(wave_dir: str) -> int:
+    """Merge one wave's audit-NNN.parquet chunks into audit-merged
+    (sorted by visit_seq), then remove the chunks. The merged file is
+    published atomically (write_table tmp+rename) before any chunk is
+    removed, and readers glob ``audit*.parquet`` either way. Returns
+    the number of chunk files removed."""
+    import glob
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    chunks = sorted(glob.glob(os.path.join(wave_dir, "audit-[0-9]*.parquet")))
+    if len(chunks) <= 1:
+        return 0
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        merged = pa.concat_tables(pool.map(pq.read_table, chunks))
+    merged = merged.take(pc.sort_indices(merged.column("visit_seq")))
+    write_table(merged, os.path.join(wave_dir, "audit-merged.parquet"))
+    for p in chunks:
+        os.remove(p)
+    return len(chunks)
+
+
 def compact_checkpoint(checkpoint_dir: str) -> int:
     """Merge each committed wave's per-worker audit chunk files into one
     consolidated file (small-file compaction — at cluster scale a
-    periodic background task over old waves). Safe w.r.t. resume: the
-    merged file is published atomically before the chunks are removed,
-    and readers glob ``audit*.parquet`` either way. Returns the number
-    of files removed."""
+    periodic background task over old waves; the engine also compacts
+    each wave inline on the background commit thread). Returns the
+    number of files removed."""
     import glob
-
-    import pyarrow.parquet as pq
 
     removed = 0
     for wave_dir in sorted(glob.glob(os.path.join(checkpoint_dir, "waves", "wave=*"))):
         if not os.path.exists(os.path.join(wave_dir, "state.json")):
             continue  # uncommitted wave: leave untouched
-        chunks = sorted(glob.glob(os.path.join(wave_dir, "audit-*.parquet")))
-        if len(chunks) <= 1:
-            continue
-        merged = pa.concat_tables([pq.read_table(p) for p in chunks])
-        import pyarrow.compute as pc
-
-        merged = merged.take(pc.sort_indices(merged.column("visit_seq")))
-        write_table(merged, os.path.join(wave_dir, "audit-merged.parquet"))
-        for p in chunks:
-            os.remove(p)
-            removed += 1
+        removed += _merge_wave_audit(wave_dir)
     return removed
 
 

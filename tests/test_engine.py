@@ -240,8 +240,17 @@ def test_compaction_preserves_resume_and_reads(small_corpus, tmp_path):
     ck = str(tmp_path / "ck")
     cfg = EngineConfig(num_workers=3, checkpoint_dir=ck)
     run_crawl(spec, corpus_dir, cfg, stop_after_wave=3)
+    # the background commit thread compacts each wave inline now — the
+    # explicit pass finds nothing left to merge, and every committed
+    # wave holds exactly one audit file
+    import glob
+    import os
+
     removed = compact_checkpoint(ck)
-    assert removed > 0
+    assert removed == 0
+    for d in glob.glob(os.path.join(ck, "waves", "wave=*")):
+        if os.path.exists(os.path.join(d, "state.json")):
+            assert len(glob.glob(os.path.join(d, "audit*.parquet"))) <= 1
     resumed = run_crawl(spec, corpus_dir, cfg, resume=True)
     assert resumed.audit.column("url").to_pylist() == full.audit.column("url").to_pylist()
     # compacted + fresh chunks both readable
