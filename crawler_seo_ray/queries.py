@@ -848,6 +848,73 @@ def lineitem_price_quantiles(sf_dir: str):
     return pa.table(cols)
 
 
+def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
+    """TF-IDF top-k terms per document — flat tokenize → per-block
+    (doc, term, tf) counts (map-side combine: within a block each doc
+    is whole, so tf is final) → distributed DF groupby-sum (narrow,
+    term-keyed) → broadcast the DF map (ray.put once; vocabulary ≪
+    corpus — the documented small-side seam; at open-web vocab scale DF
+    would join on term instead) → per-doc top-k rank.
+
+    Output is all-integer (tf, df, rk) — ranking uses tf/df as an IEEE
+    double division (bit-identical in DuckDB and numpy), tie-broken by
+    term ascending, so no float column ever reaches the value hash."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for did, txt in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            counts: dict = {}
+            for t in (txt or "").split():
+                counts[t] = counts.get(t, 0) + 1
+            ids.extend([did] * len(counts))
+            terms.extend(counts.keys())
+            tfs.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    toks = ds.map_batches(term_counts, batch_format="pyarrow").materialize()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("term").aggregate([([], "count_all")]).rename_columns(["term", "df"])
+        )
+
+    df_tbl = collect_arrow(
+        toks.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(_Sum("df", alias_name="df"))
+    )
+    df_ref = ray.put(dict(zip(df_tbl.column("term").to_pylist(), df_tbl.column("df").to_pylist())))
+
+    def topk(g: pa.Table) -> pa.Table:
+        df_map = ray.get(df_ref)
+        dfs = pa.array([df_map[t] for t in g.column("term").to_pylist()], pa.int64())
+        g = g.append_column("df", dfs)
+        score = pc.divide(
+            pc.cast(g.column("tf"), pa.float64()), pc.cast(g.column("df"), pa.float64())
+        )
+        g = g.append_column("__s", score)
+        idx = pc.sort_indices(
+            g, sort_keys=[("__s", "descending"), ("term", "ascending")]
+        )
+        out = g.take(idx[:k]).drop_columns(["__s"])
+        return out.append_column("rk", pa.array(range(1, out.num_rows + 1), pa.int64()))
+
+    return toks.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+
+
 def events_approx_users(sf_dir: str):
     """HyperLogLog distinct-user sketch per event type (stages/sketch)
     — deterministic splitmix64 registers, max-merged map-side; rows-only
@@ -966,6 +1033,7 @@ QUERIES = {
     "events_running_total": events_running_total,
     "docs_stratified_sample": docs_stratified_sample,
     "lineitem_price_quantiles": lineitem_price_quantiles,
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "events_approx_users": events_approx_users,
     "crawl_visit_order": crawl_visit_order,
     "crawl_visit_order_weighted": crawl_visit_order_weighted,
@@ -1337,6 +1405,27 @@ ORACLE_SQL = {
     "docs_stratified_sample": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE ((doc_id * 2654435761) % 4294967296) % 5 = 0
+    """,
+    # rank by tf/df (IEEE double division — bit-identical both sides);
+    # only integer columns are emitted
+    "docs_tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+          FROM documents WHERE trim(text) <> ''
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), ranked AS (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC,
+                            t.term ASC) AS rk
+          FROM tf t JOIN df d ON t.term = d.term
+        )
+        SELECT doc_id, term, tf, df, rk FROM ranked WHERE rk <= 3
     """,
     "lineitem_price_quantiles": """
         SELECT l_returnflag,
