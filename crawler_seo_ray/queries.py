@@ -915,6 +915,37 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
     return toks.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
 
 
+def events_users_per_type(sf_dir: str):
+    """Exact grouped distinct-count (the HLL sketch's exact
+    counterpart): per-block pair dedup (map-side combine shrinks the
+    exchange to unique pairs) → one pair-keyed groupby → per-block
+    count partials + tiny merge."""
+    from ray.data.aggregate import Count as _Count
+
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"], blocks=16)
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow",
+    ).groupby(["event_type", "user_id"]).aggregate(_Count(alias_name="c"))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("event_type")
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "n_users"])
+        )
+
+    parts = collect_arrow(pairs.map_batches(count_partial, batch_format="pyarrow"))
+    merged = (
+        parts.group_by("event_type")
+        .aggregate([("n_users", "sum")])
+        .rename_columns(["event_type", "n_users"])
+    )
+    return merged.take(pc.sort_indices(merged, sort_keys=[("event_type", "ascending")]))
+
+
 def events_approx_users(sf_dir: str):
     """HyperLogLog distinct-user sketch per event type (stages/sketch)
     — deterministic splitmix64 registers, max-merged map-side; rows-only
@@ -1034,6 +1065,7 @@ QUERIES = {
     "docs_stratified_sample": docs_stratified_sample,
     "lineitem_price_quantiles": lineitem_price_quantiles,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
+    "events_users_per_type": events_users_per_type,
     "events_approx_users": events_approx_users,
     "crawl_visit_order": crawl_visit_order,
     "crawl_visit_order_weighted": crawl_visit_order_weighted,
@@ -1405,6 +1437,10 @@ ORACLE_SQL = {
     "docs_stratified_sample": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE ((doc_id * 2654435761) % 4294967296) % 5 = 0
+    """,
+    "events_users_per_type": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     # rank by tf/df (IEEE double division — bit-identical both sides);
     # only integer columns are emitted
