@@ -212,6 +212,9 @@ def run_components(num_cpus: int) -> dict:
         "docs_token_stats",
         "docs_minhash_dups",
         "embeddings_knn",
+        "events_asof_order",
+        "lineitem_price_quantiles",
+        "docs_tfidf_top_terms",
         "corpus_image_stats",
     ):
         t0 = time.perf_counter()
