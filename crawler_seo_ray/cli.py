@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -49,8 +50,10 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
+        # honor the cluster address under `ray job submit` (Ray sets
+        # RAY_ADDRESS in the job's env); standalone runs stay local
         ray.init(
-            address="local",
+            address=os.environ.get("RAY_ADDRESS", "local"),
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
