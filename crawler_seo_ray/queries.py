@@ -78,6 +78,17 @@ def _pq(sf_dir: str, table: str, columns=None, blocks: int | None = None):
 # ---------------------------------------------------------------------------
 
 
+def _join_partitions() -> int:
+    """Hash-join partition count proportional to cluster CPUs — each
+    partition costs one aggregator actor (fixed startup), so a small
+    node wants few and a 256-node cluster wants hundreds."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus // 8)
+
+
 def _cents(col) -> pa.Array:
     """Exact integer cents via floor(x·100 + 0.5) — written identically
     in the paired DuckDB SQL, so the grouped SUM is order-independent
@@ -391,11 +402,14 @@ def events_anti_join(sf_dir: str):
     """Anti-join (SURVEY §2.4): events from users outside the BUILDING
     customer segment (non-trivial at every sf)."""
     ev = _pq(sf_dir, "events", ["event_id", "user_id"])
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
-        lambda r: r["c_mktsegment"] == "BUILDING"
-    ).select_columns(["c_custkey"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
     return ev.join(
-        cust, "left_anti", 8, on=("user_id",), right_on=("c_custkey",)
+        cust, "left_anti", _join_partitions(), on=("user_id",), right_on=("c_custkey",)
     ).select_columns(["event_id", "user_id"])
 
 
@@ -423,7 +437,9 @@ def revenue_by_part_type(sf_dir: str):
 
     li = li.map_batches(rev_partial, batch_format="pyarrow")
     part = _pq(sf_dir, "part", ["p_partkey", "p_type"])
-    joined = li.join(part, "inner", 8, on=("l_partkey",), right_on=("p_partkey",))
+    joined = li.join(
+        part, "inner", _join_partitions(), on=("l_partkey",), right_on=("p_partkey",)
+    )
 
     # p_type has ~6 values: finish with per-block partials + tiny merge
     def type_partial(batch: pa.Table) -> pa.Table:
