@@ -736,6 +736,19 @@ def docs_minhash_dups(sf_dir: str):
     return minhash_pipeline(ds, "text", "doc_id", jaccard_threshold=0.5)["pairs"]
 
 
+def docs_minhash_groups(sf_dir: str):
+    """Near-dup GROUP labeling via the distributed connected-components
+    path (min-label propagation over the verified pair set) — the
+    cluster-scale alternative to driver union-find. SQL-paired against
+    a recursive-CTE transitive closure over the brute-force pair set."""
+    from .stages.dedup import minhash_pipeline
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    return minhash_pipeline(
+        ds, "text", "doc_id", jaccard_threshold=0.5, components="distributed"
+    )["groups"]
+
+
 def embeddings_knn_ivf(sf_dir: str):
     from .stages.similarity import knn_ivf
 
@@ -1074,6 +1087,7 @@ QUERIES = {
     "docs_simhash": docs_simhash,
     "docs_simhash_dups": docs_simhash_dups,
     "docs_minhash_dups": docs_minhash_dups,
+    "docs_minhash_groups": docs_minhash_groups,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "events_asof_order": events_asof_order,
     "orders_price_band": orders_price_band,
@@ -1488,3 +1502,31 @@ ORACLE_SQL = {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }
+
+# --- derived oracles (composed from entries above) ----------------------
+
+# brute-force Hamming pairs over the exact HUGEINT SimHash signatures;
+# valid as an oracle for the banded pipeline because hamming_threshold
+# (3) < bands (4) guarantees total LSH recall (pigeonhole)
+ORACLE_SQL["docs_simhash_dups"] = (
+    "WITH sig0 AS (" + ORACLE_SQL["docs_simhash"] + ")\n"
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+    "       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming\n"
+    "FROM sig0 a JOIN sig0 b ON a.doc_id < b.doc_id\n"
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+)
+
+# transitive closure (recursive CTE) over the brute-force pair set ==
+# connected components; rep = min id of the component, exactly the
+# min-label-propagation invariant of connected_components_distributed
+ORACLE_SQL["docs_minhash_groups"] = (
+    "WITH RECURSIVE pairs AS (" + ORACLE_SQL["docs_minhash_dups"] + "),\n"
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs\n"
+    "          UNION ALL SELECT id_b, id_a FROM pairs),\n"
+    "reach(id, r) AS (\n"
+    "  SELECT a, b FROM edges\n"
+    "  UNION\n"
+    "  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a\n"
+    ")\n"
+    "SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id"
+)

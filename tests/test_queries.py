@@ -79,7 +79,6 @@ def test_rows_only_queries_run(registry):
     queries, oracles = registry
     n_docs = len(pd.read_parquet(os.path.join(SF, "documents.parquet"), columns=["doc_id"]))
     expectations = {
-        "docs_simhash_dups": lambda df: {"id_a", "id_b", "hamming"} <= set(df.columns),
         "embeddings_knn_ivf": lambda df: set(df["query_idx"]) <= set(range(5)),
         "crawl_visit_order": lambda df: len(df) == 120 and list(df["visit_seq"]) == list(range(120)),
         "crawl_visit_order_weighted": lambda df: len(df) == 120
