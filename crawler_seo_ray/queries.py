@@ -1520,8 +1520,10 @@ ORACLE_SQL["docs_simhash_dups"] = (
 # connected components; rep = min id of the component, exactly the
 # min-label-propagation invariant of connected_components_distributed
 ORACLE_SQL["docs_minhash_groups"] = (
-    "WITH RECURSIVE pairs AS (" + ORACLE_SQL["docs_minhash_dups"] + "),\n"
-    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs\n"
+    # MATERIALIZED is load-bearing: without it DuckDB inlines the
+    # brute-force pair query into every recursion step (~3× runtime)
+    "WITH RECURSIVE pairs AS MATERIALIZED (" + ORACLE_SQL["docs_minhash_dups"] + "),\n"
+    "edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs\n"
     "          UNION ALL SELECT id_b, id_a FROM pairs),\n"
     "reach(id, r) AS (\n"
     "  SELECT a, b FROM edges\n"
