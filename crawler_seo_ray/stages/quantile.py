@@ -70,6 +70,9 @@ def grouped_quantile_disc(
     tasks = []
     for gi, g in enumerate(groups):
         for q in qs:
+            # float ceil(q*n) == exact-rational ceil for the supported
+            # q values (swept n=1..10^6 vs Fraction) — the 0.95 double
+            # rounds DOWN, so integer hits (n%20==0) still land exactly
             r = max(1, int(np.ceil(q * ns[gi])))
             tasks.append({"g": g, "q": q, "lo": los[gi], "hi": his[gi], "rank": r})
 

@@ -79,7 +79,6 @@ def _hll_estimate(regs: np.ndarray) -> float:
 def grouped_hll(ds: Dataset, key: str, value: str, p: int = 12) -> pa.Table:
     """Approximate distinct ``value`` (int64) per ``key``. Returns a
     small driver table (key, approx_distinct:int64) sorted by key."""
-    import pyarrow.compute as pc
 
     def partial(b: pa.Table) -> pa.Table:
         gcol = b.column(key)
