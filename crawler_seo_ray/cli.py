@@ -156,18 +156,20 @@ def quick_analysis(
     res = run_crawl(spec, corpus, cfg, resume=resume)
     final = finalize_audit(res.audit).materialize()
     report_path = None
+    report_summary = None
     if output:
-        write_report(final, res.rejected, output)
+        report_summary = write_report(final, res.rejected, output)
         report_path = output
     df = excel_projection(final).to_pandas()
     if "visit_seq" in df.columns:
         df = df.sort_values("visit_seq", ignore_index=True)
     stats = dict(res.stats)
     stats["waves"] = res.stats.get("waves")
-    # the reference's consolidated end-of-run tree (main.py:465-545)
+    # the reference's consolidated end-of-run tree (main.py:465-545);
+    # reuse write_report's summary instead of recomputing it
     from .pipelines.report import final_stats_report
 
-    stats["final_report"] = final_stats_report(res, final)
+    stats["final_report"] = final_stats_report(res, final, summary_dict=report_summary)
     return report_path, df, stats
 
 

@@ -181,6 +181,14 @@ class _Engine:
             positions.extend(ks[got].tolist() if len(got) else [])
         pos = np.asarray(positions, dtype=np.int64)
         pos = pos[np.argsort(keys[pos], kind="stable")]
+        return self._register_admitted(cands, pos, wave)
+
+    def _register_admitted(self, cands: pa.Table, pos, wave: int) -> pa.Table:
+        """Shared admission tail for _admit/_admit_buffered: take the
+        winning rows (already in global order-key order), assign
+        discovery seqs, build the ADMITTED table, feed the frontier
+        shards (Arrow slices out, tuple building in the shard)."""
+        import numpy as np
 
         adm = cands.take(pa.array(pos))
         n = adm.num_rows
@@ -198,8 +206,6 @@ class _Engine:
             },
             schema=ADMITTED_SCHEMA,
         )
-        # frontier adds grouped by the precomputed owner shard — Arrow
-        # slices out, tuple building in the (parallel) shard
         fsh = adm.column("frontier_shard").to_numpy()
         ftbl = pa.table(
             {
@@ -251,39 +257,7 @@ class _Engine:
         keys = cands.column("order_key").to_numpy()
         pos = np.flatnonzero(np.isin(keys, winning))
         pos = pos[np.argsort(keys[pos], kind="stable")]
-        adm = cands.take(pa.array(pos))
-        n = adm.num_rows
-        seqs = np.arange(self.next_seq, self.next_seq + n, dtype=np.int64)
-        self.next_seq += n
-        admitted = pa.table(
-            {
-                "discovered_seq": pa.array(seqs),
-                "url": adm.column("url"),
-                "host": adm.column("host"),
-                "depth": adm.column("depth"),
-                "priority": adm.column("priority"),
-                "rank": adm.column("rank"),
-                "wave": pa.array(np.full(n, wave, dtype=np.int32)),
-            },
-            schema=ADMITTED_SCHEMA,
-        )
-        fsh = adm.column("frontier_shard").to_numpy()
-        ftbl = pa.table(
-            {
-                "rank": adm.column("rank"),
-                "seq": pa.array(seqs),
-                "url": adm.column("url"),
-                "host": adm.column("host"),
-                "depth": adm.column("depth"),
-                "sshard": adm.column("seen_shard"),
-            }
-        )
-        add_futs = []
-        for s in np.unique(fsh):
-            ks = np.flatnonzero(fsh == s)
-            add_futs.append(self.frontier[int(s)].add_arrow.remote(ftbl.take(pa.array(ks))))
-        ray.get(add_futs)
-        return admitted
+        return self._register_admitted(cands, pos, wave)
 
     def seed(self) -> None:
         """Seed admission — the reference add_url path for the start URL
@@ -450,10 +424,19 @@ class _Engine:
                 c, widx = pending.pop(f)
                 deadline.pop(f, None)
                 ray.kill(self.workers[widx], no_restart=True)
+                # ray.kill is async — fetch the future AFTER the kill to
+                # close the race with a worker finishing right at the
+                # deadline: a normal return means the chunk completed
+                # (its audit write landed) and is used as-is; an actor
+                # error confirms the worker is DEAD, so the ERROR-chunk
+                # write below can no longer be overwritten by it
+                try:
+                    parts[c] = ray.get(f)
+                except (ray.exceptions.RayActorError, ray.exceptions.RayTaskError):
+                    parts[c] = self._timeout_chunk(chunks[c][1], wave, wave_dir, c)
                 self.workers[widx] = PageWorker.options(
                     num_cpus=self.cfg.worker_num_cpus
                 ).remote(self.corpus_dir, self._spec_dict)
-                parts[c] = self._timeout_chunk(chunks[c][1], wave, wave_dir, c)
                 if queue:
                     dispatch(widx)
         if wave_dir is None:
@@ -534,7 +517,7 @@ class _Engine:
                 "next_seq": self.next_seq,
             }
             self._commit_thread = threading.Thread(
-                target=self._commit_wave,
+                target=self._commit_wave_guarded,
                 args=(wave_dir, admitted, rejects, dict(metrics), snapshot, stats_futs),
                 daemon=True,
             )
@@ -562,11 +545,25 @@ class _Engine:
             os.path.join(wave_dir, "state.json"), metrics, snapshot, stats_futs
         )
 
+    def _commit_wave_guarded(self, *args) -> None:
+        """Background-thread wrapper: a failed commit (disk full, I/O
+        error) must surface at the next barrier, not vanish with the
+        daemon thread — otherwise the wave's audit rows silently drop
+        out of committed_audit_paths() while stats still count them."""
+        try:
+            self._commit_wave(*args)
+        except BaseException as ex:  # re-raised by _join_commit
+            self._commit_error = ex
+
     def _join_commit(self) -> None:
         t = getattr(self, "_commit_thread", None)
         if t is not None:
             t.join()
             self._commit_thread = None
+        err = getattr(self, "_commit_error", None)
+        if err is not None:
+            self._commit_error = None
+            raise RuntimeError("wave checkpoint commit failed") from err
 
     def _timeout_chunk(self, entries: list, wave: int, wave_dir: str | None, c: int):
         """Synthesize the (audit, candidates, rejects, host_stats) result

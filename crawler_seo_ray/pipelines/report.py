@@ -472,24 +472,37 @@ def hierarchy_problems_sheet(final: Dataset) -> Dataset:
     return final.map_batches(project, batch_format="pyarrow")
 
 
-def final_stats_report(res, final: Dataset) -> dict:
+def final_stats_report(res, final: Dataset, summary_dict: dict | None = None) -> dict:
     """The reference's consolidated end-of-run statistics tree
     (main.py:465-545 'FASE 3: ESTATÍSTICAS FINAIS INTEGRADAS'):
     crawler / integrated-analysis / metatags / status / report
     sections plus the filter breakdown, computed as narrow Dataset
-    aggregates over the finalized audit (no driver row loops)."""
-    from ray.data.aggregate import Count as _Count
-
-    s = summary(final)
+    aggregates over the finalized audit (no driver row loops).
+    ``summary_dict`` lets callers that already ran summary() (e.g.
+    write_report) skip recomputing it."""
+    s = summary_dict if summary_dict is not None else summary(final)
 
     def dup_key_count(col: str) -> int:
-        return (
-            final.filter(lambda r: bool(r["processed"]) and (r[col] or "") != "")
-            .groupby(col)
-            .aggregate(_Count(alias_name="n"))
-            .filter(lambda r: r["n"] > 1)
-            .count()
+        # per-block vectorized partial counts + tiny merge (one narrow
+        # pass per column; no per-row lambdas)
+        def partial(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.fill_null(b.column("processed"), False),
+                pc.not_equal(pc.fill_null(b.column(col), ""), ""),
+            )
+            t = b.filter(keep).select([col])
+            return t.group_by(col).aggregate([([], "count_all")]).rename_columns([col, "n"])
+
+        from ..util import collect_arrow
+
+        parts = collect_arrow(
+            final.select_columns(["processed", col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            schema=pa.schema([(col, pa.string()), ("n", pa.int64())]),
         )
+        merged = parts.group_by(col).aggregate([("n", "sum")])
+        return int(pc.sum(pc.cast(pc.greater(merged.column("n_sum"), 1), pa.int64())).as_py() or 0)
 
     def status_indicators(batch: pa.Table) -> pa.Table:
         ok = pc.equal(pc.fill_null(batch.column("status_code"), ""), "200")

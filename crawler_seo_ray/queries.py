@@ -646,7 +646,12 @@ def docs_ngram_jaccard(sf_dir: str):
     from .stages.dedup import token_jaccard_pipeline
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
-    return token_jaccard_pipeline(ds, "text", "doc_id", threshold=0.9)
+    # cap sized to the corpus: the templated synthetic docs put ~75% of
+    # a scale factor's docs behind one shared rarest-prefix token, and
+    # exactness (the SQL contract) forbids truncation
+    return token_jaccard_pipeline(
+        ds, "text", "doc_id", threshold=0.9, bucket_cap=100_000
+    )
 
 
 def embeddings_cosine_dups(sf_dir: str):

@@ -73,23 +73,54 @@ def _stable_hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "big") >> 1
 
 
-def _emit_bucket_pairs(id_col: str, cap: int):
+def _emit_bucket_pairs(
+    id_col: str,
+    cap: int,
+    strict: bool = True,
+    len_col: str | None = None,
+    len_ratio: float | None = None,
+):
     """map_groups kernel: emit candidate (id_a, id_b) pairs from one
     LSH bucket. Runs inside the owning group after the distributed
     ``groupby(band, hash)`` shuffle — no driver-side bucket dict.
-    ``cap`` bounds degenerate buckets (quadratic blowup guard);
-    overflow keeps the ``cap`` smallest ids deterministically."""
+    ``cap`` bounds degenerate buckets (quadratic blowup guard).
+    ``strict`` (default) RAISES on overflow — the exception propagates
+    to the driver, which a worker-side print (invisible under
+    log_to_driver=False) does not; pass strict=False to deterministically
+    keep the ``cap`` smallest ids and accept recall loss.
+
+    With ``len_col``/``len_ratio`` set, applies the EXACT PPJoin length
+    filter: Jaccard ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|), so only
+    pairs inside the sliding length window are emitted (sorted two-
+    pointer — no recall loss, big candidate cut when sizes vary)."""
 
     def emit(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g.column(id_col).to_pylist()))
-        if len(ids) > cap:
-            print(f"dedup: bucket over cap={cap} ({len(ids)} ids) — truncated")
-            ids = ids[:cap]
+        if len_col is not None:
+            by_id = {}
+            for i, n in zip(g.column(id_col).to_pylist(), g.column(len_col).to_pylist()):
+                by_id[i] = n
+            # sort by (len, id): the length window is contiguous
+            members = sorted(by_id.items(), key=lambda kv: (kv[1], kv[0]))
+        else:
+            members = [(i, 0) for i in sorted(set(g.column(id_col).to_pylist()))]
+        if len(members) > cap:
+            if strict:
+                raise ValueError(
+                    f"dedup bucket over cap={cap} ({len(members)} ids): pair "
+                    "emission would lose recall — raise bucket_cap or pass "
+                    "strict=False to truncate deterministically"
+                )
+            members = members[:cap]
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+        for i in range(len(members)):
+            ida, na = members[i]
+            for j in range(i + 1, len(members)):
+                idb, nb = members[j]
+                if len_col is not None and na < len_ratio * nb:
+                    break  # lengths ascend: every later j fails too
+                a, b = (ida, idb) if ida < idb else (idb, ida)
+                out_a.append(a)
+                out_b.append(b)
         return pa.table(
             {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
         )
@@ -249,7 +280,7 @@ def _sort_pairs(tbl: pa.Table) -> pa.Table:
 
 
 def connected_components_distributed(
-    pairs: pa.Table | Dataset, max_iters: int = 25
+    pairs: pa.Table | Dataset, max_iters: int = 64
 ) -> pa.Table:
     """Distributed connected components over a verified-pair edge table
     via iterative MIN-LABEL PROPAGATION — the cluster-scale path for
@@ -289,6 +320,7 @@ def connected_components_distributed(
     )
     labels = rd.from_arrow(pa.table({"id": ids, "label": ids}))
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         # neighbor messages: edge (src,dst) ships src's current label to dst
         msgs = edges.join(
@@ -305,8 +337,17 @@ def connected_components_distributed(
         )
         cur = labels.aggregate(_Sum("label", alias_name="s"))["s"]
         if prev_sum is not None and cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # partially-propagated labels are silently WRONG (rep != min id
+        # for components wider than max_iters hops) — refuse to return
+        # them; propagation converges in O(component diameter) rounds
+        raise RuntimeError(
+            f"component labeling did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters) — raise max_iters"
+        )
     out = collect_arrow(labels)
     out = out.rename_columns(["id", "rep"])
     return out.take(pc.sort_indices(out.column("id")))
@@ -408,8 +449,12 @@ def _signature_band_pairs(
         hs = g.column(sig_col).to_pylist()
         order = sorted(range(len(ids)), key=lambda k: ids[k])
         if len(order) > cap:
-            print(f"dedup: signature bucket over cap={cap} ({len(order)} ids) — truncated")
-            order = order[:cap]
+            # raise (driver-visible) rather than silently losing recall
+            # — a worker-side print disappears under log_to_driver=False
+            raise ValueError(
+                f"signature bucket over cap={cap} ({len(order)} ids): "
+                "raise the cap or pre-split the degenerate bucket"
+            )
         out_a, out_b, out_d = [], [], []
         for x in range(len(order)):
             for y in range(x + 1, len(order)):
@@ -539,8 +584,9 @@ def token_jaccard_pipeline(
 
     Token normalization matches DuckDB's
     ``list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))``.
-    ``bucket_cap`` only guards runaway buckets and is logged — below the
-    cap the join is exact.
+    ``bucket_cap`` guards runaway buckets; overflow RAISES (exactness is
+    the contract — callers size the cap to their corpus). Inside the
+    bucket the exact PPJoin length filter prunes before pair emission.
     """
     import math
 
@@ -572,7 +618,7 @@ def token_jaccard_pipeline(
     # pass 2: prefix blocking keys
     def prefix_keys(batch: pa.Table) -> pa.Table:
         rk = ray.get(rank_ref)
-        out_tok, out_id = [], []
+        out_tok, out_id, out_n = [], [], []
         for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
             toks = tokens_of(t)
             if not toks:
@@ -581,15 +627,27 @@ def token_jaccard_pipeline(
             for tok in sorted(toks, key=lambda x: rk[x])[:p]:
                 out_tok.append(tok)
                 out_id.append(i)
+                out_n.append(len(toks))
         return pa.table(
-            {"tok": pa.array(out_tok, pa.string()), id_col: pa.array(out_id, pa.int64())}
+            {
+                "tok": pa.array(out_tok, pa.string()),
+                id_col: pa.array(out_id, pa.int64()),
+                "ntok": pa.array(out_n, pa.int64()),
+            }
         )
 
     cand = _distinct_pairs(
         ds.select_columns([id_col, text_col])
         .map_batches(prefix_keys, batch_format="pyarrow")
         .groupby("tok")
-        .map_groups(_emit_bucket_pairs(id_col, bucket_cap), batch_format="pyarrow")
+        .map_groups(
+            # exact PPJoin length filter inside the bucket (J >= t
+            # implies min >= t*max token counts) — no recall loss
+            _emit_bucket_pairs(
+                id_col, bucket_cap, len_col="ntok", len_ratio=threshold
+            ),
+            batch_format="pyarrow",
+        )
     ).materialize()
 
     if cand.count() == 0:

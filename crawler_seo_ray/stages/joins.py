@@ -146,7 +146,9 @@ def band_by_edges(
     lab = pa.array(labels, pa.string())
 
     def apply(b: pa.Table) -> pa.Table:
-        v = b.column(col).to_numpy(zero_copy_only=False)
+        # float64 view: integer columns would crash np.isnan, and the
+        # edge comparison is float anyway
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         idx = np.searchsorted(e, v, side="right") - 1
         ok = (idx >= 0) & (idx < len(labels)) & ~np.isnan(v)
         band = lab.take(pa.array(np.where(ok, idx, 0), pa.int64(), mask=~ok))

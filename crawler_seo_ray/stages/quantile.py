@@ -37,6 +37,14 @@ _NBINS = 1024
 _FINAL_SPAN = 8192  # switch to exact value-counts when hi-lo+1 <= this
 
 
+def _bin_width(lo: int, hi: int) -> int:
+    """Fixed histogram bin width ceil(span/_NBINS), computed in Python
+    ints so a full-int64-range span (2^64) never overflows. Guarantees
+    dist // width < _NBINS for every value in [lo, hi]."""
+    span = hi - lo + 1
+    return (span + _NBINS - 1) // _NBINS
+
+
 def grouped_quantile_disc(
     ds: Dataset, key: str, col: str, qs: list[float]
 ) -> pa.Table:
@@ -108,8 +116,12 @@ def _histogram_refine(narrow: Dataset, key: str, col: str, wide: list[dict]) -> 
             mask = (gcol == g) & (v >= lo) & (v <= hi)
             if not mask.any():
                 continue
-            span = hi - lo + 1
-            binned = ((v[mask] - lo) * _NBINS // span).astype(np.int64)
+            # fixed bin width, distance computed in uint64: correct for
+            # the FULL int64 range (span near 2^64 overflows any signed
+            # `(v-lo)*NBINS` formulation)
+            w = np.uint64(_bin_width(lo, hi))
+            dist = v[mask].astype(np.uint64) - np.uint64(np.int64(lo).astype(np.uint64))
+            binned = (dist // w).astype(np.int64)
             bc = np.bincount(binned, minlength=_NBINS)
             nz = np.flatnonzero(bc)
             tids.extend([tid] * len(nz))
@@ -140,12 +152,10 @@ def _histogram_refine(narrow: Dataset, key: str, col: str, wide: list[dict]) -> 
         cum = np.cumsum(h)
         b = int(np.searchsorted(cum, t["rank"], side="left"))
         lo, hi = t["lo"], t["hi"]
-        span = hi - lo + 1
-        # bin b covers values [lo + ceil(b*span/NBINS) .. lo + ceil((b+1)*span/NBINS) - 1]
-        new_lo = lo + (b * span + _NBINS - 1) // _NBINS
-        new_hi = lo + ((b + 1) * span + _NBINS - 1) // _NBINS - 1
+        w = _bin_width(lo, hi)  # Python int — exact at any span
+        # bin b covers values [lo + b*w .. lo + (b+1)*w - 1] ∩ [lo, hi]
         t["rank"] -= int(cum[b - 1]) if b > 0 else 0
-        t["lo"], t["hi"] = new_lo, min(new_hi, hi)
+        t["lo"], t["hi"] = lo + b * w, min(lo + (b + 1) * w - 1, hi)
 
 
 def _exact_pick(narrow: Dataset, key: str, col: str, tasks: list[dict]) -> None:

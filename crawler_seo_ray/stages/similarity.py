@@ -117,6 +117,12 @@ def build_ivf_index(
     files (partition pruning), instead of scanning the whole corpus
     and masking (the round-1 anti-pattern flagged in VERDICT).
 
+    ``index_dir`` MUST be on storage visible to every node (shared FS /
+    object store) on a multi-node cluster — cell files are written from
+    whichever worker owns the group and read back from arbitrary nodes
+    at probe time. Same contract as ``EngineConfig.checkpoint_dir``; a
+    node-local path only works in single-node mode (tests/bench).
+
     Returns {"centroids": ndarray, "manifest": {cell: rows}, "dir": path}.
     """
     import json

@@ -115,6 +115,24 @@ def test_engine_matches_oracle_fifo(small_corpus):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_overlap_admission(small_corpus):
+    """overlap_admission=True (the documented cluster-mode flag)
+    re-implements admission on the shards mid-wave — it must stay
+    bit-identical to the oracle like the default barrier path, incl.
+    duplicate-count stats parity with a default-path run."""
+    corpus_dir, _ = small_corpus
+    spec = _spec(max_urls=80, batch_size=16)
+    ora = run_oracle(spec)
+    res = run_crawl(
+        spec, corpus_dir, EngineConfig(num_workers=3, overlap_admission=True)
+    )
+    _compare(res, ora)
+    base = run_crawl(spec, corpus_dir, EngineConfig(num_workers=3))
+    assert res.stats["total_duplicates"] == base.stats["total_duplicates"]
+    assert res.stats["total_found"] == base.stats["total_found"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_engine_matches_oracle_priority(small_corpus):
     corpus_dir, _ = small_corpus
     target = datagen.image_id((1 * 11 + 3) % N)

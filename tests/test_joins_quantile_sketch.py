@@ -93,6 +93,31 @@ def test_grouped_quantile_matches_sorted_rank():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_grouped_quantile_full_int64_range():
+    """Regression: spans near 2^64 overflowed the old (v-lo)*NBINS
+    binning — hash-valued columns exercise the full int64 range."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.quantile import grouped_quantile_disc
+
+    rng = np.random.RandomState(11)
+    vs = np.concatenate(
+        [
+            np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0]),
+            rng.randint(np.iinfo(np.int64).min, np.iinfo(np.int64).max, size=997),
+        ]
+    )
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(["h"] * len(vs)), "v": pa.array(vs, pa.int64())})
+    ).repartition(4)
+    out = grouped_quantile_disc(ds, "g", "v", [0.25, 0.5, 0.95])
+    sv = np.sort(vs)
+    for q in (0.25, 0.5, 0.95):
+        want = int(sv[int(np.ceil(q * len(sv))) - 1])
+        assert out.column(f"q{int(round(q*100))}")[0].as_py() == want, q
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hll_error_bound_and_determinism():
     import ray.data as rd
 
