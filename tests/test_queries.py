@@ -90,6 +90,8 @@ def test_rows_only_queries_run(registry):
         "events_approx_users": lambda df: {"event_type", "approx_distinct"}
         <= set(df.columns)
         and (df["approx_distinct"] > 0).all(),
+        "embeddings_kmeans": lambda df: df["cluster"].nunique() > 1
+        and df["cluster"].between(0, 7).all(),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
