@@ -51,6 +51,67 @@ def test_asof_join_semantics():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_asof_join_property_vs_pandas():
+    """Property check against pandas merge_asof (independent reference
+    implementation) over randomized key/ts collisions — max-tiebreak on
+    equal right timestamps is resolved identically because the right
+    side is pre-sorted by (ts, rid) and merge_asof takes the last."""
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.joins import asof_join
+    from crawler_seo_ray.util import collect_arrow
+
+    rng = np.random.RandomState(42)
+    for trial in range(3):
+        nl, nr = 120, 80
+        lk = rng.randint(0, 6, nl)
+        lt = rng.randint(0, 50, nl)
+        rk = rng.randint(0, 8, nr)  # some right-only keys
+        rt = rng.randint(0, 50, nr)  # heavy ts collisions
+        ts = pa.timestamp("us")
+        left = pa.table(
+            {
+                "k": pa.array(lk, pa.int64()),
+                "t": pa.array(lt, ts),
+                "lid": pa.array(np.arange(nl), pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array(rk, pa.int64()),
+                "rt": pa.array(rt, ts),
+                "rid": pa.array(np.arange(nr), pa.int64()),
+            }
+        )
+        out = collect_arrow(
+            asof_join(
+                rd.from_arrow(left).repartition(4),
+                rd.from_arrow(right).repartition(3),
+                key="k", left_ts="t", right_ts="rt",
+                left_cols=["lid"], right_cols=["rid"],
+            )
+        ).to_pandas().sort_values("lid", ignore_index=True)
+        ldf = left.to_pandas().sort_values("t", kind="mergesort", ignore_index=True)
+        rdf = (
+            right.to_pandas()
+            .sort_values(["rt", "rid"], kind="mergesort", ignore_index=True)
+            .sort_values("rt", kind="mergesort", ignore_index=True)
+        )
+        want = (
+            pd.merge_asof(ldf, rdf, left_on="t", right_on="rt", by="k", direction="backward")
+            .sort_values("lid", ignore_index=True)
+        )
+        got_map = dict(
+            zip(out["lid"], [None if pd.isna(v) else int(v) for v in out["rid"]])
+        )
+        want_map = dict(
+            zip(want["lid"], [None if pd.isna(v) else int(v) for v in want["rid"]])
+        )
+        assert got_map == want_map, trial
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_band_by_edges_bounds():
     import ray.data as rd
 
