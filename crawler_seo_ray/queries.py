@@ -413,6 +413,22 @@ def events_anti_join(sf_dir: str):
     ).select_columns(["event_id", "user_id"])
 
 
+def events_semi_join(sf_dir: str):
+    """Semi-join (left_semi — the anti-join's complement): events from
+    users INSIDE the BUILDING customer segment; completes the Dataset
+    join-type family (inner / anti / semi / broadcast / as-of / range)."""
+    ev = _pq(sf_dir, "events", ["event_id", "user_id"])
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return ev.join(
+        cust, "left_semi", _join_partitions(), on=("user_id",), right_on=("c_custkey",)
+    ).select_columns(["event_id", "user_id"])
+
+
 def revenue_by_part_type(sf_dir: str):
     """Large-side hash join (Dataset.join inner, SURVEY §2.4): lineitem ⋈
     part on partkey, revenue = extendedprice·(1−discount), grouped by
@@ -1102,6 +1118,7 @@ QUERIES = {
     "events_props_extract": events_props_extract,
     "docs_split": docs_split,
     "events_anti_join": events_anti_join,
+    "events_semi_join": events_semi_join,
     "revenue_by_part_type": revenue_by_part_type,
     "top_suppliers": top_suppliers,
     "customer_per_region": customer_per_region,
@@ -1226,6 +1243,11 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
           SELECT 1 FROM customer c
           WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
+    """,
+    "events_semi_join": """
+        SELECT e.event_id, e.user_id FROM events e
+        WHERE e.user_id IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
     """,
     "revenue_by_part_type": """
         SELECT p.p_type,
