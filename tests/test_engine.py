@@ -206,6 +206,32 @@ def test_engine_multi_seed_and_duplicate_seed(small_corpus):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_commit_failure_surfaces(small_corpus, tmp_path, monkeypatch):
+    """A failed background wave commit must abort the run (visible
+    error), not silently drop the wave from the checkpoint while stats
+    still count it."""
+    from crawler_seo_ray.pipelines import crawl as C
+
+    corpus_dir, _ = small_corpus
+    ck = str(tmp_path / "ck")
+    calls = {"n": 0}
+    orig = C._Engine._commit_wave
+
+    def failing(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail the second wave's commit
+            raise OSError("disk full (injected)")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(C._Engine, "_commit_wave", failing)
+    with pytest.raises(RuntimeError, match="commit failed"):
+        run_crawl(
+            _spec(max_urls=60), corpus_dir,
+            EngineConfig(num_workers=2, checkpoint_dir=ck),
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_resume_equals_uninterrupted(small_corpus, tmp_path):
     corpus_dir, _ = small_corpus
     spec = _spec(max_urls=50, batch_size=10)
