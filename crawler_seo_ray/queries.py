@@ -662,12 +662,12 @@ def docs_ngram_jaccard(sf_dir: str):
     from .stages.dedup import token_jaccard_pipeline
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
-    # cap sized to the corpus: the templated synthetic docs put ~75% of
-    # a scale factor's docs behind one shared rarest-prefix token, and
-    # exactness (the SQL contract) forbids truncation
-    return token_jaccard_pipeline(
-        ds, "text", "doc_id", threshold=0.9, bucket_cap=100_000
-    )
+    # the templated synthetic docs put ~75% of a scale factor's docs
+    # behind one shared rarest-prefix token; the pipeline splits such
+    # degenerate buckets by the second shared prefix token (exactness
+    # preserved — _prefix_block_keys), so the cap stays at its sane
+    # default instead of the r2-era 100k escape hatch
+    return token_jaccard_pipeline(ds, "text", "doc_id", threshold=0.9)
 
 
 def embeddings_cosine_dups(sf_dir: str):
@@ -737,6 +737,9 @@ def docs_fingerprint(sf_dir: str):
 
 
 def docs_simhash(sf_dir: str):
+    """Full signature table — returned as a streaming Dataset (the
+    signatures never materialize on the driver; the driver/consumer
+    collects at its own edge)."""
     from .stages.dedup import simhash_pipeline
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
@@ -747,7 +750,10 @@ def docs_simhash_dups(sf_dir: str):
     from .stages.dedup import simhash_pipeline
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
-    return simhash_pipeline(ds, "text", "doc_id", hamming_threshold=3)["pairs"]
+    # pairs-only consumer: no O(corpus) signature table is kept anywhere
+    return simhash_pipeline(
+        ds, "text", "doc_id", hamming_threshold=3, keep_signatures=False
+    )["pairs"]
 
 
 def docs_minhash_dups(sf_dir: str):

@@ -73,59 +73,265 @@ def _stable_hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "big") >> 1
 
 
-def _emit_bucket_pairs(
+def _vec_window_within(lens: np.ndarray, ratio: float | None):
+    """Vectorized candidate-window emission inside one (len, id)-sorted
+    bucket: member i pairs with the contiguous window of later members
+    whose length ≤ len_i/ratio (the EXACT PPJoin length filter —
+    J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|)). Returns INDEX arrays into
+    the sorted member order — O(output) numpy work, no Python pair
+    loop."""
+    n = len(lens)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if ratio is None:
+        ub = np.full(n, n, dtype=np.int64)
+    else:
+        ub = np.searchsorted(lens, lens.astype(np.float64) / ratio, side="right")
+    lo = np.arange(1, n + 1, dtype=np.int64)
+    counts = np.maximum(ub - lo, 0)
+    ia = np.repeat(np.arange(n, dtype=np.int64), counts)
+    ib = (
+        np.concatenate([np.arange(i + 1, ub[i], dtype=np.int64) for i in range(n) if counts[i] > 0])
+        if counts.any()
+        else np.empty(0, np.int64)
+    )
+    return ia, ib
+
+
+def _vec_window_cross(lens_a: np.ndarray, lens_b: np.ndarray, ratio: float | None):
+    """Vectorized cross-window emission between two length-sorted member
+    chunks (the split halves of an over-cap bucket): for each a the
+    compatible b-window is lens_b ∈ [ratio·len_a, len_a/ratio].
+    Returns index arrays (into a-order, into b-order)."""
+    na, nb = len(lens_a), len(lens_b)
+    if not na or not nb:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if ratio is None:
+        j0 = np.zeros(na, np.int64)
+        j1 = np.full(na, nb, np.int64)
+    else:
+        fa = lens_a.astype(np.float64)
+        j0 = np.searchsorted(lens_b, ratio * fa, side="left")
+        j1 = np.searchsorted(lens_b, fa / ratio, side="right")
+    counts = np.maximum(j1 - j0, 0)
+    ia = np.repeat(np.arange(na, dtype=np.int64), counts)
+    ib = (
+        np.concatenate([np.arange(j0[i], j1[i], dtype=np.int64) for i in range(na) if counts[i] > 0])
+        if counts.any()
+        else np.empty(0, np.int64)
+    )
+    return ia, ib
+
+
+_PAIR_ROUND_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("subkey", pa.string()),
+        ("member", pa.int64()),
+        ("mlen", pa.int64()),
+        ("side", pa.int8()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+def _emit_pairs(
+    ids_a: np.ndarray,
+    ids_b: np.ndarray,
+    sets_a: list | None,
+    sets_b: list | None,
+    ia: np.ndarray,
+    ib: np.ndarray,
+    threshold: float | None,
+):
+    """Map window index pairs to normalized (id_a < id_b) id pairs; with
+    token-set payloads, verify EXACT set Jaccard in place (the verify
+    step runs inside the owning bucket task — candidates never ride a
+    shuffle)."""
+    if sets_a is not None and len(ia):
+        keep_a, keep_b = [], []
+        for x, y in zip(ia.tolist(), ib.tolist()):
+            sa, sb = sets_a[x], sets_b[y]
+            u = len(sa | sb)
+            if u and len(sa & sb) / u >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+        ia = np.asarray(keep_a, dtype=np.int64)
+        ib = np.asarray(keep_b, dtype=np.int64)
+    a = ids_a[ia] if len(ia) else np.empty(0, np.int64)
+    b = ids_b[ib] if len(ib) else np.empty(0, np.int64)
+    return np.minimum(a, b), np.maximum(a, b)
+
+
+def _decode_sets(payloads: list) -> list:
+    """Binary-packed sorted int32 token-rank arrays → python sets (one
+    per member; exact — ranks are vocabulary positions, not hashes)."""
+    return [
+        set(np.frombuffer(p, dtype=np.int32).tolist()) if p is not None else set()
+        for p in payloads
+    ]
+
+
+def _bucket_candidate_pairs(
+    key_rows: Dataset,
+    key_cols: list[str],
     id_col: str,
     cap: int,
-    strict: bool = True,
     len_col: str | None = None,
     len_ratio: float | None = None,
-):
-    """map_groups kernel: emit candidate (id_a, id_b) pairs from one
-    LSH bucket. Runs inside the owning group after the distributed
-    ``groupby(band, hash)`` shuffle — no driver-side bucket dict.
-    ``cap`` bounds degenerate buckets (quadratic blowup guard).
-    ``strict`` (default) RAISES on overflow — the exception propagates
-    to the driver, which a worker-side print (invisible under
-    log_to_driver=False) does not; pass strict=False to deterministically
-    keep the ``cap`` smallest ids and accept recall loss.
+    payload_col: str | None = None,
+    verify_threshold: float | None = None,
+) -> Dataset:
+    """Distributed candidate-pair emission over LSH/prefix buckets with
+    DETERMINISTIC DEGENERATE-BUCKET SPLITTING (no recall loss, no raise):
 
-    With ``len_col``/``len_ratio`` set, applies the EXACT PPJoin length
-    filter: Jaccard ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|), so only
-    pairs inside the sliding length window are emitted (sorted two-
-    pointer — no recall loss, big candidate cut when sizes vary)."""
+    round 1 — ``groupby(key_cols)``; a bucket with ≤ ``cap`` members
+    emits its pairs directly (vectorized window generation, PPJoin
+    length-filtered). An over-cap bucket is cut into ⌈n/cap⌉ length-
+    ordered chunks and re-emitted as narrow member rows keyed by
+    feasible chunk pairs (i, j) — every original pair lands in exactly
+    one sub-bucket, and length-infeasible chunk pairs are pruned at
+    chunk granularity.
 
-    def emit(g: pa.Table) -> pa.Table:
+    round 2 — ``groupby(subkey)`` over the (bounded ≤ 2·cap) sub-
+    buckets emits within-chunk or cross-chunk pairs.
+
+    The inherently-quadratic work of a dense bucket (a corpus whose
+    true near-dup output IS quadratic in its cluster sizes) is thereby
+    spread over the cluster in ≤ cap²-pair tasks instead of landing on
+    one worker or raising — the PPJoin-literature degenerate-bucket
+    refinement, exactness preserved.
+
+    With ``payload_col`` (binary-packed sorted token-rank arrays) and
+    ``verify_threshold``, EXACT set-Jaccard verification happens inside
+    the bucket task and only VERIFIED pairs leave it — no candidate-
+    sized shuffle, no text join, no separate verify stage. Returned
+    pairs may still repeat across buckets (≤ shared-prefix-token
+    count); callers distinct the output-sized result."""
+
+    def _members(g: pa.Table):
+        ids_raw = g.column(id_col).to_numpy(zero_copy_only=False)
+        _, first = np.unique(ids_raw, return_index=True)
+        ids = ids_raw[first]
         if len_col is not None:
-            by_id = {}
-            for i, n in zip(g.column(id_col).to_pylist(), g.column(len_col).to_pylist()):
-                by_id[i] = n
-            # sort by (len, id): the length window is contiguous
-            members = sorted(by_id.items(), key=lambda kv: (kv[1], kv[0]))
+            lens = g.column(len_col).to_numpy(zero_copy_only=False)[first]
         else:
-            members = [(i, 0) for i in sorted(set(g.column(id_col).to_pylist()))]
-        if len(members) > cap:
-            if strict:
-                raise ValueError(
-                    f"dedup bucket over cap={cap} ({len(members)} ids): pair "
-                    "emission would lose recall — raise bucket_cap or pass "
-                    "strict=False to truncate deterministically"
-                )
-            members = members[:cap]
-        out_a, out_b = [], []
-        for i in range(len(members)):
-            ida, na = members[i]
-            for j in range(i + 1, len(members)):
-                idb, nb = members[j]
-                if len_col is not None and na < len_ratio * nb:
-                    break  # lengths ascend: every later j fails too
-                a, b = (ida, idb) if ida < idb else (idb, ida)
-                out_a.append(a)
-                out_b.append(b)
+            lens = np.zeros(len(ids), np.int64)
+        order = np.lexsort((ids, lens))
+        ids, lens = ids[order], lens[order]
+        payloads = None
+        if payload_col is not None:
+            pl = g.column(payload_col).to_pylist()
+            payloads = [pl[first[k]] for k in order]
+        return ids, lens, payloads
+
+    def _pair_table(a: np.ndarray, b: np.ndarray, full_schema: bool) -> pa.Table:
+        cols = {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        if not full_schema:
+            return pa.table(cols)
+        n = len(a)
+        cols.update(
+            subkey=pa.nulls(n, pa.string()),
+            member=pa.nulls(n, pa.int64()),
+            mlen=pa.nulls(n, pa.int64()),
+            side=pa.nulls(n, pa.int8()),
+            payload=pa.nulls(n, pa.binary()),
+        )
+        return pa.table(cols, schema=_PAIR_ROUND_SCHEMA)
+
+    def round1(g: pa.Table) -> pa.Table:
+        ids, lens, payloads = _members(g)
+        n = len(ids)
+        if n <= cap:
+            ia, ib = _vec_window_within(lens, len_ratio)
+            sets = _decode_sets(payloads) if payloads is not None else None
+            a, b = _emit_pairs(ids, ids, sets, sets, ia, ib, verify_threshold)
+            return _pair_table(a, b, full_schema=True)
+        # over-cap: deterministic chunk split (members already sorted by
+        # (len, id) — chunk boundaries and contents are data-determined)
+        base = "\x00".join(str(g.column(c)[0].as_py()) for c in key_cols)
+        k = -(-n // cap)
+        size = -(-n // k)
+        chunks = [
+            (ids[s : s + size], lens[s : s + size],
+             payloads[s : s + size] if payloads is not None else None)
+            for s in range(0, n, size)
+        ]
+        out_key, out_member, out_mlen, out_side, out_pl = [], [], [], [], []
+        for i in range(len(chunks)):
+            for j in range(i, len(chunks)):
+                if (
+                    i != j
+                    and len_ratio is not None
+                    and chunks[i][1][-1] < len_ratio * chunks[j][1][0]
+                ):
+                    continue  # no feasible cross pair: lengths too far apart
+                sk = f"{base}\x00#{i}-{j}"
+                for side, c in (((0, i),) if i == j else ((0, i), (1, j))):
+                    cid, clen, cpl = chunks[c]
+                    out_key.extend([sk] * len(cid))
+                    out_member.extend(cid.tolist())
+                    out_mlen.extend(clen.tolist())
+                    out_side.extend([side] * len(cid))
+                    out_pl.extend(cpl if cpl is not None else [None] * len(cid))
+        m = len(out_key)
         return pa.table(
-            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
+            {
+                "id_a": pa.nulls(m, pa.int64()),
+                "id_b": pa.nulls(m, pa.int64()),
+                "subkey": pa.array(out_key, pa.string()),
+                "member": pa.array(out_member, pa.int64()),
+                "mlen": pa.array(out_mlen, pa.int64()),
+                "side": pa.array(out_side, pa.int8()),
+                "payload": pa.array(out_pl, pa.binary()),
+            },
+            schema=_PAIR_ROUND_SCHEMA,
         )
 
-    return emit
+    def round2(g: pa.Table) -> pa.Table:
+        member = g.column("member").to_numpy(zero_copy_only=False)
+        mlen = g.column("mlen").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        pl = g.column("payload").to_pylist() if payload_col is not None else None
+        ratio = len_ratio if len_col is not None else None
+        if side.max() == 0:  # within-chunk sub-bucket
+            order = np.lexsort((member, mlen))
+            ids, lens = member[order], mlen[order]
+            sets = (
+                _decode_sets([pl[k] for k in order]) if pl is not None else None
+            )
+            ia, ib = _vec_window_within(lens, ratio)
+            a, b = _emit_pairs(ids, ids, sets, sets, ia, ib, verify_threshold)
+        else:
+            sa, sb = np.flatnonzero(side == 0), np.flatnonzero(side == 1)
+            oa = sa[np.lexsort((member[sa], mlen[sa]))]
+            ob = sb[np.lexsort((member[sb], mlen[sb]))]
+            sets_a = _decode_sets([pl[k] for k in oa]) if pl is not None else None
+            sets_b = _decode_sets([pl[k] for k in ob]) if pl is not None else None
+            ia, ib = _vec_window_cross(mlen[oa], mlen[ob], ratio)
+            a, b = _emit_pairs(
+                member[oa], member[ob], sets_a, sets_b, ia, ib, verify_threshold
+            )
+        return _pair_table(a, b, full_schema=False)
+
+    r1 = key_rows.groupby(key_cols).map_groups(
+        round1, batch_format="pyarrow"
+    ).materialize()
+    import pyarrow.compute as pc
+
+    direct = r1.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("id_a"))).select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+    )
+    deferred = r1.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("subkey"))).select(
+            ["subkey", "member", "mlen", "side", "payload"]
+        ),
+        batch_format="pyarrow",
+    )
+    split = deferred.groupby("subkey").map_groups(round2, batch_format="pyarrow")
+    return direct.union(split)
 
 
 def _distinct_pairs(pairs: Dataset) -> Dataset:
@@ -211,9 +417,7 @@ def minhash_pipeline(
         sig_batch, batch_format="pyarrow"
     )
     cand = _distinct_pairs(
-        band_rows.groupby(["band", "band_hash"]).map_groups(
-            _emit_bucket_pairs(id_col, bucket_cap), batch_format="pyarrow"
-        )
+        _bucket_candidate_pairs(band_rows, ["band", "band_hash"], id_col, bucket_cap)
     ).materialize()  # candidate pairs: small, reused by both join sides
 
     if cand.count() == 0:
@@ -378,20 +582,26 @@ def simhash_pipeline(
     id_col: str,
     hamming_threshold: int = 3,
     bands: int = 4,
+    keep_signatures: bool = True,
 ) -> dict:
     """SimHash near-dup: 64-bit signatures, band-of-bits bucketing
     (any pair within Hamming ≤ bands-1 shares ≥1 exact band), Hamming
-    verify. Returns {"signatures": Table(id, simhash), "pairs": Table}.
+    verify. Returns {"signatures": Dataset(id, simhash) | None,
+    "pairs": Table}.
 
     Distributed shape: the band rows CARRY the full signature (one
     int64), so exact Hamming verification happens inside the bucket
     group — no driver-side id→signature map, no second corpus pass.
-    The final distinct is over verified pairs only (output-sized)."""
+    The final distinct is over verified pairs only (output-sized), and
+    the signatures are returned as a DATASET (collect at the consumer's
+    edge if a table is wanted) — pass ``keep_signatures=False`` when
+    only the pairs matter and the signature blocks need not persist."""
     pairs, sigs = _signature_band_pairs(
         ds.select_columns([id_col, text_col]).map_batches(
             _simhash_sig_batch(text_col, id_col), batch_format="pyarrow"
         ),
         id_col, "simhash", hamming_threshold, bands,
+        keep_signatures=keep_signatures,
     )
     return {"signatures": sigs, "pairs": pairs}
 
@@ -414,15 +624,24 @@ def _signature_band_pairs(
     bands: int,
     cap: int = 200,
     id_type: pa.DataType = pa.int64(),
-) -> tuple[pa.Table, pa.Table]:
+    keep_signatures: bool = False,
+) -> tuple[pa.Table, Dataset | None]:
     """Shared distributed Hamming-banding machinery for 64-bit
     signature families (SimHash text, phash images): band the signature
     into ``bands`` segments, groupby ``(band, segment value)``, emit
     exact-Hamming-verified pairs inside the owning group (signatures
     ride the narrow band rows), distinct the (output-sized) verified
-    pairs driver-side. Returns (pairs, signatures)."""
+    pairs driver-side. Returns (pairs, signatures).
+
+    Signatures stay a DATASET (never an O(corpus) driver table): with
+    ``keep_signatures`` the signature stage is materialized once (band
+    expansion + the returned handle share the blocks) and returned;
+    otherwise the signatures are consumed by the band expansion alone
+    and the second element is None (pairs-only callers such as
+    phash_pairs / docs_simhash_dups pay no corpus-sized collection)."""
     band_bits = 64 // bands
-    sigs = sigs.materialize()  # reused: band expansion + returned signatures
+    if keep_signatures:
+        sigs = sigs.materialize()  # shared: band expansion + returned handle
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -487,7 +706,7 @@ def _signature_band_pairs(
         verified = verified.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
         verified = verified.rename_columns(["id_a", "id_b", "hamming"])
         verified = _sort_pairs(verified)
-    return verified, collect_arrow(sigs)
+    return verified, (sigs if keep_signatures else None)
 
 
 def embedding_cosine_pairs(
@@ -561,22 +780,140 @@ def embedding_cosine_pairs(
     return out
 
 
+def _prefix_block_keys(
+    toks_ranked: list[str], threshold: float, hot: set
+) -> list[str]:
+    """Blocking keys for one doc's rank-sorted token set (PPJoin prefix
+    filter with degenerate-bucket splitting).
+
+    Base guarantee: any pair with Jaccard ≥ t shares a token in their
+    length-p prefixes, p = |T| − ⌈t·|T|⌉ + 1 (|A∩B| ≥ ⌈t·|A|⌉ for a
+    valid pair, so the prefix past which only α−1 elements remain must
+    intersect). Cold prefix token w → single key ``1␀w``.
+
+    Degenerate-bucket split (hot w, DF > cap): the 2-overlap extension
+    of the prefix lemma — |A∩B| ≥ α implies the length-(|T|−α+2)
+    prefixes share ≥ 2 tokens — means a valid pair sharing a hot prefix
+    token w also shares a SECOND token x in both extended (p+1)
+    prefixes. Emitting pair keys ``2␀w␀x`` for every x in the extended
+    prefix therefore covers every such pair while fanning the one huge
+    w-bucket out over the varying second tokens (the PPJoin-literature
+    degenerate-bucket refinement, exactness preserved). Docs with a
+    single token have no second token to split on and keep the single
+    key (their bucket holds only identical one-token sets)."""
+    n = len(toks_ranked)
+    import math
+
+    p = n - math.ceil(threshold * n) + 1
+    ext = toks_ranked[: p + 1]
+    keys: list[str] = []
+    for w in toks_ranked[:p]:
+        if w not in hot or len(ext) < 2:
+            keys.append("1\x00" + w)
+        else:
+            keys.extend("2\x00" + w + "\x00" + x for x in ext if x != w)
+    return keys
+
+
+def _prefix_keys_via_join(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    merged_df: pa.Table,
+    threshold: float,
+    hot_ref,
+    tokens_of,
+) -> Dataset:
+    """Scale path for the PPJoin global token order when the vocabulary
+    exceeds the broadcast limit: ship the rank as DATA. Explode docs to
+    (doc, token, ntok) rows, join the distributed (token, rank) table on
+    the token, regroup by doc and emit the blocking keys inside the
+    group — two narrow shuffles instead of a vocabulary-sized ray.put.
+    Output is identical to the broadcast path (tested)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    order = pc.sort_indices(
+        merged_df, sort_keys=[("n_sum", "ascending"), ("tok", "ascending")]
+    )
+    rank_tbl = pa.table(
+        {
+            "tok": merged_df.column("tok").take(order),
+            "rank": pa.array(range(merged_df.num_rows), pa.int64()),
+        }
+    )
+    rank_ds = rd.from_arrow(rank_tbl)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_tok, out_n = [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            toks = tokens_of(t)
+            for tok in toks:
+                out_id.append(i)
+                out_tok.append(tok)
+                out_n.append(len(toks))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "tok": pa.array(out_tok, pa.string()),
+                "ntok": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    with_rank = exploded.join(rank_ds, "inner", 4, on=("tok",))
+
+    def emit_keys(g: pa.Table) -> pa.Table:
+        ht = ray.get(hot_ref)
+        idx = pc.sort_indices(g.column("rank"))
+        ranked = g.column("tok").take(idx).to_pylist()
+        doc = g.column(id_col)[0].as_py()
+        ntok = g.column("ntok")[0].as_py()
+        keys = _prefix_block_keys(ranked, threshold, ht)
+        pl = (
+            g.column("rank").take(idx).to_numpy(zero_copy_only=False)
+            .astype(np.int32).tobytes()
+        )
+        return pa.table(
+            {
+                "bkey": pa.array(keys, pa.string()),
+                id_col: pa.array([doc] * len(keys), pa.int64()),
+                "ntok": pa.array([ntok] * len(keys), pa.int64()),
+                "ranks": pa.array([pl] * len(keys), pa.binary()),
+            }
+        )
+
+    return with_rank.groupby(id_col).map_groups(emit_keys, batch_format="pyarrow")
+
+
 def token_jaccard_pipeline(
     ds: Dataset,
     text_col: str,
     id_col: str,
     threshold: float = 0.9,
     bucket_cap: int = 2000,
+    broadcast_rank_limit: int = 2_000_000,
 ) -> pa.Table:
     """EXACT token-set Jaccard similarity self-join (n-gram Jaccard with
     n=1, SQL-checkable) via prefix filtering (PPJoin-style):
 
     1. global token document-frequency via per-block combiner partials
-       (rare-token ordering maximizes pruning), broadcast as rank map
-       (vocabulary-sized — the PPJoin global token order);
-    2. each doc emits its ⌊(1−t)·|T|⌋+1 rarest tokens as blocking keys —
-       any pair with Jaccard ≥ t provably shares one;
-    3. candidate pairs emitted inside the distributed token-bucket
+       (rare-token ordering maximizes pruning); the global token order
+       is broadcast as a rank map when the vocabulary fits
+       (≤ ``broadcast_rank_limit`` terms) and otherwise JOINED on the
+       token (explode → join rank table → regroup by doc) — the
+       open-web-vocabulary scale path, identical output;
+    2. each doc emits blocking keys from its ⌊(1−t)·|T|⌋+1 rarest
+       tokens — any pair with Jaccard ≥ t provably shares one; tokens
+       whose DF exceeds ``bucket_cap`` (degenerate buckets — one shared
+       rare token covering most of a templated corpus) are split by the
+       SECOND shared prefix token (see _prefix_block_keys; exactness
+       preserved by the 2-overlap prefix lemma);
+    3. candidate pairs emitted inside the distributed key-bucket
        groupby, pair-distincted with a second narrow groupby, joined
        back to the texts (a/b sides) and verified with exact set
        Jaccard in ``map_batches`` — no driver-side bucket dict or
@@ -584,11 +921,14 @@ def token_jaccard_pipeline(
 
     Token normalization matches DuckDB's
     ``list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))``.
-    ``bucket_cap`` guards runaway buckets; overflow RAISES (exactness is
-    the contract — callers size the cap to their corpus). Inside the
-    bucket the exact PPJoin length filter prunes before pair emission.
+    ``bucket_cap`` bounds per-task bucket work; buckets that stay over
+    the cap even after the hot-token split (tiny-vocabulary corpora
+    whose true near-dup output is itself quadratic in cluster sizes)
+    are chunk-split deterministically and emitted across the cluster
+    (_bucket_candidate_pairs) — never truncated, never raising. Inside
+    every bucket the exact PPJoin length filter prunes before pair
+    emission, vectorized (no Python pair loop).
     """
-    import math
 
     def tokens_of(t: str) -> list[str]:
         return sorted(set((t or "").strip().lower().split()))
@@ -611,71 +951,82 @@ def token_jaccard_pipeline(
         schema=pa.schema([("tok", pa.string()), ("n", pa.int64())]),
     )
     merged = parts.group_by("tok").aggregate([("n", "sum")])
-    freq = dict(zip(merged.column("tok").to_pylist(), merged.column("n_sum").to_pylist()))
-    rank = {t: i for i, (f, t) in enumerate(sorted((f, t) for t, f in freq.items()))}
-    rank_ref = ray.put(rank)
+    # hot = degenerate-bucket tokens (DF alone can over-cap the bucket);
+    # the hot SET is tiny by construction (≤ total_tokens / cap entries)
+    import pyarrow.compute as pc
 
-    # pass 2: prefix blocking keys
-    def prefix_keys(batch: pa.Table) -> pa.Table:
-        rk = ray.get(rank_ref)
-        out_tok, out_id, out_n = [], [], []
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            toks = tokens_of(t)
-            if not toks:
-                continue
-            p = len(toks) - math.ceil(threshold * len(toks)) + 1
-            for tok in sorted(toks, key=lambda x: rk[x])[:p]:
-                out_tok.append(tok)
-                out_id.append(i)
-                out_n.append(len(toks))
-        return pa.table(
-            {
-                "tok": pa.array(out_tok, pa.string()),
-                id_col: pa.array(out_id, pa.int64()),
-                "ntok": pa.array(out_n, pa.int64()),
-            }
-        )
-
-    cand = _distinct_pairs(
-        ds.select_columns([id_col, text_col])
-        .map_batches(prefix_keys, batch_format="pyarrow")
-        .groupby("tok")
-        .map_groups(
-            # exact PPJoin length filter inside the bucket (J >= t
-            # implies min >= t*max token counts) — no recall loss
-            _emit_bucket_pairs(
-                id_col, bucket_cap, len_col="ntok", len_ratio=threshold
-            ),
-            batch_format="pyarrow",
-        )
-    ).materialize()
-
-    if cand.count() == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-
-    def verify(batch: pa.Table) -> pa.Table:
-        out_a, out_b = [], []
-        for ia, ib, ta, tb in zip(
-            batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist(),
-            batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist(),
-        ):
-            sa, sb = set(tokens_of(ta)), set(tokens_of(tb))
-            u = len(sa | sb)
-            if u and len(sa & sb) / u >= threshold:
-                out_a.append(ia)
-                out_b.append(ib)
-        return pa.table(
-            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
-        )
-
-    return _sort_pairs(
-        collect_arrow(
-            _attach_texts(cand, ds, text_col, id_col).map_batches(
-                verify, batch_format="pyarrow"
-            ),
-            schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
-        )
+    hot = set(
+        merged.filter(pc.greater(merged.column("n_sum"), bucket_cap))
+        .column("tok").to_pylist()
     )
+    hot_ref = ray.put(hot)
+
+    if merged.num_rows <= broadcast_rank_limit:
+        # vocabulary fits: broadcast the global (DF, token) rank order
+        freq = dict(
+            zip(merged.column("tok").to_pylist(), merged.column("n_sum").to_pylist())
+        )
+        rank = {t: i for i, (f, t) in enumerate(sorted((f, t) for t, f in freq.items()))}
+        rank_ref = ray.put(rank)
+
+        def prefix_keys(batch: pa.Table) -> pa.Table:
+            rk = ray.get(rank_ref)
+            ht = ray.get(hot_ref)
+            out_key, out_id, out_n, out_pl = [], [], [], []
+            for i, t in zip(
+                batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+            ):
+                toks = tokens_of(t)
+                if not toks:
+                    continue
+                ranked = sorted(toks, key=lambda x: rk[x])
+                # the doc's token set as sorted int32 vocabulary ranks,
+                # binary-packed — rides each key row so the owning
+                # bucket can verify EXACT Jaccard without a text join
+                pl = np.sort(
+                    np.array([rk[x] for x in ranked], dtype=np.int32)
+                ).tobytes()
+                for key in _prefix_block_keys(ranked, threshold, ht):
+                    out_key.append(key)
+                    out_id.append(i)
+                    out_n.append(len(toks))
+                    out_pl.append(pl)
+            return pa.table(
+                {
+                    "bkey": pa.array(out_key, pa.string()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "ntok": pa.array(out_n, pa.int64()),
+                    "ranks": pa.array(out_pl, pa.binary()),
+                }
+            )
+
+        key_rows = ds.select_columns([id_col, text_col]).map_batches(
+            prefix_keys, batch_format="pyarrow"
+        )
+    else:
+        # open-web vocabulary: the rank map cannot ride ray.put — JOIN
+        # the exploded (doc, token) rows against the distributed rank
+        # table on the token, regroup by doc, emit keys in the group
+        key_rows = _prefix_keys_via_join(
+            ds, text_col, id_col, merged, threshold, hot_ref, tokens_of
+        )
+
+    # pair emission + EXACT in-bucket Jaccard verification in one
+    # distributed pass (over-cap buckets split deterministically, never
+    # raising); only verified — output-sized — pairs leave the buckets
+    verified = collect_arrow(
+        _bucket_candidate_pairs(
+            key_rows, ["bkey"], id_col, bucket_cap,
+            len_col="ntok", len_ratio=threshold,
+            payload_col="ranks", verify_threshold=threshold,
+        ),
+        schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+    )
+    # distinct the (≤ prefix-length-fold duplicated) verified pairs at
+    # the driver edge — output-sized by construction
+    if verified.num_rows:
+        verified = verified.group_by(["id_a", "id_b"]).aggregate([])
+    return _sort_pairs(verified)
 
 
 def phash_pairs(

@@ -52,8 +52,15 @@ def test_simhash_finds_planted_dups():
     out = simhash_pipeline(ds, "text", "doc_id", hamming_threshold=3)
     pairs = {(r["id_a"], r["id_b"]) for r in out["pairs"].to_pylist()}
     assert (2, 41) in pairs  # exact dup → hamming 0
-    sigs = {r["doc_id"]: r["simhash"] for r in out["signatures"].to_pylist()}
+    # signatures come back as a Dataset (no O(corpus) driver table)
+    sigs = {r["doc_id"]: r["simhash"] for r in out["signatures"].take_all()}
     assert sigs[2] == sigs[41]
+    # pairs-only mode skips the signature materialization entirely
+    out2 = simhash_pipeline(
+        ds, "text", "doc_id", hamming_threshold=3, keep_signatures=False
+    )
+    assert out2["signatures"] is None
+    assert {(r["id_a"], r["id_b"]) for r in out2["pairs"].to_pylist()} == pairs
 
 
 @pytest.mark.usefixtures("ray_session")
