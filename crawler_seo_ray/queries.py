@@ -928,13 +928,17 @@ def lineitem_price_quantiles(sf_dir: str):
     return pa.table(cols)
 
 
-def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
+def docs_tfidf_top_terms(sf_dir: str, k: int = 3, df_broadcast_limit: int = 2_000_000):
     """TF-IDF top-k terms per document — flat tokenize → per-block
     (doc, term, tf) counts (map-side combine: within a block each doc
     is whole, so tf is final) → distributed DF groupby-sum (narrow,
-    term-keyed) → broadcast the DF map (ray.put once; vocabulary ≪
-    corpus — the documented small-side seam; at open-web vocab scale DF
-    would join on term instead) → per-doc top-k rank.
+    term-keyed) → attach DF per term → per-doc top-k rank.
+
+    DF attachment has two identical-output paths: a broadcast map
+    (ray.put once — right while the vocabulary ≤ ``df_broadcast_limit``
+    terms) and, above the limit, a distributed JOIN of the (doc, term,
+    tf) rows against the DF table on ``term`` — the open-web-vocabulary
+    scale path (equality tested).
 
     Output is all-integer (tf, df, rk) — ranking uses tf/df as an IEEE
     double division (bit-identical in DuckDB and numpy), tie-broken by
@@ -971,17 +975,15 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
             b.group_by("term").aggregate([([], "count_all")]).rename_columns(["term", "df"])
         )
 
-    df_tbl = collect_arrow(
-        toks.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(_Sum("df", alias_name="df"))
-    )
-    df_ref = ray.put(dict(zip(df_tbl.column("term").to_pylist(), df_tbl.column("df").to_pylist())))
+    df_ds = toks.map_batches(df_partial, batch_format="pyarrow").groupby(
+        "term"
+    ).aggregate(_Sum("df", alias_name="df"))
 
     def topk(g: pa.Table) -> pa.Table:
-        df_map = ray.get(df_ref)
-        dfs = pa.array([df_map[t] for t in g.column("term").to_pylist()], pa.int64())
-        g = g.append_column("df", dfs)
+        if "df" not in g.column_names:  # broadcast path: look the DF up
+            df_map = ray.get(df_ref)
+            dfs = pa.array([df_map[t] for t in g.column("term").to_pylist()], pa.int64())
+            g = g.append_column("df", dfs)
         score = pc.divide(
             pc.cast(g.column("tf"), pa.float64()), pc.cast(g.column("df"), pa.float64())
         )
@@ -990,9 +992,21 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
             g, sort_keys=[("__s", "descending"), ("term", "ascending")]
         )
         out = g.take(idx[:k]).drop_columns(["__s"])
+        out = out.select(["doc_id", "term", "tf", "df"])
         return out.append_column("rk", pa.array(range(1, out.num_rows + 1), pa.int64()))
 
-    return toks.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+    df_ds = df_ds.materialize()
+    if df_ds.count() <= df_broadcast_limit:
+        df_tbl = collect_arrow(df_ds)
+        df_ref = ray.put(
+            dict(zip(df_tbl.column("term").to_pylist(), df_tbl.column("df").to_pylist()))
+        )
+        withdf = toks
+    else:
+        # vocabulary over the broadcast limit: the DF table never
+        # touches the driver — join it on term instead
+        withdf = toks.join(df_ds, "inner", _join_partitions(), on=("term",))
+    return withdf.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
 
 
 def events_users_per_type(sf_dir: str):

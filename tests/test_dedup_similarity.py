@@ -63,6 +63,61 @@ def test_simhash_finds_planted_dups():
     assert {(r["id_a"], r["id_b"]) for r in out2["pairs"].to_pylist()} == pairs
 
 
+def _brute_jaccard_pairs(texts, threshold):
+    sets = [set((t or "").strip().lower().split()) for t in texts]
+    out = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            u = len(sets[i] | sets[j])
+            if u and len(sets[i] & sets[j]) / u >= threshold:
+                out.add((i, j))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_jaccard_degenerate_bucket_splits_instead_of_raising():
+    """A corpus whose docs ALL share their rarest prefix token (the
+    r2-era raise scenario): the one token bucket is far over cap, yet
+    the deterministic chunk/second-token split keeps the result exact
+    with a cap (8) much smaller than the bucket (60)."""
+    from crawler_seo_ray.stages.dedup import token_jaccard_pipeline
+
+    rng = np.random.default_rng(11)
+    common = ["alpha beta gamma delta epsilon zeta eta theta".split()]
+    texts = []
+    for i in range(60):
+        # 'rare0' is in EVERY doc and is globally rarest-ranked only by
+        # tie-break; the varying tail keeps most pairs below threshold
+        tail = " ".join(rng.choice(common[0], size=6))
+        texts.append(f"rare0 shared1 shared2 {tail} doc{i % 7}")
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)})
+    )
+    out = token_jaccard_pipeline(ds, "text", "doc_id", threshold=0.7, bucket_cap=8)
+    got = set(zip(out.column("id_a").to_pylist(), out.column("id_b").to_pylist()))
+    assert got == _brute_jaccard_pairs(texts, 0.7)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_jaccard_join_path_equals_broadcast_path():
+    """broadcast_rank_limit=0 forces the distributed (token, rank) join
+    path — it must produce the identical pair set as the broadcast rank
+    map (the open-web-vocabulary seam, VERDICT r02 #4)."""
+    from crawler_seo_ray.stages.dedup import token_jaccard_pipeline
+
+    t = _docs_table()
+    ds = rd.from_arrow(t)
+    a = token_jaccard_pipeline(ds, "text", "doc_id", threshold=0.6)
+    b = token_jaccard_pipeline(
+        ds, "text", "doc_id", threshold=0.6, broadcast_rank_limit=0
+    )
+    pa_pairs = list(zip(a.column("id_a").to_pylist(), a.column("id_b").to_pylist()))
+    pb_pairs = list(zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()))
+    assert pa_pairs == pb_pairs and len(pa_pairs) > 0
+    texts = t.column("text").to_pylist()
+    assert set(pa_pairs) == _brute_jaccard_pairs(texts, 0.6)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_exact_dedup_keep_first():
     from crawler_seo_ray.stages.dedup import exact_dedup

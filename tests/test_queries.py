@@ -100,6 +100,17 @@ def test_rows_only_queries_run(registry):
     assert set(expectations) == set(queries) - set(oracles)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_join_path_equals_broadcast_path():
+    """df_broadcast_limit=0 forces the distributed DF join on term —
+    identical output to the broadcast DF map (VERDICT r02 #4)."""
+    from crawler_seo_ray import queries as Q
+
+    a = _canon(_to_pandas(Q.docs_tfidf_top_terms(SF)))
+    b = _canon(_to_pandas(Q.docs_tfidf_top_terms(SF, df_broadcast_limit=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_langid_on_natural_samples():
     """The testdata 'lang' column is a random label over English word-soup,
     so heuristic accuracy is only meaningful on real language samples."""
