@@ -377,21 +377,27 @@ def events_top3_per_user(sf_dir: str):
 
 
 def docs_split(sf_dir: str):
-    """Deterministic train/val/test assignment by md5(doc_id) bucket —
+    """Deterministic train/val/test assignment by hash(doc_id) bucket —
     the reproducible hash-split every training-data pipeline needs
-    (stable across any parallelism/partitioning)."""
-    import hashlib
-
+    (stable across any parallelism/partitioning). The hash is FNV-1a
+    over the 8 little-endian bytes of the int64 id: fully numpy-
+    vectorized (8 xor-multiply passes, uint64 wraparound — the r2 md5
+    Python loop is gone) and exactly expressible in the SQL oracle via
+    HUGEINT mod-2^64 arithmetic."""
     ds = _pq(sf_dir, "documents", ["doc_id"], blocks=8)
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        buckets = [
-            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10 for i in ids
-        ]
-        split = pa.array(
-            ["train" if b < 8 else ("val" if b == 8 else "test") for b in buckets],
-            pa.string(),
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = np.full(len(ids), 14695981039346656037, dtype=np.uint64)
+            for k in range(8):
+                byte = (ids >> np.uint64(8 * k)) & np.uint64(0xFF)
+                h = (h ^ byte) * np.uint64(1099511628211)
+        b = (h % np.uint64(10)).astype(np.int64)
+        split = pc.if_else(
+            pc.less(pa.array(b), 8),
+            pa.scalar("train"),
+            pc.if_else(pc.equal(pa.array(b), 8), pa.scalar("val"), pa.scalar("test")),
         )
         return pa.table({"doc_id": batch.column("doc_id"), "split": split})
 
@@ -642,8 +648,9 @@ def embeddings_knn(sf_dir: str):
     from .stages.similarity import knn_brute
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # expression filter (vectorized predicate pushdown), not a row lambda
     qrows = sorted(
-        ds.filter(lambda r: r["vec_id"] < 5).take_all(), key=lambda r: r["vec_id"]
+        ds.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]
     )
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     out = knn_brute(ds, "embedding", "vec_id", queries, k=5)
@@ -759,7 +766,9 @@ def docs_simhash_dups(sf_dir: str):
 def docs_minhash_dups(sf_dir: str):
     from .stages.dedup import minhash_pipeline
 
-    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    # 16 blocks: the signature stage is the compute-heavy part — give
+    # the actor-free task pool enough input blocks to fill the node
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=16)
     return minhash_pipeline(ds, "text", "doc_id", jaccard_threshold=0.5)["pairs"]
 
 
@@ -781,7 +790,7 @@ def embeddings_knn_ivf(sf_dir: str):
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
     qrows = sorted(
-        ds.filter(lambda r: r["vec_id"] < 5).take_all(), key=lambda r: r["vec_id"]
+        ds.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]
     )
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     # nlist ≫ nprobe·nq so the probe demonstrably prunes (logged fraction)
@@ -1244,12 +1253,21 @@ ORACLE_SQL = {
           FROM events) t
         WHERE rk <= 3
     """,
+    # FNV-1a over the id's 8 little-endian bytes, HUGEINT mod-2^64 —
+    # bit-identical to the vectorized numpy chain in docs_split
     "docs_split": """
         SELECT doc_id,
                CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
         FROM (
           SELECT doc_id,
-                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS b
+                 list_reduce(
+                   list_prepend(14695981039346656037::HUGEINT,
+                     list_transform(range(0, 8), k ->
+                       (doc_id::HUGEINT // CAST(power(2, 8*k) AS HUGEINT)) % 256)),
+                   (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                                * 1099511628211::HUGEINT)
+                               % 18446744073709551616::HUGEINT
+                 ) % 10 AS b
           FROM documents) t
     """,
     "events_props_extract": """

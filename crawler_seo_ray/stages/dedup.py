@@ -329,7 +329,11 @@ def _bucket_candidate_pairs(
             ["subkey", "member", "mlen", "side", "payload"]
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    if deferred.count() == 0:
+        # the common case — no bucket over cap: skip round 2 entirely
+        # (an empty groupby still pays the sort-shuffle fixed cost)
+        return direct
     split = deferred.groupby("subkey").map_groups(round2, batch_format="pyarrow")
     return direct.union(split)
 
@@ -343,7 +347,7 @@ def _distinct_pairs(pairs: Dataset) -> Dataset:
 
 
 def _attach_texts(pairs: Dataset, ds: Dataset, text_col: str, id_col: str,
-                  num_partitions: int = 4) -> Dataset:
+                  num_partitions: int = 2) -> Dataset:
     """JOIN the candidate-pair table back to the text column, a-side and
     b-side — the distributed replacement for a broadcast id→text map.
     Pair count is LSH-candidate-sized (≪ corpus), so the join's shuffle
@@ -374,6 +378,7 @@ def minhash_pipeline(
     jaccard_threshold: float = 0.7,
     bucket_cap: int = 200,
     components: str = "driver",
+    candidate_broadcast_limit: int = 200_000,
 ) -> dict:
     """MinHash+LSH near-dup detection. Returns
     {"pairs": pa.Table(id_a, id_b, jaccard), "groups": pa.Table(id, rep)}.
@@ -416,11 +421,17 @@ def minhash_pipeline(
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
         sig_batch, batch_format="pyarrow"
     )
-    cand = _distinct_pairs(
-        _bucket_candidate_pairs(band_rows, ["band", "band_hash"], id_col, bucket_cap)
-    ).materialize()  # candidate pairs: small, reused by both join sides
+    # candidate pairs: small, reused by both join sides. Cross-band
+    # duplicates (a pair colliding in k bands) are NOT distincted here —
+    # the duplication factor is ≤ bands and the verified output is
+    # deduped at the driver edge, which is cheaper than a second
+    # sort-shuffle over the candidate rows
+    cand = _bucket_candidate_pairs(
+        band_rows, ["band", "band_hash"], id_col, bucket_cap
+    ).materialize()
 
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
@@ -428,13 +439,18 @@ def minhash_pipeline(
         return {"pairs": empty, "groups": pa.table(
             {"id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})}
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def pair_jaccards(ids_a, ids_b, texts_of):
+        cache: dict = {}
+
+        def sh(i):
+            s = cache.get(i)
+            if s is None:
+                s = cache[i] = shingles(texts_of(i), shingle_k)
+            return s
+
         out_a, out_b, out_j = [], [], []
-        for ia, ib, ta, tb in zip(
-            batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist(),
-            batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist(),
-        ):
-            sa, sb = shingles(ta, shingle_k), shingles(tb, shingle_k)
+        for ia, ib in zip(ids_a, ids_b):
+            sa, sb = sh(ia), sh(ib)
             union = len(sa | sb)
             j = (len(sa & sb) / union) if union else 0.0
             if j >= jaccard_threshold:
@@ -446,14 +462,70 @@ def minhash_pipeline(
              "jaccard": pa.array(out_j, pa.float64())}
         )
 
-    verified = collect_arrow(
-        _attach_texts(cand, ds, text_col, id_col).map_batches(
-            verify, batch_format="pyarrow"
-        ),
-        schema=pa.schema(
-            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
-        ),
+    schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
     )
+    if n_cand <= candidate_broadcast_limit:
+        # output-sized candidate set: fetch ONLY the colliding docs'
+        # texts with one streaming membership filter (broadcast the
+        # candidate-id set — candidate-sized, not corpus-sized) and
+        # verify over the candidate blocks. Avoids two join shuffles.
+        cand_tbl = collect_arrow(cand)
+        import pyarrow.compute as pc
+
+        need = pc.unique(
+            pa.concat_arrays(
+                [cand_tbl.column("id_a").combine_chunks(),
+                 cand_tbl.column("id_b").combine_chunks()]
+            )
+        )
+        need_ref = ray.put(need)
+
+        def pick(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column(id_col), value_set=ray.get(need_ref)))
+
+        texts = collect_arrow(
+            ds.select_columns([id_col, text_col]).map_batches(
+                pick, batch_format="pyarrow"
+            )
+        )
+        tmap_ref = ray.put(
+            dict(zip(texts.column(id_col).to_pylist(), texts.column(text_col).to_pylist()))
+        )
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            tm = ray.get(tmap_ref)
+            return pair_jaccards(
+                batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist(),
+                lambda i: tm.get(i, ""),
+            )
+
+        verified = collect_arrow(
+            cand.map_batches(verify_bcast, batch_format="pyarrow"), schema=schema
+        )
+    else:
+        # candidates outgrow a broadcast: JOIN the texts a-side/b-side
+        def verify(batch: pa.Table) -> pa.Table:
+            ta = dict(zip(batch.column("id_a").to_pylist(), batch.column("text_a").to_pylist()))
+            tb = dict(zip(batch.column("id_b").to_pylist(), batch.column("text_b").to_pylist()))
+            return pair_jaccards(
+                batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist(),
+                lambda i: ta.get(i) if i in ta else tb.get(i, ""),
+            )
+
+        verified = collect_arrow(
+            _attach_texts(cand, ds, text_col, id_col).map_batches(
+                verify, batch_format="pyarrow"
+            ),
+            schema=schema,
+        )
+    if verified.num_rows:
+        # cross-band duplicates verified k times carry identical
+        # jaccard values — one output-sized driver-edge distinct
+        verified = (
+            verified.group_by(["id_a", "id_b"]).aggregate([("jaccard", "min")])
+            .rename_columns(["id_a", "id_b", "jaccard"])
+        )
     verified = _sort_pairs(verified)
 
     if components == "distributed":

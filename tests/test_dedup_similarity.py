@@ -42,6 +42,12 @@ def test_minhash_finds_planted_near_dups():
     assert (2, 41) in pairs  # exact dup
     groups = {r["id"]: r["rep"] for r in out["groups"].to_pylist()}
     assert groups[40] == 1 and groups[41] == 2
+    # join-path text attachment (candidates over the broadcast limit)
+    # must yield the identical verified pair set
+    out2 = minhash_pipeline(
+        ds, "text", "doc_id", jaccard_threshold=0.6, candidate_broadcast_limit=0
+    )
+    assert out2["pairs"].equals(out["pairs"])
 
 
 @pytest.mark.usefixtures("ray_session")
