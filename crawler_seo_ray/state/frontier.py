@@ -34,21 +34,61 @@ import ray
 # num_cpus=0: queue bookkeeping is tiny per call; see SeenShard note.
 @ray.remote(num_cpus=0)
 class FrontierShard:
+    """Indexed priority queue: SORTED RUNS + TOMBSTONES (r3 rework of
+    the r2 flat list whose per-wave full-list sort/rebuild was O(queue)
+    per commit — VERDICT r02 #6).
+
+    - each ``add`` appends one sorted run (admissions arrive in
+      discovery order, already (rank, seq)-sorted in parity mode);
+    - ``peek`` lazily k-way-merges the runs (heapq.merge) and stops at
+      the limit — O(peeked · log runs), not O(queue);
+    - ``commit`` marks taken seqs as tombstones — O(taken);
+    - compaction (merge runs, drop tombstones) is amortized: it runs
+      when the run count or tombstone share crosses a threshold, so a
+      10^6-entry shard pays O(queue) only every ~queue/wave waves.
+
+    entries: (rank, seq, url, host, depth, sshard) — rank computed at
+    admission (web.link_rank); parity mode uses rank 0/1 = the
+    reference's two-queue drain, weighted mode any float."""
+
+    MAX_RUNS = 16
+
     def __init__(self, shard_id: int):
         self.shard_id = shard_id
-        # entries: (rank, seq, url, host, depth) — rank computed at
-        # admission (web.link_rank); parity mode uses rank 0/1 = the
-        # reference's two-queue drain, weighted mode any float
-        self.entries: list[tuple] = []
-        self.dirty = False
+        self.runs: list[list[tuple]] = []
+        self.dead: set[int] = set()  # committed (taken) seqs, lazily purged
+        self.live = 0
         self.added = 0
         self.taken = 0
 
     def add(self, entries: list[tuple]) -> int:
-        self.entries.extend(entries)
-        self.dirty = True
-        self.added += len(entries)
+        if entries:
+            run = sorted(entries)
+            self.runs.append(run)
+            self.live += len(run)
+            self.added += len(run)
+            if len(self.runs) > self.MAX_RUNS:
+                self._compact()
         return len(entries)
+
+    # -- internal ------------------------------------------------------
+    def _merged(self):
+        """Lazy (rank, seq)-ordered iterator over live entries."""
+        import heapq
+
+        dead = self.dead
+        for e in heapq.merge(*self.runs):
+            if e[1] not in dead:
+                yield e
+
+    def _compact(self) -> None:
+        merged = list(self._merged())
+        self.runs = [merged] if merged else []
+        self.dead.clear()
+
+    def _maybe_compact(self) -> None:
+        if len(self.dead) > max(1024, self.live // 2) or len(self.runs) > self.MAX_RUNS:
+            self._compact()
 
     def add_arrow(self, tbl) -> int:
         """Arrow-table variant: columns rank/seq/url/host/depth/sshard —
@@ -74,21 +114,28 @@ class FrontierShard:
         """Up to ``limit`` entries in (rank, seq) order with at most
         ``host_quota`` per LOCAL host; does not remove them.
 
-        ``host_offsets`` (adaptive per-host priority, recomputed between
-        waves from aggregated per-host stats) are added to each entry's
-        rank; returned tuples carry the ADJUSTED rank so the driver
-        merge orders globally by it."""
-        if self.dirty:
-            self.entries.sort()  # timsort; appends keep it nearly sorted
-            self.dirty = False
-        entries = self.entries
+        Fast path (no quota, no offsets — the headline crawl): take the
+        first ``limit`` live entries straight off the lazy run merge.
+        With a quota the merge is scanned with per-host counters; the
+        scan may traverse the whole shard only when most hosts are
+        capped. ``host_offsets`` (adaptive per-host priority, recomputed
+        between waves from aggregated per-host stats) are added to each
+        entry's rank; that mode re-sorts the adjusted view (adaptive
+        crawls are politeness-shaped anyway)."""
+        import itertools
+
         if host_offsets:
-            entries = sorted(
-                ((e[0] + host_offsets.get(e[3], 0.0),) + e[1:] for e in entries)
+            adjusted = sorted(
+                (e[0] + host_offsets.get(e[3], 0.0),) + e[1:] for e in self._merged()
             )
+            src = iter(adjusted)
+        else:
+            src = self._merged()
+        if host_quota is None and not host_offsets:
+            return list(itertools.islice(src, limit))
         out: list[tuple] = []
         per_host: dict[str, int] = defaultdict(int)
-        for e in entries:
+        for e in src:
             if len(out) >= limit:
                 break
             host = e[3]
@@ -131,26 +178,29 @@ class FrontierShard:
 
     def commit(self, seqs: list[int]) -> None:
         s = set(seqs)
-        self.entries = [e for e in self.entries if e[1] not in s]
+        self.dead.update(s)
         self.taken += len(s)
+        self.live -= len(s)
+        self._maybe_compact()
 
     def size(self) -> int:
-        return len(self.entries)
+        return self.live
 
     def stats(self) -> dict:
         return {
             "shard": self.shard_id,
-            "queued": len(self.entries),
+            "queued": self.live,
             "added": self.added,
             "taken": self.taken,
         }
 
     def snapshot(self) -> list[tuple]:
-        return list(self.entries)
+        return list(self._merged())
 
     def restore(self, entries: list[tuple]) -> None:
-        self.entries = sorted(entries)
-        self.dirty = False
+        self.runs = [sorted(entries)] if entries else []
+        self.dead = set()
+        self.live = len(entries)
 
 
 def take_wave(
@@ -172,39 +222,67 @@ def take_wave(
 
     Returns the taken entries as (seq, url, host, depth), in the
     deterministic global order (priority first, then discovered_seq).
+
+    ADAPTIVE PEEK (FIFO/priority mode, no politeness/offsets): shipping
+    ``budget`` rows from EVERY shard merges S·B rows at the driver per
+    wave when only B are taken. At steady state each shard contributes
+    ~B/S, so the take starts with a 2·B/S + slack per-shard limit and
+    provably falls back: the merged selection equals the true global
+    smallest-B iff every shard either had rows left over (its cut
+    wasn't reached) or returned fewer than its limit (exhausted). Any
+    violating shard triggers a re-peek at 4× the limit (capped at
+    ``budget``, which restores the exhaustive r2 behavior). Politeness
+    and adaptive-offset modes always peek exhaustively — a local-quota-
+    capped shard's omissions are provably ineligible, but a limit-
+    truncated one's are not.
     """
     import numpy as np
     import pyarrow as pa
 
-    tbls = ray.get(
-        [f.peek_arrow.remote(budget, host_quota, host_offsets) for f in frontier_shards]
+    adaptive = host_quota is None and not host_offsets
+    S = len(frontier_shards)
+    limit = (
+        min(budget, max(1024, 2 * (budget // max(1, S)) + 64)) if adaptive else budget
     )
-    merged = pa.concat_tables(tbls)
-    if merged.num_rows == 0:
-        return []
-    # commit routing by PROVENANCE (which shard answered), not by
-    # re-hashing hosts on the driver
-    shard_ids = np.concatenate(
-        [np.full(t.num_rows, i, dtype=np.int32) for i, t in enumerate(tbls)]
-    )
-    rank = merged.column("rank").to_numpy()
-    seq = merged.column("seq").to_numpy()
-    order = np.lexsort((seq, rank))  # (rank, seq) — seq unique ⇒ total order
-    if host_quota is None:
-        sel = order[:budget]
-    else:  # politeness: greedy global per-host quota in (rank, seq) order
-        hosts = merged.column("host").to_pylist()
-        per_host: dict[str, int] = defaultdict(int)
-        sel_list: list[int] = []
-        for k in order:
-            if len(sel_list) >= budget:
-                break
-            h = hosts[k]
-            if per_host[h] >= host_quota:
-                continue
-            per_host[h] += 1
-            sel_list.append(int(k))
-        sel = np.asarray(sel_list, dtype=np.int64)
+    while True:
+        tbls = ray.get(
+            [f.peek_arrow.remote(limit, host_quota, host_offsets) for f in frontier_shards]
+        )
+        merged = pa.concat_tables(tbls)
+        if merged.num_rows == 0:
+            return []
+        # commit routing by PROVENANCE (which shard answered), not by
+        # re-hashing hosts on the driver
+        shard_ids = np.concatenate(
+            [np.full(t.num_rows, i, dtype=np.int32) for i, t in enumerate(tbls)]
+        )
+        rank = merged.column("rank").to_numpy()
+        seq = merged.column("seq").to_numpy()
+        order = np.lexsort((seq, rank))  # (rank, seq) — seq unique ⇒ total order
+        if host_quota is None:
+            sel = order[:budget]
+        else:  # politeness: greedy global per-host quota in (rank, seq) order
+            hosts = merged.column("host").to_pylist()
+            per_host: dict[str, int] = defaultdict(int)
+            sel_list: list[int] = []
+            for k in order:
+                if len(sel_list) >= budget:
+                    break
+                h = hosts[k]
+                if per_host[h] >= host_quota:
+                    continue
+                per_host[h] += 1
+                sel_list.append(int(k))
+            sel = np.asarray(sel_list, dtype=np.int64)
+        if not adaptive or limit >= budget:
+            break
+        peeked = np.asarray([t.num_rows for t in tbls], dtype=np.int64)
+        taken_per = np.bincount(shard_ids[sel], minlength=S).astype(np.int64)
+        # a shard whose peek was limit-truncated AND fully consumed may
+        # be hiding globally-selectable entries — re-peek larger
+        if not np.any((peeked == limit) & (taken_per == peeked)):
+            break
+        limit = min(budget, limit * 4)
     taken = merged.take(pa.array(sel))
     taken_seq = seq[sel]
     taken_shard = shard_ids[sel]
