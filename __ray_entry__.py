@@ -52,4 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the corpus-backed oracles (corpus_phash_dups / corpus_resize /
+    # …) read the deterministic corpus cache via read_parquet —
+    # materialize it now so the files exist even if the driver runs the
+    # SQL side before the Ray side
+    corpus_dir()
     return dict(ORACLE_SQL)

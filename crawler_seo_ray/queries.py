@@ -9,8 +9,11 @@ comparison is meaningful.
 
 Crawl-engine demonstrations (visit order, audit scores, image stats)
 run over the deterministic synthetic corpus (BASELINE.json input_hint
-shape) cached under /tmp — they are rows-only checks (no SQL oracle
-can express an iterative crawl).
+shape) cached under /tmp. The iterative-crawl and pixel-decoding ones
+are rows-only checks (no SQL oracle can express them); the corpus
+queries whose outputs are derivable from the stored corpus columns
+(phash near-dup pairs, resize geometry) carry read_parquet oracles
+over the same cache.
 """
 
 from __future__ import annotations
@@ -1051,9 +1054,11 @@ def events_users_per_type(sf_dir: str):
 
 def events_approx_users(sf_dir: str):
     """HyperLogLog distinct-user sketch per event type (stages/sketch)
-    — deterministic splitmix64 registers, max-merged map-side; rows-only
-    (DuckDB's approx_count_distinct is a different HLL), error bound
-    asserted in tests."""
+    — deterministic splitmix64 registers, max-merged map-side. SQL-paired
+    not against DuckDB's own approx_count_distinct (a different HLL) but
+    against this engine's HLL re-expressed exactly in SQL (HUGEINT
+    splitmix64 + register groupby + scaled-integer register sum); the
+    ~1.6 % error bound vs exact counts is asserted in tests."""
     from .stages.sketch import grouped_hll
 
     ds = _pq(sf_dir, "events", ["event_type", "user_id"], blocks=8)
@@ -1116,7 +1121,9 @@ def corpus_image_stats(sf_dir: str):
 
 def corpus_phash_dups(sf_dir: str):
     """Image near-dup pairs by perceptual-hash Hamming banding over the
-    corpus phash column (multimodal dedup)."""
+    corpus phash column (multimodal dedup). SQL-paired: threshold (4) <
+    bands (8) gives total banding recall, so the brute-force Hamming
+    cross join over the stored phash column is an exact oracle."""
     from .stages.dedup import phash_pairs
 
     ds = corpus_parquet(columns=["image_id", "phash"])
@@ -1621,4 +1628,107 @@ ORACLE_SQL["docs_minhash_groups"] = (
     "  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a\n"
     ")\n"
     "SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id"
+)
+
+# --- corpus-backed oracles (read_parquet over the deterministic corpus
+# cache — __ray_entry__.oracle_sql() materializes it before returning
+# these, so the files exist whichever side the driver runs first) -------
+
+_CORPUS_GLOB = os.path.join(
+    _CACHE_ROOT,
+    f"corpus_n{CORPUS_N}_d{_CORPUS_DIMS[0]}_{_CORPUS_DIMS[1]}_v{datagen.GEN_VERSION}",
+    "part-*.parquet",
+)
+
+# brute-force Hamming pair join over the stored phash column; exact for
+# the banded pipeline because hamming_threshold (4) < bands (8) gives
+# total LSH recall (pigeonhole — see stages/dedup.phash_pairs)
+ORACLE_SQL["corpus_phash_dups"] = f"""
+    WITH c AS (SELECT image_id, phash FROM read_parquet('{_CORPUS_GLOB}'))
+    SELECT a.image_id AS id_a, b.image_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM c a JOIN c b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4
+"""
+
+# resize emits a fixed target geometry per input row (pixel payloads are
+# dropped by the query's projection) — the oracle checks the row multiset
+ORACLE_SQL["corpus_resize"] = f"""
+    SELECT image_id, CAST(32 AS INTEGER) AS w, CAST(32 AS INTEGER) AS h,
+           'png' AS fmt
+    FROM read_parquet('{_CORPUS_GLOB}')
+"""
+
+
+def _splitmix64_sql(src: str, uid: str = "user_id") -> str:
+    """SQL for the exact splitmix64 finalizer over ``uid`` (HUGEINT
+    arithmetic mod 2^64; 64×64-bit multiplies split into 32-bit halves so
+    no partial product overflows HUGEINT) — bit-equal to
+    stages.sketch.splitmix64 (verified over 50k keys)."""
+    m = "18446744073709551616::HUGEINT"  # 2^64
+
+    def mulmod(a: str, c: int) -> str:
+        lo, hi = c & 0xFFFFFFFF, c >> 32
+        return (
+            f"(({a}) * {lo}::HUGEINT"
+            f" + ((({a}) * {hi}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT) % {m}"
+        )
+
+    return f"""
+      z0 AS (
+        SELECT event_type,
+               ({uid}::HUGEINT + 11400714819323198485::HUGEINT) % {m} AS z
+        FROM {src}
+      ), z1 AS (
+        SELECT event_type,
+               {mulmod("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+        FROM z0
+      ), z2 AS (
+        SELECT event_type,
+               {mulmod("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+        FROM z1
+      ), hashed AS (
+        SELECT event_type, xor(z, z // 2147483648::HUGEINT) AS h FROM z2
+      )"""
+
+
+# the pipeline's own HyperLogLog (splitmix64 hash, p=12, max-merged
+# registers, linear-counting small-range correction) re-expressed in
+# SQL — register index = top 12 bits, rank = clz(h<<12)+1 via
+# 65-length(bin(x)) (bin() is exact; float log2 is not), register sum
+# kept exact by scaling 2^-reg to the integer 2^(53-reg). Verified
+# bit-equal to stages.sketch.grouped_hll on both the linear-counting
+# and raw-estimator branches (148 and ~270k distinct).
+ORACLE_SQL["events_approx_users"] = (
+    "WITH " + _splitmix64_sql("events") + f""", rk AS (
+      SELECT event_type,
+             h // 4503599627370496::HUGEINT AS idx,
+             CASE WHEN (h * 4096::HUGEINT) % 18446744073709551616::HUGEINT
+                       = 0::HUGEINT THEN 53
+                  ELSE 65 - length(bin(
+                    (h * 4096::HUGEINT) % 18446744073709551616::HUGEINT))
+             END AS rank
+      FROM hashed
+    ), regs AS (
+      SELECT event_type, idx, max(rank) AS reg FROM rk GROUP BY event_type, idx
+    ), agg AS (
+      SELECT event_type,
+             sum(CAST(power(2.0, 53 - reg) AS HUGEINT)) AS s_present,
+             count(*) AS n_present
+      FROM regs GROUP BY event_type
+    ), est AS (
+      SELECT event_type,
+             (4096 - n_present) AS zeros,
+             ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0)
+               / (CAST(s_present + (4096::HUGEINT - n_present::HUGEINT)
+                         * 9007199254740992::HUGEINT AS DOUBLE)
+                  / 9007199254740992.0) AS raw
+      FROM agg
+    )
+    SELECT event_type,
+           CAST(round(CASE WHEN raw <= 10240.0 AND zeros > 0
+                           THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END)
+                AS BIGINT) AS approx_distinct
+    FROM est ORDER BY event_type"""
 )

@@ -11,9 +11,11 @@ users/URLs" over 10^10 rows where an exact groupby-distinct would
 shuffle every key.
 
 Deterministic by construction (fixed hash, max-merge), so results are
-reproducible across runs/cluster sizes — but NOT SQL-pairable (DuckDB's
-approx_count_distinct uses its own HLL); tests bound the error vs the
-exact count instead.
+reproducible across runs/cluster sizes — and therefore SQL-pairable: not against DuckDB's
+approx_count_distinct (its own, different HLL) but against this exact
+algorithm re-expressed in SQL (HUGEINT splitmix64, register groupby,
+scaled-integer register sum — ORACLE_SQL["events_approx_users"]).
+Tests additionally bound the error vs the exact count.
 
 The reference has no sketches; this extends the engine for
 training-data dedup/coverage accounting (SURVEY.md §2 extensions).

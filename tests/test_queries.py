@@ -85,11 +85,6 @@ def test_rows_only_queries_run(registry):
         and list(df["visit_seq"]) == list(range(120)),
         "crawl_audit_scores": lambda df: len(df) == 120,
         "corpus_image_stats": lambda df: len(df) == 300 and df["decode_ok"].all(),
-        "corpus_resize": lambda df: len(df) == 300 and (df["w"] == 32).all(),
-        "corpus_phash_dups": lambda df: {"id_a", "id_b", "hamming"} <= set(df.columns),
-        "events_approx_users": lambda df: {"event_type", "approx_distinct"}
-        <= set(df.columns)
-        and (df["approx_distinct"] > 0).all(),
         "embeddings_kmeans": lambda df: df["cluster"].nunique() > 1
         and df["cluster"].between(0, 7).all(),
     }
