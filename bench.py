@@ -39,7 +39,12 @@ BENCH_MAX_URLS = int(os.environ.get("GRAFT_MAX_URLS", 20_000))
 # larger waves amortize the per-wave serial floor; a 10^10-URL frontier
 # crawl would run wave sizes ≫ this either way (GRAFT_BATCH overrides)
 BENCH_BATCH = int(os.environ.get("GRAFT_BATCH", 8_000))
-BENCH_NUM_SEEDS = 100  # realistic seed list → frontier fills without BFS ramp
+# GRAFT_NUM_SEEDS: the scaling protocol sets this to one full wave so
+# the measured loop starts from a deep frontier (at a 10^10-URL frontier
+# every wave is full from the first take; the 100-seed BFS ramp is an
+# artifact of the small test web, and it underutilizes 32 CPUs far more
+# than 8 — see BASELINE.md round-3 protocol)
+BENCH_NUM_SEEDS = int(os.environ.get("GRAFT_NUM_SEEDS", "100"))
 # GRAFT_COMPONENTS=crawl limits the run to the headline crawl+finalize
 # pipeline (the scaling criterion's job); default runs every component
 BENCH_COMPONENTS = os.environ.get("GRAFT_COMPONENTS", "all")
@@ -326,10 +331,16 @@ def scaling(equal_load: bool = True) -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
-            # headline job only, sized so the steady loop dominates noise
+            # headline job only, sized so the steady loop dominates noise.
+            # Deep-frontier shape (round 3): seeds = one full wave and
+            # max_urls = 3×wave, so EVERY wave of the measured loop is a
+            # full 16k-URL wave — the whole-loop and saturated numbers
+            # measure the same regime a 10^10-URL frontier runs in, with
+            # no BFS-ramp artifact (BASELINE.md round-3 protocol).
             GRAFT_COMPONENTS="crawl",
-            GRAFT_MAX_URLS=os.environ.get("GRAFT_MAX_URLS", "40000"),
+            GRAFT_MAX_URLS=os.environ.get("GRAFT_MAX_URLS", "48000"),
             GRAFT_BATCH=os.environ.get("GRAFT_BATCH", "16000"),
+            GRAFT_NUM_SEEDS=os.environ.get("GRAFT_NUM_SEEDS", "16000"),
             GRAFT_CRAWL_REPEATS=os.environ.get("GRAFT_CRAWL_REPEATS", "3"),
         )
         cmd = [sys.executable, os.path.join(REPO, "bench.py")]
@@ -387,6 +398,12 @@ def scaling(equal_load: bool = True) -> None:
             {
                 "protocol": "equal_load_control" if equal_load else "raw",
                 "trials": trials_out,
+                "eff_steady_median": round(
+                    statistics.median(t["eff_steady"] for t in trials_out), 3
+                ),
+                "eff_saturated_median": round(
+                    statistics.median(t["eff_saturated"] for t in trials_out), 3
+                ),
                 "sec_8": r8["value"],
                 "sec_32": r32["value"],
                 "crawl_urls_per_sec_8": r8["crawl_urls_per_sec"],

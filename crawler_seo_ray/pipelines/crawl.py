@@ -78,15 +78,6 @@ class EngineConfig:
     verify_images: bool = True
     psnr_every: int = 1  # full-PSNR sample stride (1 = every page)
     max_chunk: int = 512  # max entries per worker call
-    # overlap seen-shard admission probing with the worker phase (per-
-    # completed-chunk candidate streaming); bit-identical result either
-    # way. Default OFF: on a saturated single node the shards' probing
-    # steals cycles from co-resident fetch workers (measured 9.3k→6.9k
-    # urls/s at 32 CPUs), while at the wave barrier those cores are idle
-    # and the probing is effectively free. On a multi-node cluster with
-    # the driver+shards on a head node with spare cores, turning this on
-    # removes ~half the per-wave barrier time.
-    overlap_admission: bool = False
     # straggler containment (reference core/crawler.py:120 future.result
     # timeout=30): a worker chunk exceeding this wall-clock bound is
     # killed, its worker replaced, and its entries become ERROR rows —
@@ -131,9 +122,12 @@ class _Engine:
         self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
         self.frontier = [FrontierShard.remote(i) for i in range(cfg.num_frontier_shards)]
         self.workers = [
-            PageWorker.options(num_cpus=cfg.worker_num_cpus).remote(corpus_dir, spec_dict)
+            PageWorker.options(num_cpus=cfg.worker_num_cpus).remote(
+                corpus_dir, spec_dict, self.seen
+            )
             for _ in range(cfg.num_workers)
         ]
+        self._chunk_key = 0  # unique id per chunk DISPATCH ATTEMPT
         self.visited = 0
         self.wave = 0
         self.next_seq = 0
@@ -143,6 +137,8 @@ class _Engine:
         self.wave_metrics: list[dict] = []
         self.seed_rejects: list[dict] = []
         self.host_stats: dict[str, list] = {}  # host -> [visits, errors]
+        self._committer = None
+        self._commit_error: BaseException | None = None
         from ..web import RobotsCache
 
         self._robots = (
@@ -224,39 +220,24 @@ class _Engine:
         ray.get(add_futs)
         return admitted
 
-    def _buffer_chunk_candidates(self, cands: pa.Table) -> None:
-        """Overlapped admission phase 1: ship a completed chunk's
-        candidates to their seen shards while other chunks of the same
-        wave are still computing — the shards' dict probing then runs
-        concurrently with worker compute instead of inside the wave
-        barrier."""
+    def _admit_pushed(self, wave: int) -> pa.Table:
+        """Wave-barrier admission over the worker-pushed candidate
+        buffers (P2P shuffle): every shard probes+registers its buffered
+        slices and returns only its WINNING rows (finalize_wave_full),
+        so the driver's work here is O(admitted), not O(candidates).
+        Result is bit-identical to the driver-routed _admit() —
+        min-order-key-wins is commutative."""
         import numpy as np
 
-        if cands.num_rows == 0:
-            return
-        sh = cands.column("seen_shard").to_numpy()
-        narrow = cands.select(["url", "order_key"])
-        for s in np.unique(sh):
-            self.seen[int(s)].buffer_candidates.remote(
-                narrow.take(pa.array(np.flatnonzero(sh == s)))
-            )
-
-    def _admit_buffered(self, cands: pa.Table, wave: int) -> pa.Table:
-        """Overlapped admission phase 2 (wave barrier): gather the
-        winning order keys from every shard, select the admitted rows by
-        key membership (keys are globally unique), assign discovery
-        seqs in global order-key order, feed the frontier. Result is
-        bit-identical to _admit() — min-order-key-wins is commutative."""
-        import numpy as np
-
-        wins = ray.get([s.finalize_wave.remote() for s in self.seen])
-        winning = np.sort(np.concatenate([np.asarray(w, dtype=np.int64) for w in wins])) \
-            if any(wins) else np.empty(0, dtype=np.int64)
-        if cands.num_rows == 0 or winning.size == 0:
+        wins = [
+            w
+            for w in ray.get([s.finalize_wave_full.remote() for s in self.seen])
+            if w is not None and w.num_rows
+        ]
+        if not wins:
             return ADMITTED_SCHEMA.empty_table()
-        keys = cands.column("order_key").to_numpy()
-        pos = np.flatnonzero(np.isin(keys, winning))
-        pos = pos[np.argsort(keys[pos], kind="stable")]
+        cands = wins[0] if len(wins) == 1 else pa.concat_tables(wins)
+        pos = np.argsort(cands.column("order_key").to_numpy(), kind="stable")
         return self._register_admitted(cands, pos, wave)
 
     def seed(self) -> None:
@@ -369,9 +350,15 @@ class _Engine:
         ]
         entries.sort(key=lambda e: e[1].rpartition("/")[2])
         W = len(self.workers)
-        # ~2 chunks per worker + dynamic assignment: stragglers get fed
-        # less instead of stalling the wave barrier
-        chunk = min(self.cfg.max_chunk, max(1, -(-len(entries) // (W * 2))))
+        # ~3 chunks per worker, dispatched 2-deep (one running + one
+        # queued per actor): a completion never idles the worker while
+        # the driver deserializes its result and re-feeds — at 32 CPUs
+        # chunks complete every ~10 ms and the 1-deep r2 loop put a
+        # driver-latency bubble after every one. The undispatched third
+        # keeps dynamic balance: stragglers get fed less instead of
+        # stalling the wave barrier.
+        DEPTH = 2
+        chunk = min(self.cfg.max_chunk, max(1, -(-len(entries) // (W * 3))))
         ckpt = self.cfg.checkpoint_dir
         wave_dir = os.path.join(ckpt, "waves", f"wave={wave:05d}") if ckpt else None
         chunks = [
@@ -379,26 +366,37 @@ class _Engine:
             for c, start in enumerate(range(0, len(entries), chunk))
         ]
         parts: list = [None] * len(chunks)
-        pending: dict = {}  # future -> (chunk_idx, worker_idx)
+        pending: dict = {}  # future -> (chunk_idx, worker_idx, chunk_key)
         deadline: dict = {}  # future -> monotonic deadline
-        free = list(range(W))
+        inflight = [0] * W
         queue = list(chunks)
         tmo = self.cfg.chunk_timeout_sec
-        overlap = self.cfg.overlap_admission
+        dead_keys: list[int] = []  # killed dispatch attempts → shard-buffer drop
 
         def dispatch(widx):
             c, ent = queue.pop(0)
             audit_out = (
                 os.path.join(wave_dir, f"audit-{c:03d}.parquet") if wave_dir else None
             )
-            fut = self.workers[widx].process.remote(ent, wave, audit_out)
-            pending[fut] = (c, widx)
+            self._chunk_key += 1
+            fut = self.workers[widx].process.remote(ent, wave, audit_out, self._chunk_key)
+            pending[fut] = (c, widx, self._chunk_key)
+            inflight[widx] += 1
             if tmo is not None:
                 deadline[fut] = _time.monotonic() + tmo
 
-        while queue and free:
-            dispatch(free.pop())
-        while pending:
+        # breadth-first initial fill: every worker gets its first chunk
+        # before any worker gets a second
+        for _ in range(DEPTH):
+            for widx in range(W):
+                if queue and inflight[widx] < DEPTH:
+                    dispatch(widx)
+        while pending or queue:
+            if not pending:  # all inflight recovered/requeued — refill
+                for widx in range(W):
+                    while queue and inflight[widx] < DEPTH:
+                        dispatch(widx)
+                continue
             if tmo is None:
                 done, _ = ray.wait(list(pending), num_returns=1)
             else:
@@ -407,13 +405,12 @@ class _Engine:
                 )
                 done, _ = ray.wait(list(pending), num_returns=1, timeout=wait_t)
             if done:
-                c, widx = pending.pop(done[0])
+                c, widx, _key = pending.pop(done[0])
                 deadline.pop(done[0], None)
-                parts[c] = ray.get(done[0])
-                if queue:  # re-feed the freed worker BEFORE buffering —
+                inflight[widx] -= 1
+                if queue:  # re-feed the freed slot BEFORE the gets —
                     dispatch(widx)  # driver-side work must not idle it
-                if overlap:
-                    self._buffer_chunk_candidates(parts[c][1])
+                parts[c] = ray.get(done[0])
                 continue
             # straggler containment: kill the hung worker FIRST (so it
             # can't race our error-chunk write), replace it, convert the
@@ -421,23 +418,44 @@ class _Engine:
             # 120,129-134 — a timeout burns budget, never stalls the wave)
             now = _time.monotonic()
             for f in [f for f in list(pending) if deadline.get(f, now + 1) <= now]:
-                c, widx = pending.pop(f)
+                if f not in pending:  # recovered below as a same-worker sibling
+                    continue
+                c, widx, key = pending.pop(f)
                 deadline.pop(f, None)
                 ray.kill(self.workers[widx], no_restart=True)
                 # ray.kill is async — fetch the future AFTER the kill to
                 # close the race with a worker finishing right at the
                 # deadline: a normal return means the chunk completed
-                # (its audit write landed) and is used as-is; an actor
-                # error confirms the worker is DEAD, so the ERROR-chunk
-                # write below can no longer be overwritten by it
+                # (its audit write landed, its candidate pushes are
+                # acked) and is used as-is; an actor error confirms the
+                # worker is DEAD, so the ERROR-chunk write below can no
+                # longer be overwritten by it and any PARTIAL candidate
+                # pushes it made must be dropped (dead_keys)
                 try:
                     parts[c] = ray.get(f)
                 except (ray.exceptions.RayActorError, ray.exceptions.RayTaskError):
                     parts[c] = self._timeout_chunk(chunks[c][1], wave, wave_dir, c)
+                    dead_keys.append(key)
+                # the killed worker's OTHER inflight chunk (2-deep) was
+                # queued behind the hung one: if it finished before the
+                # kill landed its result is used as-is, otherwise it
+                # never ran — requeue it for a healthy worker under a
+                # FRESH chunk key (only the hung chunk itself becomes
+                # ERROR rows; the old attempt's key joins the drop list
+                # in case any partial pushes landed)
+                for f2 in [x for x in list(pending) if pending[x][1] == widx]:
+                    c2, _, key2 = pending.pop(f2)
+                    deadline.pop(f2, None)
+                    try:
+                        parts[c2] = ray.get(f2)
+                    except (ray.exceptions.RayActorError, ray.exceptions.RayTaskError):
+                        dead_keys.append(key2)
+                        queue.append(chunks[c2])
                 self.workers[widx] = PageWorker.options(
                     num_cpus=self.cfg.worker_num_cpus
-                ).remote(self.corpus_dir, self._spec_dict)
-                if queue:
+                ).remote(self.corpus_dir, self._spec_dict, self.seen)
+                inflight[widx] = 0
+                while queue and inflight[widx] < DEPTH:
                     dispatch(widx)
         if wave_dir is None:
             audit = (
@@ -452,8 +470,8 @@ class _Engine:
         else:
             audit = None  # workers wrote their chunks directly (parallel sink)
         t_workers = t_phase() - t0 - t_take - t_issue
-        cands = pa.concat_tables([p[1] for p in parts]) if parts else CANDIDATE_SCHEMA.empty_table()
         rejects = pa.concat_tables([p[2] for p in parts]) if parts else REJECT_SCHEMA.empty_table()
+        n_candidates = sum(p[4] for p in parts)
         if self.spec.adaptive_host_priority:
             # fold per-chunk host partials (combiner merge between waves)
             for ptbl in parts:
@@ -467,9 +485,9 @@ class _Engine:
                     st[0] += v
                     st[1] += er
 
-        admitted = (
-            self._admit_buffered(cands, wave) if overlap else self._admit(cands, wave)
-        )
+        if dead_keys:
+            ray.get([s.drop_chunks.remote(dead_keys) for s in self.seen])
+        admitted = self._admit_pushed(wave)
 
         t_admit = t_phase() - t0 - t_take - t_issue - t_workers
         self.visited += len(batch)
@@ -480,7 +498,7 @@ class _Engine:
         metrics = {
             "wave": wave,
             "issued": len(batch),
-            "candidates": cands.num_rows,
+            "candidates": n_candidates,
             "admitted": admitted.num_rows,
             "rejected": rejects.num_rows,
             "visited_total": self.visited,
@@ -497,11 +515,14 @@ class _Engine:
             # stats) don't gate the next wave's frontier take — actor
             # state is already updated. A crash before the background
             # commit lands just re-runs this wave on resume (the commit
-            # marker is still written last, atomically). join_commits()
-            # serializes with the next wave's own commit.
-            import threading
-
-            self._join_commit()
+            # marker is still written last, atomically). Commits flow
+            # through a single consumer thread (ordered markers) with a
+            # small bounded backlog, so a commit that outlasts one wave
+            # no longer stalls the loop (round 2 serialized commits at
+            # each wave boundary — 1.5-2 s/wave of barrier at 32 CPUs on
+            # 16k waves); memory stays bounded because the audit chunks
+            # are already on disk and a queued job holds only the small
+            # admitted/rejects tables.
             # stats futures are SUBMITTED here, at the wave boundary —
             # Ray orders calls per caller per actor, so the shards
             # evaluate them before the next wave's mark_issued/admit and
@@ -516,12 +537,9 @@ class _Engine:
                 "wave": self.wave,
                 "next_seq": self.next_seq,
             }
-            self._commit_thread = threading.Thread(
-                target=self._commit_wave_guarded,
-                args=(wave_dir, admitted, rejects, dict(metrics), snapshot, stats_futs),
-                daemon=True,
+            self._submit_commit(
+                wave_dir, admitted, rejects, dict(metrics), snapshot, stats_futs
             )
-            self._commit_thread.start()
         t_commit = t_phase() - t0 - t_take - t_issue - t_workers - t_admit
         metrics["t_commit_dispatch"] = round(t_commit, 4)
         self.wave += 1
@@ -545,31 +563,67 @@ class _Engine:
             os.path.join(wave_dir, "state.json"), metrics, snapshot, stats_futs
         )
 
-    def _commit_wave_guarded(self, *args) -> None:
-        """Background-thread wrapper: a failed commit (disk full, I/O
-        error) must surface at the next barrier, not vanish with the
-        daemon thread — otherwise the wave's audit rows silently drop
-        out of committed_audit_paths() while stats still count them."""
-        try:
-            self._commit_wave(*args)
-        except BaseException as ex:  # re-raised by _join_commit
-            self._commit_error = ex
+    def _submit_commit(self, *job) -> None:
+        """Enqueue a wave commit on the single committer thread.
 
-    def _join_commit(self) -> None:
-        t = getattr(self, "_commit_thread", None)
-        if t is not None:
-            t.join()
-            self._commit_thread = None
+        A failed commit (disk full, I/O error) must surface at the next
+        wave or at result(), not vanish with the daemon thread —
+        otherwise the wave's audit rows silently drop out of
+        committed_audit_paths() while stats still count them. After an
+        error the consumer skips all later jobs: committing wave N+1's
+        marker with wave N's missing would leave a gap a resume cannot
+        interpret. Backlog is capped at 3 pending commits (the disk sink
+        is the true bound; queued jobs hold only the small
+        admitted/rejects tables — the audit chunks are already on disk)."""
+        import queue as _queue
+        import threading
+
+        self._raise_commit_error()
+        if getattr(self, "_committer", None) is None:
+            self._commit_q: "_queue.Queue" = _queue.Queue()
+            self._committer = threading.Thread(target=self._committer_loop, daemon=True)
+            self._committer.start()
+        self._commit_q.put(job)
+        import time as _time
+
+        while self._commit_q.qsize() > 3 and self._commit_error is None:
+            _time.sleep(0.005)
+        self._raise_commit_error()
+
+    def _committer_loop(self) -> None:
+        while True:
+            job = self._commit_q.get()
+            try:
+                if job is None:
+                    return
+                if self._commit_error is None:
+                    try:
+                        self._commit_wave(*job)
+                    except BaseException as ex:  # surfaced by _raise_commit_error
+                        self._commit_error = ex
+            finally:
+                self._commit_q.task_done()
+
+    def _raise_commit_error(self) -> None:
         err = getattr(self, "_commit_error", None)
         if err is not None:
             self._commit_error = None
             raise RuntimeError("wave checkpoint commit failed") from err
 
+    def _join_commit(self) -> None:
+        t = getattr(self, "_committer", None)
+        if t is not None and t.is_alive():
+            self._commit_q.put(None)
+            t.join()
+        self._committer = None
+        self._raise_commit_error()
+
     def _timeout_chunk(self, entries: list, wave: int, wave_dir: str | None, c: int):
-        """Synthesize the (audit, candidates, rejects, host_stats) result
-        for a chunk whose worker blew the straggler deadline: every entry
-        becomes an ERROR row (no links), exactly the reference's
-        _create_error_result shape for a timed-out future."""
+        """Synthesize the (audit, candidates, rejects, host_stats,
+        n_candidates) result for a chunk whose worker blew the straggler
+        deadline: every entry becomes an ERROR row (no links), exactly
+        the reference's _create_error_result shape for a timed-out
+        future."""
         from ..web import build_audit_row
 
         rows = []
@@ -610,6 +664,7 @@ class _Engine:
             CANDIDATE_SCHEMA.empty_table(),
             REJECT_SCHEMA.empty_table(),
             host_stats,
+            0,
         )
 
     def _write_state(
@@ -880,9 +935,16 @@ def run_crawl(
         # pool for the whole 10^10-URL job) — surface it separately so
         # steady-state throughput is measurable. Warm the seen/frontier
         # shards too: their first method call otherwise lands ~1s of
-        # process cold-start inside the first wave.
+        # process cold-start inside the first wave, and their first
+        # ARROW-carrying call pays ~0.7s of lazy pyarrow-IPC setup per
+        # actor process — exercise that path now (warm() deserializes a
+        # table and mutates nothing).
+        warm_tbl = pa.table(
+            {"url": pa.array(["x"]), "order_key": pa.array([0], pa.int64())}
+        )
         ray.get(
             [w.process.remote([], 0) for w in eng.workers]
+            + [a.warm.remote(warm_tbl) for a in eng.seen + eng.frontier]
             + [a.stats.remote() for a in eng.seen + eng.frontier]
         )
         setup_sec = _time.perf_counter() - t0

@@ -161,7 +161,15 @@ REJECT_SCHEMA = pa.schema(
 
 @ray.remote
 class PageWorker:
-    def __init__(self, corpus_dir: str | None, spec_dict: dict):
+    def __init__(self, corpus_dir: str | None, spec_dict: dict, seen_handles=None):
+        # one actor = one parallel unit: cap pyarrow's per-process pools
+        # (default = machine cores, so a 30-actor pool otherwise spawns
+        # ~30×32 compute threads that thrash each other during the
+        # concurrent corpus point-takes — measured 2-3× worker-phase
+        # inflation at 32 CPUs; Ray's OMP_NUM_THREADS=1 covers BLAS but
+        # not arrow's own pool)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         self.n = spec_dict["n_pages"]
         self.num_seen_shards = spec_dict.get("num_seen_shards", 1)
         self.num_frontier_shards = spec_dict.get("num_frontier_shards", 1)
@@ -187,6 +195,11 @@ class PageWorker:
         self.robots = (
             RobotsCache(static_robots, synth) if (static_robots or synth) else None
         )
+        # seen-shard actor handles for the P2P candidate shuffle: each
+        # chunk's candidate slices ship worker→shard directly, so the
+        # driver's wave loop never routes candidate rows (it re-shipped
+        # every candidate in r2 and became the 32-core bottleneck)
+        self.seen_handles = seen_handles
         self.verify_images = spec_dict.get("verify_images", True) and corpus_dir is not None
         self.reader = (
             ShardedTakeReader(corpus_dir) if self.verify_images else None
@@ -195,12 +208,22 @@ class PageWorker:
             m = self.reader.manifest
             self.dim_base, self.dim_mod = m.get("dim_base", 32), m.get("dim_mod", 97)
 
-    def process(self, entries: list[tuple], wave: int, audit_out: str | None = None):
+    def process(
+        self,
+        entries: list[tuple],
+        wave: int,
+        audit_out: str | None = None,
+        chunk_key: int | None = None,
+    ):
         """entries: ordered [(visit_seq, url, host, depth)]. Returns
-        (audit, candidates, rejects) Arrow tables; when ``audit_out`` is
-        given the audit chunk is written there as parquet instead of
-        being returned (the wide nested rows then never transit the
-        driver — the checkpoint IS the audit sink at scale)."""
+        (audit, candidates, rejects, host_stats, n_candidates) Arrow
+        tables; when ``audit_out`` is given the audit chunk is written
+        there as parquet instead of being returned (the wide nested rows
+        then never transit the driver — the checkpoint IS the audit sink
+        at scale). When ``chunk_key`` is given and seen handles exist,
+        the candidate rows likewise never transit the driver: they ship
+        straight to their seen shards (acked before this call returns,
+        so chunk completion implies registration)."""
         audit_rows: list[dict] = []
         cand_rows: list[dict] = []
         rej_rows: list[dict] = []
@@ -325,12 +348,19 @@ class PageWorker:
 
             write_table(audit, audit_out)
             audit = None
-        return (
-            audit,
-            rows_to_table(cand_rows, CANDIDATE_SCHEMA),
-            rows_to_table(rej_rows, REJECT_SCHEMA),
-            host_stats,
-        )
+        cands = rows_to_table(cand_rows, CANDIDATE_SCHEMA)
+        n_cands = cands.num_rows
+        if self.seen_handles is not None and chunk_key is not None and n_cands:
+            sh = cands.column("seen_shard").to_numpy()
+            futs = [
+                self.seen_handles[int(s)].buffer_full.remote(
+                    chunk_key, cands.take(pa.array(np.flatnonzero(sh == s)))
+                )
+                for s in np.unique(sh)
+            ]
+            ray.get(futs)  # registered-before-complete guarantee
+            cands = CANDIDATE_SCHEMA.empty_table()
+        return (audit, cands, rows_to_table(rej_rows, REJECT_SCHEMA), host_stats, n_cands)
 
 
 def rows_to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:

@@ -90,6 +90,11 @@ class FrontierShard:
         if len(self.dead) > max(1024, self.live // 2) or len(self.runs) > self.MAX_RUNS:
             self._compact()
 
+    def warm(self, tbl) -> int:
+        """Setup-time no-op exercising the Arrow-IPC deserialization
+        path (see SeenShard.warm)."""
+        return tbl.num_rows
+
     def add_arrow(self, tbl) -> int:
         """Arrow-table variant: columns rank/seq/url/host/depth/sshard —
         the driver ships a column slice, the shard builds its tuples.
@@ -241,8 +246,13 @@ def take_wave(
 
     adaptive = host_quota is None and not host_offsets
     S = len(frontier_shards)
+    # 4× the mean per-shard share: host-hash sharding under Zipf-skewed
+    # hosts routinely gives the hottest shard 2-3× the mean (the h0
+    # bench corpus shard holds ~29% of the queue), and a first peek that
+    # truncates exactly there forces the 4× re-peek on EVERY wave —
+    # headroom is cheaper than a second round trip, and still O(B/S)
     limit = (
-        min(budget, max(1024, 2 * (budget // max(1, S)) + 64)) if adaptive else budget
+        min(budget, max(1024, 4 * (budget // max(1, S)) + 64)) if adaptive else budget
     )
     while True:
         tbls = ray.get(

@@ -36,9 +36,17 @@ class SeenShard:
         # distinguishes the reference's silent intake skip from the
         # counted duplicate, core/crawler.py:207 vs url_manager.py:209)
         self.seen: dict[str, bool] = {}
-        self.pending: dict[str, int] = {}  # in-wave buffered url → min order key
+        # in-wave candidate slices pushed straight from the workers
+        # (P2P shuffle): [(chunk_key, CANDIDATE-schema table)]
+        self._wave_buf: list[tuple[int, object]] = []
         self.bloom = BloomFilter(bloom_capacity)
         self.dup_count = 0
+
+    def warm(self, tbl) -> int:
+        """Setup-time no-op that exercises the actor's Arrow-IPC
+        deserialization path (lazily initialized per process, ~0.7s
+        cold) so the first real admit_arrow doesn't pay it mid-loop."""
+        return tbl.num_rows
 
     def admit_arrow(self, tbl) -> list[int]:
         """Arrow-table variant of admit: columns ``url`` + ``order_key``.
@@ -46,46 +54,67 @@ class SeenShard:
         to_pylist conversion."""
         return self.admit(tbl.column("url").to_pylist(), tbl.column("order_key").to_pylist())
 
-    def buffer_candidates(self, tbl) -> None:
-        """Wave-overlapped admission, phase 1: candidates stream in per
-        completed worker chunk WHILE the wave is still running; the
-        shard tracks, per unseen URL, the smallest order key seen so
-        far (the deterministic winner — identical to admit()'s
-        first-occurrence-by-order rule, since min(key) is order-free).
-        Duplicate counting matches admit(): every occurrence of a
-        registered-but-unissued URL, and every repeat occurrence within
-        the wave buffer."""
-        urls = tbl.column("url").to_pylist()
-        keys = tbl.column("order_key").to_pylist()
-        pend = self.pending
-        for u, k in zip(urls, keys):
-            if u in self.seen:
-                if not self.seen[u]:
-                    self.dup_count += 1
-                continue
-            cur = pend.get(u)
-            if cur is None:
-                pend[u] = k
-            else:
-                self.dup_count += 1
-                if k < cur:
-                    pend[u] = k
+    def buffer_full(self, chunk_key: int, tbl) -> None:
+        """P2P candidate intake, phase 1: a worker pushes its chunk's
+        candidate slice for this shard's key range DIRECTLY here while
+        the wave is still running — candidates never transit the driver
+        (at 32 cores the driver's per-chunk deserialize+re-ship was the
+        scaling bottleneck). Append-only: all probing is deferred to the
+        wave barrier (finalize_wave_full), so the push steals no worker
+        cycles. ``chunk_key`` identifies the dispatch attempt so a
+        straggler-killed chunk's partial pushes can be dropped."""
+        self._wave_buf.append((chunk_key, tbl))
 
-    def finalize_wave(self) -> list[int]:
-        """Wave-overlapped admission, phase 2 (at the wave barrier):
-        register the buffered winners and return their order keys —
-        order keys are globally unique, so the driver selects the
-        admitted candidate rows by key membership."""
-        pend = self.pending
-        if not pend:
-            return []
-        for u in pend:
-            self.seen[u] = False
-        fresh = [url_digest(u) for u in pend]
-        self.bloom.add_many(*digest_halves(fresh))
-        keys = list(pend.values())
-        self.pending = {}
-        return keys
+    def drop_chunks(self, chunk_keys: list[int]) -> None:
+        """Discard buffered slices of straggler-killed chunk attempts:
+        their entries became ERROR rows (or were requeued under a fresh
+        key), so admitting their candidates would diverge from the
+        oracle."""
+        dead = set(chunk_keys)
+        self._wave_buf = [(k, t) for k, t in self._wave_buf if k not in dead]
+
+    def finalize_wave_full(self):
+        """P2P candidate intake, phase 2 (at the wave barrier): probe
+        and register the buffered candidates, first-occurrence-by-order
+        wins (identical to admit()'s rule — min(order_key) is arrival-
+        order-free, so the result is bit-identical no matter how worker
+        pushes interleaved). Duplicate counting matches admit(): every
+        occurrence of a registered-but-unissued URL, and every repeat
+        occurrence within the wave. Returns the WINNING candidate rows
+        (full CANDIDATE columns) — output-sized; the driver only ever
+        sees admitted rows."""
+        import numpy as np
+        import pyarrow as pa
+
+        bufs = [t for _, t in self._wave_buf]
+        self._wave_buf = []
+        bufs = [t for t in bufs if t.num_rows]
+        if not bufs:
+            return None
+        tbl = bufs[0] if len(bufs) == 1 else pa.concat_tables(bufs)
+        urls = tbl.column("url").to_pylist()
+        keys = tbl.column("order_key").to_numpy()
+        order = np.argsort(keys, kind="stable")
+        seen = self.seen
+        best: dict[str, int] = {}
+        dup = 0
+        for i in order:
+            u = urls[i]
+            if u in seen:
+                if not seen[u]:
+                    dup += 1
+                continue
+            if u in best:
+                dup += 1
+            else:
+                best[u] = int(i)
+        self.dup_count += dup
+        if not best:
+            return None
+        for u in best:
+            seen[u] = False
+        self.bloom.add_many(*digest_halves([url_digest(u) for u in best]))
+        return tbl.take(pa.array(sorted(best.values()), pa.int64()))
 
     def admit(self, urls: list[str], order_keys: list) -> list[int]:
         """Register-if-absent, first occurrence by order key wins.

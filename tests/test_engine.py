@@ -115,16 +115,21 @@ def test_engine_matches_oracle_fifo(small_corpus):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_engine_matches_oracle_overlap_admission(small_corpus):
-    """overlap_admission=True (the documented cluster-mode flag)
-    re-implements admission on the shards mid-wave — it must stay
-    bit-identical to the oracle like the default barrier path, incl.
-    duplicate-count stats parity with a default-path run."""
+def test_engine_matches_oracle_many_small_chunks(small_corpus):
+    """The P2P candidate shuffle (workers push per-chunk slices straight
+    to the seen shards; probing at the wave barrier) must stay
+    bit-identical to the oracle regardless of how many chunk pushes
+    interleave — force many tiny chunks across several shards, and
+    check duplicate-count stats parity against a coarse-chunk run."""
     corpus_dir, _ = small_corpus
     spec = _spec(max_urls=80, batch_size=16)
     ora = run_oracle(spec)
     res = run_crawl(
-        spec, corpus_dir, EngineConfig(num_workers=3, overlap_admission=True)
+        spec,
+        corpus_dir,
+        EngineConfig(
+            num_workers=3, max_chunk=2, num_seen_shards=3, num_frontier_shards=2
+        ),
     )
     _compare(res, ora)
     base = run_crawl(spec, corpus_dir, EngineConfig(num_workers=3))
