@@ -220,7 +220,7 @@ def docs_dup_texts(sf_dir: str):
         .groupby("text_key")
         .aggregate(Count(alias_name="n"))
     )
-    return grouped.filter(lambda r: r["n"] > 1)
+    return grouped.filter(expr="n > 1")
 
 
 def events_hourly(sf_dir: str):
@@ -1139,6 +1139,255 @@ def corpus_resize(sf_dir: str):
     )
 
 
+def customer_order_stats(sf_dir: str):
+    """Left-outer join (completes the Dataset join-type family: inner /
+    anti / semi / broadcast / as-of / range / LEFT OUTER): every customer
+    with its URGENT-order count and spend. Customers with no urgent
+    orders survive the join with null partials and are filled to 0 — the
+    null-preserving path the inner join can't demonstrate.
+
+    Scale shape: orders are pre-aggregated by the join key inside each
+    block, then globally (both exchanges ship custkey-grain partials,
+    never raw orders); the customer side streams through the join."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"], blocks=4)
+    orders = _pq(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"], blocks=8
+    )
+
+    def urgent_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+        t = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "spent_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+        return (
+            t.group_by("o_custkey")
+            .aggregate([("spent_cents", "sum"), ([], "count_all")])
+            .rename_columns(["o_custkey", "spent_cents", "n"])
+        )
+
+    urgent = (
+        orders.map_batches(urgent_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("spent_cents", alias_name="spent_cents"), Sum("n", alias_name="n")
+        )
+    )
+    joined = cust.join(
+        urgent, "left_outer", _join_partitions(), on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "n_urgent": pc.coalesce(b.column("n"), zero),
+                "urgent_spent": pc.divide(
+                    pc.cast(pc.coalesce(b.column("spent_cents"), zero), pa.float64()),
+                    100.0,
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def lineitem_rollup(sf_dir: str):
+    """Grouping-sets / ROLLUP aggregate: (returnflag, linestatus) grain
+    plus per-returnflag subtotals plus the grand total, rolled-up keys
+    marked 'ALL'. One distributed pass produces the finest grain (with
+    map-side combine); the coarser levels are derived from those ~6
+    rows driver-side — rollup over low-cardinality keys never needs a
+    second scan of the fact table."""
+    ds = _pq(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"], blocks=16
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "price_cents": _cents(b.column("l_extendedprice")),
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("price_cents", "sum"), ([], "count_all")])
+            .rename_columns(["l_returnflag", "l_linestatus", "price_cents", "n"])
+        )
+
+    from .util import collect_arrow
+
+    fine = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("price_cents", alias_name="price_cents"), Sum("n", alias_name="n")
+        ),
+        schema=pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("price_cents", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    lvl1 = (
+        fine.group_by("l_returnflag")
+        .aggregate([("price_cents", "sum"), ("n", "sum")])
+        .rename_columns(["l_returnflag", "price_cents", "n"])
+    )
+    lvl1 = lvl1.add_column(
+        1, "l_linestatus", pa.array(["ALL"] * lvl1.num_rows, pa.string())
+    )
+    total = pa.table(
+        {
+            "l_returnflag": pa.array(["ALL"], pa.string()),
+            "l_linestatus": pa.array(["ALL"], pa.string()),
+            "price_cents": pa.array([pc.sum(fine.column("price_cents")).as_py()], pa.int64()),
+            "n": pa.array([pc.sum(fine.column("n")).as_py()], pa.int64()),
+        }
+    )
+    out = pa.concat_tables(
+        [fine.select(total.column_names), lvl1.select(total.column_names), total]
+    )
+    return pa.table(
+        {
+            "l_returnflag": out.column("l_returnflag"),
+            "l_linestatus": out.column("l_linestatus"),
+            "n": out.column("n"),
+            "sum_price": pc.divide(pc.cast(out.column("price_cents"), pa.float64()), 100.0),
+        }
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str):
+    """Pivot (long→wide): per-user event counts with one column per
+    event type. Vectorized indicator columns + in-block combine, then
+    one user-keyed groupby over the partials — the wide row never
+    exists until after the shuffle, so the exchange ships 6 ints/user."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"], blocks=16)
+
+    def indicators(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        cols = {"user_id": b.column("user_id")}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        names = list(cols)
+        return (
+            pa.table(cols)
+            .group_by("user_id")
+            .aggregate([(f"n_{t}", "sum") for t in _EVENT_TYPES])
+            .rename_columns(names)
+        )
+
+    return (
+        ds.map_batches(indicators, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES])
+    )
+
+
+def events_lead_lag(sf_dir: str):
+    """Lag window function: per-user delta vs the previous event (value
+    delta in exact cents, gap in µs), ordered by (ts, event_id); each
+    user's first event keeps NULL deltas — the null-row semantics that
+    distinguish lag() from a self-join. groupby(key).map_groups with an
+    in-group lexsort; only (user, ts, id, cents) ride the shuffle."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"], blocks=16)
+
+    def lag_group(g: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        vc = _cents(g.column("value")).to_numpy()
+        order = np.lexsort((eid, ts))
+        ts, eid, vc = ts[order], eid[order], vc[order]
+        n = len(ts)
+        mask = np.zeros(n, dtype=bool)
+        mask[0] = True  # first row per user: NULL deltas
+        dv = np.concatenate(([0], np.diff(vc)))
+        gap = np.concatenate(([0], np.diff(ts)))
+        return pa.table(
+            {
+                "user_id": g.column("user_id").take(pa.array(order)),
+                "event_id": pa.array(eid),
+                "dv_cents": pa.array(dv, pa.int64(), mask=mask),
+                "gap_us": pa.array(gap, pa.int64(), mask=mask),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(lag_group, batch_format="pyarrow")
+
+
+def docs_top_ngrams(sf_dir: str, k: int = 50):
+    """Corpus-wide top-k bigram counts (the n-gram statistics pass an
+    LLM-corpus pipeline runs before vocabulary/contamination work).
+    Bigram expansion is fully vectorized: Arrow regex split to a list
+    array, numpy offset arithmetic to index adjacent token pairs, one
+    binary_join kernel — no Python loop touches a row. In-block counts
+    combine before the ngram-keyed groupby; the global top-k uses the
+    local-top-k merge (no global sort shuffle)."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "documents", ["text"], blocks=8)
+
+    def bigram_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.utf8_trim_whitespace(b.column("text"))), r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = arr.offsets.to_numpy()
+        starts, lens = offsets[:-1], np.diff(offsets)
+        nbi = np.maximum(lens - 1, 0)  # bigrams per doc
+        total = int(nbi.sum())
+        if total == 0:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        # concatenated ranges: for each doc, starts[j] + [0..nbi[j])
+        base = np.repeat(starts, nbi)
+        within = np.arange(total) - np.repeat(np.cumsum(nbi) - nbi, nbi)
+        idx = base + within
+        left = arr.values.take(pa.array(idx))
+        right = arr.values.take(pa.array(idx + 1))
+        ngram = pc.binary_join_element_wise(left, right, " ")
+        return (
+            pa.table({"ngram": ngram})
+            .group_by("ngram")
+            .aggregate([([], "count_all")])
+            .rename_columns(["ngram", "n"])
+        )
+
+    agg = (
+        ds.map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("n", "descending"), ("ngram", "ascending")]
+        )
+        return b.take(idx[:k])
+
+    parts = collect_arrow(
+        agg.map_batches(local_topk, batch_format="pyarrow"),
+        schema=pa.schema([("ngram", pa.string()), ("n", pa.int64())]),
+    )
+    idx = pc.sort_indices(
+        parts, sort_keys=[("n", "descending"), ("ngram", "ascending")]
+    )
+    return parts.take(idx[:k])
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1186,6 +1435,11 @@ QUERIES = {
     "corpus_image_stats": corpus_image_stats,
     "corpus_phash_dups": corpus_phash_dups,
     "corpus_resize": corpus_resize,
+    "customer_order_stats": customer_order_stats,
+    "lineitem_rollup": lineitem_rollup,
+    "events_pivot": events_pivot,
+    "events_lead_lag": events_lead_lag,
+    "docs_top_ngrams": docs_top_ngrams,
 }
 
 ORACLE_SQL = {
@@ -1732,3 +1986,55 @@ ORACLE_SQL["events_approx_users"] = (
                 AS BIGINT) AS approx_distinct
     FROM est ORDER BY event_type"""
 )
+
+ORACLE_SQL["customer_order_stats"] = """
+    SELECT c.c_custkey, c.c_name,
+           coalesce(u.n, 0) AS n_urgent,
+           coalesce(u.spent_cents, 0)::DOUBLE / 100.0 AS urgent_spent
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, count(*) AS n,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS spent_cents
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey) u
+    ON u.o_custkey = c.c_custkey
+"""
+
+ORACLE_SQL["lineitem_rollup"] = """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS n,
+           sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0
+             AS sum_price
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ORACLE_SQL["events_pivot"] = """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'error')    AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'view')     AS n_view
+    FROM events GROUP BY user_id
+"""
+
+ORACLE_SQL["events_lead_lag"] = """
+    SELECT user_id, event_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+             - lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS dv_cents,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLE_SQL["docs_top_ngrams"] = """
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS ngram
+      FROM toks
+    )
+    SELECT ngram, count(*) AS n FROM bg
+    GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50
+"""

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data import Dataset
@@ -716,22 +717,24 @@ def _signature_band_pairs(
         sigs = sigs.materialize()  # shared: band expansion + returned handle
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        hs = batch.column(sig_col).to_pylist()
-        out_i, out_b, out_v, out_s = [], [], [], []
-        for i, h in zip(ids, hs):
-            uh = (h if h is not None else 0) & 0xFFFFFFFFFFFFFFFF
-            for band in range(bands):
-                out_i.append(i)
-                out_b.append(band)
-                out_v.append((uh >> (band * band_bits)) & ((1 << band_bits) - 1))
-                out_s.append(h if h is not None else 0)
+        # fully vectorized expansion: view the (null-filled) int64
+        # signatures as uint64, shift/mask every (row, band) pair in one
+        # numpy pass, and repeat-take the id column — no per-row Python
+        n = batch.num_rows
+        ids = batch.column(id_col).combine_chunks()
+        sig = pc.coalesce(batch.column(sig_col), pa.scalar(0, pa.int64()))
+        uh = pc.cast(sig, pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        rep = np.repeat(np.arange(n, dtype=np.int64), bands)
+        band = np.tile(np.arange(bands, dtype=np.int32), n)
+        shifts = (band.astype(np.uint64)) * np.uint64(band_bits)
+        mask = np.uint64((1 << band_bits) - 1)
+        vals = ((uh[rep] >> shifts) & mask).astype(np.int64)
         return pa.table(
             {
-                id_col: pa.array(out_i, id_type),
-                "band": pa.array(out_b, pa.int32()),
-                "band_val": pa.array(out_v, pa.int64()),
-                sig_col: pa.array(out_s, pa.int64()),
+                id_col: ids.take(pa.array(rep)),
+                "band": pa.array(band),
+                "band_val": pa.array(vals),
+                sig_col: pa.array(uh[rep].view(np.int64)),
             }
         )
 
