@@ -1388,6 +1388,273 @@ def docs_top_ngrams(sf_dir: str, k: int = 50):
     return parts.take(idx[:k])
 
 
+def lineitem_bloom_semi(sf_dir: str):
+    """Bloom-pruned semi-join — the standard 100 TB big-join reduction:
+    the small side's keys (parts with p_size > 40, ~9 % of parts) fold
+    into a Bloom filter (16 BITS/key vs 8+ bytes for a hash-set
+    broadcast), `ray.put` once, and every lineitem scan task prunes its
+    batches BEFORE any exchange; an exact `left_semi` join over the
+    (already tiny) survivor set removes the Bloom's false positives, so
+    the shuffle ships survivors, never the fact table. Output: per
+    returnflag item count + revenue over the matching lineitems."""
+    from .stages.bloom import bloom_contains, bloom_params, build_bloom
+    from .util import collect_arrow
+
+    part_keys = collect_arrow(
+        _pq(sf_dir, "part", ["p_partkey", "p_size"], blocks=4)
+        .filter(expr="p_size > 40")
+        .select_columns(["p_partkey"])
+    )
+    keys_np = part_keys.column("p_partkey").to_numpy(zero_copy_only=False)
+    m_bits, k = bloom_params(len(keys_np))
+    bloom_ref = ray.put(build_bloom(keys_np.astype(np.uint64), m_bits, k))
+
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_returnflag", "l_extendedprice"],
+        blocks=16,
+    )
+
+    def bloom_prune(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)  # zero-copy plasma read, once per task
+        mask = bloom_contains(
+            bits,
+            batch.column("l_partkey").to_numpy(zero_copy_only=False),
+            m_bits,
+            k,
+        )
+        t = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_returnflag": t.column("l_returnflag"),
+                "price_cents": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    survivors = ds.map_batches(bloom_prune, batch_format="pyarrow")
+    verified = survivors.join(
+        rd.from_arrow(part_keys),
+        "left_semi",
+        _join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    agg = verified.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_items"), Sum("price_cents", alias_name="price_cents")
+    )
+    return agg.map_batches(
+        lambda b: _cents_to_dollars(b, "price_cents", "revenue"),
+        batch_format="pyarrow",
+    )
+
+
+def nation_segments(sf_dir: str):
+    """Grouped collect-list / string_agg: per nation, the sorted
+    DISTINCT market segments of its customers as one comma-joined
+    string. Block-level pair dedup shrinks the exchange to unique
+    (nation, segment) pairs; the in-group sort+join happens after the
+    shuffle on rows-per-group ≤ |segments|."""
+    ds = _pq(sf_dir, "customer", ["c_nationkey", "c_mktsegment"], blocks=8)
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        return b.group_by(["c_nationkey", "c_mktsegment"]).aggregate([])
+
+    def join_group(g: pa.Table) -> pa.Table:
+        segs = sorted(set(g.column("c_mktsegment").to_pylist()))
+        return pa.table(
+            {
+                "c_nationkey": g.column("c_nationkey").slice(0, 1),
+                "segments": pa.array([",".join(segs)], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .map_groups(join_group, batch_format="pyarrow")
+    )
+
+
+def customer_set_flags(sf_dir: str):
+    """Set operators (UNION / INTERSECT / EXCEPT in one output): set A =
+    customers with an URGENT order, set B = customers with acctbal >
+    9000. One row per custkey in A ∪ B with membership flags — in_a ∧
+    in_b is the INTERSECT row set, in_a ∧ ¬in_b the EXCEPT. Both sides
+    dedup to key grain inside their blocks, `Dataset.union` concatenates
+    without a shuffle, and one max-combine groupby folds the flags."""
+    from ray.data.aggregate import Max
+
+    def flag_batch(key_col: str, in_a: int):
+        def fn(b: pa.Table) -> pa.Table:
+            keys = b.column(key_col).unique()
+            n = len(keys)
+            return pa.table(
+                {
+                    "c_custkey": keys,
+                    "in_a": pa.array([in_a] * n, pa.int64()),
+                    "in_b": pa.array([1 - in_a] * n, pa.int64()),
+                }
+            )
+
+        return fn
+
+    urgent = (
+        _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"], blocks=8)
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .map_batches(flag_batch("o_custkey", 1), batch_format="pyarrow")
+    )
+    highbal = (
+        _pq(sf_dir, "customer", ["c_custkey", "c_acctbal"], blocks=4)
+        .filter(expr="c_acctbal > 9000")
+        .map_batches(flag_batch("c_custkey", 0), batch_format="pyarrow")
+    )
+    return (
+        urgent.union(highbal)
+        .groupby("c_custkey")
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+
+
+def orders_price_window(sf_dir: str):
+    """Ranking window functions: ntile(4) + percent_rank per
+    o_orderpriority partition ordered by (o_totalprice, o_orderkey).
+    groupby(partition).map_groups with one in-group lexsort; ntile uses
+    the SQL bucket rule (first n%k buckets take the extra row) and the
+    unique orderkey tie-break makes percent_rank = (rownum−1)/(n−1)
+    exactly. Partition-must-fit-one-group is the documented constraint
+    (same as any SQL window partition)."""
+    ds = _pq(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"], blocks=8
+    )
+
+    def window(g: pa.Table) -> pa.Table:
+        price = g.column("o_totalprice").to_numpy(zero_copy_only=False)
+        okey = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, price))
+        n = len(order)
+        rownum = np.arange(n, dtype=np.int64)
+        k = 4
+        base, extra = divmod(n, k)
+        # SQL ntile: the first n%k buckets hold one extra row each
+        boundary = extra * (base + 1)
+        tile = (
+            np.where(
+                rownum < boundary,
+                rownum // max(base + 1, 1),
+                extra + (rownum - boundary) // max(base, 1),
+            )
+            + 1
+        )
+        pct = rownum / (n - 1) if n > 1 else np.zeros(n)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey[order]),
+                "o_orderpriority": g.column("o_orderpriority").take(pa.array(order)),
+                "tile": pa.array(tile.astype(np.int64)),
+                "pct_rank": pa.array(pct.astype(np.float64)),
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(window, batch_format="pyarrow")
+
+
+def lineitem_corr(sf_dir: str):
+    """Distributed correlation (numerically stable): per returnflag,
+    corr(l_quantity, l_extendedprice). Each block computes CENTERED
+    per-group moments (mean, M2, co-moment) vectorized; the tiny
+    partial rows (blocks × groups) collect to the driver and merge with
+    Chan's pairwise-merge update in a deterministically sorted order —
+    no raw row ever crosses the wire, and the centered merge avoids the
+    catastrophic cancellation a naive n·Σxy − Σx·Σy suffers at 100 TB
+    row counts."""
+    import math
+
+    from .util import collect_arrow
+
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_quantity", "l_extendedprice"],
+        blocks=16,
+    )
+
+    def partial_moments(b: pa.Table) -> pa.Table:
+        flags = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        x = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = (
+            b.column("l_extendedprice")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        cols: dict[str, list] = {
+            "l_returnflag": [], "n": [], "mx": [], "my": [],
+            "m2x": [], "m2y": [], "cxy": [],
+        }
+        for f in np.unique(flags):
+            sel = flags == f
+            xs, ys = x[sel], y[sel]
+            mx, my = xs.mean(), ys.mean()
+            dx, dy = xs - mx, ys - my
+            cols["l_returnflag"].append(str(f))
+            cols["n"].append(int(sel.sum()))
+            cols["mx"].append(mx)
+            cols["my"].append(my)
+            cols["m2x"].append(float(dx @ dx))
+            cols["m2y"].append(float(dy @ dy))
+            cols["cxy"].append(float(dx @ dy))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(cols["l_returnflag"], pa.string()),
+                "n": pa.array(cols["n"], pa.int64()),
+                "mx": pa.array(cols["mx"], pa.float64()),
+                "my": pa.array(cols["my"], pa.float64()),
+                "m2x": pa.array(cols["m2x"], pa.float64()),
+                "m2y": pa.array(cols["m2y"], pa.float64()),
+                "cxy": pa.array(cols["cxy"], pa.float64()),
+            }
+        )
+
+    parts = collect_arrow(
+        ds.map_batches(partial_moments, batch_format="pyarrow")
+    ).to_pydict()
+    # deterministic merge order regardless of block arrival
+    rows = sorted(
+        zip(*(parts[c] for c in ["l_returnflag", "n", "mx", "my", "m2x", "m2y", "cxy"]))
+    )
+    merged: dict[str, list[float]] = {}
+    for f, n, mx, my, m2x, m2y, cxy in rows:
+        if f not in merged:
+            merged[f] = [n, mx, my, m2x, m2y, cxy]
+            continue
+        N, Mx, My, M2x, M2y, Cxy = merged[f]
+        tot = N + n
+        dx, dy = mx - Mx, my - My
+        merged[f] = [
+            tot,
+            Mx + dx * n / tot,
+            My + dy * n / tot,
+            M2x + m2x + dx * dx * N * n / tot,
+            M2y + m2y + dy * dy * N * n / tot,
+            Cxy + cxy + dx * dy * N * n / tot,
+        ]
+    flags = sorted(merged)
+    corr = [
+        merged[f][5] / math.sqrt(merged[f][3] * merged[f][4])
+        if merged[f][3] > 0 and merged[f][4] > 0
+        else None
+        for f in flags
+    ]
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "n": pa.array([int(merged[f][0]) for f in flags], pa.int64()),
+            "corr_qty_price": pa.array(corr, pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1440,6 +1707,11 @@ QUERIES = {
     "events_pivot": events_pivot,
     "events_lead_lag": events_lead_lag,
     "docs_top_ngrams": docs_top_ngrams,
+    "lineitem_bloom_semi": lineitem_bloom_semi,
+    "nation_segments": nation_segments,
+    "customer_set_flags": customer_set_flags,
+    "orders_price_window": orders_price_window,
+    "lineitem_corr": lineitem_corr,
 }
 
 ORACLE_SQL = {
@@ -2037,4 +2309,42 @@ ORACLE_SQL["docs_top_ngrams"] = """
     )
     SELECT ngram, count(*) AS n FROM bg
     GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50
+"""
+
+ORACLE_SQL["lineitem_bloom_semi"] = """
+    SELECT l_returnflag, count(*) AS n_items,
+           sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0
+             AS revenue
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+    GROUP BY l_returnflag
+"""
+
+ORACLE_SQL["nation_segments"] = """
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+    FROM customer GROUP BY c_nationkey
+"""
+
+ORACLE_SQL["customer_set_flags"] = """
+    SELECT c_custkey, max(in_a)::BIGINT AS in_a, max(in_b)::BIGINT AS in_b FROM (
+      SELECT DISTINCT o_custkey AS c_custkey, 1 AS in_a, 0 AS in_b
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT c_custkey, 0, 1 FROM customer WHERE c_acctbal > 9000
+    ) GROUP BY c_custkey
+"""
+
+ORACLE_SQL["orders_price_window"] = """
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS tile,
+           percent_rank() OVER w AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+ORACLE_SQL["lineitem_corr"] = """
+    SELECT l_returnflag, count(*) AS n,
+           corr(l_quantity, l_extendedprice) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
 """

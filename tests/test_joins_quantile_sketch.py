@@ -236,3 +236,46 @@ def test_hll_error_bound_and_determinism():
     est = dict(zip(t1.column("g").to_pylist(), t1.column("approx_distinct").to_pylist()))
     for g, n in truth.items():
         assert abs(est[g] - n) <= max(2, 0.05 * n), (g, est[g], n)
+
+
+def test_bloom_filter_no_false_negatives_and_low_fpr():
+    """Inserted keys ALWAYS test positive (correctness contract the
+    exact-verify stage relies on: it only ever removes rows); absent
+    keys pass at ≈ the designed false-positive rate (~4e-4 at 16
+    bits/key — assert a loose 1% ceiling)."""
+    from crawler_seo_ray.stages.bloom import (
+        bloom_contains,
+        bloom_params,
+        build_bloom,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(2**62, size=5000, replace=False).astype(np.uint64)
+    m_bits, k = bloom_params(len(members))
+    bits = build_bloom(members, m_bits, k)
+    assert bloom_contains(bits, members, m_bits, k).all()
+
+    absent = (members + np.uint64(1)).astype(np.uint64)
+    absent = np.setdiff1d(absent, members)
+    fpr = bloom_contains(bits, absent, m_bits, k).mean()
+    assert fpr < 0.01, fpr
+
+
+def test_bloom_partial_or_merge_equals_single_build():
+    """Bitwise-OR is the combiner: per-block partial filters OR'd
+    together give the identical bitset a single build produces — the
+    property that lets the small side's filter build distribute."""
+    from crawler_seo_ray.stages.bloom import (
+        bloom_params,
+        build_bloom,
+        or_bloom_inplace,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(2**62, size=2000, replace=False).astype(np.uint64)
+    m_bits, k = bloom_params(len(keys))
+    whole = build_bloom(keys, m_bits, k)
+    merged = np.zeros(m_bits // 64, dtype=np.uint64)
+    for chunk in np.array_split(keys, 7):
+        or_bloom_inplace(merged, chunk, m_bits, k)
+    assert (whole == merged).all()
