@@ -221,6 +221,8 @@ def run_components(num_cpus: int) -> dict:
         "lineitem_price_quantiles",
         "docs_tfidf_top_terms",
         "corpus_image_stats",
+        "lineitem_bloom_semi",
+        "docs_top_ngrams",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

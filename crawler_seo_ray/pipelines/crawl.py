@@ -100,6 +100,9 @@ class _Engine:
         self.spec = spec
         self.cfg = cfg
         self.corpus_dir = corpus_dir
+        # deferred frontier add_arrow futures (fired without a barrier;
+        # harvested at the next wave's start so failures surface loudly)
+        self._frontier_pending: list = []
         spec_dict = {
             "n_pages": spec.n_pages,
             "max_depth": spec.max_depth,
@@ -213,11 +216,17 @@ class _Engine:
                 "sshard": adm.column("seen_shard"),
             }
         )
-        add_futs = []
-        for s in np.unique(fsh):
-            ks = np.flatnonzero(fsh == s)
-            add_futs.append(self.frontier[int(s)].add_arrow.remote(ftbl.take(pa.array(ks))))
-        ray.get(add_futs)
+        # fire-and-forget: the driver is the sole caller of these actors,
+        # and Ray orders calls per (caller, actor) — the next wave's
+        # peek_arrow on each shard is guaranteed to execute after this
+        # add_arrow, so no barrier is needed here (the refs are retained
+        # so a shard failure still surfaces at the next synchronous call)
+        self._frontier_pending = [
+            self.frontier[int(s)].add_arrow.remote(
+                ftbl.take(pa.array(np.flatnonzero(fsh == s)))
+            )
+            for s in np.unique(fsh)
+        ]
         return admitted
 
     def _admit_pushed(self, wave: int) -> pa.Table:
@@ -306,6 +315,13 @@ class _Engine:
 
         t_phase = _time.perf_counter
         t0 = t_phase()
+        if self._frontier_pending:
+            # surface any failed add_arrow from the previous wave before
+            # taking from the shards (the calls themselves are already
+            # ordered ahead of this wave's peeks by Ray's per-caller
+            # actor-call ordering; this get is normally instantaneous)
+            ray.get(self._frontier_pending)
+            self._frontier_pending = []
         budget = min(self.spec.batch_size, self.spec.max_urls - self.visited)
         if budget <= 0:
             return False
@@ -358,13 +374,23 @@ class _Engine:
         # keeps dynamic balance: stragglers get fed less instead of
         # stalling the wave barrier.
         DEPTH = 2
-        chunk = min(self.cfg.max_chunk, max(1, -(-len(entries) // (W * 3))))
         ckpt = self.cfg.checkpoint_dir
         wave_dir = os.path.join(ckpt, "waves", f"wave={wave:05d}") if ckpt else None
-        chunks = [
-            (c, entries[start : start + chunk])
-            for c, start in enumerate(range(0, len(entries), chunk))
-        ]
+        # guided self-scheduling: chunk sizes DECAY (each ≈ remaining/3W,
+        # floored at 64, capped at max_chunk) so the wave tail is bounded
+        # by one SMALL chunk instead of one ~n/3W chunk — at 30 workers a
+        # flat n/3W split left the barrier waiting ~178 heavy PSNR rows
+        # on the slowest worker (~17% of the wave) while the rest idled;
+        # the decaying tail cuts that to ≤64 rows at ~25% more dispatches
+        chunks = []
+        start = 0
+        while start < len(entries):
+            size = min(
+                self.cfg.max_chunk,
+                max(64, -(-(len(entries) - start) // (W * 3))),
+            )
+            chunks.append((len(chunks), entries[start : start + size]))
+            start += size
         parts: list = [None] * len(chunks)
         pending: dict = {}  # future -> (chunk_idx, worker_idx, chunk_key)
         deadline: dict = {}  # future -> monotonic deadline
@@ -790,6 +816,9 @@ class _Engine:
 
     def result(self) -> CrawlResult:
         self._join_commit()  # the last wave's background commit must land
+        if self._frontier_pending:
+            ray.get(self._frontier_pending)  # surface any last-wave add failure
+            self._frontier_pending = []
         # launch the shard snapshots FIRST so the actors serialize their
         # state while the driver reads audit chunks (overlapped, not
         # sequential — result() was ~40% of the skew-bench wall)

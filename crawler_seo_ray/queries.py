@@ -92,6 +92,20 @@ def _join_partitions() -> int:
     return max(2, cpus // 8)
 
 
+def _fnv64(ids: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over the 8 little-endian bytes of int64 ids
+    (uint64 out). Partition-stable and exactly expressible in SQL via
+    HUGEINT mod-2^64 arithmetic (see the docs_split oracle) — the shared
+    deterministic-hash primitive for splits and sampling."""
+    ids = ids.astype(np.uint64, copy=False)
+    with np.errstate(over="ignore"):
+        h = np.full(len(ids), 14695981039346656037, dtype=np.uint64)
+        for k in range(8):
+            byte = (ids >> np.uint64(8 * k)) & np.uint64(0xFF)
+            h = (h ^ byte) * np.uint64(1099511628211)
+    return h
+
+
 def _cents(col) -> pa.Array:
     """Exact integer cents via floor(x·100 + 0.5) — written identically
     in the paired DuckDB SQL, so the grouped SUM is order-independent
@@ -390,13 +404,8 @@ def docs_split(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id"], blocks=8)
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = np.full(len(ids), 14695981039346656037, dtype=np.uint64)
-            for k in range(8):
-                byte = (ids >> np.uint64(8 * k)) & np.uint64(0xFF)
-                h = (h ^ byte) * np.uint64(1099511628211)
-        b = (h % np.uint64(10)).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = (_fnv64(ids) % np.uint64(10)).astype(np.int64)
         split = pc.if_else(
             pc.less(pa.array(b), 8),
             pa.scalar("train"),
@@ -1655,6 +1664,58 @@ def lineitem_corr(sf_dir: str):
     )
 
 
+def docs_sample_per_source(sf_dir: str, k: int = 20):
+    """Deterministic fixed-k per-group sample: exactly min(k, |group|)
+    docs per source, chosen by FNV-hash order — the 'give me 20 random-
+    but-reproducible examples per bucket' every corpus-QA loop needs,
+    stable across any partitioning. Each block prunes to its local
+    per-source top-k by (hash, id) FULLY vectorized (one sort +
+    run-length rank), so the groupby ships ≤ blocks×k rows per source;
+    the in-group finish re-ranks those few."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"], blocks=8)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "doc_id": b.column("doc_id"),
+                "hk": pa.array(_fnv64(ids), pa.uint64()),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("source", "ascending"),
+                ("hk", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        # per-run rank without a Python loop: positions minus each run's
+        # start position, runs found by adjacent inequality
+        n = len(src)
+        pos = np.arange(n, dtype=np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        new_run = np.concatenate(([True], src[1:] != src[:-1]))
+        starts[new_run] = pos[new_run]
+        np.maximum.accumulate(starts, out=starts)
+        return t.filter(pa.array(pos - starts < k))
+
+    def finish(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("hk", "ascending"), ("doc_id", "ascending")]
+        )
+        return g.take(idx[:k]).select(["source", "doc_id"])
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1712,6 +1773,7 @@ QUERIES = {
     "customer_set_flags": customer_set_flags,
     "orders_price_window": orders_price_window,
     "lineitem_corr": lineitem_corr,
+    "docs_sample_per_source": docs_sample_per_source,
 }
 
 ORACLE_SQL = {
@@ -2347,4 +2409,23 @@ ORACLE_SQL["lineitem_corr"] = """
     SELECT l_returnflag, count(*) AS n,
            corr(l_quantity, l_extendedprice) AS corr_qty_price
     FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLE_SQL["docs_sample_per_source"] = """
+    WITH h AS (
+      SELECT source, doc_id,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(0, 8), k ->
+                   (doc_id::HUGEINT // CAST(power(2, 8*k) AS HUGEINT)) % 256)),
+               (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                            * 1099511628211::HUGEINT)
+                           % 18446744073709551616::HUGEINT
+             ) AS hk
+      FROM documents)
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+      FROM h) t
+    WHERE rn <= 20
 """

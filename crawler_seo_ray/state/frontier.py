@@ -34,17 +34,21 @@ import ray
 # num_cpus=0: queue bookkeeping is tiny per call; see SeenShard note.
 @ray.remote(num_cpus=0)
 class FrontierShard:
-    """Indexed priority queue: SORTED RUNS + TOMBSTONES (r3 rework of
-    the r2 flat list whose per-wave full-list sort/rebuild was O(queue)
-    per commit — VERDICT r02 #6).
+    """Indexed priority queue: COLUMNAR SORTED RUNS + TOMBSTONE MASKS
+    (r3 rework #2 — the r2 flat list was O(queue) per commit, the first
+    r3 rework's tuple runs + heapq.merge still paid ~1 µs/entry of
+    Python per peeked row and rebuilt tuples on every add).
 
-    - each ``add`` appends one sorted run (admissions arrive in
-      discovery order, already (rank, seq)-sorted in parity mode);
-    - ``peek`` lazily k-way-merges the runs (heapq.merge) and stops at
-      the limit — O(peeked · log runs), not O(queue);
-    - ``commit`` marks taken seqs as tombstones — O(taken);
-    - compaction (merge runs, drop tombstones) is amortized: it runs
-      when the run count or tombstone share crosses a threshold, so a
+    - each ``add``/``add_arrow`` appends one (rank, seq)-lexsorted RUN
+      stored as numpy columns (numeric) + object arrays (url/host); the
+      sort and all slicing are vectorized;
+    - a per-shard ``seq → (run, pos)`` index makes ``commit`` and
+      ``commit_fetch`` O(taken) dict/array operations;
+    - tombstones are per-run bool masks with a first-alive pointer, so
+      the no-quota ``peek`` is per-run alive-prefix slices + one lexsort
+      over O(runs · limit) rows — never a queue scan;
+    - compaction (concat alive rows, one lexsort, index rebuild) is
+      amortized over run-count / tombstone-share thresholds, so a
       10^6-entry shard pays O(queue) only every ~queue/wave waves.
 
     entries: (rank, seq, url, host, depth, sshard) — rank computed at
@@ -52,43 +56,137 @@ class FrontierShard:
     reference's two-queue drain, weighted mode any float."""
 
     MAX_RUNS = 16
+    _COLS = ("rank", "seq", "url", "host", "depth", "sshard")
 
     def __init__(self, shard_id: int):
         self.shard_id = shard_id
-        self.runs: list[list[tuple]] = []
-        self.dead: set[int] = set()  # committed (taken) seqs, lazily purged
+        self.runs: list[dict] = []  # {col: np.ndarray} + "mask","fa","alive"
+        self.index: dict[int, tuple] = {}  # live seq -> (run_idx, pos)
+        self.dead_total = 0
         self.live = 0
         self.added = 0
         self.taken = 0
 
-    def add(self, entries: list[tuple]) -> int:
-        if entries:
-            run = sorted(entries)
-            self.runs.append(run)
-            self.live += len(run)
-            self.added += len(run)
-            if len(self.runs) > self.MAX_RUNS:
-                self._compact()
-        return len(entries)
-
     # -- internal ------------------------------------------------------
-    def _merged(self):
-        """Lazy (rank, seq)-ordered iterator over live entries."""
+    def _add_run(self, cols: dict) -> int:
+        import numpy as np
+
+        n = len(cols["seq"])
+        if n == 0:
+            return 0
+        order = np.lexsort((cols["seq"], cols["rank"]))
+        run = {c: np.asarray(cols[c], dtype=object if c in ("url", "host") else None)[order]
+               for c in self._COLS}
+        run["rank"] = run["rank"].astype(np.float64, copy=False)
+        run["seq"] = run["seq"].astype(np.int64, copy=False)
+        run["mask"] = np.zeros(n, dtype=bool)  # True = tombstone
+        run["fa"] = 0  # first possibly-alive position
+        run["alive"] = n
+        rid = len(self.runs)
+        self.runs.append(run)
+        for pos, s in enumerate(run["seq"].tolist()):
+            self.index[s] = (rid, pos)
+        self.live += n
+        self.added += n
+        if len(self.runs) > self.MAX_RUNS:
+            self._compact()
+        return n
+
+    def _alive_prefix(self, run: dict, limit: int):
+        """Indices of the first ≤limit live rows of one run (vectorized;
+        advances the first-alive pointer past any consumed prefix)."""
+        import numpy as np
+
+        mask, fa = run["mask"], run["fa"]
+        while fa < len(mask) and mask[fa]:
+            fa += 1
+        run["fa"] = fa
+        if run["alive"] == len(mask) - fa:  # no interior tombstones
+            return np.arange(fa, min(fa + limit, len(mask)), dtype=np.int64)
+        return np.flatnonzero(~mask[fa:])[:limit] + fa
+
+    def _candidates(self, limit: int):
+        """(rank, seq, run_id, pos) numpy columns of the ≤limit smallest
+        live rows per run, merged+lexsorted — the vectorized k-way merge
+        head. O(runs·limit·log) regardless of queue size."""
+        import numpy as np
+
+        rk, sq, ri, po = [], [], [], []
+        for rid, run in enumerate(self.runs):
+            idx = self._alive_prefix(run, limit)
+            if len(idx) == 0:
+                continue
+            rk.append(run["rank"][idx])
+            sq.append(run["seq"][idx])
+            ri.append(np.full(len(idx), rid, dtype=np.int32))
+            po.append(idx)
+        if not rk:
+            z = np.empty(0)
+            return z, z.astype(np.int64), z.astype(np.int32), z.astype(np.int64)
+        rank = np.concatenate(rk)
+        seq = np.concatenate(sq)
+        rids = np.concatenate(ri)
+        pos = np.concatenate(po)
+        order = np.lexsort((seq, rank))
+        return rank[order], seq[order], rids[order], pos[order]
+
+    def _iter_live(self):
+        """Lazy (rank, seq)-ordered scan over ALL live rows (quota /
+        offset paths and snapshots; the no-quota peek never calls it)."""
         import heapq
 
-        dead = self.dead
-        for e in heapq.merge(*self.runs):
-            if e[1] not in dead:
-                yield e
+        def run_iter(run):
+            mask = run["mask"]
+            for pos in range(run["fa"], len(mask)):
+                if not mask[pos]:
+                    yield (run["rank"][pos], run["seq"][pos], run, pos)
+
+        return heapq.merge(*(run_iter(r) for r in self.runs), key=lambda t: (t[0], t[1]))
+
+    @staticmethod
+    def _row(run: dict, pos: int) -> tuple:
+        return (
+            float(run["rank"][pos]),
+            int(run["seq"][pos]),
+            run["url"][pos],
+            run["host"][pos],
+            int(run["depth"][pos]),
+            int(run["sshard"][pos]),
+        )
 
     def _compact(self) -> None:
-        merged = list(self._merged())
-        self.runs = [merged] if merged else []
-        self.dead.clear()
+        import numpy as np
+
+        if not self.runs:
+            return
+        alive_cols = {c: [] for c in self._COLS}
+        for run in self.runs:
+            keep = ~run["mask"]
+            for c in self._COLS:
+                alive_cols[c].append(run[c][keep])
+        cols = {c: np.concatenate(v) if v else np.empty(0) for c, v in alive_cols.items()}
+        self.runs = []
+        self.index = {}
+        self.live = 0
+        n = len(cols["seq"])
+        self.added -= n  # _add_run re-counts
+        self.dead_total = 0
+        self._add_run(cols)
 
     def _maybe_compact(self) -> None:
-        if len(self.dead) > max(1024, self.live // 2) or len(self.runs) > self.MAX_RUNS:
+        if self.dead_total > max(1024, self.live // 2) or len(self.runs) > self.MAX_RUNS:
             self._compact()
+
+    # -- public --------------------------------------------------------
+    def add(self, entries: list[tuple]) -> int:
+        import numpy as np
+
+        if not entries:
+            return 0
+        cols = {c: np.asarray([e[i] for e in entries],
+                              dtype=object if c in ("url", "host") else None)
+                for i, c in enumerate(self._COLS)}
+        return self._add_run(cols)
 
     def warm(self, tbl) -> int:
         """Setup-time no-op exercising the Arrow-IPC deserialization
@@ -97,21 +195,19 @@ class FrontierShard:
 
     def add_arrow(self, tbl) -> int:
         """Arrow-table variant: columns rank/seq/url/host/depth/sshard —
-        the driver ships a column slice, the shard builds its tuples.
-        ``sshard`` (the URL's seen-shard id) rides along so the wave
-        take returns it and mark_issued needs no driver-side re-hash."""
-        return self.add(
-            list(
-                zip(
-                    tbl.column("rank").to_pylist(),
-                    tbl.column("seq").to_pylist(),
-                    tbl.column("url").to_pylist(),
-                    tbl.column("host").to_pylist(),
-                    tbl.column("depth").to_pylist(),
-                    tbl.column("sshard").to_pylist(),
-                )
-            )
-        )
+        the driver ships a column slice, the shard keeps numpy columns
+        (numeric ones zero-copy). ``sshard`` (the URL's seen-shard id)
+        rides along so the wave take returns it and mark_issued needs no
+        driver-side re-hash."""
+        cols = {
+            "rank": tbl.column("rank").to_numpy(zero_copy_only=False),
+            "seq": tbl.column("seq").to_numpy(zero_copy_only=False),
+            "url": tbl.column("url").to_numpy(zero_copy_only=False),
+            "host": tbl.column("host").to_numpy(zero_copy_only=False),
+            "depth": tbl.column("depth").to_numpy(zero_copy_only=False),
+            "sshard": tbl.column("sshard").to_numpy(zero_copy_only=False),
+        }
+        return self._add_run(cols)
 
     def peek(
         self, limit: int, host_quota: int | None, host_offsets: dict | None = None
@@ -119,57 +215,54 @@ class FrontierShard:
         """Up to ``limit`` entries in (rank, seq) order with at most
         ``host_quota`` per LOCAL host; does not remove them.
 
-        Fast path (no quota, no offsets — the headline crawl): take the
-        first ``limit`` live entries straight off the lazy run merge.
-        With a quota the merge is scanned with per-host counters; the
-        scan may traverse the whole shard only when most hosts are
-        capped. ``host_offsets`` (adaptive per-host priority, recomputed
-        between waves from aggregated per-host stats) are added to each
-        entry's rank; that mode re-sorts the adjusted view (adaptive
-        crawls are politeness-shaped anyway)."""
-        import itertools
-
+        Fast path (no quota, no offsets — the headline crawl): the
+        vectorized run-head merge (_candidates). With a quota the lazy
+        merge is scanned with per-host counters; the scan may traverse
+        the whole shard only when most hosts are capped. ``host_offsets``
+        (adaptive per-host priority, recomputed between waves from
+        aggregated per-host stats) are added to each entry's rank; that
+        mode re-sorts the adjusted view (adaptive crawls are
+        politeness-shaped anyway)."""
         if host_offsets:
             adjusted = sorted(
-                (e[0] + host_offsets.get(e[3], 0.0),) + e[1:] for e in self._merged()
+                (t[0] + host_offsets.get(t[2]["host"][t[3]], 0.0), t[1], t[2], t[3])
+                for t in self._iter_live()
             )
             src = iter(adjusted)
+        elif host_quota is None:
+            _, _, rids, pos = self._candidates(limit)
+            return [self._row(self.runs[r], p) for r, p in
+                    zip(rids[:limit].tolist(), pos[:limit].tolist())]
         else:
-            src = self._merged()
-        if host_quota is None and not host_offsets:
-            return list(itertools.islice(src, limit))
+            src = self._iter_live()
         out: list[tuple] = []
         per_host: dict[str, int] = defaultdict(int)
-        for e in src:
+        for t in src:
             if len(out) >= limit:
                 break
-            host = e[3]
+            run, pos = t[2], t[3]
+            host = run["host"][pos]
             if host_quota is not None and per_host[host] >= host_quota:
                 continue
             per_host[host] += 1
-            out.append(e)
+            if host_offsets:
+                out.append((t[0],) + self._row(run, pos)[1:])
+            else:
+                out.append(self._row(run, pos))
         return out
 
     def peek_arrow(
         self, limit: int, host_quota: int | None, host_offsets: dict | None = None
     ):
-        """Arrow-table variant of peek — the wave take ships columns,
-        not 10^4 pickled tuples, and the driver merge stays numpy."""
+        """Arrow-table variant of peek — ships columns, not pickled
+        tuples (kept for API compatibility; the wave take now uses the
+        narrower peek_heads + commit_fetch protocol)."""
         import pyarrow as pa
 
         out = self.peek(limit, host_quota, host_offsets)
-        if not out:
-            return pa.table(
-                {
-                    "rank": pa.array([], pa.float64()),
-                    "seq": pa.array([], pa.int64()),
-                    "url": pa.array([], pa.string()),
-                    "host": pa.array([], pa.string()),
-                    "depth": pa.array([], pa.int32()),
-                    "sshard": pa.array([], pa.int32()),
-                }
-            )
-        rank, seq, url, host, depth, sshard = zip(*out)
+        rank, seq, url, host, depth, sshard = (
+            zip(*out) if out else ((),) * 6
+        )
         return pa.table(
             {
                 "rank": pa.array(rank, pa.float64()),
@@ -181,11 +274,83 @@ class FrontierShard:
             }
         )
 
+    def peek_heads(
+        self,
+        limit: int,
+        host_quota: int | None,
+        host_offsets: dict | None = None,
+        with_host: bool = False,
+    ):
+        """NARROW peek for the wave take's selection round: only the
+        merge keys (rank, seq) — plus host when the driver-side greedy
+        politeness/offset merge needs it — cross the wire (~16 B/row vs
+        ~100 B/row of URL strings); the full rows travel once, for the
+        TAKEN seqs only, in commit_fetch. The no-quota fast path is
+        all-numpy end to end."""
+        import pyarrow as pa
+
+        if host_quota is None and not host_offsets:
+            rank, seq, _, _ = self._candidates(limit)
+            cols = {
+                "rank": pa.array(rank[:limit], pa.float64()),
+                "seq": pa.array(seq[:limit], pa.int64()),
+            }
+            if with_host:  # not needed by callers today, kept total
+                out = self.peek(limit, None, None)
+                cols["host"] = pa.array([e[3] for e in out], pa.string())
+            return pa.table(cols)
+        out = self.peek(limit, host_quota, host_offsets)
+        cols = {
+            "rank": pa.array([e[0] for e in out], pa.float64()),
+            "seq": pa.array([e[1] for e in out], pa.int64()),
+        }
+        if with_host:
+            cols["host"] = pa.array([e[3] for e in out], pa.string())
+        return pa.table(cols)
+
+    def commit_fetch(self, seqs: list[int]):
+        """Commit the taken seqs AND return their full rows (url, host,
+        depth, sshard keyed by seq) in one round trip — O(taken) via the
+        seq index."""
+        import pyarrow as pa
+
+        urls, hosts, depths, sshards = [], [], [], []
+        for s in seqs:
+            loc = self.index.get(s)
+            if loc is None:
+                raise KeyError(
+                    f"frontier shard {self.shard_id}: commit_fetch seq {s} not live"
+                )
+            run, pos = self.runs[loc[0]], loc[1]
+            urls.append(run["url"][pos])
+            hosts.append(run["host"][pos])
+            depths.append(int(run["depth"][pos]))
+            sshards.append(int(run["sshard"][pos]))
+        tbl = pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "depth": pa.array(depths, pa.int32()),
+                "sshard": pa.array(sshards, pa.int32()),
+            }
+        )
+        self.commit(seqs)
+        return tbl
+
     def commit(self, seqs: list[int]) -> None:
-        s = set(seqs)
-        self.dead.update(s)
-        self.taken += len(s)
-        self.live -= len(s)
+        n = 0
+        for s in seqs:
+            loc = self.index.pop(s, None)
+            if loc is None:
+                continue  # idempotent under retries
+            run = self.runs[loc[0]]
+            run["mask"][loc[1]] = True
+            run["alive"] -= 1
+            n += 1
+        self.taken += len(seqs)
+        self.live -= n
+        self.dead_total += n
         self._maybe_compact()
 
     def size(self) -> int:
@@ -200,12 +365,16 @@ class FrontierShard:
         }
 
     def snapshot(self) -> list[tuple]:
-        return list(self._merged())
+        return [self._row(t[2], t[3]) for t in self._iter_live()]
 
     def restore(self, entries: list[tuple]) -> None:
-        self.runs = [sorted(entries)] if entries else []
-        self.dead = set()
-        self.live = len(entries)
+        self.runs = []
+        self.index = {}
+        self.live = 0
+        self.added = 0
+        self.dead_total = 0
+        self.add(entries)
+        self.added = len(entries)
 
 
 def take_wave(
@@ -245,18 +414,24 @@ def take_wave(
     import pyarrow as pa
 
     adaptive = host_quota is None and not host_offsets
+    with_host = not adaptive  # driver merge needs hosts only for quota/offsets
     S = len(frontier_shards)
     # 4× the mean per-shard share: host-hash sharding under Zipf-skewed
     # hosts routinely gives the hottest shard 2-3× the mean (the h0
     # bench corpus shard holds ~29% of the queue), and a first peek that
     # truncates exactly there forces the 4× re-peek on EVERY wave —
-    # headroom is cheaper than a second round trip, and still O(B/S)
+    # headroom is cheaper than a second round trip, and still O(B/S).
+    # The peek is NARROW (rank+seq, ~16 B/row): overshipping 4× costs
+    # ~1 MB, not the ~6 MB the r2 full-row peek paid in URL strings.
     limit = (
         min(budget, max(1024, 4 * (budget // max(1, S)) + 64)) if adaptive else budget
     )
     while True:
         tbls = ray.get(
-            [f.peek_arrow.remote(limit, host_quota, host_offsets) for f in frontier_shards]
+            [
+                f.peek_heads.remote(limit, host_quota, host_offsets, with_host)
+                for f in frontier_shards
+            ]
         )
         merged = pa.concat_tables(tbls)
         if merged.num_rows == 0:
@@ -293,24 +468,30 @@ def take_wave(
         if not np.any((peeked == limit) & (taken_per == peeked)):
             break
         limit = min(budget, limit * 4)
-    taken = merged.take(pa.array(sel))
     taken_seq = seq[sel]
     taken_shard = shard_ids[sel]
-    futs = []
-    for s in np.unique(taken_shard):
-        futs.append(
-            frontier_shards[int(s)].commit.remote(taken_seq[taken_shard == s].tolist())
-        )
-    ray.get(futs)
-    return list(
-        zip(
-            taken_seq.tolist(),
-            taken.column("url").to_pylist(),
-            taken.column("host").to_pylist(),
-            taken.column("depth").to_pylist(),
-            taken.column("sshard").to_pylist(),
-        )
+    # second round: commit + fetch the full rows for the TAKEN seqs only
+    # (the only time URL strings cross the wire, output-sized)
+    fetch_shards = np.unique(taken_shard)
+    fetched = ray.get(
+        [
+            frontier_shards[int(s)].commit_fetch.remote(
+                taken_seq[taken_shard == s].tolist()
+            )
+            for s in fetch_shards
+        ]
     )
+    by_seq: dict[int, tuple] = {}
+    for t in fetched:
+        for row in zip(
+            t.column("seq").to_pylist(),
+            t.column("url").to_pylist(),
+            t.column("host").to_pylist(),
+            t.column("depth").to_pylist(),
+            t.column("sshard").to_pylist(),
+        ):
+            by_seq[row[0]] = row
+    return [by_seq[int(s)] for s in taken_seq]
 
 
 def owner_shard(host: str, num_shards: int, url: str = "", salt: int = 1) -> int:
