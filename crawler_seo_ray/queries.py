@@ -1337,6 +1337,33 @@ def events_lead_lag(sf_dir: str):
     return ds.groupby("user_id").map_groups(lag_group, batch_format="pyarrow")
 
 
+def _bigram_expand(texts) -> tuple:
+    """Fully vectorized bigram expansion over a string column: Arrow
+    regex split to a list array, numpy offset arithmetic to index
+    adjacent token pairs, one binary_join kernel — no Python loop
+    touches a row. Returns (ngram string array, int64 doc-index array
+    mapping each bigram back to its row)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(texts)), r"\s+"
+    )
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = arr.offsets.to_numpy()
+    starts, lens = offsets[:-1], np.diff(offsets)
+    nbi = np.maximum(lens - 1, 0)  # bigrams per doc
+    total = int(nbi.sum())
+    if total == 0:
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+    # concatenated ranges: for each doc, starts[j] + [0..nbi[j])
+    base = np.repeat(starts, nbi)
+    within = np.arange(total) - np.repeat(np.cumsum(nbi) - nbi, nbi)
+    idx = base + within
+    left = arr.values.take(pa.array(idx))
+    right = arr.values.take(pa.array(idx + 1))
+    ngram = pc.binary_join_element_wise(left, right, " ")
+    doc_idx = np.repeat(np.arange(len(nbi), dtype=np.int64), nbi)
+    return ngram, doc_idx
+
+
 def docs_top_ngrams(sf_dir: str, k: int = 50):
     """Corpus-wide top-k bigram counts (the n-gram statistics pass an
     LLM-corpus pipeline runs before vocabulary/contamination work).
@@ -1350,24 +1377,10 @@ def docs_top_ngrams(sf_dir: str, k: int = 50):
     ds = _pq(sf_dir, "documents", ["text"], blocks=8)
 
     def bigram_counts(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.utf8_trim_whitespace(b.column("text"))), r"\s+"
-        )
-        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-        offsets = arr.offsets.to_numpy()
-        starts, lens = offsets[:-1], np.diff(offsets)
-        nbi = np.maximum(lens - 1, 0)  # bigrams per doc
-        total = int(nbi.sum())
-        if total == 0:
+        ngram, _ = _bigram_expand(b.column("text"))
+        if len(ngram) == 0:
             return pa.table({"ngram": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        # concatenated ranges: for each doc, starts[j] + [0..nbi[j])
-        base = np.repeat(starts, nbi)
-        within = np.arange(total) - np.repeat(np.cumsum(nbi) - nbi, nbi)
-        idx = base + within
-        left = arr.values.take(pa.array(idx))
-        right = arr.values.take(pa.array(idx + 1))
-        ngram = pc.binary_join_element_wise(left, right, " ")
         return (
             pa.table({"ngram": ngram})
             .group_by("ngram")
@@ -1716,6 +1729,55 @@ def docs_sample_per_source(sf_dir: str, k: int = 20):
     )
 
 
+def docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination — the n-gram-overlap pass every LLM
+    training corpus runs before release: docs sharing ≥30% of their
+    bigrams (multiset) with a held-out benchmark set (source 'src0')
+    are flagged. The benchmark side reduces to DISTINCT bigrams
+    distributedly and broadcasts once (`ray.put`); every train block
+    then tests membership with one vectorized `pc.is_in` and folds
+    per-doc hit counts with `np.bincount` — no row loop, and the flag
+    compare is integer-exact (10·hits ≥ 3·bigrams). Scale seam: past
+    broadcastable benchmark sizes, swap the is_in for the distributed
+    semi-join on ngram (same shape as stages/dedup's text joins)."""
+    from .util import collect_arrow
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "source"], blocks=8)
+
+    def bench_bigrams(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("source"), "src0"))
+        ngram, _ = _bigram_expand(t.column("text"))
+        return pa.table({"ngram": ngram}).group_by("ngram").aggregate([])
+
+    bench = collect_arrow(
+        docs.map_batches(bench_bigrams, batch_format="pyarrow")
+        .groupby("ngram")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    bench_ref = ray.put(bench.column("ngram").combine_chunks())
+
+    def scan(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(pc.equal(b.column("source"), "src0")))
+        ngram, doc_idx = _bigram_expand(t.column("text"))
+        n_rows = t.num_rows
+        nbi = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+        hits_mask = pc.is_in(ngram, value_set=ray.get(bench_ref))
+        hits = np.bincount(
+            doc_idx, weights=hits_mask.to_numpy(zero_copy_only=False), minlength=n_rows
+        ).astype(np.int64)
+        keep = nbi > 0  # docs with <2 tokens have no bigram evidence
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                "n_bigrams": pa.array(nbi[keep]),
+                "n_hits": pa.array(hits[keep]),
+                "contaminated": pa.array(10 * hits[keep] >= 3 * nbi[keep]),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1774,6 +1836,7 @@ QUERIES = {
     "orders_price_window": orders_price_window,
     "lineitem_corr": lineitem_corr,
     "docs_sample_per_source": docs_sample_per_source,
+    "docs_decontaminate": docs_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -2428,4 +2491,25 @@ ORACLE_SQL["docs_sample_per_source"] = """
              row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
       FROM h) t
     WHERE rn <= 20
+"""
+
+ORACLE_SQL["docs_decontaminate"] = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS ngram
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT ngram FROM bg WHERE source = 'src0'
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           count(*) FILTER (ngram IN (SELECT ngram FROM bench)) AS n_hits,
+           (10 * count(*) FILTER (ngram IN (SELECT ngram FROM bench))
+              >= 3 * count(*)) AS contaminated
+    FROM bg WHERE source <> 'src0'
+    GROUP BY doc_id
 """
