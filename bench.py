@@ -12,7 +12,11 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
 ``--scaling`` runs the same job in two fresh processes at 8 and 32
 CPUs on the same input and reports both throughputs + the scaling
 efficiency (the sandbox substitute for the N vs 4N cluster-size
-criterion — see BASELINE.md).
+criterion — see BASELINE.md). ``--scaling-self`` is the self-load
+variant (4 simultaneous pinned 8-CPU jobs vs one 32-CPU job): both
+levels run with the whole chip executing the page kernel, which is
+what identical cluster nodes see — it replaces the burner control
+whose varying effectiveness dominated the --scaling noise.
 """
 
 from __future__ import annotations
@@ -96,7 +100,9 @@ def run_components(num_cpus: int) -> dict:
     # capacity estimate least polluted by transient co-tenant noise on
     # this shared VM (single runs swing ±15%).
     repeats = int(os.environ.get("GRAFT_CRAWL_REPEATS", "1"))
-    ckpt = "/tmp/crawler_seo_ray_cache/bench_ckpt"
+    # overridable so the self-load scaling protocol's 4 concurrent
+    # 8-CPU lanes don't write into the same checkpoint tree
+    ckpt = os.environ.get("GRAFT_CKPT_DIR", "/tmp/crawler_seo_ray_cache/bench_ckpt")
     spec = CrawlSpec(
         n_pages=BENCH_CORPUS_N,
         seeds=[datagen.url(i * 379 % BENCH_CORPUS_N) for i in range(BENCH_NUM_SEEDS)],
@@ -244,6 +250,7 @@ def main() -> None:
     real_stdout = os.dup(1)
     os.dup2(2, 1)
 
+    obj_gb = os.environ.get("GRAFT_OBJ_STORE_GB")
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -251,6 +258,9 @@ def main() -> None:
         ignore_reinit_error=True,
         logging_level="ERROR",
         log_to_driver=False,
+        # bounded per-process store so the self-load protocol can run
+        # several Ray instances side by side without oversubscribing RAM
+        object_store_memory=int(float(obj_gb) * 2**30) if obj_gb else None,
     )
     import logging
 
@@ -423,8 +433,109 @@ def scaling(equal_load: bool = True) -> None:
     )
 
 
+def scaling_self() -> None:
+    """Self-load scaling protocol (the cleanest sandbox analog of N vs
+    4N *nodes*): each trial runs FOUR SIMULTANEOUS 8-CPU jobs pinned to
+    disjoint core octets — every octet executes under exactly the load
+    profile of four independent 8-core nodes sharing a chassis-worth of
+    silicon, with the background load being THE WORKLOAD ITSELF (no
+    burner-fidelity question: the equal-load burner's varying
+    effectiveness was the dominant noise term in the burner protocol —
+    BASELINE.md round-3) — then one 32-CPU run of the same job on the
+    same cores. eff = steady_32 / (4 × median-of-4 steady_8).
+
+    Each 8-CPU lane gets its own Ray instance (bounded object store)
+    and checkpoint tree. The 8-level statistic is the median of the 4
+    lanes, measured in the SAME instant — per-trial, not per-day,
+    weather."""
+    import statistics
+    import subprocess
+
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+    total = os.cpu_count() or 32
+    lanes = max(1, total // 8)
+
+    def env_for(ncpu: int, lane: int | None) -> dict:
+        e = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_COMPONENTS="crawl",
+            GRAFT_MAX_URLS=os.environ.get("GRAFT_MAX_URLS", "48000"),
+            GRAFT_BATCH=os.environ.get("GRAFT_BATCH", "16000"),
+            GRAFT_NUM_SEEDS=os.environ.get("GRAFT_NUM_SEEDS", "16000"),
+            GRAFT_CRAWL_REPEATS=os.environ.get("GRAFT_CRAWL_REPEATS", "2"),
+        )
+        if lane is not None:
+            e["GRAFT_OBJ_STORE_GB"] = "6"
+            e["GRAFT_CKPT_DIR"] = f"/tmp/crawler_seo_ray_cache/bench_ckpt_lane{lane}"
+        return e
+
+    trial_rows = []
+    for _ in range(trials):
+        procs = [
+            subprocess.Popen(
+                ["taskset", "-c", f"{8 * lane}-{8 * lane + 7}",
+                 sys.executable, os.path.join(REPO, "bench.py")],
+                env=env_for(8, lane),
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            )
+            for lane in range(lanes)
+        ]
+        lane_res = []
+        for p in procs:
+            out, _ = p.communicate()
+            if p.returncode == 0 and out.strip():
+                lane_res.append(json.loads(out.strip().splitlines()[-1]))
+        if len(lane_res) < lanes:
+            raise RuntimeError(f"self-load lane failed ({len(lane_res)}/{lanes})")
+        r32 = json.loads(
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env_for(32, None), capture_output=True, text=True, check=True,
+            ).stdout.strip().splitlines()[-1]
+        )
+        s8 = statistics.median(r["crawl_urls_per_sec_steady"] for r in lane_res)
+        sat8 = statistics.median(
+            r["crawl_urls_per_sec_saturated"] for r in lane_res
+        )
+        trial_rows.append(
+            {
+                "steady_8_lanes": sorted(
+                    round(r["crawl_urls_per_sec_steady"], 1) for r in lane_res
+                ),
+                "steady_8_median": round(s8, 1),
+                "steady_32": r32["crawl_urls_per_sec_steady"],
+                "saturated_8_median": round(sat8, 1),
+                "saturated_32": r32["crawl_urls_per_sec_saturated"],
+                "eff_steady": round(
+                    r32["crawl_urls_per_sec_steady"] / (4 * s8), 3
+                ),
+                "eff_saturated": round(
+                    r32["crawl_urls_per_sec_saturated"] / (4 * sat8), 3
+                ),
+            }
+        )
+    print(
+        json.dumps(
+            {
+                "protocol": "self_load_4x8_vs_32",
+                "trials": trial_rows,
+                "eff_steady_median": round(
+                    statistics.median(t["eff_steady"] for t in trial_rows), 3
+                ),
+                "eff_saturated_median": round(
+                    statistics.median(t["eff_saturated"] for t in trial_rows), 3
+                ),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if "--scaling-raw" in sys.argv:
+    if "--scaling-self" in sys.argv:
+        scaling_self()
+    elif "--scaling-raw" in sys.argv:
         scaling(equal_load=False)
     elif "--scaling" in sys.argv:
         scaling()

@@ -1778,6 +1778,18 @@ def docs_decontaminate(sf_dir: str):
     return docs.map_batches(scan, batch_format="pyarrow")
 
 
+def lineitem_price_quantile_sketch(sf_dir: str):
+    """One-pass approximate quantiles (mergeable weighted-anchor
+    summary, stages/sketch.quantile_sketch) over l_extendedprice —
+    the single-scan complement to the exact iterative-histogram
+    quantiles; rank error ≤ 2n/m is asserted by tests (no SQL oracle:
+    the approximation is algorithm-specific, like the HLL sketch)."""
+    from .stages.sketch import quantile_sketch
+
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice"], blocks=16)
+    return quantile_sketch(ds, "l_extendedprice", [0.25, 0.5, 0.9, 0.99])
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1837,6 +1849,7 @@ QUERIES = {
     "lineitem_corr": lineitem_corr,
     "docs_sample_per_source": docs_sample_per_source,
     "docs_decontaminate": docs_decontaminate,
+    "lineitem_price_quantile_sketch": lineitem_price_quantile_sketch,
 }
 
 ORACLE_SQL = {

@@ -147,3 +147,58 @@ def test_adaptive_take_wave_equals_exhaustive(quota, salt):
     got2 = take_wave(shards, 100, quota, salt)
     taken_seqs = {g[0] for g in got}
     assert all(g[0] not in taken_seqs for g in got2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_commit_fetch_returns_rows_and_tombstones():
+    """commit_fetch must hand back exactly the taken rows keyed by seq,
+    remove them from subsequent peeks, and raise loudly on a seq that
+    is not live (double-take would silently diverge from the oracle)."""
+    from crawler_seo_ray.state.frontier import FrontierShard
+
+    shard = FrontierShard.remote(0)
+    es = _mk_entries(200, 5, hosts=6)
+    ray.get(shard.add.remote(es))
+    head = ray.get(shard.peek.remote(10, None))
+    seqs = [e[1] for e in head[:7]]
+    tbl = ray.get(shard.commit_fetch.remote(seqs))
+    assert tbl.column("seq").to_pylist() == seqs
+    by_seq = {e[1]: e for e in es}
+    for s, u, h, d in zip(
+        seqs,
+        tbl.column("url").to_pylist(),
+        tbl.column("host").to_pylist(),
+        tbl.column("depth").to_pylist(),
+    ):
+        assert (u, h, d) == (by_seq[s][2], by_seq[s][3], by_seq[s][4])
+    nxt = ray.get(shard.peek.remote(5, None))
+    assert not set(seqs) & {e[1] for e in nxt}
+    with pytest.raises(KeyError):
+        ray.get(shard.commit_fetch.remote([seqs[0]]))  # already taken
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_restore_roundtrip_with_tombstones():
+    """Checkpoint parity: snapshot after interleaved adds/commits must
+    equal the flat-model survivors, and a restored shard must behave
+    identically (same peek, same size) — the resume path's contract."""
+    from crawler_seo_ray.state.frontier import FrontierShard
+
+    shard = FrontierShard.remote(0)
+    ref = _RefShard()
+    seq = 0
+    rng = np.random.default_rng(3)
+    for step in range(6):
+        es = _mk_entries(40, 200 + step, hosts=5, start_seq=seq)
+        seq += len(es)
+        ray.get(shard.add.remote(es))
+        ref.add(es)
+        take = [e[1] for e in ref.peek(int(rng.integers(1, 15)), None)]
+        ray.get(shard.commit.remote(take))
+        ref.commit(take)
+    snap = ray.get(shard.snapshot.remote())
+    assert snap == sorted(ref.entries)
+    clone = FrontierShard.remote(1)
+    ray.get(clone.restore.remote(snap))
+    assert ray.get(clone.size.remote()) == len(ref.entries)
+    assert ray.get(clone.peek.remote(25, 2)) == ref.peek(25, 2)

@@ -279,3 +279,29 @@ def test_bloom_partial_or_merge_equals_single_build():
     for chunk in np.array_split(keys, 7):
         or_bloom_inplace(merged, chunk, m_bits, k)
     assert (whole == merged).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_sketch_rank_error_bound_and_determinism():
+    """The two-level compression guarantees rank error ≤ 2n/m; assert a
+    3n/m cushion against the exact sorted ranks, and bit-identical
+    output across runs (deterministic compression, no RNG)."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.sketch import quantile_sketch
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate(
+        [rng.lognormal(3, 1, 20_000), rng.uniform(0, 5, 5_000)]
+    )
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(8)
+    qs = [0.25, 0.5, 0.9, 0.99]
+    m = 512
+    out = quantile_sketch(ds, "x", qs, m=m)
+    out2 = quantile_sketch(ds, "x", qs, m=m)
+    assert out.equals(out2)
+    s = np.sort(vals)
+    n = len(s)
+    for q, v in zip(out.column("q").to_pylist(), out.column("value").to_pylist()):
+        approx_rank = np.searchsorted(s, v, side="left")
+        assert abs(approx_rank - q * n) <= 3 * n / m + 1, (q, v, approx_rank)
