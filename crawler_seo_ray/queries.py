@@ -1778,6 +1778,366 @@ def docs_decontaminate(sf_dir: str):
     return docs.map_batches(scan, batch_format="pyarrow")
 
 
+def orders_customer_full_join(sf_dir: str):
+    """FULL OUTER join (completes the Dataset join-type family with the
+    both-sides-null-preserving member): per-custkey count+spend of
+    'F'-status orders, full-outer joined with the acctbal>8000 customer
+    slice. Rows surviving from only one side keep nulls on the other —
+    filled to sentinels plus an explicit ``side`` marker so the outer
+    semantics are value-hash-checked, not just row-counted.
+
+    Scale shape: the orders side is pre-aggregated by the join key
+    inside each block then globally (the exchange ships custkey-grain
+    partials, never raw orders); the customer side is filtered at the
+    scan before the join."""
+    orders = _pq(
+        sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"], blocks=8
+    )
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_acctbal"], blocks=4)
+
+    def f_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("o_orderstatus"), "F"))
+        t = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "spent_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+        return (
+            t.group_by("o_custkey")
+            .aggregate([("spent_cents", "sum"), ([], "count_all")])
+            .rename_columns(["o_custkey", "spent_cents", "n"])
+        )
+
+    agg = (
+        orders.map_batches(f_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("spent_cents", alias_name="spent_cents"), Sum("n", alias_name="n")
+        )
+    )
+    rich = cust.filter(expr="c_acctbal > 8000")
+    joined = agg.join(
+        rich, "full_outer", _join_partitions(), on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the join key into the left key
+        # column, so side-detection reads the never-null value columns:
+        # n ≥ 1 whenever the orders side matched, acctbal > 8000 (never
+        # null in the slice) whenever the customer side matched
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "custkey": b.column("o_custkey"),
+                "n_f_orders": pc.coalesce(b.column("n"), zero),
+                "f_spent": pc.divide(
+                    pc.cast(pc.coalesce(b.column("spent_cents"), zero), pa.float64()),
+                    100.0,
+                ),
+                "acctbal": pc.coalesce(
+                    b.column("c_acctbal"), pa.scalar(-1.0, pa.float64())
+                ),
+                "side": pc.if_else(
+                    pc.is_null(b.column("c_acctbal")),
+                    pa.scalar("orders_only"),
+                    pc.if_else(
+                        pc.is_null(b.column("n")),
+                        pa.scalar("customer_only"),
+                        pa.scalar("both"),
+                    ),
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_priority_mode(sf_dir: str):
+    """Grouped MODE (most frequent value) with a deterministic
+    tie-break (higher count first, then lexicographically smaller
+    value): the modal o_orderpriority per o_orderstatus. Distributed
+    shape: per-block (status, priority) count partials → one tiny
+    groupby over ≤ |statuses|×|priorities| rows → driver-side argmax —
+    the fact table is scanned once and never shuffled."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"], blocks=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by(["o_orderstatus", "o_orderpriority"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["o_orderstatus", "o_orderpriority", "n"])
+        )
+
+    fine = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n", alias_name="n")),
+        schema=pa.schema(
+            [
+                ("o_orderstatus", pa.string()),
+                ("o_orderpriority", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    fine = fine.take(
+        pc.sort_indices(
+            fine,
+            sort_keys=[
+                ("o_orderstatus", "ascending"),
+                ("n", "descending"),
+                ("o_orderpriority", "ascending"),
+            ],
+        )
+    )
+    seen: set = set()
+    keep = []
+    statuses = fine.column("o_orderstatus").to_pylist()
+    for i, s in enumerate(statuses):
+        if s not in seen:
+            seen.add(s)
+            keep.append(i)
+    top = fine.take(pa.array(keep, pa.int64()))
+    return pa.table(
+        {
+            "o_orderstatus": top.column("o_orderstatus"),
+            "mode_priority": top.column("o_orderpriority"),
+            "n": top.column("n"),
+        }
+    )
+
+
+def docs_words(sf_dir: str):
+    """UNNEST WITH ORDINALITY (flat_map explode): one row per
+    (doc_id, 1-based position, whitespace token) over a deterministic
+    doc_id%8 sample. Pure Arrow/numpy offset arithmetic — list flatten
+    + parent-index repeat; no per-row Python, output rows never exist
+    driver-side."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.equal(pc.bit_wise_and(b.column("doc_id"), 7), pa.scalar(0, pa.int64()))
+        ).combine_chunks()
+        words = pc.split_pattern(t.column("text"), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        counts = np.diff(la.offsets.to_numpy())
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts, counts)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").take(pa.array(parent)),
+                "pos": pa.array(pos + 1, pa.int64()),
+                "word": la.flatten(),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def events_moving_avg(sf_dir: str):
+    """ROWS-frame moving window aggregate: 4-row trailing mean of value
+    per user ordered by (ts, event_id) — the frame-based window the
+    lag/ntile entries don't cover. groupby(user).map_groups with an
+    in-group lexsort + one cumsum sliding window; only (user, id, ts,
+    cents) ride the shuffle and the mean is exact-cents arithmetic
+    mirrored by the oracle."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"], blocks=16)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "ts": b.column("ts"),
+                "cents": _cents(b.column("value")),
+            }
+        )
+
+    def win(g: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        c = g.column("cents").to_numpy()
+        order = np.lexsort((eid, ts))
+        c, eid = c[order], eid[order]
+        n = len(c)
+        cs = np.concatenate(([0], np.cumsum(c)))
+        idx = np.arange(n)
+        lo = np.maximum(0, idx - 3)
+        wsum = cs[idx + 1] - cs[lo]
+        wn = idx + 1 - lo
+        mov = (wsum / 100.0) / wn
+        return pa.table(
+            {
+                "user_id": g.column("user_id").take(pa.array(order)),
+                "event_id": pa.array(eid),
+                "mov_avg": pa.array(mov, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(win, batch_format="pyarrow")
+    )
+
+
+def lineitem_price_quantiles_cont(sf_dir: str):
+    """Exact grouped CONTINUOUS (interpolated) quantiles without a
+    distributed sort — stages/quantile.grouped_quantile_cont: the same
+    iterative-histogram machinery as the discrete entry resolves both
+    bracketing order statistics, then interpolates in plain IEEE
+    double ops the oracle reproduces bit-for-bit. Dyadic quantiles
+    (quarters) keep the fractional rank exactly representable in both
+    engines' arithmetic."""
+    from .stages.quantile import grouped_quantile_cont
+
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"], blocks=16).map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "cents": _cents(b.column("l_extendedprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    t = grouped_quantile_cont(ds, "l_returnflag", "cents", [0.25, 0.5, 0.75])
+    cols = {"l_returnflag": t.column("l_returnflag")}
+    for q in ("q25", "q50", "q75"):
+        cols[q] = pc.divide(t.column(q), 100.0)
+    return pa.table(cols)
+
+
+def orders_priority_share(sf_dir: str):
+    """Percent-of-total window aggregate (``SUM(x) OVER ()`` ratio):
+    order-value share per priority. Grouped exact-cents sums with
+    map-side combine, then a driver-side 5-row ratio — no second scan,
+    no window shuffle; the double division is performed identically in
+    the oracle."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"], blocks=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "cents": _cents(b.column("o_totalprice")),
+            }
+        )
+        return (
+            t.group_by("o_orderpriority")
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["o_orderpriority", "cents", "n"])
+        )
+
+    agg = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n")),
+        schema=pa.schema(
+            [("o_orderpriority", pa.string()), ("cents", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+    total = float(pc.sum(agg.column("cents")).as_py())
+    return pa.table(
+        {
+            "o_orderpriority": agg.column("o_orderpriority"),
+            "n": agg.column("n"),
+            "revenue": pc.divide(pc.cast(agg.column("cents"), pa.float64()), 100.0),
+            "share": pc.divide(pc.cast(agg.column("cents"), pa.float64()), total),
+        }
+    )
+
+
+def lineitem_cube(sf_dir: str):
+    """CUBE grouping sets (all four: fine grain, both one-dim margins,
+    grand total) over (returnflag, linestatus), rolled-up keys marked
+    'ALL'. One distributed pass with map-side combine produces the
+    finest grain; every coarser level is derived from those ~6 rows
+    driver-side — a CUBE over low-cardinality keys never rescans or
+    reshuffles the fact table."""
+    from .util import collect_arrow
+
+    ds = _pq(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"], blocks=16
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "price_cents": _cents(b.column("l_extendedprice")),
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("price_cents", "sum"), ([], "count_all")])
+            .rename_columns(["l_returnflag", "l_linestatus", "price_cents", "n"])
+        )
+
+    fine = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("price_cents", alias_name="price_cents"), Sum("n", alias_name="n")
+        ),
+        schema=pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("price_cents", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+
+    def margin(key: str, other: str) -> pa.Table:
+        m = (
+            fine.group_by(key)
+            .aggregate([("price_cents", "sum"), ("n", "sum")])
+            .rename_columns([key, "price_cents", "n"])
+        )
+        return m.add_column(
+            1 if key == "l_returnflag" else 0,
+            other,
+            pa.array(["ALL"] * m.num_rows, pa.string()),
+        )
+
+    total = pa.table(
+        {
+            "l_returnflag": pa.array(["ALL"], pa.string()),
+            "l_linestatus": pa.array(["ALL"], pa.string()),
+            "price_cents": pa.array(
+                [pc.sum(fine.column("price_cents")).as_py()], pa.int64()
+            ),
+            "n": pa.array([pc.sum(fine.column("n")).as_py()], pa.int64()),
+        }
+    )
+    names = total.column_names
+    out = pa.concat_tables(
+        [
+            fine.select(names),
+            margin("l_returnflag", "l_linestatus").select(names),
+            margin("l_linestatus", "l_returnflag").select(names),
+            total,
+        ]
+    )
+    return pa.table(
+        {
+            "l_returnflag": out.column("l_returnflag"),
+            "l_linestatus": out.column("l_linestatus"),
+            "n": out.column("n"),
+            "sum_price": pc.divide(pc.cast(out.column("price_cents"), pa.float64()), 100.0),
+        }
+    )
+
+
 def lineitem_price_quantile_sketch(sf_dir: str):
     """One-pass approximate quantiles (mergeable weighted-anchor
     summary, stages/sketch.quantile_sketch) over l_extendedprice —
@@ -1850,6 +2210,13 @@ QUERIES = {
     "docs_sample_per_source": docs_sample_per_source,
     "docs_decontaminate": docs_decontaminate,
     "lineitem_price_quantile_sketch": lineitem_price_quantile_sketch,
+    "orders_customer_full_join": orders_customer_full_join,
+    "orders_priority_mode": orders_priority_mode,
+    "docs_words": docs_words,
+    "events_moving_avg": events_moving_avg,
+    "lineitem_price_quantiles_cont": lineitem_price_quantiles_cont,
+    "orders_priority_share": orders_priority_share,
+    "lineitem_cube": lineitem_cube,
 }
 
 ORACLE_SQL = {
@@ -2525,4 +2892,104 @@ ORACLE_SQL["docs_decontaminate"] = """
               >= 3 * count(*)) AS contaminated
     FROM bg WHERE source <> 'src0'
     GROUP BY doc_id
+"""
+
+ORACLE_SQL["orders_customer_full_join"] = """
+    WITH agg AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS spent_cents,
+             count(*) AS n
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), rich AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000
+    )
+    SELECT coalesce(a.o_custkey, r.c_custkey) AS custkey,
+           coalesce(a.n, 0) AS n_f_orders,
+           coalesce(a.spent_cents, 0)::DOUBLE / 100.0 AS f_spent,
+           coalesce(r.c_acctbal, -1.0) AS acctbal,
+           CASE WHEN r.c_custkey IS NULL THEN 'orders_only'
+                WHEN a.o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side
+    FROM agg a FULL OUTER JOIN rich r ON a.o_custkey = r.c_custkey
+"""
+
+ORACLE_SQL["orders_priority_mode"] = """
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+"""
+
+ORACLE_SQL["docs_words"] = """
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id % 8 = 0
+"""
+
+ORACLE_SQL["events_moving_avg"] = """
+    SELECT user_id, event_id,
+           (CAST(sum(cents) OVER w AS DOUBLE) / 100.0)
+             / (count(*) OVER w) AS mov_avg
+    FROM (SELECT user_id, event_id, ts,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+# fractional ranks use dyadic quantiles (quarters), exactly
+# representable in both DuckDB's decimal literals and IEEE doubles, so
+# the floor/frac arithmetic below is bit-identical to the engine's
+_QCONT = """
+    (max(CASE WHEN rr = CAST(floor((n - 1) * {q}) AS BIGINT) THEN cents END)
+     + (max(CASE WHEN rr = least(CAST(floor((n - 1) * {q}) AS BIGINT) + 1, n - 1)
+                 THEN cents END)
+        - max(CASE WHEN rr = CAST(floor((n - 1) * {q}) AS BIGINT) THEN cents END))
+       * ((n - 1) * {q} - floor((n - 1) * {q}))) / 100.0 AS {name}
+"""
+ORACLE_SQL["lineitem_price_quantiles_cont"] = (
+    """
+    WITH c AS (
+      SELECT l_returnflag AS k,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), r AS (
+      SELECT k, cents,
+             row_number() OVER (PARTITION BY k ORDER BY cents) - 1 AS rr,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM c
+    )
+    SELECT k AS l_returnflag,
+"""
+    + ",".join(
+        _QCONT.format(q=q, name=name)
+        for q, name in (("0.25", "q25"), ("0.5", "q50"), ("0.75", "q75"))
+    )
+    + """
+    FROM r GROUP BY k, n ORDER BY k
+"""
+)
+
+ORACLE_SQL["orders_priority_share"] = """
+    WITH a AS (
+      SELECT o_orderpriority, count(*) AS n,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           cents::DOUBLE / 100.0 AS revenue,
+           CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE) AS share
+    FROM a
+"""
+
+ORACLE_SQL["lineitem_cube"] = """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS n,
+           sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0
+             AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """

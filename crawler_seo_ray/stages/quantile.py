@@ -102,6 +102,82 @@ def grouped_quantile_disc(
     return out.take(pc.sort_indices(out, sort_keys=[(key, "ascending")]))
 
 
+def grouped_quantile_cont(
+    ds: Dataset, key: str, col: str, qs: list[float]
+) -> pa.Table:
+    """Exact per-group CONTINUOUS (interpolated) quantiles of int64
+    ``col`` — the ``quantile_cont`` convention: the value at 0-based
+    fractional rank ``(n-1)*q``, linearly interpolated between the two
+    bracketing order statistics. Same iterative-histogram machinery as
+    :func:`grouped_quantile_disc` (3–4 streaming scans, no sort, no
+    shuffle); both bracketing ranks ride the same refinement passes.
+
+    Returns one row per group with one float64 column ``q{percent}``
+    per quantile, holding ``lo + (hi - lo) * frac`` in the source
+    integer units (callers convert cents → currency at their edge).
+    The interpolation arithmetic is plain IEEE double ops on exact
+    int64 order statistics, so an oracle performing the identical
+    expression reproduces it bit-for-bit."""
+    narrow = ds.select_columns([key, col]).materialize()
+
+    def extent_partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by([key])
+            .aggregate([(col, "count"), (col, "min"), (col, "max")])
+            .rename_columns([key, "n", "lo", "hi"])
+        )
+
+    ext = collect_arrow(narrow.map_batches(extent_partial, batch_format="pyarrow"))
+    ext = (
+        ext.group_by([key])
+        .aggregate([("n", "sum"), ("lo", "min"), ("hi", "max")])
+        .rename_columns([key, "n", "lo", "hi"])
+    )
+    groups = ext.column(key).to_pylist()
+    ns = ext.column("n").to_pylist()
+    los = ext.column("lo").to_pylist()
+    his = ext.column("hi").to_pylist()
+
+    # one task per needed ORDER STATISTIC (deduped 1-based ranks): the
+    # lo/hi brackets of adjacent quantiles often coincide
+    tasks: list[dict] = []
+    task_ix: dict[tuple, int] = {}
+    brackets: dict[tuple, tuple[int, int, float]] = {}
+    for gi, g in enumerate(groups):
+        n = ns[gi]
+        for q in qs:
+            pos = (n - 1) * q  # IEEE double, reproduced by the oracle
+            r0 = int(np.floor(pos))
+            frac = pos - np.floor(pos)
+            ranks = (r0 + 1, min(r0 + 2, n))  # 1-based lo/hi brackets
+            for r in set(ranks):
+                if (g, r) not in task_ix:
+                    task_ix[(g, r)] = len(tasks)
+                    tasks.append(
+                        {"g": g, "lo": los[gi], "hi": his[gi], "rank": r}
+                    )
+            brackets[(g, q)] = (ranks[0], ranks[1], float(frac))
+
+    while True:
+        wide = [t for t in tasks if t["hi"] - t["lo"] + 1 > _FINAL_SPAN]
+        if not wide:
+            break
+        _histogram_refine(narrow, key, col, wide)
+    _exact_pick(narrow, key, col, tasks)
+
+    ans = {gr: tasks[ti]["ans"] for gr, ti in task_ix.items()}
+    cols: dict = {key: pa.array(groups)}
+    for q in qs:
+        vals = []
+        for g in groups:
+            r_lo, r_hi, frac = brackets[(g, q)]
+            lo_v, hi_v = ans[(g, r_lo)], ans[(g, r_hi)]
+            vals.append(lo_v + (hi_v - lo_v) * frac)
+        cols[f"q{int(round(q * 100))}"] = pa.array(vals, pa.float64())
+    out = pa.table(cols)
+    return out.take(pc.sort_indices(out, sort_keys=[(key, "ascending")]))
+
+
 def _histogram_refine(narrow: Dataset, key: str, col: str, wide: list[dict]) -> None:
     """One streaming pass: 1024-bin histogram per active task, merge,
     walk to the bin holding the remaining rank, shrink the range."""

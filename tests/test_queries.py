@@ -87,6 +87,8 @@ def test_rows_only_queries_run(registry):
         "corpus_image_stats": lambda df: len(df) == 300 and df["decode_ok"].all(),
         "embeddings_kmeans": lambda df: df["cluster"].nunique() > 1
         and df["cluster"].between(0, 7).all(),
+        "lineitem_price_quantile_sketch": lambda df: len(df) == 4
+        and df["value"].is_monotonic_increasing,
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
