@@ -154,6 +154,40 @@ def test_grouped_quantile_matches_sorted_rank():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_grouped_quantile_cont_matches_numpy_interpolation():
+    """Continuous quantiles must equal numpy's 'linear' interpolation
+    (the quantile_cont convention) for every group — including n=1
+    groups (degenerate brackets), frac=0 positions (exact order
+    statistics), and duplicate-heavy values (rank dedup shares one
+    refinement task between bracketing ranks)."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.quantile import grouped_quantile_cont
+
+    rng = np.random.RandomState(11)
+    gs, vs = [], []
+    for g, n in (("a", 1001), ("b", 40), ("c", 1), ("d", 5)):
+        gs += [g] * n
+        # group b: heavy duplicates so lo/hi brackets often coincide
+        pool = rng.randint(-5, 5, size=n) if g == "b" else rng.randint(
+            -(10**9), 10**9, size=n
+        )
+        vs += pool.tolist()
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(gs), "v": pa.array(vs, pa.int64())})
+    ).repartition(5)
+    qs = [0.25, 0.5, 0.75]
+    out = grouped_quantile_cont(ds, "g", "v", qs)
+    arr, garr = np.array(vs, dtype=np.float64), np.array(gs)
+    for i, g in enumerate(out.column("g").to_pylist()):
+        sv = arr[garr == g]
+        for q in qs:
+            want = float(np.quantile(sv, q, method="linear"))
+            got = out.column(f"q{int(round(q*100))}")[i].as_py()
+            assert got == pytest.approx(want, rel=0, abs=1e-9), (g, q, got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_grouped_quantile_full_int64_range():
     """Regression: spans near 2^64 overflowed the old (v-lo)*NBINS
     binning — hash-valued columns exercise the full int64 range."""
