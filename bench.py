@@ -229,6 +229,9 @@ def run_components(num_cpus: int) -> dict:
         "corpus_image_stats",
         "lineitem_bloom_semi",
         "docs_top_ngrams",
+        "orders_customer_full_join",
+        "events_moving_avg",
+        "lineitem_price_quantiles_cont",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)
