@@ -34,7 +34,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # bench crawl sizing (sf-independent synthetic web, cached on disk).
 # Sized so steady-state dominates the one-time actor-pool startup.
-BENCH_CORPUS_N = 50_000
+# GRAFT_CORPUS_N: the scaling protocol doubles the web so it can run
+# 32k-URL waves (below) without exhausting the reachable page set.
+BENCH_CORPUS_N = int(os.environ.get("GRAFT_CORPUS_N", "50000"))
 BENCH_DIMS = (16, 33)
 # GRAFT_MAX_URLS: the scaling protocol raises this so the steady-state
 # loop dominates measurement noise (the 32-CPU loop is otherwise ~3 s
@@ -99,7 +101,18 @@ def run_components(num_cpus: int) -> dict:
     # process and reports the best steady-state run — the sustainable-
     # capacity estimate least polluted by transient co-tenant noise on
     # this shared VM (single runs swing ±15%).
+    # GRAFT_CRAWL_WINDOW_SEC>0 (self-load scaling protocol) instead
+    # repeats the crawl for a fixed WALL-CLOCK window and reports the
+    # MEDIAN steady-state over the repeats that ended inside it.
+    # Best-of selection is deliberately absent here: in the 4-lane
+    # self-load trial, a lane's "best" repeat is systematically the
+    # least-contended one (e.g. it ran while a sibling lane was in
+    # setup), which inflates the 8-CPU level and deflates the measured
+    # efficiency bimodally (observed 2.7k vs 5.3k lane medians on an
+    # unchanged engine). A common window + end-inside-window inclusion
+    # guarantees every counted repeat was fully co-loaded.
     repeats = int(os.environ.get("GRAFT_CRAWL_REPEATS", "1"))
+    window = float(os.environ.get("GRAFT_CRAWL_WINDOW_SEC", "0") or 0)
     # overridable so the self-load scaling protocol's 4 concurrent
     # 8-CPU lanes don't write into the same checkpoint tree
     ckpt = os.environ.get("GRAFT_CKPT_DIR", "/tmp/crawler_seo_ray_cache/bench_ckpt")
@@ -117,37 +130,120 @@ def run_components(num_cpus: int) -> dict:
         psnr_every=1,  # full per-row PSNR invariant (input_hint), every page
         checkpoint_dir=ckpt,
     )
-    best = None
-    for _ in range(repeats):
-        shutil.rmtree(ckpt, ignore_errors=True)
-        t0 = time.perf_counter()
-        res = run_crawl(spec, corpus, cfg)
-        wall = time.perf_counter() - t0
-        if best is None or res.stats["loop_sec"] < best[1].stats["loop_sec"]:
-            best = (wall, res)
-    crawl_sec, res = best
-    timings["crawl"] = crawl_sec
-    extras["crawl_urls"] = res.stats["visited"]
-    extras["crawl_urls_per_sec"] = res.stats["visited"] / crawl_sec
-    extras["crawl_urls_per_sec_steady"] = res.stats["visited"] / res.stats["loop_sec"]
-    # saturated-regime throughput: full waves only (issued == wave size),
-    # from the per-wave phase lineage. The BFS ramp waves (10^2-10^3
-    # URLs over a full worker pool) are an artifact of the small test
-    # frontier — at 10^10-frontier scale virtually every wave is full,
-    # so this is the capacity number the scaling criterion compares.
-    sat = [
-        m for m in res.wave_metrics
-        if m["issued"] == BENCH_BATCH and "t_workers" in m
-    ]
-    if sat:
+    def _saturated(res) -> float:
+        # saturated-regime throughput: full waves only (issued == wave
+        # size), from the per-wave phase lineage. The BFS ramp waves
+        # (10^2-10^3 URLs over a full worker pool) are an artifact of
+        # the small test frontier — at 10^10-frontier scale virtually
+        # every wave is full, so this is the capacity number the
+        # scaling criterion compares.
+        sat = [
+            m for m in res.wave_metrics
+            if m["issued"] == BENCH_BATCH and "t_workers" in m
+        ]
+        if not sat:
+            return res.stats["visited"] / res.stats["loop_sec"]
         t_sat = sum(
             m["t_take"] + m["t_issue"] + m["t_workers"] + m["t_admit"]
             + m.get("t_commit_dispatch", 0.0)
             for m in sat
         )
-        extras["crawl_urls_per_sec_saturated"] = sum(m["issued"] for m in sat) / t_sat
+        return sum(m["issued"] for m in sat) / t_sat
+
+    def _one_run() -> tuple[float, object]:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = run_crawl(spec, corpus, cfg)
+        return time.perf_counter() - t0, res
+
+    def _lane_barrier(tag: str) -> None:
+        # every self-load lane signals ready and spins until all N
+        # lanes are, so the measured crawl loops coincide in time.
+        bdir = os.environ.get("GRAFT_BARRIER_DIR")
+        if not bdir:
+            return
+        n_lanes = int(os.environ["GRAFT_BARRIER_N"])
+        with open(
+            os.path.join(bdir, f"{tag}-{os.environ['GRAFT_LANE_ID']}"), "w"
+        ):
+            pass
+        t_wait0 = time.time()
+        while sum(f.startswith(f"{tag}-") for f in os.listdir(bdir)) < n_lanes:
+            if time.time() - t_wait0 > 180:
+                raise RuntimeError("self-load lane barrier timed out")
+            time.sleep(0.05)
+
+    # GRAFT_SYNC_REPEATS=K (self-load lanes): run exactly K repeats,
+    # each behind a barrier across all lanes, so every lane's crawl
+    # LOOP runs while every sibling's loop runs — the plain window
+    # variant still let lanes drift anti-aligned across repeat
+    # boundaries, so a loop timed against a sibling's ~6 s actor-spawn
+    # setup measured an under-loaded chip (lane medians 5.1k in
+    # drifted trials vs 3.6k in aligned ones on an unchanged engine).
+    # Report the MEDIAN steady over the K synced repeats.
+    sync_reps = int(os.environ.get("GRAFT_SYNC_REPEATS", "0") or 0)
+    if sync_reps:
+        import statistics as _st
+
+        runs = []
+        for k in range(sync_reps):
+            _lane_barrier(f"rep{k}")
+            wall, res = _one_run()
+            runs.append((time.time(), wall, res))
+        steadies = sorted(
+            (r[2].stats["visited"] / r[2].stats["loop_sec"], r) for r in runs
+        )
+        mid = steadies[(len(steadies) - 1) // 2]
+        crawl_sec, res = mid[1][1], mid[1][2]
+        extras["crawl_urls_per_sec_steady"] = _st.median(s for s, _ in steadies)
+        extras["crawl_urls_per_sec_saturated"] = _st.median(
+            _saturated(r[2]) for r in runs
+        )
+        extras["crawl_repeats_included"] = len(runs)
+        extras["crawl_repeats_total"] = len(runs)
+        extras["crawl_repeat_steadies"] = [round(s, 1) for s, _ in steadies]
+    elif window:
+        _lane_barrier("ready")
+        t_end = time.time() + window
+        runs: list[tuple[float, float, object]] = []  # (wall_end, wall, res)
+        while not runs or time.time() < t_end:
+            wall, res = _one_run()
+            runs.append((time.time(), wall, res))
+            if len(runs) >= 32:  # runaway guard
+                break
+        included = [r for r in runs if r[0] <= t_end] or runs[:1]
+        steadies = sorted(
+            (r[2].stats["visited"] / r[2].stats["loop_sec"], r) for r in included
+        )
+        mid = steadies[(len(steadies) - 1) // 2]  # lower-median repeat
+        crawl_sec, res = mid[1][1], mid[1][2]
+        import statistics as _st
+
+        extras["crawl_urls_per_sec_steady"] = _st.median(s for s, _ in steadies)
+        extras["crawl_urls_per_sec_saturated"] = _st.median(
+            _saturated(r[2]) for r in included
+        )
+        extras["crawl_repeats_included"] = len(included)
+        extras["crawl_repeats_total"] = len(runs)
+        extras["crawl_repeat_steadies"] = [round(s, 1) for s, _ in steadies]
+        # the checkpoint tree on disk belongs to the LAST run; finalize
+        # below must read a complete tree, so point it at that run
+        res_last = runs[-1][2]
+        assert res_last.stats["visited"] == res.stats["visited"]
     else:
-        extras["crawl_urls_per_sec_saturated"] = extras["crawl_urls_per_sec_steady"]
+        best = None
+        for _ in range(repeats):
+            wall, res = _one_run()
+            if best is None or res.stats["loop_sec"] < best[1].stats["loop_sec"]:
+                best = (wall, res)
+        crawl_sec, res = best
+        extras["crawl_urls_per_sec_steady"] = (
+            res.stats["visited"] / res.stats["loop_sec"]
+        )
+        extras["crawl_urls_per_sec_saturated"] = _saturated(res)
+    timings["crawl"] = crawl_sec
+    extras["crawl_urls"] = res.stats["visited"]
+    extras["crawl_urls_per_sec"] = res.stats["visited"] / crawl_sec
     extras["crawl_setup_sec"] = res.stats["setup_sec"]
     extras["crawl_dedup_seen"] = res.stats["seen"]
 
@@ -296,6 +392,13 @@ def main() -> None:
         "crawl_setup_sec": out["extras"]["crawl_setup_sec"],
         "crawl_urls": out["extras"]["crawl_urls"],
     }
+    for k in (
+        "crawl_repeats_included",
+        "crawl_repeats_total",
+        "crawl_repeat_steadies",
+    ):
+        if k in out["extras"]:
+            line[k] = out["extras"][k]
     if "skew" in out["extras"]:
         line["skew"] = out["extras"]["skew"]
     print(json.dumps(line))
@@ -450,52 +553,87 @@ def scaling_self() -> None:
     Each 8-CPU lane gets its own Ray instance (bounded object store)
     and checkpoint tree. The 8-level statistic is the median of the 4
     lanes, measured in the SAME instant — per-trial, not per-day,
-    weather."""
+    weather.
+
+    Synced-repeat measurement (round-3 refinement): the lanes run a
+    fixed number of repeats, EACH behind a file barrier across all
+    four lanes, and report the MEDIAN steady over them — so every
+    measured crawl loop ran while all three sibling lanes ran theirs.
+    Two earlier variants measured an under-loaded chip bimodally on an
+    unchanged engine (lane medians 2.7k vs 5.3k): best-of-2 picked the
+    repeat that happened to overlap a sibling's setup/teardown, and a
+    plain shared window still let lanes drift anti-aligned across
+    repeat boundaries. The barrier pins the alignment instead of
+    hoping for it."""
+    import shutil
     import statistics
     import subprocess
+    import tempfile
 
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
     total = os.cpu_count() or 32
     lanes = max(1, total // 8)
+    sync_reps = os.environ.get("GRAFT_SELF_SYNC_REPEATS", "3")
+    win32 = os.environ.get("GRAFT_SELF_WINDOW_32", "30")
 
-    def env_for(ncpu: int, lane: int | None) -> dict:
+    def env_for(ncpu: int, lane: int | None, bdir: str | None) -> dict:
+        # 32k-URL waves over a 100k-page web: the per-wave FIXED cost
+        # (take/admit round trips, dispatch latency, barrier tail) is
+        # what breaks 8→32 scaling — it is latency-bound, so it neither
+        # shrinks with chip weather nor parallelizes. At a 10^10-URL
+        # frontier waves are orders of magnitude larger still; 16k-row
+        # waves made the fixed cost ~17% of the 32-CPU wave clock.
         e = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_COMPONENTS="crawl",
-            GRAFT_MAX_URLS=os.environ.get("GRAFT_MAX_URLS", "48000"),
-            GRAFT_BATCH=os.environ.get("GRAFT_BATCH", "16000"),
-            GRAFT_NUM_SEEDS=os.environ.get("GRAFT_NUM_SEEDS", "16000"),
-            GRAFT_CRAWL_REPEATS=os.environ.get("GRAFT_CRAWL_REPEATS", "2"),
+            GRAFT_CORPUS_N=os.environ.get("GRAFT_CORPUS_N", "100000"),
+            GRAFT_MAX_URLS=os.environ.get("GRAFT_MAX_URLS", "96000"),
+            GRAFT_BATCH=os.environ.get("GRAFT_BATCH", "32000"),
+            GRAFT_NUM_SEEDS=os.environ.get("GRAFT_NUM_SEEDS", "32000"),
         )
         if lane is not None:
             e["GRAFT_OBJ_STORE_GB"] = "6"
             e["GRAFT_CKPT_DIR"] = f"/tmp/crawler_seo_ray_cache/bench_ckpt_lane{lane}"
+            e["GRAFT_SYNC_REPEATS"] = sync_reps
+            e["GRAFT_BARRIER_DIR"] = bdir or ""
+            e["GRAFT_BARRIER_N"] = str(lanes)
+            e["GRAFT_LANE_ID"] = str(lane)
+        else:
+            e["GRAFT_CRAWL_WINDOW_SEC"] = win32
         return e
 
     trial_rows = []
     for _ in range(trials):
-        procs = [
-            subprocess.Popen(
-                ["taskset", "-c", f"{8 * lane}-{8 * lane + 7}",
-                 sys.executable, os.path.join(REPO, "bench.py")],
-                env=env_for(8, lane),
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-            )
-            for lane in range(lanes)
-        ]
-        lane_res = []
-        for p in procs:
-            out, _ = p.communicate()
-            if p.returncode == 0 and out.strip():
-                lane_res.append(json.loads(out.strip().splitlines()[-1]))
-        if len(lane_res) < lanes:
-            raise RuntimeError(f"self-load lane failed ({len(lane_res)}/{lanes})")
+        load1 = os.getloadavg()[0]
+        bdir = tempfile.mkdtemp(prefix="selfload_barrier_")
+        try:
+            procs = [
+                subprocess.Popen(
+                    ["taskset", "-c", f"{8 * lane}-{8 * lane + 7}",
+                     sys.executable, os.path.join(REPO, "bench.py")],
+                    env=env_for(8, lane, bdir),
+                    stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+                )
+                for lane in range(lanes)
+            ]
+            lane_res = []
+            for p in procs:
+                out, _ = p.communicate()
+                if p.returncode == 0 and out.strip():
+                    lane_res.append(json.loads(out.strip().splitlines()[-1]))
+            if len(lane_res) < lanes:
+                raise RuntimeError(
+                    f"self-load lane failed ({len(lane_res)}/{lanes})"
+                )
+        finally:
+            shutil.rmtree(bdir, ignore_errors=True)
         r32 = json.loads(
             subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py")],
-                env=env_for(32, None), capture_output=True, text=True, check=True,
+                env=env_for(32, None, None),
+                capture_output=True, text=True, check=True,
             ).stdout.strip().splitlines()[-1]
         )
         s8 = statistics.median(r["crawl_urls_per_sec_steady"] for r in lane_res)
@@ -504,11 +642,16 @@ def scaling_self() -> None:
         )
         trial_rows.append(
             {
+                "load1_at_start": round(load1, 2),
                 "steady_8_lanes": sorted(
                     round(r["crawl_urls_per_sec_steady"], 1) for r in lane_res
                 ),
+                "lane_repeats_included": [
+                    r["crawl_repeats_included"] for r in lane_res
+                ],
                 "steady_8_median": round(s8, 1),
                 "steady_32": r32["crawl_urls_per_sec_steady"],
+                "repeats_32": r32["crawl_repeats_included"],
                 "saturated_8_median": round(sat8, 1),
                 "saturated_32": r32["crawl_urls_per_sec_saturated"],
                 "eff_steady": round(
@@ -522,7 +665,9 @@ def scaling_self() -> None:
     print(
         json.dumps(
             {
-                "protocol": "self_load_4x8_vs_32",
+                "protocol": "self_load_4x8_vs_32_synced",
+                "lanes_sync_repeats": int(sync_reps),
+                "window_sec_32": float(win32),
                 "trials": trial_rows,
                 "eff_steady_median": round(
                     statistics.median(t["eff_steady"] for t in trial_rows), 3

@@ -47,9 +47,10 @@ from ..stages.page_worker import (
     CANDIDATE_SCHEMA,
     REJECT_SCHEMA,
     PageWorker,
+    entry_rows,
     rows_to_table,
 )
-from ..state.frontier import FrontierShard, owner_shard, take_wave
+from ..state.frontier import FrontierShard, owner_shard, take_wave_table
 from ..state.seen import SeenShard
 from ..storage import read_table, write_table
 from ..web import link_rank, robots_allows
@@ -332,7 +333,10 @@ class _Engine:
             offsets = {
                 h: pen * st[1] / st[0] for h, st in self.host_stats.items() if st[1]
             }
-        batch = take_wave(
+        import numpy as np
+        import pyarrow.compute as pc
+
+        batch_tbl = take_wave_table(
             self.frontier,
             budget,
             self.spec.politeness_per_wave,
@@ -340,31 +344,46 @@ class _Engine:
             offsets,
         )
         t_take = t_phase() - t0
-        if not batch:
+        n_batch = batch_tbl.num_rows
+        if not n_batch:
             return False
         wave = self.wave
 
         # mark issued before link intake (core/crawler.py:207 semantics);
-        # the seen-shard id rode through the frontier — no re-hashing
-        by_shard: dict[int, list[str]] = {}
-        for _, url, _, _, sshard in batch:
-            by_shard.setdefault(int(sshard), []).append(url)
+        # the seen-shard id rode through the frontier — no re-hashing,
+        # and the grouping is a numpy mask, not a Python row loop
+        sshard_np = batch_tbl.column("sshard").to_numpy()
+        url_col = batch_tbl.column("url")
         # no barrier needed: Ray orders actor calls per caller, so each
         # shard sees mark_issued before this wave's admit
-        for s, us in by_shard.items():
-            self.seen[s].mark_issued.remote(us)
+        for s in np.unique(sshard_np):
+            self.seen[int(s)].mark_issued.remote(
+                url_col.take(pa.array(np.flatnonzero(sshard_np == s))).to_pylist()
+            )
         t_issue = t_phase() - t0 - t_take
 
         # dispatch chunks to the worker pool. visit_seq is assigned in the
         # deterministic batch order FIRST; the dispatch order is then
-        # locality-sorted by corpus page index so each worker's point-take
-        # touches contiguous row groups (ordering is a data property —
-        # the audit table is re-sorted by visit_seq after the gather).
-        entries = [
-            (self.visited + k, url, host, depth)
-            for k, (seq, url, host, depth, _sshard) in enumerate(batch)
-        ]
-        entries.sort(key=lambda e: e[1].rpartition("/")[2])
+        # locality-sorted by corpus page filename so each worker's
+        # point-take touches contiguous row groups (ordering is a data
+        # property — the audit table is re-sorted by visit_seq after the
+        # gather). The wave stays COLUMNAR end to end on the driver:
+        # chunks are Arrow takes, and the per-row tuple materialization
+        # happens inside the (parallel) workers — the r3 tuple-building
+        # + list.sort here cost ~70 ms of serial driver time per
+        # 16k-row wave while every worker idled at the barrier.
+        etbl = pa.table(
+            {
+                "visit_seq": pa.array(
+                    np.arange(self.visited, self.visited + n_batch, dtype=np.int64)
+                ),
+                "url": url_col,
+                "host": batch_tbl.column("host"),
+                "depth": batch_tbl.column("depth"),
+            }
+        )
+        fname = pc.replace_substring_regex(url_col, pattern="^.*/", replacement="")
+        loc_order = pc.sort_indices(fname).to_numpy()
         W = len(self.workers)
         # ~3 chunks per worker, dispatched 2-deep (one running + one
         # queued per actor): a completion never idles the worker while
@@ -384,12 +403,17 @@ class _Engine:
         # the decaying tail cuts that to ≤64 rows at ~25% more dispatches
         chunks = []
         start = 0
-        while start < len(entries):
+        while start < n_batch:
             size = min(
                 self.cfg.max_chunk,
-                max(64, -(-(len(entries) - start) // (W * 3))),
+                max(64, -(-(n_batch - start) // (W * 3))),
             )
-            chunks.append((len(chunks), entries[start : start + size]))
+            # take (not slice): a slice pickles the WHOLE backing buffer
+            # (~800 KB per 178-row chunk); take materializes compact
+            # chunk-sized buffers (~9 KB)
+            chunks.append(
+                (len(chunks), etbl.take(pa.array(loc_order[start : start + size])))
+            )
             start += size
         parts: list = [None] * len(chunks)
         pending: dict = {}  # future -> (chunk_idx, worker_idx, chunk_key)
@@ -516,14 +540,14 @@ class _Engine:
         admitted = self._admit_pushed(wave)
 
         t_admit = t_phase() - t0 - t_take - t_issue - t_workers
-        self.visited += len(batch)
+        self.visited += n_batch
         if audit is not None:
             self.audit_tables.append(audit)
         self.reject_tables.append(rejects)
         self.admitted_tables.append(admitted)
         metrics = {
             "wave": wave,
-            "issued": len(batch),
+            "issued": n_batch,
             "candidates": n_candidates,
             "admitted": admitted.num_rows,
             "rejected": rejects.num_rows,
@@ -654,7 +678,7 @@ class _Engine:
 
         rows = []
         hs: dict[str, list] = {}
-        for seq, url, host, depth in entries:
+        for seq, url, host, depth in entry_rows(entries):
             row = build_audit_row(
                 url,
                 depth,

@@ -224,6 +224,7 @@ class PageWorker:
         the candidate rows likewise never transit the driver: they ship
         straight to their seen shards (acked before this call returns,
         so chunk completion implies registration)."""
+        entries = entry_rows(entries)
         audit_rows: list[dict] = []
         cand_rows: list[dict] = []
         rej_rows: list[dict] = []
@@ -361,6 +362,24 @@ class PageWorker:
             ray.get(futs)  # registered-before-complete guarantee
             cands = CANDIDATE_SCHEMA.empty_table()
         return (audit, cands, rows_to_table(rej_rows, REJECT_SCHEMA), host_stats, n_cands)
+
+
+def entry_rows(entries) -> list[tuple]:
+    """Normalize a dispatch-chunk payload to [(visit_seq, url, host,
+    depth)] tuples. The driver ships chunks as compact Arrow tables
+    (columnar end to end on its serial path); the per-row tuple
+    materialization happens HERE, inside the parallel worker (or in the
+    driver's rare straggler-timeout path)."""
+    if isinstance(entries, pa.Table):
+        return list(
+            zip(
+                entries.column("visit_seq").to_pylist(),
+                entries.column("url").to_pylist(),
+                entries.column("host").to_pylist(),
+                entries.column("depth").to_pylist(),
+            )
+        )
+    return entries
 
 
 def rows_to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
