@@ -143,6 +143,42 @@ class FrontierShard:
         order = np.lexsort((seq, rank))
         return rank[order], seq[order], rids[order], pos[order]
 
+    def _peek_quota_columns(self, limit: int, quota: int):
+        """Vectorized local-quota peek: (rank, seq, host) numpy columns
+        of the first ≤limit live rows in global (rank, seq) order whose
+        within-host occurrence index is < quota — exactly the greedy
+        _iter_live scan's selection (each host's first ≤quota rows in
+        order, truncated at limit), computed as a grouped running count
+        over ALL live rows instead of a per-row Python merge."""
+        import numpy as np
+
+        rk, sq, hs = [], [], []
+        for run in self.runs:
+            keep = ~run["mask"]
+            if not keep.any():
+                continue
+            rk.append(run["rank"][keep])
+            sq.append(run["seq"][keep])
+            hs.append(run["host"][keep])
+        if not rk:
+            e = np.empty(0)
+            return e, e.astype(np.int64), np.empty(0, dtype=object)
+        rank = np.concatenate(rk)
+        seq = np.concatenate(sq)
+        host = np.concatenate(hs)
+        order = np.lexsort((seq, rank))
+        _, codes = np.unique(host[order], return_inverse=True)
+        idx = np.argsort(codes, kind="stable")
+        c_sorted = codes[idx]
+        n = len(c_sorted)
+        starts = np.r_[0, np.flatnonzero(np.diff(c_sorted)) + 1]
+        lens = np.diff(np.r_[starts, n])
+        occ = np.arange(n) - np.repeat(starts, lens)
+        eligible = np.empty(n, dtype=bool)
+        eligible[idx] = occ < quota
+        sel = order[np.flatnonzero(eligible)[:limit]]
+        return rank[sel], seq[sel], host[sel]
+
     def _iter_live(self):
         """Lazy (rank, seq)-ordered scan over ALL live rows (quota /
         offset paths and snapshots; the no-quota peek never calls it)."""
@@ -312,6 +348,18 @@ class FrontierShard:
                 out = self.peek(limit, None, None)
                 cols["host"] = pa.array([e[3] for e in out], pa.string())
             return pa.table(cols)
+        if host_quota is not None and not host_offsets:
+            # quota path, vectorized: the Python _iter_live scan paid
+            # ~1 µs/row and traverses deep into the shard exactly when
+            # hosts are hot (the skew crawl's defining case)
+            rank, seq, host = self._peek_quota_columns(limit, host_quota)
+            cols = {
+                "rank": pa.array(rank, pa.float64()),
+                "seq": pa.array(seq, pa.int64()),
+            }
+            if with_host:
+                cols["host"] = pa.array(host.tolist(), pa.string())
+            return pa.table(cols)
         out = self.peek(limit, host_quota, host_offsets)
         cols = {
             "rank": pa.array([e[0] for e in out], pa.float64()),
@@ -463,19 +511,31 @@ def take_wave_table(
         order = np.lexsort((seq, rank))  # (rank, seq) — seq unique ⇒ total order
         if host_quota is None:
             sel = order[:budget]
-        else:  # politeness: greedy global per-host quota in (rank, seq) order
-            hosts = merged.column("host").to_pylist()
-            per_host: dict[str, int] = defaultdict(int)
-            sel_list: list[int] = []
-            for k in order:
-                if len(sel_list) >= budget:
-                    break
-                h = hosts[k]
-                if per_host[h] >= host_quota:
-                    continue
-                per_host[h] += 1
-                sel_list.append(int(k))
-            sel = np.asarray(sel_list, dtype=np.int64)
+        else:
+            # politeness: greedy global per-host quota in (rank, seq)
+            # order — vectorized. The greedy "take each host's first
+            # ≤Q entries in global order, stop at budget" selects
+            # exactly the first `budget` rows (in global order) whose
+            # within-host occurrence index is < Q, so it reduces to a
+            # grouped running count: dictionary-encode hosts (no
+            # Python strings), stable-sort the global order by host
+            # code, subtract each group's start offset.
+            codes = (
+                merged.column("host")
+                .combine_chunks()
+                .dictionary_encode()
+                .indices.to_numpy(zero_copy_only=False)
+            )
+            h_ord = codes[order]
+            idx = np.argsort(h_ord, kind="stable")
+            h_sorted = h_ord[idx]
+            n_rows = len(h_sorted)
+            starts = np.r_[0, np.flatnonzero(np.diff(h_sorted)) + 1]
+            lens = np.diff(np.r_[starts, n_rows])
+            occ = np.arange(n_rows) - np.repeat(starts, lens)
+            eligible = np.empty(n_rows, dtype=bool)
+            eligible[idx] = occ < host_quota
+            sel = order[np.flatnonzero(eligible)[:budget]]
         if not adaptive or limit >= budget:
             break
         peeked = np.asarray([t.num_rows for t in tbls], dtype=np.int64)
