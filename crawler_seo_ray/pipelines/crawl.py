@@ -358,7 +358,7 @@ class _Engine:
         # shard sees mark_issued before this wave's admit
         for s in np.unique(sshard_np):
             self.seen[int(s)].mark_issued.remote(
-                url_col.take(pa.array(np.flatnonzero(sshard_np == s))).to_pylist()
+                url_col.take(pa.array(np.flatnonzero(sshard_np == s))).combine_chunks()
             )
         t_issue = t_phase() - t0 - t_take
 
