@@ -2150,6 +2150,148 @@ def lineitem_price_quantile_sketch(sf_dir: str):
     return quantile_sketch(ds, "l_extendedprice", [0.25, 0.5, 0.9, 0.99])
 
 
+def docs_dedup_keep_best(sf_dir: str):
+    """Dup-group representative selection, keep-BEST policy: among
+    documents sharing a duplicate key (the first-two-token prefix —
+    exact texts are unique in this corpus, the prefix key has real
+    collisions at every sf), keep the highest-quality row
+    (quality_score desc, doc_id asc tiebreak). Training-data dedup
+    uses this shape where keep-first would discard the best copy.
+
+    Distributed shape: per-block (key → argmax) partials — numpy
+    lexsort by (key, -score, id) + first-occurrence mask inside
+    ``map_batches`` — merged once at distinct-key size with the same
+    kernel (the dup-flag combiner pattern; at 10^10 rows the merge
+    becomes its own groupby over distinct keys, the per-block combine
+    is unchanged)."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def _argmax_per_key(k, ids, qs):
+        order = np.lexsort((ids, -qs, k))
+        ks = k[order]
+        first = np.r_[True, ks[1:] != ks[:-1]]
+        return order[first]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        first2 = pc.list_slice(pc.split_pattern_regex(trimmed, r"\s+"), 0, 2)
+        keys = pc.utf8_lower(pc.binary_join(first2, " "))
+        feats = [quality_features(t) for t in batch.column("text").to_pylist()]
+        qs = np.asarray([f["quality_score"] for f in feats], np.float64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        k = keys.to_numpy(zero_copy_only=False)
+        sel = _argmax_per_key(k, ids, qs)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel].tolist(), pa.int64()),
+                "text_key": pa.array(k[sel].tolist(), pa.string()),
+                "quality_score": pa.array(qs[sel], pa.float64()),
+            }
+        )
+
+    partials = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text_key", pa.string()),
+                ("quality_score", pa.float64()),
+            ]
+        ),
+    )
+    k = partials.column("text_key").to_numpy(zero_copy_only=False)
+    ids = partials.column("doc_id").to_numpy()
+    qs = partials.column("quality_score").to_numpy()
+    sel = _argmax_per_key(k, ids, qs)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "text_key": pa.array(k[sel].tolist(), pa.string()),
+            "quality_score": pa.array(qs[sel], pa.float64()),
+        }
+    )
+
+
+def lineitem_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier census over l_extendedprice: exact GLOBAL
+    continuous quartiles in int64 cents (iterative-histogram, no sort,
+    no shuffle), IEEE fences q1 − 1.5·iqr / q3 + 1.5·iqr, then one
+    broadcast counting pass — the pre-statistics outlier screen a
+    training-data pipeline runs before normalizing numeric features."""
+    from .stages.quantile import grouped_quantile_cont
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice"], blocks=8)
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(b.num_rows, np.int32)),
+                "cents": _cents(b.column("l_extendedprice")),
+            }
+        )
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+    qt = grouped_quantile_cont(cds, "g", "cents", [0.25, 0.75])
+    q1 = qt.column("q25")[0].as_py()
+    q3 = qt.column("q75")[0].as_py()
+    iqr = q3 - q1
+    low = q1 - 1.5 * iqr
+    high = q3 + 1.5 * iqr
+
+    def census(b: pa.Table) -> pa.Table:
+        c = _cents(b.column("l_extendedprice")).to_numpy()
+        return pa.table(
+            {
+                "n_low": pa.array([int((c < low).sum())], pa.int64()),
+                "n_high": pa.array([int((c > high).sum())], pa.int64()),
+                "n_total": pa.array([len(c)], pa.int64()),
+            }
+        )
+
+    parts = collect_arrow(
+        ds.map_batches(census, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("n_low", pa.int64()), ("n_high", pa.int64()), ("n_total", pa.int64())]
+        ),
+    )
+    return pa.table(
+        {
+            "n_low": pa.array([pc.sum(parts.column("n_low")).as_py()], pa.int64()),
+            "n_high": pa.array([pc.sum(parts.column("n_high")).as_py()], pa.int64()),
+            "n_total": pa.array([pc.sum(parts.column("n_total")).as_py()], pa.int64()),
+        }
+    )
+
+
+def docs_clean(sf_dir: str):
+    """Text normalization (the first stage of every LLM-data pipeline):
+    collapse whitespace runs, trim, lowercase — fully vectorized Arrow
+    kernels (RE2 regex, same engine DuckDB uses, so the SQL pair is
+    exact)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(
+            pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(
+                    b.column("text"), pattern=r"\s+", replacement=" "
+                )
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "clean_text": t,
+                "n_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2217,6 +2359,9 @@ QUERIES = {
     "lineitem_price_quantiles_cont": lineitem_price_quantiles_cont,
     "orders_priority_share": orders_priority_share,
     "lineitem_cube": lineitem_cube,
+    "docs_dedup_keep_best": docs_dedup_keep_best,
+    "lineitem_iqr_outliers": lineitem_iqr_outliers,
+    "docs_clean": docs_clean,
 }
 
 ORACLE_SQL = {
@@ -2992,4 +3137,82 @@ ORACLE_SQL["lineitem_cube"] = """
            sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0
              AS sum_price
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLE_SQL["docs_dedup_keep_best"] = """
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CASE WHEN trim(text)='' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_chars, n_tokens,
+             CASE WHEN n_tokens=0 THEN 0.0 ELSE n_nonspace::DOUBLE / n_tokens END AS mean_token_len,
+             CASE WHEN n_chars=0 THEN 0.0 ELSE n_digits::DOUBLE / n_chars END AS digit_ratio,
+             CASE WHEN n_chars=0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars END AS punct_ratio
+      FROM f
+    ), q AS (
+      SELECT doc_id,
+             greatest(0.0,
+               1.0
+               - CASE WHEN n_chars < 50 THEN 0.5 ELSE 0.0 END
+               - CASE WHEN n_tokens > 0 AND NOT (mean_token_len BETWEEN 3.0 AND 12.0) THEN 0.2 ELSE 0.0 END
+               - CASE WHEN n_chars > 0 AND digit_ratio > 0.2 THEN 0.2 ELSE 0.0 END
+               - CASE WHEN n_chars > 0 AND punct_ratio > 0.2 THEN 0.1 ELSE 0.0 END
+             ) AS quality_score
+      FROM g
+    ), k AS (
+      SELECT doc_id,
+             lower(array_to_string(
+               (regexp_split_to_array(trim(text), '\\s+'))[1:2], ' ')) AS text_key
+      FROM documents
+    )
+    SELECT doc_id, text_key, quality_score FROM (
+      SELECT k.doc_id, k.text_key, q.quality_score,
+             row_number() OVER (
+               PARTITION BY k.text_key
+               ORDER BY q.quality_score DESC, k.doc_id) AS rn
+      FROM k JOIN q ON k.doc_id = q.doc_id) t
+    WHERE rn = 1
+"""
+
+ORACLE_SQL["lineitem_iqr_outliers"] = """
+    WITH c AS (
+      SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rr,
+             count(*) OVER () AS n
+      FROM c
+    ), qq AS (
+      SELECT
+        (max(CASE WHEN rr = CAST(floor((n - 1) * 0.25) AS BIGINT) THEN cents END)
+         + (max(CASE WHEN rr = least(CAST(floor((n - 1) * 0.25) AS BIGINT) + 1, n - 1)
+                     THEN cents END)
+            - max(CASE WHEN rr = CAST(floor((n - 1) * 0.25) AS BIGINT) THEN cents END))
+           * ((n - 1) * 0.25 - floor((n - 1) * 0.25))) AS q1,
+        (max(CASE WHEN rr = CAST(floor((n - 1) * 0.75) AS BIGINT) THEN cents END)
+         + (max(CASE WHEN rr = least(CAST(floor((n - 1) * 0.75) AS BIGINT) + 1, n - 1)
+                     THEN cents END)
+            - max(CASE WHEN rr = CAST(floor((n - 1) * 0.75) AS BIGINT) THEN cents END))
+           * ((n - 1) * 0.75 - floor((n - 1) * 0.75))) AS q3
+      FROM r GROUP BY n
+    ), b AS (
+      SELECT q1 - 1.5 * (q3 - q1) AS low, q3 + 1.5 * (q3 - q1) AS high FROM qq
+    )
+    SELECT count(*) FILTER (WHERE c.cents < b.low)  AS n_low,
+           count(*) FILTER (WHERE c.cents > b.high) AS n_high,
+           count(*) AS n_total
+    FROM c, b
+"""
+
+ORACLE_SQL["docs_clean"] = """
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean_text,
+           length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_chars
+    FROM documents
 """
