@@ -143,13 +143,18 @@ class FrontierShard:
         order = np.lexsort((seq, rank))
         return rank[order], seq[order], rids[order], pos[order]
 
-    def _peek_quota_columns(self, limit: int, quota: int):
-        """Vectorized local-quota peek: (rank, seq, host) numpy columns
+    def _peek_quota_columns(
+        self, limit: int, quota: int | None, offsets: dict | None = None
+    ):
+        """Vectorized quota/offset peek: (rank, seq, host) numpy columns
         of the first ≤limit live rows in global (rank, seq) order whose
         within-host occurrence index is < quota — exactly the greedy
         _iter_live scan's selection (each host's first ≤quota rows in
         order, truncated at limit), computed as a grouped running count
-        over ALL live rows instead of a per-row Python merge."""
+        over ALL live rows instead of a per-row Python merge. With
+        ``offsets`` (adaptive per-host priority) the rank column is the
+        ADJUSTED rank, matching peek()'s offset mode, and the order is
+        (adjusted rank, seq)."""
         import numpy as np
 
         rk, sq, hs = [], [], []
@@ -166,7 +171,14 @@ class FrontierShard:
         rank = np.concatenate(rk)
         seq = np.concatenate(sq)
         host = np.concatenate(hs)
+        if offsets:
+            rank = rank + np.fromiter(
+                (offsets.get(h, 0.0) for h in host), np.float64, len(host)
+            )
         order = np.lexsort((seq, rank))
+        if quota is None:
+            sel = order[:limit]
+            return rank[sel], seq[sel], host[sel]
         _, codes = np.unique(host[order], return_inverse=True)
         idx = np.argsort(codes, kind="stable")
         c_sorted = codes[idx]
@@ -348,25 +360,18 @@ class FrontierShard:
                 out = self.peek(limit, None, None)
                 cols["host"] = pa.array([e[3] for e in out], pa.string())
             return pa.table(cols)
-        if host_quota is not None and not host_offsets:
-            # quota path, vectorized: the Python _iter_live scan paid
-            # ~1 µs/row and traverses deep into the shard exactly when
-            # hosts are hot (the skew crawl's defining case)
-            rank, seq, host = self._peek_quota_columns(limit, host_quota)
-            cols = {
-                "rank": pa.array(rank, pa.float64()),
-                "seq": pa.array(seq, pa.int64()),
-            }
-            if with_host:
-                cols["host"] = pa.array(host.tolist(), pa.string())
-            return pa.table(cols)
-        out = self.peek(limit, host_quota, host_offsets)
+        # quota and/or adaptive-offset path, vectorized: the Python
+        # _iter_live scan paid ~1 µs/row and traverses deep into the
+        # shard exactly when hosts are hot (the skew crawl's defining
+        # case); the offset mode re-sorted the WHOLE live queue in
+        # Python per wave before this
+        rank, seq, host = self._peek_quota_columns(limit, host_quota, host_offsets)
         cols = {
-            "rank": pa.array([e[0] for e in out], pa.float64()),
-            "seq": pa.array([e[1] for e in out], pa.int64()),
+            "rank": pa.array(rank, pa.float64()),
+            "seq": pa.array(seq, pa.int64()),
         }
         if with_host:
-            cols["host"] = pa.array([e[3] for e in out], pa.string())
+            cols["host"] = pa.array(host.tolist(), pa.string())
         return pa.table(cols)
 
     def commit_fetch(self, seqs: list[int]):

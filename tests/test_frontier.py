@@ -202,3 +202,44 @@ def test_snapshot_restore_roundtrip_with_tombstones():
     ray.get(clone.restore.remote(snap))
     assert ray.get(clone.size.remote()) == len(ref.entries)
     assert ray.get(clone.peek.remote(25, 2)) == ref.peek(25, 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("quota", [1, 3, 7])
+def test_vectorized_quota_peek_equals_python_scan(quota):
+    """peek_heads' vectorized grouped-occurrence quota path must select
+    exactly the rows the per-row Python scan (peek) selects, for random
+    rank/host mixes with heavy host collisions."""
+    from crawler_seo_ray.state.frontier import FrontierShard
+
+    shard = FrontierShard.remote(0)
+    # several runs (multiple adds) so the merge crosses run boundaries
+    for part in range(3):
+        ray.get(shard.add.remote(_mk_entries(700, 100 + part, hosts=5,
+                                             start_seq=700 * part)))
+    for limit in (10, 200, 5000):
+        ref = ray.get(shard.peek.remote(limit, quota))
+        tbl = ray.get(shard.peek_heads.remote(limit, quota, None, True))
+        assert tbl.column("seq").to_pylist() == [e[1] for e in ref]
+        assert tbl.column("host").to_pylist() == [e[3] for e in ref]
+        assert tbl.column("rank").to_pylist() == [e[0] for e in ref]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("quota", [None, 2])
+def test_vectorized_offset_peek_equals_python_scan(quota):
+    """peek_heads' adaptive-offset path (vectorized adjusted-rank sort)
+    must match peek()'s Python offset scan, with and without a quota."""
+    from crawler_seo_ray.state.frontier import FrontierShard
+
+    shard = FrontierShard.remote(0)
+    for part in range(2):
+        ray.get(shard.add.remote(_mk_entries(600, 7 + part, hosts=6,
+                                             start_seq=600 * part)))
+    offsets = {"h0.example.test": 2.5, "h3.example.test": 0.75}
+    for limit in (25, 400, 3000):
+        ref = ray.get(shard.peek.remote(limit, quota, offsets))
+        tbl = ray.get(shard.peek_heads.remote(limit, quota, offsets, True))
+        assert tbl.column("seq").to_pylist() == [e[1] for e in ref]
+        assert tbl.column("rank").to_pylist() == [e[0] for e in ref]
+        assert tbl.column("host").to_pylist() == [e[3] for e in ref]
