@@ -1148,6 +1148,245 @@ def corpus_resize(sf_dir: str):
     )
 
 
+def corpus_phash_groups(sf_dir: str):
+    """Image near-dup GROUP labeling: connected components (distributed
+    min-label propagation) over the exact Hamming pair set from
+    corpus_phash_dups — the image-side analogue of docs_minhash_groups.
+    SQL-paired against a recursive-CTE transitive closure over the
+    brute-force Hamming pair join."""
+    from .stages.dedup import connected_components_distributed, phash_pairs
+
+    ds = corpus_parquet(columns=["image_id", "phash"])
+    pairs = phash_pairs(ds, hamming_threshold=4)
+    return connected_components_distributed(pairs.select(["id_a", "id_b"]))
+
+
+def corpus_phash_knn(sf_dir: str):
+    """Exact Hamming k-nearest-neighbor search over the perceptual-hash
+    column for the first 5 images — similarity search on the image
+    axis (the knn_brute pattern with vectorized popcount instead of a
+    matmul; the query hashes are broadcast once, each block emits only
+    its local top-k)."""
+    from .stages.similarity import knn_hamming
+
+    ds = corpus_parquet(columns=["image_id", "phash"])
+    qrows = sorted(
+        ds.filter(expr="image_id < 'img00000005'").take_all(),
+        key=lambda r: r["image_id"],
+    )
+    return knn_hamming(
+        ds,
+        "phash",
+        "image_id",
+        [r["image_id"] for r in qrows],
+        np.array([r["phash"] for r in qrows], dtype=np.int64).view(np.uint64),
+        k=5,
+    )
+
+
+def corpus_keep_best_caption(sf_dir: str):
+    """Image keep-best dedup on a shared caption key: among corpus rows
+    sharing a caption (datagen plants i ≡ 13 (mod 26) caption
+    duplicates), keep the highest-resolution image (w·h desc, image_id
+    asc tiebreak) — the multimodal analogue of docs_dedup_keep_best
+    (the reference keeps one row per duplicated title the same way:
+    analyzers/metatags_analyzer.py:196-228).
+
+    Distributed shape: per-block (caption → argmax) partials via one
+    numpy lexsort, merged once at distinct-caption size with the same
+    kernel — no wide shuffle, pixel payloads never read."""
+    from .util import collect_arrow
+
+    ds = corpus_parquet(columns=["image_id", "caption", "w", "h"])
+
+    def _argmax_per_caption(cap, ids, px):
+        order = np.lexsort((ids, -px, cap))
+        cs = cap[order]
+        first = np.r_[True, cs[1:] != cs[:-1]]
+        return order[first]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        px = batch.column("w").to_numpy().astype(np.int64) * batch.column(
+            "h"
+        ).to_numpy().astype(np.int64)
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        cap = batch.column("caption").to_numpy(zero_copy_only=False)
+        sel = _argmax_per_caption(cap, ids, px)
+        return pa.table(
+            {
+                "image_id": pa.array(ids[sel].tolist(), pa.string()),
+                "caption": pa.array(cap[sel].tolist(), pa.string()),
+                "pixels": pa.array(px[sel], pa.int64()),
+            }
+        )
+
+    parts = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("image_id", pa.string()), ("caption", pa.string()), ("pixels", pa.int64())]
+        ),
+    )
+    ids = parts.column("image_id").to_numpy(zero_copy_only=False)
+    cap = parts.column("caption").to_numpy(zero_copy_only=False)
+    px = parts.column("pixels").to_numpy()
+    sel = _argmax_per_caption(cap, ids, px)
+    return pa.table(
+        {
+            "image_id": pa.array(ids[sel].tolist(), pa.string()),
+            "caption": pa.array(cap[sel].tolist(), pa.string()),
+            "pixels": pa.array(px[sel], pa.int64()),
+        }
+    )
+
+
+def corpus_resolution_census(sf_dir: str):
+    """Resolution/format census — the 'what is in this image corpus'
+    pre-training audit: row count and pixel-count extrema per
+    (fmt, resolution band). Bands are fixed pixel thresholds over w·h;
+    partials are hash-aggregated inside each block so the exchange
+    ships ≤ |fmt×band| rows per block (the lineitem_agg combine shape
+    over the multimodal table)."""
+    from .util import collect_arrow
+
+    ds = corpus_parquet(columns=["w", "h", "fmt"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        px = batch.column("w").to_numpy().astype(np.int64) * batch.column(
+            "h"
+        ).to_numpy().astype(np.int64)
+        band = np.select(
+            [px < 600, px < 1200, px < 1800], ["tiny", "small", "medium"], "large"
+        )
+        t = pa.table(
+            {
+                "fmt": batch.column("fmt"),
+                "band": pa.array(band.tolist(), pa.string()),
+                "sum_px": pa.array(px, pa.int64()),
+                "min_px": pa.array(px, pa.int64()),
+                "max_px": pa.array(px, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["fmt", "band"])
+            .aggregate(
+                [("sum_px", "sum"), ("min_px", "min"), ("max_px", "max"), ([], "count_all")]
+            )
+            .rename_columns(["fmt", "band", "sum_px", "min_px", "max_px", "n"])
+        )
+
+    parts = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("fmt", pa.string()),
+                ("band", pa.string()),
+                ("sum_px", pa.int64()),
+                ("min_px", pa.int64()),
+                ("max_px", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    merged = (
+        parts.group_by(["fmt", "band"])
+        .aggregate(
+            [("sum_px", "sum"), ("min_px", "min"), ("max_px", "max"), ("n", "sum")]
+        )
+        .rename_columns(["fmt", "band", "sum_px", "min_px", "max_px", "n"])
+    )
+    return merged.select(["fmt", "band", "n", "sum_px", "min_px", "max_px"])
+
+
+def corpus_caption_filter(sf_dir: str):
+    """Joint multimodal quality filter — the image+caption pairing
+    filter every web-scale vision-language pipeline runs (LAION-style
+    public recipe): caption token count in [3, 10], short side ≥ 24 px,
+    format allowlist. Fully vectorized Arrow (split_pattern_regex token
+    counts, min_element_wise short side); pixel payloads never read."""
+    ds = corpus_parquet(columns=["image_id", "caption", "w", "h", "fmt"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(batch.column("caption")), r"\s+"
+            )
+        )
+        short = pc.min_element_wise(batch.column("w"), batch.column("h"))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(ntok, 3), pc.less_equal(ntok, 10)),
+            pc.and_(pc.greater_equal(short, 24), pc.equal(batch.column("fmt"), "png")),
+        )
+        sel = pc.fill_null(keep, False)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id").filter(sel),
+                "n_tokens": ntok.filter(sel),
+                "short_side": short.filter(sel),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def corpus_bytes_census(sf_dir: str):
+    """Encoded-payload size census per format (storage budgeting for a
+    100 TB image corpus): count + total/min/max octet length of the
+    binary column, computed with the vectorized binary_length kernel —
+    the bytes themselves stay inside the scan tasks."""
+    from .util import collect_arrow
+
+    ds = corpus_parquet(columns=["bytes", "fmt"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        blen = pc.cast(pc.binary_length(batch.column("bytes")), pa.int64())
+        t = pa.table(
+            {
+                "fmt": batch.column("fmt"),
+                "sum_bytes": blen,
+                "min_bytes": blen,
+                "max_bytes": blen,
+            }
+        )
+        return (
+            t.group_by(["fmt"])
+            .aggregate(
+                [
+                    ("sum_bytes", "sum"),
+                    ("min_bytes", "min"),
+                    ("max_bytes", "max"),
+                    ([], "count_all"),
+                ]
+            )
+            .rename_columns(["fmt", "sum_bytes", "min_bytes", "max_bytes", "n"])
+        )
+
+    parts = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("fmt", pa.string()),
+                ("sum_bytes", pa.int64()),
+                ("min_bytes", pa.int64()),
+                ("max_bytes", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    merged = (
+        parts.group_by(["fmt"])
+        .aggregate(
+            [
+                ("sum_bytes", "sum"),
+                ("min_bytes", "min"),
+                ("max_bytes", "max"),
+                ("n", "sum"),
+            ]
+        )
+        .rename_columns(["fmt", "sum_bytes", "min_bytes", "max_bytes", "n"])
+    )
+    return merged.select(["fmt", "n", "sum_bytes", "min_bytes", "max_bytes"])
+
+
 def customer_order_stats(sf_dir: str):
     """Left-outer join (completes the Dataset join-type family: inner /
     anti / semi / broadcast / as-of / range / LEFT OUTER): every customer
@@ -2339,6 +2578,12 @@ QUERIES = {
     "corpus_image_stats": corpus_image_stats,
     "corpus_phash_dups": corpus_phash_dups,
     "corpus_resize": corpus_resize,
+    "corpus_keep_best_caption": corpus_keep_best_caption,
+    "corpus_resolution_census": corpus_resolution_census,
+    "corpus_caption_filter": corpus_caption_filter,
+    "corpus_bytes_census": corpus_bytes_census,
+    "corpus_phash_groups": corpus_phash_groups,
+    "corpus_phash_knn": corpus_phash_knn,
     "customer_order_stats": customer_order_stats,
     "lineitem_rollup": lineitem_rollup,
     "events_pivot": events_pivot,
@@ -2833,6 +3078,84 @@ ORACLE_SQL["corpus_resize"] = f"""
     SELECT image_id, CAST(32 AS INTEGER) AS w, CAST(32 AS INTEGER) AS h,
            'png' AS fmt
     FROM read_parquet('{_CORPUS_GLOB}')
+"""
+
+# keep-best representative per shared caption: exact window equivalent of
+# the per-block argmax partials + distinct-caption merge
+ORACLE_SQL["corpus_keep_best_caption"] = f"""
+    SELECT image_id, caption, pixels FROM (
+      SELECT image_id, caption,
+             CAST(w AS BIGINT) * CAST(h AS BIGINT) AS pixels,
+             row_number() OVER (
+               PARTITION BY caption
+               ORDER BY CAST(w AS BIGINT) * CAST(h AS BIGINT) DESC, image_id
+             ) AS rn
+      FROM read_parquet('{_CORPUS_GLOB}')
+    ) WHERE rn = 1
+"""
+
+ORACLE_SQL["corpus_resolution_census"] = f"""
+    SELECT fmt,
+           CASE WHEN px < 600 THEN 'tiny'
+                WHEN px < 1200 THEN 'small'
+                WHEN px < 1800 THEN 'medium'
+                ELSE 'large' END AS band,
+           count(*) AS n,
+           CAST(sum(px) AS BIGINT) AS sum_px,
+           min(px) AS min_px, max(px) AS max_px
+    FROM (SELECT fmt, CAST(w AS BIGINT) * CAST(h AS BIGINT) AS px
+          FROM read_parquet('{_CORPUS_GLOB}'))
+    GROUP BY 1, 2
+"""
+
+# caption token counts follow the engine's \\S+ tokenization exactly
+ORACLE_SQL["corpus_caption_filter"] = f"""
+    SELECT image_id, n_tokens, short_side FROM (
+      SELECT image_id,
+             CAST(array_length(regexp_split_to_array(trim(caption), '\\s+'))
+                  AS INTEGER) AS n_tokens,
+             CAST(least(w, h) AS INTEGER) AS short_side, fmt
+      FROM read_parquet('{_CORPUS_GLOB}')
+    ) WHERE fmt = 'png' AND short_side >= 24 AND n_tokens BETWEEN 3 AND 10
+"""
+
+# transitive closure over the exact Hamming pair set == the distributed
+# min-label components (same invariant as docs_minhash_groups)
+ORACLE_SQL["corpus_phash_groups"] = (
+    "WITH RECURSIVE pairs AS MATERIALIZED ("
+    + ORACLE_SQL["corpus_phash_dups"]
+    + "),\n"
+    "edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs\n"
+    "          UNION ALL SELECT id_b, id_a FROM pairs),\n"
+    "reach(id, r) AS (\n"
+    "  SELECT a, b FROM edges\n"
+    "  UNION\n"
+    "  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a\n"
+    ")\n"
+    "SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id"
+)
+
+# brute-force Hamming top-5 per query image, ties by neighbor id — the
+# exact window equivalent of the broadcast popcount local-top-k merge
+ORACLE_SQL["corpus_phash_knn"] = f"""
+    WITH c AS (SELECT image_id, phash FROM read_parquet('{_CORPUS_GLOB}')),
+    q AS (SELECT image_id AS qid, phash AS qph FROM c ORDER BY image_id LIMIT 5),
+    d AS (SELECT q.qid AS query_id, c.image_id AS neighbor_id,
+                 CAST(bit_count(xor(q.qph, c.phash)) AS INTEGER) AS hamming
+          FROM q JOIN c ON c.image_id <> q.qid)
+    SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn FROM d)
+    WHERE rn <= 5
+"""
+
+ORACLE_SQL["corpus_bytes_census"] = f"""
+    SELECT fmt, count(*) AS n,
+           CAST(sum(octet_length(bytes)) AS BIGINT) AS sum_bytes,
+           CAST(min(octet_length(bytes)) AS BIGINT) AS min_bytes,
+           CAST(max(octet_length(bytes)) AS BIGINT) AS max_bytes
+    FROM read_parquet('{_CORPUS_GLOB}')
+    GROUP BY fmt
 """
 
 

@@ -576,8 +576,23 @@ def connected_components_distributed(
     from ray.data.aggregate import Sum as _Sum
 
     tbl = pairs if isinstance(pairs, pa.Table) else collect_arrow(pairs)
+    id_type = tbl.schema.field("id_a").type
     if tbl.num_rows == 0:
-        return pa.table({"id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})
+        return pa.table({"id": pa.array([], id_type), "rep": pa.array([], id_type)})
+    # non-integer ids (e.g. image_id strings) ride as SORTED dense codes:
+    # np.unique order == lexicographic order, so min-code propagation is
+    # min-id propagation and the decoded rep matches SQL least(). The
+    # dictionary is pair-set-sized (the edge table is already collected
+    # here), not corpus-sized.
+    decode = None
+    if not pa.types.is_integer(id_type):
+        a = tbl.column("id_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("id_b").to_numpy(zero_copy_only=False)
+        decode, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        codes = pa.array(inv, pa.int64())
+        tbl = pa.table(
+            {"id_a": codes.slice(0, len(a)), "id_b": codes.slice(len(a), len(b))}
+        )
     # both edge directions, narrow (src, dst) int64 columns
     edges_tbl = pa.table(
         {
@@ -627,6 +642,13 @@ def connected_components_distributed(
         )
     out = collect_arrow(labels)
     out = out.rename_columns(["id", "rep"])
+    if decode is not None:
+        out = pa.table(
+            {
+                "id": pa.array(decode[out.column("id").to_numpy()], id_type),
+                "rep": pa.array(decode[out.column("rep").to_numpy()], id_type),
+            }
+        )
     return out.take(pc.sort_indices(out.column("id")))
 
 

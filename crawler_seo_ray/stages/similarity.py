@@ -30,6 +30,95 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+# byte-wise popcount lookup (numpy < 2.0 has no bitwise_count)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
+def _hamming_matrix(ph: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n,) × (m,) uint64 → (n, m) int32 popcount(xor), fully
+    vectorized via a per-byte lookup table."""
+    x = np.ascontiguousarray(ph[:, None] ^ q[None, :])
+    b = x.view(np.uint8).reshape(x.shape[0], x.shape[1], 8)
+    return _POP8[b].sum(axis=2, dtype=np.int32)
+
+
+def knn_hamming(
+    ds: Dataset,
+    hash_col: str,
+    id_col: str,
+    query_ids: list[str],
+    query_hashes: np.ndarray,
+    k: int = 5,
+) -> pa.Table:
+    """Exact Hamming top-k over a 64-bit signature column (perceptual
+    image-hash nearest neighbors) — the knn_brute shape with popcount
+    instead of a matmul: broadcast the (tiny) query hash vector, emit
+    per-block local top-k partials, merge driver-side. Self-matches are
+    excluded; ties break by (hamming asc, neighbor id asc). Returns
+    (query_id, neighbor_id, hamming, rank) with rank 1-based."""
+    q = np.asarray(query_hashes, dtype=np.uint64)
+    q_ref = ray.put((list(query_ids), q))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qh = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=object)
+        ph = batch.column(hash_col).to_numpy().astype(np.int64).view(np.uint64)
+        d = _hamming_matrix(ph, qh)
+        out_q, out_id, out_d = [], [], []
+        for qi, qid in enumerate(qids):
+            dq = d[:, qi]
+            order = np.lexsort((ids, dq))
+            taken = 0
+            for j in order:
+                if taken >= k:
+                    break
+                if ids[j] == qid:
+                    continue
+                out_q.append(qid)
+                out_id.append(ids[j])
+                out_d.append(int(dq[j]))
+                taken += 1
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                "neighbor_id": pa.array(out_id, pa.string()),
+                "hamming": pa.array(out_d, pa.int32()),
+            }
+        )
+
+    partials = collect_arrow(
+        ds.map_batches(local_topk, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("query_id", pa.string()),
+                ("neighbor_id", pa.string()),
+                ("hamming", pa.int32()),
+            ]
+        ),
+    )
+    qcol = np.asarray(partials.column("query_id").to_pylist(), dtype=object)
+    ncol = np.asarray(partials.column("neighbor_id").to_pylist(), dtype=object)
+    dcol = np.asarray(partials.column("hamming").to_pylist(), dtype=np.int64)
+    out = {"query_id": [], "neighbor_id": [], "hamming": [], "rank": []}
+    for qid in query_ids:
+        m = qcol == qid
+        order = np.lexsort((ncol[m], dcol[m]))[:k]
+        out["query_id"].extend([qid] * len(order))
+        out["neighbor_id"].extend(ncol[m][order].tolist())
+        out["hamming"].extend(dcol[m][order].tolist())
+        out["rank"].extend(range(1, len(order) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.string()),
+            "neighbor_id": pa.array(out["neighbor_id"], pa.string()),
+            "hamming": pa.array(out["hamming"], pa.int32()),
+            "rank": pa.array(out["rank"], pa.int32()),
+        }
+    )
+
+
 def knn_brute(
     ds: Dataset, vec_col: str, id_col: str, queries: np.ndarray, k: int = 10
 ) -> pa.Table:
