@@ -275,3 +275,54 @@ def test_phash_pairs_finds_planted_image_dups(small_corpus):
     assert ham.get(("img00000000", "planted_exact")) == 0
     assert ham.get(("img00000001", "planted_near")) == 2
     assert all(d <= 6 for d in ham.values())
+
+
+def test_hamming_matrix_matches_bin_popcount():
+    """_hamming_matrix (byte-LUT popcount) equals the scalar
+    bin(x ^ y).count('1') reference over random uint64 pairs,
+    including extreme values."""
+    from crawler_seo_ray.stages.similarity import _hamming_matrix
+
+    rng = np.random.default_rng(7)
+    ph = rng.integers(0, 2**64, size=50, dtype=np.uint64)
+    ph[:3] = [0, 2**64 - 1, 1]
+    q = rng.integers(0, 2**64, size=7, dtype=np.uint64)
+    d = _hamming_matrix(ph, q)
+    for i in range(len(ph)):
+        for j in range(len(q)):
+            assert d[i, j] == bin(int(ph[i]) ^ int(q[j])).count("1")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_hamming_excludes_self_and_breaks_ties_by_id():
+    """knn_hamming: self-matches excluded, (hamming asc, id asc) order,
+    rank 1-based — pinned against a brute scalar reference."""
+    from crawler_seo_ray.stages.similarity import knn_hamming
+
+    rng = np.random.default_rng(11)
+    ids = [f"im{i:04d}" for i in range(60)]
+    hashes = rng.integers(0, 2**64, size=60, dtype=np.uint64)
+    hashes[7] = hashes[3]  # exact dup → hamming 0 neighbor
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(hashes.view(np.int64), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    out = knn_hamming(ds, "phash", "image_id", [ids[3]], hashes[3:4], k=4)
+    got = list(
+        zip(
+            out.column("neighbor_id").to_pylist(),
+            out.column("hamming").to_pylist(),
+            out.column("rank").to_pylist(),
+        )
+    )
+    ref = sorted(
+        (bin(int(hashes[i]) ^ int(hashes[3])).count("1"), ids[i])
+        for i in range(60)
+        if ids[i] != ids[3]
+    )[:4]
+    assert got == [(nid, d, r + 1) for r, (d, nid) in enumerate(ref)]
+    assert got[0] == (ids[7], 0, 1)
