@@ -337,6 +337,36 @@ def run_components(num_cpus: int) -> dict:
             out.count()
         timings[name] = time.perf_counter() - t0
 
+    # --- image-axis similarity at bench scale: exact Hamming kNN over
+    # the bench-corpus phash column (the registry's corpus_phash_knn
+    # runs on the 300-row query corpus; this one searches the full
+    # crawl web — broadcast queries, per-block popcount local-top-k)
+    import glob as _glob
+
+    import numpy as _np
+    import ray.data as _rd
+
+    from crawler_seo_ray.stages.similarity import knn_hamming
+
+    t0 = time.perf_counter()
+    cds = _rd.read_parquet(
+        sorted(_glob.glob(os.path.join(corpus, "part-*.parquet"))),
+        columns=["image_id", "phash"],
+    )
+    qrows = sorted(
+        cds.filter(expr="image_id < 'img00000016'").take_all(),
+        key=lambda r: r["image_id"],
+    )
+    knn_hamming(
+        cds,
+        "phash",
+        "image_id",
+        [r["image_id"] for r in qrows],
+        _np.array([r["phash"] for r in qrows], dtype=_np.int64).view(_np.uint64),
+        k=10,
+    )
+    timings["corpus_phash_knn"] = time.perf_counter() - t0
+
     return {"timings": timings, "extras": extras}
 
 
