@@ -1387,6 +1387,192 @@ def corpus_bytes_census(sf_dir: str):
     return merged.select(["fmt", "n", "sum_bytes", "min_bytes", "max_bytes"])
 
 
+def events_first_last_touch(sf_dir: str):
+    """First/last-touch attribution per user: the event_type of each
+    user's earliest and latest event (ts, then event_id tiebreak) plus
+    their event count — the argmin/argmax-by-timestamp grouped
+    aggregate (SQL first_value/last_value windows). Distributed shape:
+    per-block (user → extremes) lexsort partials carrying the order
+    keys, merged once at distinct-user size with the same kernel (at
+    10^10 rows the merge becomes a groupby over users; the per-block
+    combine is unchanged)."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"], blocks=8)
+
+    def _extremes(users, ts, eid, etype, n_partial):
+        o = np.lexsort((eid, ts, users))
+        u = users[o]
+        fm = np.r_[True, u[1:] != u[:-1]]
+        lm = np.r_[u[1:] != u[:-1], True]
+        fi, li = o[fm], o[lm]
+        uu, inv = np.unique(users, return_inverse=True)
+        n = np.bincount(inv, weights=n_partial).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "first_ts": pa.array(ts[fi], pa.int64()),
+                "first_eid": pa.array(eid[fi], pa.int64()),
+                "first_type": pa.array(etype[fi].tolist(), pa.string()),
+                "last_ts": pa.array(ts[li], pa.int64()),
+                "last_eid": pa.array(eid[li], pa.int64()),
+                "last_type": pa.array(etype[li].tolist(), pa.string()),
+                "n_events": pa.array(n, pa.int64()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _extremes(
+            batch.column("user_id").to_numpy(),
+            batch.column("ts").to_numpy().view(np.int64),
+            batch.column("event_id").to_numpy(),
+            batch.column("event_type").to_numpy(zero_copy_only=False),
+            np.ones(batch.num_rows, np.int64),
+        )
+
+    parts = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("first_ts", pa.int64()),
+                ("first_eid", pa.int64()),
+                ("first_type", pa.string()),
+                ("last_ts", pa.int64()),
+                ("last_eid", pa.int64()),
+                ("last_type", pa.string()),
+                ("n_events", pa.int64()),
+            ]
+        ),
+    )
+    # merge: first fields compare by (first_ts, first_eid), last fields
+    # by (last_ts, last_eid) — run the same kernel on each side
+    users = parts.column("user_id").to_numpy()
+    f = _extremes(
+        users,
+        parts.column("first_ts").to_numpy(),
+        parts.column("first_eid").to_numpy(),
+        parts.column("first_type").to_numpy(zero_copy_only=False),
+        parts.column("n_events").to_numpy(),
+    )
+    lo = np.lexsort(
+        (-parts.column("last_eid").to_numpy(), -parts.column("last_ts").to_numpy(), users)
+    )
+    u = users[lo]
+    lm = np.r_[True, u[1:] != u[:-1]]
+    li = lo[lm]
+    return pa.table(
+        {
+            "user_id": f.column("user_id"),
+            "first_type": f.column("first_type"),
+            "last_type": pa.array(
+                parts.column("last_type").to_numpy(zero_copy_only=False)[li].tolist(),
+                pa.string(),
+            ),
+            "n_events": f.column("n_events"),
+        }
+    )
+
+
+def lineitem_unpivot(sf_dir: str):
+    """UNPIVOT (wide→long), the inverse of events_pivot: the four
+    lineitem measures become (measure, amount) rows. Pure per-block
+    stacking of four narrow projections — vectorized, no shuffle, no
+    state; the returned-flag slice keeps the long table output-sized."""
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        [
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+        blocks=8,
+    )
+    measures = [
+        ("quantity", "l_quantity"),
+        ("extendedprice", "l_extendedprice"),
+        ("discount", "l_discount"),
+        ("tax", "l_tax"),
+    ]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        parts = [
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_linenumber": t.column("l_linenumber"),
+                    "measure": pa.array(
+                        np.repeat(np.array([m], dtype=object), t.num_rows).tolist(),
+                        pa.string(),
+                    ),
+                    "amount": pc.cast(t.column(col), pa.float64()),
+                }
+            )
+            for m, col in measures
+        ]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def events_above_user_avg(sf_dir: str):
+    """Decorrelated correlated-subquery: keep events STRICTLY above
+    their own user's mean value. Exact and order-independent — value
+    rides int64 cents and the predicate value > sum/n is evaluated as
+    the integer cross-multiplication cents·n > sum_cents, so no float
+    mean is ever computed on either side. Distributed shape: per-block
+    per-user (sum_cents, n) hash-aggregate partials → one narrow
+    user-grain groupby → Dataset.join back to the event stream (the
+    user table can be 10^9 rows, so a join, not a broadcast) →
+    vectorized filter."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "value"], blocks=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "sum_cents": _cents(batch.column("value")),
+            }
+        )
+        return (
+            t.group_by("user_id")
+            .aggregate([("sum_cents", "sum"), ([], "count_all")])
+            .rename_columns(["user_id", "sum_cents", "n"])
+        )
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("sum_cents", alias_name="sum_cents"), Sum("n", alias_name="n"))
+    )
+    joined = ds.join(
+        stats, "inner", _join_partitions(), on=("user_id",), right_on=("user_id",)
+    )
+
+    def above(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("value"))
+        keep = pc.greater(
+            pc.multiply_checked(cents, batch.column("n")),
+            batch.column("sum_cents"),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "value": t.column("value"),
+            }
+        )
+
+    return joined.map_batches(above, batch_format="pyarrow")
+
+
 def customer_order_stats(sf_dir: str):
     """Left-outer join (completes the Dataset join-type family: inner /
     anti / semi / broadcast / as-of / range / LEFT OUTER): every customer
@@ -2584,6 +2770,9 @@ QUERIES = {
     "corpus_bytes_census": corpus_bytes_census,
     "corpus_phash_groups": corpus_phash_groups,
     "corpus_phash_knn": corpus_phash_knn,
+    "events_first_last_touch": events_first_last_touch,
+    "lineitem_unpivot": lineitem_unpivot,
+    "events_above_user_avg": events_above_user_avg,
     "customer_order_stats": customer_order_stats,
     "lineitem_rollup": lineitem_rollup,
     "events_pivot": events_pivot,
@@ -3117,6 +3306,48 @@ ORACLE_SQL["corpus_caption_filter"] = f"""
              CAST(least(w, h) AS INTEGER) AS short_side, fmt
       FROM read_parquet('{_CORPUS_GLOB}')
     ) WHERE fmt = 'png' AND short_side >= 24 AND n_tokens BETWEEN 3 AND 10
+"""
+
+ORACLE_SQL["events_first_last_touch"] = """
+    SELECT user_id,
+           max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+           max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    GROUP BY user_id
+"""
+
+ORACLE_SQL["lineitem_unpivot"] = """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           l_quantity AS amount FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+# integer cross-multiplication: value > mean ⟺ cents·n > sum_cents —
+# exact on both sides (values are 2-decimal), no float mean anywhere
+ORACLE_SQL["events_above_user_avg"] = """
+    WITH s AS (
+      SELECT user_id,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sc,
+             count(*) AS n
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, e.value
+    FROM events e JOIN s USING (user_id)
+    WHERE CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) * s.n > s.sc
 """
 
 # transitive closure over the exact Hamming pair set == the distributed
