@@ -2364,6 +2364,38 @@ def docs_words(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def docs_heavy_terms(sf_dir: str):
+    """Heavy-hitter TERMS across the whole corpus via the mergeable
+    distributed top-k sketch (stages/sketch.heavy_hitters): blocks ship
+    ≤ capacity+1 rows each regardless of vocabulary size; the result is
+    returned ONLY when the sketch certifies the top-k set, counts and
+    ordering equal the exact answer (it raises otherwise — no unlabeled
+    estimates). SQL-paired against the exact count + row_number window;
+    the corpus' Zipfy lowercase token distribution certifies at every
+    sf. Tokenization: space split of lower(text), matching the oracle
+    exactly."""
+    from .stages.sketch import heavy_hitters
+
+    ds = _pq(sf_dir, "documents", ["text"], blocks=8)
+
+    def explode(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(b.column("text")), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        return pa.table({"term": la.flatten()})
+
+    terms = ds.map_batches(explode, batch_format="pyarrow")
+    out = heavy_hitters(terms, "term", k=10, capacity=64)
+    if not out["certified"]:
+        raise RuntimeError(
+            "heavy_hitters could not certify the exact top-10 at "
+            "capacity=64 — raise capacity (bounds table has the gap)"
+        )
+    t = out["table"]
+    return pa.table(
+        {"term": t.column("item"), "n": t.column("n"), "rank": t.column("rank")}
+    )
+
+
 def events_moving_avg(sf_dir: str):
     """ROWS-frame moving window aggregate: 4-row trailing mean of value
     per user ordered by (ts, event_id) — the frame-based window the
@@ -2773,6 +2805,7 @@ QUERIES = {
     "events_first_last_touch": events_first_last_touch,
     "lineitem_unpivot": lineitem_unpivot,
     "events_above_user_avg": events_above_user_avg,
+    "docs_heavy_terms": docs_heavy_terms,
     "customer_order_stats": customer_order_stats,
     "lineitem_rollup": lineitem_rollup,
     "events_pivot": events_pivot,
@@ -3306,6 +3339,16 @@ ORACLE_SQL["corpus_caption_filter"] = f"""
              CAST(least(w, h) AS INTEGER) AS short_side, fmt
       FROM read_parquet('{_CORPUS_GLOB}')
     ) WHERE fmt = 'png' AND short_side >= 24 AND n_tokens BETWEEN 3 AND 10
+"""
+
+ORACLE_SQL["docs_heavy_terms"] = """
+    SELECT term, n, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT term, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY term)
+    WHERE rn <= 10
 """
 
 ORACLE_SQL["events_first_last_touch"] = """

@@ -181,3 +181,104 @@ def quantile_sketch(
     return pa.table(
         {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
     )
+
+
+def heavy_hitters(
+    ds: Dataset, item_col: str, k: int = 10, capacity: int = 64
+) -> dict:
+    """Distributed heavy hitters with CERTIFIED error bounds (the
+    TPUT / distributed-top-k family over per-block exact partial
+    counts): each block keeps only its ``capacity`` most frequent
+    items plus the max dropped count (its per-block undercount bound),
+    so the exchange ships ≤ capacity+1 rows per block no matter how
+    large the block vocabulary is. One groupby over kept items merges
+    lower bounds and per-item present-block error mass; an item's
+    upper bound adds the error budget of every block where it was NOT
+    kept (upper = lower + total_err − present_err).
+
+    Returns {"table": pa.Table(item, n, rank) of the top-k by lower
+    bound (ties: item asc), "certified": bool, "bounds": pa.Table} —
+    ``certified`` is True iff every returned count is exact
+    (upper == lower: the item was kept in every block) AND the k-th
+    lower bound ≥ the max upper bound outside the top-k, i.e. the
+    returned set, counts and ordering provably equal the exact top-k.
+    Callers that need guarantees must check it (the docs_heavy_terms
+    query raises on False rather than returning unlabeled estimates).
+
+    Scale note: the merge groupby output is ≤ blocks × capacity rows,
+    shuffled by item; only that distinct-kept-item table (and nothing
+    vocabulary-sized) reaches the driver for the final certify+sort —
+    at extreme block counts replace it with sort-limit on the lower
+    bound plus a max-upper aggregate (same semantics)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    SENTINEL = "\x00__block_err__"
+
+    def partial(b: pa.Table) -> pa.Table:
+        items = b.column(item_col).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(items, return_counts=True)
+        order = np.lexsort((uniq, -counts))
+        kept = order[:capacity]
+        err_b = int(counts[order[capacity]]) if len(order) > capacity else 0
+        return pa.table(
+            {
+                "item": pa.array(
+                    np.r_[uniq[kept], [SENTINEL]].tolist(), pa.string()
+                ),
+                "cnt": pa.array(np.r_[counts[kept], [0]], pa.int64()),
+                "err_b": pa.array(
+                    np.full(len(kept) + 1, err_b, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    merged = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("item")
+        .aggregate(
+            _Sum("cnt", alias_name="lower"), _Sum("err_b", alias_name="present_err")
+        ),
+        schema=pa.schema(
+            [("item", pa.string()), ("lower", pa.int64()), ("present_err", pa.int64())]
+        ),
+    )
+    sent = pc.equal(merged.column("item"), SENTINEL)
+    total_err = int(
+        pc.sum(merged.filter(sent).column("present_err")).as_py() or 0
+    )
+    merged = merged.filter(pc.invert(sent))
+    items = merged.column("item").to_numpy(zero_copy_only=False)
+    lower = merged.column("lower").to_numpy()
+    upper = lower + (total_err - merged.column("present_err").to_numpy())
+    order = np.lexsort((items, -lower))
+    top, rest = order[:k], order[k:]
+    max_rest_upper = int(upper[rest].max()) if len(rest) else total_err
+    # total_err == 0 → no block dropped anything → every count exact and
+    # complete, so ties resolve by the same (n desc, item asc) order SQL
+    # uses; otherwise require STRICT dominance over every excluded upper
+    # bound (a tie with an inexact bound could reorder under tie-break)
+    certified = bool(
+        len(top)
+        and (upper[top] == lower[top]).all()
+        and (
+            total_err == 0
+            or lower[top].min() > max(max_rest_upper, total_err)
+        )
+    )
+    table = pa.table(
+        {
+            "item": pa.array(items[top].tolist(), pa.string()),
+            "n": pa.array(lower[top], pa.int64()),
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int32), pa.int32()),
+        }
+    )
+    bounds = pa.table(
+        {
+            "item": pa.array(items[order].tolist(), pa.string()),
+            "lower": pa.array(lower[order], pa.int64()),
+            "upper": pa.array(upper[order], pa.int64()),
+        }
+    )
+    return {"table": table, "certified": certified, "bounds": bounds}

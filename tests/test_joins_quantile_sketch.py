@@ -339,3 +339,48 @@ def test_quantile_sketch_rank_error_bound_and_determinism():
     for q, v in zip(out.column("q").to_pylist(), out.column("value").to_pylist()):
         approx_rank = np.searchsorted(s, v, side="left")
         assert abs(approx_rank - q * n) <= 3 * n / m + 1, (q, v, approx_rank)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_certifies_skew_and_refuses_uniform():
+    """heavy_hitters must certify (and be exact) when the per-block
+    capacity keeps every true heavy item, and must NOT certify when a
+    uniform vocabulary makes block-local top-k unreliable."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # skewed: 5 heavy items dominate a 200-item tail
+    heavy = np.repeat([f"h{i}" for i in range(5)], [900, 700, 500, 300, 200])
+    tail = rng.choice([f"t{i:03d}" for i in range(200)], size=2000)
+    items = np.concatenate([heavy, tail])
+    rng.shuffle(items)
+    ds = rd.from_arrow(
+        pa.table({"item": pa.array(items.tolist(), pa.string())})
+    ).repartition(8)
+    out = heavy_hitters(ds, "item", k=5, capacity=64)
+    assert out["certified"]
+    got = list(zip(out["table"].column("item").to_pylist(),
+                   out["table"].column("n").to_pylist()))
+    assert got == [("h0", 900), ("h1", 700), ("h2", 500), ("h3", 300), ("h4", 200)]
+    # exact-bound invariant: certified counts equal brute counts
+    from collections import Counter
+
+    brute = Counter(items.tolist())
+    assert all(brute[i] == n for i, n in got)
+
+    # uniform vocabulary ≫ capacity: bounds overlap, must refuse
+    uni = rng.choice([f"u{i:04d}" for i in range(3000)], size=6000)
+    ds_u = rd.from_arrow(
+        pa.table({"item": pa.array(uni.tolist(), pa.string())})
+    ).repartition(8)
+    out_u = heavy_hitters(ds_u, "item", k=5, capacity=16)
+    assert not out_u["certified"]
+    # bounds stay sound even when uncertified: lower ≤ true ≤ upper
+    b = out_u["bounds"]
+    bc = Counter(uni.tolist())
+    for item, lo, up in zip(b.column("item").to_pylist(),
+                            b.column("lower").to_pylist(),
+                            b.column("upper").to_pylist()):
+        assert lo <= bc[item] <= up
