@@ -2364,6 +2364,41 @@ def docs_words(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def docs_dedup_incremental(sf_dir: str, scan_stats: dict | None = None):
+    """INCREMENTAL near-dup detection against a frozen history index —
+    the production crawl shape: wave N+1's new documents are deduped
+    against the full already-crawled history WITHOUT recomputing or
+    rereading it. History (doc_id % 4 != 0) is banded+payload-packed
+    once into an on-disk (band, bucket)-partitioned MinHash index
+    (stages/dedup.build_minhash_index, cached under /tmp like the
+    corpus); the new wave (doc_id % 4 == 0) probes ONLY the partitions
+    its own band hashes touch (scan fraction via ``scan_stats``) and
+    verifies exact set-Jaccard from the packed payloads. Emits cross
+    pairs (id_a = history, id_b = new) at the same 0.5 threshold as
+    docs_minhash_dups; banding recall is total on this corpus (the
+    cross pairs are a subset of the SQL-verified full pair set)."""
+    from .stages.dedup import build_minhash_index, dedup_against_minhash_index
+
+    base = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def _side(new: bool):
+        def kernel(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b.column("doc_id"), 3), pa.scalar(0, pa.int64()))
+            t = b.filter(m if new else pc.invert(m))
+            return pa.table({"id": t.column("doc_id"), "text": t.column("text")})
+
+        return base.map_batches(kernel, batch_format="pyarrow")
+
+    index_dir = os.path.join(
+        _CACHE_ROOT, f"mh_index_{os.path.basename(os.path.abspath(sf_dir))}_v1"
+    )
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        build_minhash_index(_side(new=False), "text", "id", index_dir)
+    return dedup_against_minhash_index(
+        _side(new=True), index_dir, jaccard_threshold=0.5, scan_stats=scan_stats
+    )
+
+
 def docs_heavy_terms(sf_dir: str):
     """Heavy-hitter TERMS across the whole corpus via the mergeable
     distributed top-k sketch (stages/sketch.heavy_hitters): blocks ship
@@ -2806,6 +2841,7 @@ QUERIES = {
     "lineitem_unpivot": lineitem_unpivot,
     "events_above_user_avg": events_above_user_avg,
     "docs_heavy_terms": docs_heavy_terms,
+    "docs_dedup_incremental": docs_dedup_incremental,
     "customer_order_stats": customer_order_stats,
     "lineitem_rollup": lineitem_rollup,
     "events_pivot": events_pivot,
@@ -3340,6 +3376,14 @@ ORACLE_SQL["corpus_caption_filter"] = f"""
       FROM read_parquet('{_CORPUS_GLOB}')
     ) WHERE fmt = 'png' AND short_side >= 24 AND n_tokens BETWEEN 3 AND 10
 """
+
+# cross-corpus brute Jaccard: the same exact shingle CTE as
+# docs_minhash_dups with the self-join condition swapped for the
+# history (doc_id % 4 != 0) × new-wave (doc_id % 4 = 0) cross join
+ORACLE_SQL["docs_dedup_incremental"] = ORACLE_SQL["docs_minhash_dups"].replace(
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id",
+    "FROM sh a JOIN sh b ON a.doc_id % 4 != 0 AND b.doc_id % 4 = 0",
+)
 
 ORACLE_SQL["docs_heavy_terms"] = """
     SELECT term, n, CAST(rn AS INTEGER) AS rank FROM (

@@ -1144,3 +1144,269 @@ def phash_pairs(
         id_col, phash_col, hamming_threshold, bands, id_type=pa.string(),
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a frozen on-disk band index
+# ---------------------------------------------------------------------------
+
+
+def _band_payload_rows(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+) -> Dataset:
+    """MinHash band rows that also carry each doc's packed shingle-hash
+    payload (sorted uint64 bytes), so exact Jaccard verification can
+    happen wherever the band rows land — no text join, no second read
+    of the source corpus. Payload rides every band row (×bands index
+    amplification, documented trade: probe-time verification touches
+    nothing but the index)."""
+    rows_per_band = num_perm // bands
+    a, b = _minhash_params(num_perm)
+    a_ref, b_ref = ray.put(a), ray.put(b)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        aa, bb = ray.get(a_ref), ray.get(b_ref)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out = {"id": [], "band": [], "band_hash": [], "slen": [], "payload": []}
+        for i, t in zip(ids, texts):
+            sh = shingles(t, shingle_k)
+            if not sh:
+                continue
+            arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+            arr.sort()
+            payload = arr.tobytes()
+            x = arr % np.uint64(_MERSENNE)
+            sig = ((x[:, None] * aa[None, :] + bb[None, :]) % np.uint64(_MERSENNE)).min(
+                axis=0
+            )
+            for band in range(bands):
+                seg = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                out["id"].append(i)
+                out["band"].append(band)
+                out["band_hash"].append(_stable_hash64(seg.tobytes()))
+                out["slen"].append(len(arr))
+                out["payload"].append(payload)
+        return pa.table(
+            {
+                "id": pa.array(out["id"], pa.int64()),
+                "band": pa.array(out["band"], pa.int32()),
+                "band_hash": pa.array(out["band_hash"], pa.int64()),
+                "slen": pa.array(out["slen"], pa.int32()),
+                "payload": pa.array(out["payload"], pa.binary()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+def build_minhash_index(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    num_buckets: int = 8,
+) -> dict:
+    """Freeze a corpus' MinHash band rows as a (band, bucket)-partitioned
+    on-disk index — the INCREMENTAL dedup shape: each later crawl wave
+    is deduped against the full history by probing only the index
+    partitions its own band hashes touch, never recomputing or even
+    rereading the historical corpus. One narrow shuffle
+    (``groupby(band, bucket)``) writes one parquet file per partition
+    (the build_ivf_index layout; same shared-FS contract as
+    EngineConfig.checkpoint_dir on a multi-node cluster).
+
+    Returns {"dir", "params", "manifest": {(band, bucket): rows}}."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    rows = _band_payload_rows(ds, text_col, id_col, num_perm, bands, shingle_k)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy()
+        return batch.append_column(
+            "bucket", pa.array((bh % num_buckets).astype(np.int32), pa.int32())
+        )
+
+    def write_part(g: pa.Table) -> pa.Table:
+        band = g.column("band")[0].as_py()
+        bucket = g.column("bucket")[0].as_py()
+        pq.write_table(
+            g.drop_columns(["bucket"]),
+            os.path.join(index_dir, f"band={band:02d}_bucket={bucket:02d}.parquet"),
+        )
+        return pa.table(
+            {
+                "band": pa.array([band], pa.int32()),
+                "bucket": pa.array([bucket], pa.int32()),
+                "rows": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    manifest_tbl = collect_arrow(
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(write_part, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("band", pa.int32()), ("bucket", pa.int32()), ("rows", pa.int64())]
+        ),
+    )
+    manifest = {
+        (b, k): r
+        for b, k, r in zip(
+            manifest_tbl.column("band").to_pylist(),
+            manifest_tbl.column("bucket").to_pylist(),
+            manifest_tbl.column("rows").to_pylist(),
+        )
+    }
+    params = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "num_buckets": num_buckets,
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(
+            {"params": params, "rows": {f"{b}:{k}": r for (b, k), r in manifest.items()}},
+            f,
+        )
+    return {"dir": index_dir, "params": params, "manifest": manifest}
+
+
+def dedup_against_minhash_index(
+    ds_new: Dataset,
+    index_dir: str,
+    jaccard_threshold: float = 0.5,
+    max_candidates: int = 5_000_000,
+    scan_stats: dict | None = None,
+) -> pa.Table:
+    """Dedup NEW documents against a frozen build_minhash_index: compute
+    the new docs' band rows, read ONLY the index partitions whose
+    (band, bucket) the new hashes touch (partition pruning — the scan
+    fraction is logged and returned via ``scan_stats``), inner-join on
+    (band, band_hash), and verify exact set-Jaccard from the packed
+    payloads riding both sides. Only cross pairs (history × new) are
+    emitted; new-vs-new dedup is minhash_pipeline's job on the wave
+    itself. Returns pa.Table(id_a=history, id_b=new, jaccard),
+    distinct, sorted."""
+    import glob
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        meta = json.load(f)
+    p = meta["params"]
+    new_rows = collect_arrow(
+        _band_payload_rows(
+            ds_new, "text", "id", p["num_perm"], p["bands"], p["shingle_k"]
+        ).map_batches(
+            lambda b: b.rename_columns(["nid", "band", "band_hash", "nslen", "npayload"]),
+            batch_format="pyarrow",
+        )
+    )
+    if new_rows.num_rows == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    touched = sorted(
+        set(
+            zip(
+                new_rows.column("band").to_pylist(),
+                (
+                    new_rows.column("band_hash").to_numpy() % p["num_buckets"]
+                ).tolist(),
+            )
+        )
+    )
+    all_files = sorted(glob.glob(os.path.join(index_dir, "band=*_bucket=*.parquet")))
+    want = {f"band={b:02d}_bucket={k:02d}.parquet" for b, k in touched}
+    files = [f for f in all_files if os.path.basename(f) in want]
+    frac = len(files) / max(1, len(all_files))
+    if scan_stats is not None:
+        scan_stats["files_read"] = len(files)
+        scan_stats["files_total"] = len(all_files)
+        scan_stats["scan_fraction"] = frac
+    if not files:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    hist = rd.read_parquet(files)
+    cand = hist.join(
+        rd.from_arrow(new_rows),
+        "inner",
+        4,
+        on=("band", "band_hash"),
+        right_on=("band", "band_hash"),
+    ).materialize()
+    n_cand = cand.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"incremental dedup candidate explosion: {n_cand} > {max_candidates} "
+            "(degenerate band bucket — raise num_buckets or split the band)"
+        )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ia = batch.column("id").to_pylist()
+        ib = batch.column("nid").to_pylist()
+        pa_ = batch.column("payload").to_pylist()
+        pb_ = batch.column("npayload").to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for a_id, b_id, ap, bp in zip(ia, ib, pa_, pb_):
+            if a_id == b_id:
+                continue
+            sa = np.frombuffer(ap, dtype=np.uint64)
+            sb = np.frombuffer(bp, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= jaccard_threshold:
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(inter / union)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    verified = collect_arrow(
+        cand.map_batches(verify, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )
+    # distinct (a pair collides in ≤ bands bands) — output-sized
+    key = np.stack(
+        [verified.column("id_a").to_numpy(), verified.column("id_b").to_numpy()], axis=1
+    )
+    _, first = np.unique(key, axis=0, return_index=True)
+    out = verified.take(pa.array(np.sort(first)))
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
+        )
+    )

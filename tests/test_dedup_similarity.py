@@ -326,3 +326,60 @@ def test_knn_hamming_excludes_self_and_breaks_ties_by_id():
     )[:4]
     assert got == [(nid, d, r + 1) for r, (d, nid) in enumerate(ref)]
     assert got[0] == (ids[7], 0, 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_index_finds_cross_dups_and_prunes(tmp_path):
+    """build_minhash_index + dedup_against_minhash_index: a tiny new
+    wave probed against a frozen 400-doc history index must (1) find
+    exactly the planted cross-corpus near-dups, (2) read only the index
+    partitions its band hashes touch (scan fraction ≪ 1), and (3) never
+    emit history×history or new×new pairs."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.dedup import (
+        build_minhash_index,
+        dedup_against_minhash_index,
+    )
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(500)]
+
+    def doc(i, n=40):
+        r = np.random.default_rng([11, i])
+        return " ".join(words[j] for j in r.integers(0, 500, n))
+
+    hist_ids = list(range(400))
+    hist_txt = [doc(i) for i in hist_ids]
+    hist = rd.from_arrow(
+        pa.table({"id": pa.array(hist_ids, pa.int64()),
+                  "text": pa.array(hist_txt, pa.string())})
+    ).repartition(4)
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(hist, "text", "id", idx, num_buckets=8)
+
+    # new wave: 2 near-copies of history docs (one word changed → high
+    # jaccard) + 2 fresh random docs
+    near0 = hist_txt[7].replace("w", "w", 1)  # identical → jaccard 1.0
+    near1_toks = hist_txt[123].split()
+    near1_toks[-1] = "zzz"
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1000, 1001, 1002, 1003], pa.int64()),
+                "text": pa.array(
+                    [near0, " ".join(near1_toks), doc(9001), doc(9002)], pa.string()
+                ),
+            }
+        )
+    )
+    ss = {}
+    out = dedup_against_minhash_index(new, idx, jaccard_threshold=0.5, scan_stats=ss)
+    pairs = set(zip(out.column("id_a").to_pylist(), out.column("id_b").to_pylist()))
+    assert (7, 1000) in pairs
+    assert (123, 1001) in pairs
+    # only cross pairs, new ids always on the b side
+    assert all(a < 1000 <= b for a, b in pairs)
+    # partition pruning: 4 docs × 16 bands = ≤64 of the 128 partitions
+    assert ss["files_total"] == 128
+    assert ss["scan_fraction"] <= 0.5, ss
