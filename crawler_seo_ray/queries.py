@@ -1184,6 +1184,39 @@ def corpus_phash_knn(sf_dir: str):
     )
 
 
+def corpus_dedup_incremental(sf_dir: str, scan_stats: dict | None = None):
+    """Incremental IMAGE dedup against a frozen history index — the
+    image-side twin of docs_dedup_incremental over the phash column:
+    history = images whose numeric id is not ≡ 0 (mod 4), frozen once
+    into a (band, bucket)-partitioned Hamming index; the new wave
+    (id ≡ 0 mod 4) probes only the touched partitions and verifies with
+    one vectorized xor-popcount. Threshold 4 < 8 bands → total recall,
+    so the brute cross Hamming join is an exact oracle."""
+    from .stages.dedup import build_hamming_index, dedup_against_hamming_index
+
+    base = corpus_parquet(columns=["image_id", "phash"])
+
+    def _side(new: bool):
+        def kernel(b: pa.Table) -> pa.Table:
+            num = pc.cast(pc.utf8_slice_codeunits(b.column("image_id"), 3), pa.int64())
+            m = pc.equal(pc.bit_wise_and(num, 3), pa.scalar(0, pa.int64()))
+            return b.filter(m if new else pc.invert(m))
+
+        return base.map_batches(kernel, batch_format="pyarrow")
+
+    index_dir = os.path.join(_CACHE_ROOT, f"phash_index_n{CORPUS_N}_v1")
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        build_hamming_index(_side(new=False), "phash", "image_id", index_dir)
+    return dedup_against_hamming_index(
+        _side(new=True),
+        "phash",
+        "image_id",
+        index_dir,
+        hamming_threshold=4,
+        scan_stats=scan_stats,
+    )
+
+
 def corpus_keep_best_caption(sf_dir: str):
     """Image keep-best dedup on a shared caption key: among corpus rows
     sharing a caption (datagen plants i ≡ 13 (mod 26) caption
@@ -2837,6 +2870,7 @@ QUERIES = {
     "corpus_bytes_census": corpus_bytes_census,
     "corpus_phash_groups": corpus_phash_groups,
     "corpus_phash_knn": corpus_phash_knn,
+    "corpus_dedup_incremental": corpus_dedup_incremental,
     "events_first_last_touch": events_first_last_touch,
     "lineitem_unpivot": lineitem_unpivot,
     "events_above_user_avg": events_above_user_avg,
@@ -3452,6 +3486,18 @@ ORACLE_SQL["corpus_phash_groups"] = (
     ")\n"
     "SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id"
 )
+
+# cross Hamming join history (id % 4 != 0) × new wave (id % 4 = 0):
+# exact for the banded probe because threshold 4 < 8 bands (pigeonhole)
+ORACLE_SQL["corpus_dedup_incremental"] = f"""
+    WITH c AS (SELECT image_id, phash,
+                      CAST(substr(image_id, 4) AS BIGINT) % 4 AS m
+               FROM read_parquet('{_CORPUS_GLOB}'))
+    SELECT a.image_id AS id_a, b.image_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM c a JOIN c b ON a.m != 0 AND b.m = 0
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4
+"""
 
 # brute-force Hamming top-5 per query image, ties by neighbor id — the
 # exact window equivalent of the broadcast popcount local-top-k merge

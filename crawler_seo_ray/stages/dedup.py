@@ -1410,3 +1410,217 @@ def dedup_against_minhash_index(
             out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
         )
     )
+
+
+def build_hamming_index(
+    ds: Dataset,
+    sig_col: str,
+    id_col: str,
+    index_dir: str,
+    bands: int = 8,
+    num_buckets: int = 8,
+) -> dict:
+    """Freeze a corpus' 64-bit signatures (phash / SimHash) as a
+    (band, bucket)-partitioned on-disk Hamming index — the image-side
+    twin of build_minhash_index for INCREMENTAL near-dup detection:
+    later waves probe only the partitions their own band values touch.
+    Much lighter than the text index: the 8-byte signature IS the
+    verification payload, so rows are ~30 B and verification is a
+    vectorized xor-popcount. Total recall for any probe threshold
+    < bands (pigeonhole). Ids are strings (image_id)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    band_bits = 64 // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column(id_col).combine_chunks()
+        uh = (
+            pc.cast(pc.coalesce(batch.column(sig_col), pa.scalar(0, pa.int64())), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .view(np.uint64)
+        )
+        rep = np.repeat(np.arange(n, dtype=np.int64), bands)
+        band = np.tile(np.arange(bands, dtype=np.int32), n)
+        shifts = band.astype(np.uint64) * np.uint64(band_bits)
+        mask = np.uint64((1 << band_bits) - 1)
+        vals = ((uh[rep] >> shifts) & mask).astype(np.int64)
+        bucket = (vals % num_buckets).astype(np.int32)
+        return pa.table(
+            {
+                "id": ids.take(pa.array(rep)),
+                "band": pa.array(band),
+                "band_val": pa.array(vals),
+                "sig": pa.array(uh[rep].view(np.int64)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def write_part(g: pa.Table) -> pa.Table:
+        band = g.column("band")[0].as_py()
+        bucket = g.column("bucket")[0].as_py()
+        pq.write_table(
+            g.drop_columns(["bucket"]),
+            os.path.join(index_dir, f"band={band:02d}_bucket={bucket:02d}.parquet"),
+        )
+        return pa.table(
+            {
+                "band": pa.array([band], pa.int32()),
+                "bucket": pa.array([bucket], pa.int32()),
+                "rows": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    manifest_tbl = collect_arrow(
+        ds.select_columns([id_col, sig_col])
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(write_part, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("band", pa.int32()), ("bucket", pa.int32()), ("rows", pa.int64())]
+        ),
+    )
+    params = {"bands": bands, "num_buckets": num_buckets, "band_bits": band_bits}
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "params": params,
+                "rows": {
+                    f"{b}:{k}": r
+                    for b, k, r in zip(
+                        manifest_tbl.column("band").to_pylist(),
+                        manifest_tbl.column("bucket").to_pylist(),
+                        manifest_tbl.column("rows").to_pylist(),
+                    )
+                },
+            },
+            f,
+        )
+    return {"dir": index_dir, "params": params}
+
+
+def dedup_against_hamming_index(
+    ds_new: Dataset,
+    sig_col: str,
+    id_col: str,
+    index_dir: str,
+    hamming_threshold: int = 4,
+    scan_stats: dict | None = None,
+) -> pa.Table:
+    """Probe a frozen build_hamming_index with new signatures: band the
+    new rows, read ONLY touched (band, bucket) partitions, inner-join
+    on (band, band_val) and verify Hamming with one vectorized
+    xor-popcount over the joined signature columns (no per-row Python).
+    Cross pairs only: (id_a = history, id_b = new, hamming). Exact for
+    hamming_threshold < bands (total banding recall)."""
+    import glob
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        meta = json.load(f)
+    p = meta["params"]
+    bands, band_bits = p["bands"], p["band_bits"]
+    if hamming_threshold >= bands:
+        raise ValueError("threshold must be < bands for total recall")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column(id_col).combine_chunks()
+        uh = (
+            pc.cast(pc.coalesce(batch.column(sig_col), pa.scalar(0, pa.int64())), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .view(np.uint64)
+        )
+        rep = np.repeat(np.arange(n, dtype=np.int64), bands)
+        band = np.tile(np.arange(bands, dtype=np.int32), n)
+        shifts = band.astype(np.uint64) * np.uint64(band_bits)
+        mask = np.uint64((1 << band_bits) - 1)
+        vals = ((uh[rep] >> shifts) & mask).astype(np.int64)
+        return pa.table(
+            {
+                "nid": ids.take(pa.array(rep)),
+                "band": pa.array(band),
+                "band_val": pa.array(vals),
+                "nsig": pa.array(uh[rep].view(np.int64)),
+            }
+        )
+
+    new_rows = collect_arrow(
+        ds_new.select_columns([id_col, sig_col]).map_batches(
+            band_rows, batch_format="pyarrow"
+        )
+    )
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.string()),
+            "id_b": pa.array([], pa.string()),
+            "hamming": pa.array([], pa.int32()),
+        }
+    )
+    if new_rows.num_rows == 0:
+        return empty
+    touched = sorted(
+        set(
+            zip(
+                new_rows.column("band").to_pylist(),
+                (new_rows.column("band_val").to_numpy() % p["num_buckets"]).tolist(),
+            )
+        )
+    )
+    all_files = sorted(glob.glob(os.path.join(index_dir, "band=*_bucket=*.parquet")))
+    want = {f"band={b:02d}_bucket={k:02d}.parquet" for b, k in touched}
+    files = [f for f in all_files if os.path.basename(f) in want]
+    if scan_stats is not None:
+        scan_stats["files_read"] = len(files)
+        scan_stats["files_total"] = len(all_files)
+        scan_stats["scan_fraction"] = len(files) / max(1, len(all_files))
+    if not files:
+        return empty
+    cand = rd.read_parquet(files).join(
+        rd.from_arrow(new_rows),
+        "inner",
+        4,
+        on=("band", "band_val"),
+        right_on=("band", "band_val"),
+    )
+
+    def verify_pairs(batch: pa.Table) -> pa.Table:
+        from .similarity import _POP8
+
+        a = batch.column("sig").to_numpy().view(np.uint64)
+        b = batch.column("nsig").to_numpy().view(np.uint64)
+        x = np.ascontiguousarray(a ^ b)
+        d = _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1, dtype=np.int32)
+        ids_a = batch.column("id").to_numpy(zero_copy_only=False)
+        ids_b = batch.column("nid").to_numpy(zero_copy_only=False)
+        keep = (d <= hamming_threshold) & (ids_a != ids_b)
+        return pa.table(
+            {
+                "id_a": pa.array(ids_a[keep].tolist(), pa.string()),
+                "id_b": pa.array(ids_b[keep].tolist(), pa.string()),
+                "hamming": pa.array(d[keep], pa.int32()),
+            }
+        )
+
+    verified = collect_arrow(
+        cand.map_batches(verify_pairs, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("id_a", pa.string()), ("id_b", pa.string()), ("hamming", pa.int32())]
+        ),
+    )
+    key = np.char.add(
+        np.char.add(verified.column("id_a").to_numpy(zero_copy_only=False).astype(str), "|"),
+        verified.column("id_b").to_numpy(zero_copy_only=False).astype(str),
+    )
+    _, first = np.unique(key, return_index=True)
+    out = verified.take(pa.array(np.sort(first)))
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
+    )

@@ -383,3 +383,63 @@ def test_incremental_index_finds_cross_dups_and_prunes(tmp_path):
     # partition pruning: 4 docs × 16 bands = ≤64 of the 128 partitions
     assert ss["files_total"] == 128
     assert ss["scan_fraction"] <= 0.5, ss
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hamming_index_cross_pairs_and_pruning(tmp_path):
+    """build_hamming_index + dedup_against_hamming_index: planted
+    near-signature probes find exactly the ≤threshold history matches,
+    never history×history pairs, and a small wave prunes partitions."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.dedup import (
+        build_hamming_index,
+        dedup_against_hamming_index,
+    )
+
+    rng = np.random.default_rng(17)
+    sigs = rng.integers(0, 2**64, size=300, dtype=np.uint64)
+    hist = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([f"h{i:04d}" for i in range(300)], pa.string()),
+                "phash": pa.array(sigs.view(np.int64), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    idx = str(tmp_path / "hidx")
+    build_hamming_index(hist, "phash", "image_id", idx)
+
+    # probes: exact copy of h0007 (d=0), 3-bit flip of h0123 (d=3),
+    # 6-bit flip of h0200 (d=6 > threshold 4 → excluded)
+    flip3 = sigs[123] ^ np.uint64(0b111)
+    flip6 = sigs[200] ^ np.uint64(0b111111)
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(["n0", "n1", "n2"], pa.string()),
+                "phash": pa.array(
+                    np.array([sigs[7], flip3, flip6], dtype=np.uint64).view(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+    ss = {}
+    out = dedup_against_hamming_index(
+        new, "phash", "image_id", idx, hamming_threshold=4, scan_stats=ss
+    )
+    pairs = {
+        (a, b): d
+        for a, b, d in zip(
+            out.column("id_a").to_pylist(),
+            out.column("id_b").to_pylist(),
+            out.column("hamming").to_pylist(),
+        )
+    }
+    assert pairs.get(("h0007", "n0")) == 0
+    assert pairs.get(("h0123", "n1")) == 3
+    assert all(b.startswith("n") and a.startswith("h") for a, b in pairs)
+    assert all(d <= 4 for d in pairs.values())
+    # 3 probes × 8 bands = ≤24 of the 64 partitions
+    assert ss["scan_fraction"] <= 24 / 64, ss
