@@ -304,6 +304,62 @@ def events_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
 
 
+def events_funnel(sf_dir: str):
+    """Forward-window funnel conversion (the A→B-within-t pattern
+    match): per user, how many 'view' events are followed by a
+    'purchase' by the same user within one hour (inclusive bounds).
+    The sessionize shape — groupby(user).map_groups — with a
+    vectorized two-pointer searchsorted instead of a per-event scan;
+    only (user, ts, type) ride the shuffle."""
+    H_US = 3_600 * 1_000_000
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"], blocks=16)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b.column("event_type"), value_set=pa.array(["view", "purchase"])
+        )
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    def funnel(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id")[0].as_py()
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy()
+        vt = np.sort(ts[et == "view"])
+        if len(vt) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_views": pa.array([], pa.int64()),
+                    "n_converted": pa.array([], pa.int64()),
+                }
+            )
+        pt = np.sort(ts[et == "purchase"])
+        idx = np.searchsorted(pt, vt, side="left")
+        ok = idx < len(pt)
+        ok[ok] = pt[idx[ok]] <= vt[ok] + H_US
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_views": pa.array([len(vt)], pa.int64()),
+                "n_converted": pa.array([int(ok.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(kernel, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(funnel, batch_format="pyarrow")
+    )
+
+
 def events_props_extract(sf_dir: str):
     """Semi-structured column extraction: pull the integer `k` key out of
     the JSON props column with a vectorized Arrow regex kernel (no
@@ -2876,6 +2932,7 @@ QUERIES = {
     "events_above_user_avg": events_above_user_avg,
     "docs_heavy_terms": docs_heavy_terms,
     "docs_dedup_incremental": docs_dedup_incremental,
+    "events_funnel": events_funnel,
     "customer_order_stats": customer_order_stats,
     "lineitem_rollup": lineitem_rollup,
     "events_pivot": events_pivot,
@@ -3427,6 +3484,17 @@ ORACLE_SQL["docs_heavy_terms"] = """
             FROM documents)
       GROUP BY term)
     WHERE rn <= 10
+"""
+
+ORACLE_SQL["events_funnel"] = """
+    SELECT v.user_id, count(*) AS n_views,
+           CAST(sum(CASE WHEN EXISTS (
+             SELECT 1 FROM events p
+             WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM events v WHERE v.event_type = 'view'
+    GROUP BY v.user_id
 """
 
 ORACLE_SQL["events_first_last_touch"] = """
