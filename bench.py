@@ -328,6 +328,8 @@ def run_components(num_cpus: int) -> dict:
         "orders_customer_full_join",
         "events_moving_avg",
         "lineitem_price_quantiles_cont",
+        "docs_heavy_terms",
+        "events_funnel",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)
@@ -336,6 +338,38 @@ def run_components(num_cpus: int) -> dict:
             out = out.materialize()
             out.count()
         timings[name] = time.perf_counter() - t0
+
+    # --- incremental dedup at sf scale with a FRESH index each run
+    # (the /tmp cache the registry query uses would hide the build cost)
+    import shutil
+    import tempfile
+
+    t0 = time.perf_counter()
+    fresh = tempfile.mkdtemp(prefix="bench_mhidx_")
+    try:
+        from crawler_seo_ray.stages.dedup import (
+            build_minhash_index,
+            dedup_against_minhash_index,
+        )
+        import pyarrow.compute as _pc
+        import pyarrow as _pa
+
+        base = Q._pq(SF_DIR, "documents", ["doc_id", "text"], blocks=16)
+
+        def _side(new):
+            def kernel(b):
+                m = _pc.equal(_pc.bit_wise_and(b.column("doc_id"), 3),
+                              _pa.scalar(0, _pa.int64()))
+                t = b.filter(m if new else _pc.invert(m))
+                return _pa.table({"id": t.column("doc_id"), "text": t.column("text")})
+
+            return base.map_batches(kernel, batch_format="pyarrow")
+
+        build_minhash_index(_side(False), "text", "id", fresh)
+        dedup_against_minhash_index(_side(True), fresh, jaccard_threshold=0.5)
+    finally:
+        shutil.rmtree(fresh, ignore_errors=True)
+    timings["docs_dedup_incremental"] = time.perf_counter() - t0
 
     # --- image-axis similarity at bench scale: exact Hamming kNN over
     # the bench-corpus phash column (the registry's corpus_phash_knn
