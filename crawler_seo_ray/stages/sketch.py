@@ -259,12 +259,18 @@ def heavy_hitters(
     # complete, so ties resolve by the same (n desc, item asc) order SQL
     # uses; otherwise require STRICT dominance over every excluded upper
     # bound (a tie with an inexact bound could reorder under tie-break)
+    # AND a full k rows — with fewer than k kept items and nonzero error
+    # mass, unseen items could occupy the missing ranks (found by the
+    # certified-implies-exact property sweep: k=4, capacity=2)
     certified = bool(
         len(top)
         and (upper[top] == lower[top]).all()
         and (
             total_err == 0
-            or lower[top].min() > max(max_rest_upper, total_err)
+            or (
+                len(top) == k
+                and lower[top].min() > max(max_rest_upper, total_err)
+            )
         )
     )
     table = pa.table(

@@ -384,3 +384,53 @@ def test_heavy_hitters_certifies_skew_and_refuses_uniform():
                             b.column("lower").to_pylist(),
                             b.column("upper").to_pylist()):
         assert lo <= bc[item] <= up
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_certified_implies_exact_property():
+    """Property: over random distributions, capacities and k, whenever
+    heavy_hitters certifies, its answer equals the brute-force exact
+    top-k (set, counts AND order); and its bounds always contain the
+    true counts. Hypothesis-style sweep with a fixed seed grid (a Ray
+    Dataset per example keeps the example count modest)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.sketch import heavy_hitters
+
+    n_certified = 0
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        vocab = int(rng.integers(5, 120))
+        n = int(rng.integers(100, 1500))
+        # mixture: zipf-ish skew with random weights
+        w = 1.0 / np.arange(1, vocab + 1) ** rng.uniform(0.3, 2.0)
+        items = rng.choice(
+            [f"i{j:03d}" for j in range(vocab)], size=n, p=w / w.sum()
+        )
+        k = int(rng.integers(1, 6))
+        capacity = int(rng.integers(2, 40))
+        ds = rd.from_arrow(
+            pa.table({"item": pa.array(items.tolist(), pa.string())})
+        ).repartition(int(rng.integers(1, 6)))
+        out = heavy_hitters(ds, "item", k=k, capacity=capacity)
+        brute = Counter(items.tolist())
+        # bounds soundness, unconditionally
+        for item, lo, up in zip(
+            out["bounds"].column("item").to_pylist(),
+            out["bounds"].column("lower").to_pylist(),
+            out["bounds"].column("upper").to_pylist(),
+        ):
+            assert lo <= brute[item] <= up, (seed, item)
+        if out["certified"]:
+            n_certified += 1
+            exact = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            got = list(
+                zip(
+                    out["table"].column("item").to_pylist(),
+                    out["table"].column("n").to_pylist(),
+                )
+            )
+            assert got == exact, (seed, k, capacity)
+    assert n_certified >= 3  # the sweep must actually exercise the claim
