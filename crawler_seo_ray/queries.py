@@ -1072,7 +1072,9 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3, df_broadcast_limit: int = 2_00
         out = out.select(["doc_id", "term", "tf", "df"])
         return out.append_column("rk", pa.array(range(1, out.num_rows + 1), pa.int64()))
 
-    df_ds = df_ds.materialize()
+    from .util import drop_empty_blocks
+
+    df_ds = drop_empty_blocks(df_ds)  # groupby blocks break joins (util docstring)
     if df_ds.count() <= df_broadcast_limit:
         df_tbl = collect_arrow(df_ds)
         df_ref = ray.put(
@@ -1635,7 +1637,9 @@ def events_above_user_avg(sf_dir: str):
             .rename_columns(["user_id", "sum_cents", "n"])
         )
 
-    stats = (
+    from .util import drop_empty_blocks
+
+    stats = drop_empty_blocks(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Sum("sum_cents", alias_name="sum_cents"), Sum("n", alias_name="n"))
@@ -1691,7 +1695,9 @@ def customer_order_stats(sf_dir: str):
             .rename_columns(["o_custkey", "spent_cents", "n"])
         )
 
-    urgent = (
+    from .util import drop_empty_blocks
+
+    urgent = drop_empty_blocks(
         orders.map_batches(urgent_partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(
@@ -2323,7 +2329,9 @@ def orders_customer_full_join(sf_dir: str):
             .rename_columns(["o_custkey", "spent_cents", "n"])
         )
 
-    agg = (
+    from .util import drop_empty_blocks
+
+    agg = drop_empty_blocks(
         orders.map_batches(f_partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(

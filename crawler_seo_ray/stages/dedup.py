@@ -354,6 +354,8 @@ def _attach_texts(pairs: Dataset, ds: Dataset, text_col: str, id_col: str,
     Pair count is LSH-candidate-sized (≪ corpus), so the join's shuffle
     ships only colliding rows plus the narrow pair keys."""
 
+    from ..util import drop_empty_blocks
+
     def _side(side: str) -> Dataset:
         key, val = f"_{side}id", f"text_{side}"
 
@@ -364,6 +366,9 @@ def _attach_texts(pairs: Dataset, ds: Dataset, text_col: str, id_col: str,
             rename, batch_format="pyarrow"
         )
 
+    # pairs is groupby-derived (_distinct_pairs): strip the zero-column
+    # empty-partition blocks that abort Dataset.join (util docstring)
+    pairs = drop_empty_blocks(pairs)
     j = pairs.join(_side("a"), "inner", num_partitions, on=("id_a",), right_on=("_aid",))
     j = j.join(_side("b"), "inner", num_partitions, on=("id_b",), right_on=("_bid",))
     return j
@@ -575,6 +580,8 @@ def connected_components_distributed(
     from ray.data.aggregate import Min as _Min
     from ray.data.aggregate import Sum as _Sum
 
+    from ..util import drop_empty_blocks
+
     tbl = pairs if isinstance(pairs, pa.Table) else collect_arrow(pairs)
     id_type = tbl.schema.field("id_a").type
     if tbl.num_rows == 0:
@@ -621,11 +628,10 @@ def connected_components_distributed(
             lambda b: pa.table({"id": b.column("dst"), "label": b.column("label")}),
             batch_format="pyarrow",
         )
-        labels = (
+        labels = drop_empty_blocks(  # groupby blocks break the next join
             labels.union(msgs)
             .groupby("id")
             .aggregate(_Min("label", alias_name="label"))
-            .materialize()
         )
         cur = labels.aggregate(_Sum("label", alias_name="s"))["s"]
         if prev_sum is not None and cur == prev_sum:

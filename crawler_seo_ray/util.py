@@ -22,3 +22,26 @@ def collect_arrow(ds: Dataset, schema: pa.Schema | None = None) -> pa.Table:
     # last resort: an empty table with whatever schema the dataset reports
     s = ds.schema()
     return pa.schema(zip(s.names, s.types)).empty_table()
+
+
+def drop_empty_blocks(ds: Dataset) -> Dataset:
+    """Ray 2.49 landmine workaround for groupby→join pipelines: hash
+    aggregate / map_groups emit ZERO-COLUMN blocks for empty hash
+    partitions, ``map_batches`` silently skips them (so a schema-fixing
+    map cannot repair them), and a downstream ``Dataset.join`` aborts
+    with "No match or multiple matches for key field reference … " when
+    it meets one. Rebuild the dataset from its non-empty block refs —
+    zero-copy (the refs never leave the object store), distribution
+    preserved. Call this on any groupby-derived Dataset that feeds a
+    join."""
+    import ray.data as rd
+
+    mat = ds.materialize()
+    keep = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                keep.append(ref)
+    if not keep:
+        return mat  # all-empty: nothing to join anyway
+    return rd.from_arrow_refs(keep)

@@ -443,3 +443,87 @@ def test_hamming_index_cross_pairs_and_pruning(tmp_path):
     assert all(d <= 4 for d in pairs.values())
     # 3 probes × 8 bands = ≤24 of the 64 partitions
     assert ss["scan_fraction"] <= 24 / 64, ss
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_minhash_index_equals_brute_property(tmp_path):
+    """Property sweep: for random corpora and splits, index-probe
+    incremental dedup returns exactly the brute cross-corpus Jaccard
+    pairs at the threshold (banding recall is total on these sizes)."""
+    import ray.data as rd
+
+    from crawler_seo_ray.functions.text import shingles
+    from crawler_seo_ray.stages.dedup import (
+        build_minhash_index,
+        dedup_against_minhash_index,
+    )
+
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i:02d}" for i in range(40)]
+        n = 60
+
+        def doc(r):
+            return " ".join(rng.choice(vocab, size=int(r.integers(8, 25))))
+
+        texts = [doc(rng) for _ in range(n)]
+        # plant near-dups across the split boundary
+        texts[4] = texts[33]
+        texts[8] = texts[21] + " extraword"
+        ids = np.arange(n, dtype=np.int64)
+        new_mask = ids % 3 == 0
+        hist = rd.from_arrow(pa.table({
+            "id": pa.array(ids[~new_mask]), "text": pa.array(
+                [texts[i] for i in ids[~new_mask]], pa.string())}))
+        new = rd.from_arrow(pa.table({
+            "id": pa.array(ids[new_mask]), "text": pa.array(
+                [texts[i] for i in ids[new_mask]], pa.string())}))
+        idx = str(tmp_path / f"mh{seed}")
+        build_minhash_index(hist, "text", "id", idx)
+        out = dedup_against_minhash_index(new, idx, jaccard_threshold=0.5)
+        got = set(zip(out.column("id_a").to_pylist(), out.column("id_b").to_pylist()))
+        sets = [shingles(t, 5) for t in texts]
+        brute = set()
+        for a in ids[~new_mask]:
+            for b in ids[new_mask]:
+                u = sets[a] | sets[b]
+                if u and len(sets[a] & sets[b]) / len(u) >= 0.5:
+                    brute.add((int(a), int(b)))
+        assert got == brute, (seed, got ^ brute)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_hamming_index_equals_brute_property(tmp_path):
+    """Property sweep: index-probe Hamming dedup equals the brute cross
+    Hamming join for random signatures at threshold < bands."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.dedup import (
+        build_hamming_index,
+        dedup_against_hamming_index,
+    )
+
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        n = 120
+        sigs = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+        # plant near pairs across the split
+        sigs[3] = sigs[10] ^ np.uint64(0b11)       # 10 hist, 3? depends split
+        sigs[6] = sigs[25]                          # exact dup
+        ids = [f"s{i:04d}" for i in range(n)]
+        new_idx = [i for i in range(n) if i % 3 == 0]
+        hist_idx = [i for i in range(n) if i % 3 != 0]
+        mk = lambda sel: rd.from_arrow(pa.table({
+            "image_id": pa.array([ids[i] for i in sel], pa.string()),
+            "phash": pa.array(sigs[sel].view(np.int64), pa.int64())}))
+        idx_dir = str(tmp_path / f"hh{seed}")
+        build_hamming_index(mk(hist_idx), "phash", "image_id", idx_dir)
+        out = dedup_against_hamming_index(
+            mk(new_idx), "phash", "image_id", idx_dir, hamming_threshold=4)
+        got = set(zip(out.column("id_a").to_pylist(), out.column("id_b").to_pylist()))
+        brute = set()
+        for a in hist_idx:
+            for b in new_idx:
+                if bin(int(sigs[a]) ^ int(sigs[b])).count("1") <= 4:
+                    brute.add((ids[a], ids[b]))
+        assert got == brute, (seed, got ^ brute)

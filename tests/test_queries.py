@@ -185,3 +185,79 @@ def test_report_sheets_with_duplicates(tmp_path):
 
     bd = pd.read_parquet(os.path.join(out, "filtros"))
     assert {"values", "counts"} <= set(bd.columns)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_first_last_touch_timestamp_ties_break_by_event_id():
+    """Planted ties: several events share a user's min/max timestamp —
+    the (ts, event_id) tiebreak must pick the lowest/highest event_id's
+    type, across block boundaries, exactly like the SQL windows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_seo_ray.queries import events_first_last_touch
+    import crawler_seo_ray.queries as Q
+
+    t0 = pd.Timestamp("2026-01-01").value // 1000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([5, 1, 9, 3, 7], pa.int64()),
+            "ts": pa.array([t0, t0, t0 + 10, t0 + 10, t0 + 5], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 1], pa.int64()),
+            "event_type": pa.array(["b", "a", "z", "y", "m"], pa.string()),
+        }
+    )
+    import os, tempfile
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="flt_")
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    orig = Q._pq
+    try:
+        # force many tiny blocks so first/last cross block boundaries
+        Q._pq = lambda sf, t, cols=None, blocks=None: rd.read_parquet(
+            os.path.join(sf, f"{t}.parquet"), columns=cols, override_num_blocks=5
+        )
+        out = events_first_last_touch(d).to_pandas()
+    finally:
+        Q._pq = orig
+    assert out.loc[0, "first_type"] == "a"   # ts tie t0: event_id 1 < 5
+    assert out.loc[0, "last_type"] == "z"    # ts tie t0+10: event_id 9 > 3
+    assert out.loc[0, "n_events"] == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_above_user_avg_excludes_exact_mean():
+    """Boundary: a value exactly equal to its user's mean must be
+    excluded (strict >), verified with values where the float mean
+    would be representable — the integer cross-multiplication makes
+    the comparison exact regardless."""
+    import os, tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_seo_ray.queries import events_above_user_avg
+    import crawler_seo_ray.queries as Q
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "value": pa.array([1.00, 2.00, 3.00, 5.00, 5.00], pa.float64()),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="aua_")
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    orig = Q._pq
+    try:
+        Q._pq = lambda sf, t, cols=None, blocks=None: rd.read_parquet(
+            os.path.join(sf, f"{t}.parquet"), columns=cols, override_num_blocks=3
+        )
+        out = events_above_user_avg(d).to_pandas().sort_values("event_id")
+    finally:
+        Q._pq = orig
+    # user 1: mean 2.00 → only event 3 (value 3.00); event 2 == mean excluded
+    # user 2: both values equal the mean → nothing
+    assert out["event_id"].tolist() == [3]
