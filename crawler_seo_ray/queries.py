@@ -2881,6 +2881,132 @@ def docs_clean(sf_dir: str):
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+def orders_global_rank(sf_dir: str):
+    """GLOBAL ranking window — row_number + cume_dist over ALL orders
+    ordered by (o_totalprice, o_orderkey), i.e. no partition key to
+    shard on. orders_price_window's map_groups shape would funnel the
+    whole table through one worker here; instead stages/window.py
+    range-sorts and stamps per-block offsets — the driver holds one row
+    COUNT per sorted block, never rows."""
+    from .stages.window import global_row_number
+
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"], blocks=8)
+    return global_row_number(
+        ds, ["o_totalprice", "o_orderkey"], out_col="rn", cume_col="cume"
+    )
+
+
+def crawl_pagerank(sf_dir: str):
+    """Link-graph PageRank over the flagship crawl: edges = visited page
+    → discovered link (restricted to visited pages so the graph is
+    closed), then the damped power iteration entirely as join+groupby
+    rounds (stages/graph.py). Rows-only — iterative fixed-point, not
+    ANSI-SQL; pinned against a dense numpy reference in
+    tests/test_joins_quantile_sketch.py."""
+    from .oracle import CrawlSpec
+    from .pipelines.crawl import EngineConfig, run_crawl
+    from .stages.graph import pagerank
+
+    spec = CrawlSpec(
+        n_pages=CORPUS_N, seeds=[datagen.url(1)], max_urls=120, batch_size=25,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+    )
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=_safe_workers()))
+    audit = res.audit
+    urls = audit.column("url").combine_chunks()
+    links = audit.column("links_encontrados").combine_chunks()
+    ln = pc.list_value_length(links).fill_null(0).to_numpy(zero_copy_only=False)
+    src = urls.take(pa.array(np.repeat(np.arange(len(urls)), ln)))
+    dst = pc.list_flatten(links)
+    visited = pc.is_in(dst, value_set=urls)
+    edges = rd.from_arrow(
+        pa.table({"src": src.filter(visited), "dst": dst.filter(visited)})
+    )
+    ranks = pagerank(edges, damping=0.85, iterations=15)
+    return ranks.rename_columns(["url", "rank"])
+
+
+def docs_term_pmi(sf_dir: str, k: int = 100):
+    """Term co-occurrence lift (the monotone core of PMI, sans the
+    ln whose libm rounding differs across engines): distinct (doc,term)
+    pairs → DF filter (df ≥ max(5, N//20)) → SELF-JOIN on doc_id for
+    within-doc pairs → pair-count groupby → lift =
+    (c_ab·N)/(df_a·df_b), top-k. The DF vocabulary that survives the
+    threshold is broadcast (ray.put once — tiny by construction: the
+    threshold caps it at ≤ 20·N/N docs-per-term inverse); the self-join
+    and the pair groupby stay fully distributed. Per-doc distinctness
+    is block-local-exact because one document is one row."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    n_docs = ds.count()
+    min_df = max(5, n_docs // 20)
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.utf8_trim_whitespace(b.column("text"))), r"\s+"
+        )
+        ln = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rep = pa.array(np.repeat(b.column("doc_id").to_numpy(), ln))
+        flat = pa.table({"doc_id": rep, "term": pc.list_flatten(toks)})
+        return flat.group_by(["doc_id", "term"]).aggregate([])  # distinct
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    from .util import collect_arrow, drop_empty_blocks
+
+    df_tbl = collect_arrow(
+        drop_empty_blocks(pairs.groupby("term").aggregate(Count(alias_name="df")))
+    )
+    df_tbl = df_tbl.filter(pc.greater_equal(df_tbl.column("df"), min_df))
+    dfs = dict(
+        zip(df_tbl.column("term").to_pylist(), df_tbl.column("df").to_pylist())
+    )
+    vocab_ref = ray.put(df_tbl.column("term").combine_chunks())
+
+    def in_vocab(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("term"), value_set=ray.get(vocab_ref)))
+
+    tv = pairs.map_batches(in_vocab, batch_format="pyarrow")
+    right = tv.map_batches(
+        lambda b: pa.table({"_d": b.column("doc_id"), "term_b": b.column("term")}),
+        batch_format="pyarrow",
+    )
+    co = tv.join(right, "inner", _join_partitions(), on=("doc_id",), right_on=("_d",)
+    ).map_batches(
+        lambda b: pa.table(
+            {"term_a": b.column("term"), "term_b": b.column("term_b")}
+        ).filter(pc.less(b.column("term"), b.column("term_b"))),
+        batch_format="pyarrow",
+    )
+    c_ab = collect_arrow(
+        drop_empty_blocks(
+            co.groupby(["term_a", "term_b"]).aggregate(Count(alias_name="c_ab"))
+        )
+    )
+    ta = c_ab.column("term_a").to_pylist()
+    tb = c_ab.column("term_b").to_pylist()
+    dfa = np.array([dfs[t] for t in ta], np.float64)
+    dfb = np.array([dfs[t] for t in tb], np.float64)
+    cab = c_ab.column("c_ab").to_numpy(zero_copy_only=False).astype(np.float64)
+    lift = (cab * float(n_docs)) / (dfa * dfb)
+    out = pa.table(
+        {
+            "term_a": c_ab.column("term_a"),
+            "term_b": c_ab.column("term_b"),
+            "c_ab": c_ab.column("c_ab"),
+            "df_a": pa.array(dfa.astype(np.int64)),
+            "df_b": pa.array(dfb.astype(np.int64)),
+            "lift": pa.array(lift, pa.float64()),
+        }
+    )
+    idx = pc.sort_indices(
+        out,
+        sort_keys=[
+            ("lift", "descending"), ("term_a", "ascending"), ("term_b", "ascending"),
+        ],
+    )
+    return out.take(idx.slice(0, k))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2964,6 +3090,9 @@ QUERIES = {
     "docs_dedup_keep_best": docs_dedup_keep_best,
     "lineitem_iqr_outliers": lineitem_iqr_outliers,
     "docs_clean": docs_clean,
+    "orders_global_rank": orders_global_rank,
+    "crawl_pagerank": crawl_pagerank,
+    "docs_term_pmi": docs_term_pmi,
 }
 
 ORACLE_SQL = {
@@ -3978,4 +4107,41 @@ ORACLE_SQL["docs_clean"] = """
            lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean_text,
            length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_chars
     FROM documents
+"""
+
+ORACLE_SQL["orders_global_rank"] = """
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+           CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE)
+             / count(*) OVER () AS cume
+    FROM orders
+"""
+
+# crawl_pagerank: iterative fixed point — not ANSI-SQL (rows-only).
+
+ORACLE_SQL["docs_term_pmi"] = """
+    WITH tok0 AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc_id, term FROM tok0
+    ), n AS (SELECT count(*) AS n FROM documents),
+    voc AS (
+      SELECT term, count(*) AS df FROM toks GROUP BY term
+      HAVING count(*) >= greatest(5, (SELECT n // 20 FROM n))
+    ), tv AS (
+      SELECT toks.doc_id, toks.term FROM toks JOIN voc USING (term)
+    ), pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab
+      FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, c_ab, va.df AS df_a, vb.df AS df_b,
+           (CAST(c_ab AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM n))
+             / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN voc va ON va.term = pairs.term_a
+    JOIN voc vb ON vb.term = pairs.term_b
+    ORDER BY lift DESC, term_a, term_b LIMIT 100
 """

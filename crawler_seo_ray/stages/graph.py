@@ -1,0 +1,143 @@
+"""Distributed PageRank over an edge Dataset.
+
+Same iterative join+groupby shape as
+``dedup.connected_components_distributed`` (the repo's other fixed-point
+graph operator): each round is one hash join (edges ⋈ ranks on src) and
+one groupby-sum (contributions by dst) — both all-to-all exchanges over
+EDGE-sized data, never node adjacency materialized on the driver. The
+driver holds only scalars (N, dangling mass).
+
+Semantics (public, classic damped power iteration):
+rank' = (1−d)/N + d·(Σ in-contributions + dangling/N), where dangling
+is the total rank of nodes with out-degree 0, redistributed uniformly.
+Duplicate edges are kept (legitimate weight); the ITERATION COUNT is
+fixed so the distributed run and the dense-numpy reference used in
+tests execute the same number of rounds. Deterministic up to float
+summation order inside the groupby (tests use an epsilon).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from ..util import collect_arrow, drop_empty_blocks
+
+
+def pagerank(
+    edges: Dataset,
+    damping: float = 0.85,
+    iterations: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Rank every node appearing in ``edges`` (either endpoint).
+
+    Returns a pa.Table(id, rank) sorted by rank desc — node-count-sized,
+    which IS the operator's output (consumed as a top-k or a broadcast
+    priority side downstream). All per-round state stays in the object
+    store as edge-/node-sized Datasets."""
+    edges = edges.map_batches(
+        lambda b: pa.table({"src": b.column(src_col), "dst": b.column(dst_col)}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # node universe = src nodes (with out-degree) ∪ dst-only nodes (deg 0)
+    deg = drop_empty_blocks(
+        edges.groupby("src").aggregate(Count(alias_name="deg"))
+    )
+    dsts = drop_empty_blocks(
+        edges.groupby("dst").aggregate(Count(alias_name="_n"))
+    ).map_batches(
+        lambda b: pa.table({"src": b.column("dst")}), batch_format="pyarrow"
+    )
+    dst_only = drop_empty_blocks(
+        dsts.join(deg, "left_anti", num_partitions, on=("src",))
+    ).map_batches(
+        lambda b: pa.table(
+            {"id": b.column("src"),
+             "deg": pa.array([0] * b.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = deg.map_batches(
+        lambda b: pa.table({"id": b.column("src"), "deg": b.column("deg")}),
+        batch_format="pyarrow",
+    ).union(dst_only).materialize()
+
+    n = nodes.count()
+    if n == 0:
+        return pa.table(
+            {"id": pa.array([], pa.string()), "rank": pa.array([], pa.float64())}
+        )
+
+    init = 1.0 / n
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array([init] * b.num_rows, pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def dang_partial(b: pa.Table) -> pa.Table:
+        m = pc.sum(
+            pc.if_else(
+                pc.equal(b.column("deg"), 0),
+                b.column("rank"),
+                pa.scalar(0.0, pa.float64()),
+            )
+        ).as_py()
+        return pa.table({"m": pa.array([m or 0.0], pa.float64())})
+
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        # dangling mass: per-block partials → one tiny driver scalar
+        dang = (
+            ranks.map_batches(dang_partial, batch_format="pyarrow")
+            .aggregate(Sum("m", alias_name="m"))["m"]
+            or 0.0
+        )
+
+        contrib = edges.join(
+            ranks, "inner", num_partitions, on=("src",), right_on=("id",)
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "dst": b.column("dst"),
+                    "c": pc.divide(
+                        b.column("rank"), pc.cast(b.column("deg"), pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        summed = drop_empty_blocks(
+            contrib.groupby("dst").aggregate(Sum("c", alias_name="c"))
+        )
+        add = base + damping * (dang / n)
+        ranks = nodes.join(
+            summed, "left_outer", num_partitions, on=("id",), right_on=("dst",)
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b.column("id"),
+                    "deg": b.column("deg"),
+                    "rank": pc.add(
+                        pc.multiply(
+                            pc.coalesce(b.column("c"), pa.scalar(0.0, pa.float64())),
+                            damping,
+                        ),
+                        add,
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    out = collect_arrow(ranks.select_columns(["id", "rank"]))
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("rank", "descending"), ("id", "ascending")])
+    )

@@ -434,3 +434,76 @@ def test_heavy_hitters_certified_implies_exact_property():
             )
             assert got == exact, (seed, k, capacity)
     assert n_certified >= 3  # the sweep must actually exercise the claim
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_matches_dense_power_iteration():
+    """Distributed join+groupby PageRank equals the dense numpy power
+    iteration (same damping, same round count, same dangling rule) on
+    random digraphs with planted dangling nodes and duplicate edges."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.graph import pagerank
+
+    for seed in (7, 11):
+        rng = np.random.default_rng(seed)
+        n, m = 40, 160
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        keep = ~np.isin(src, [0, 1, 2, 3, 4])  # nodes 0-4 become dangling
+        src, dst = src[keep], dst[keep]
+        ids = np.array([f"n{i:03d}" for i in range(n)])
+        edges = rd.from_arrow(
+            pa.table({"src": pa.array(ids[src]), "dst": pa.array(ids[dst])})
+        )
+        out = pagerank(edges, damping=0.85, iterations=15)
+        got = dict(zip(out.column("id").to_pylist(), out.column("rank").to_pylist()))
+
+        univ = sorted(set(ids[src]) | set(ids[dst]))
+        idx = {u: i for i, u in enumerate(univ)}
+        N = len(univ)
+        deg = np.zeros(N)
+        for s in ids[src]:
+            deg[idx[s]] += 1
+        r = np.full(N, 1.0 / N)
+        for _ in range(15):
+            dang = r[deg == 0].sum()
+            nxt = np.zeros(N)
+            for s, d in zip(ids[src], ids[dst]):
+                nxt[idx[d]] += r[idx[s]] / deg[idx[s]]
+            r = 0.15 / N + 0.85 * (nxt + dang / N)
+        assert set(got) == set(univ)
+        err = max(abs(got[u] - r[idx[u]]) for u in univ)
+        assert err < 1e-12, (seed, err)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        # output is sorted by rank desc, id asc
+        ranks = out.column("rank").to_pylist()
+        assert ranks == sorted(ranks, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_row_number_exact_across_blocks():
+    """Range-sorted block stamping assigns exactly the lexsort ranks
+    regardless of input block layout; cume_dist = rn/N."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.window import global_row_number
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    vals = rng.integers(0, 50, n)  # heavy ties → tiebreak column matters
+    keys = rng.permutation(n).astype(np.int64)
+    for blocks in (1, 7, 32):
+        ds = rd.from_arrow(
+            pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+        ).repartition(blocks)
+        out = global_row_number(ds, ["v", "k"], out_col="rn", cume_col="cume")
+        df = out.to_pandas().sort_values("k").reset_index(drop=True)
+        expect = np.empty(n, np.int64)
+        expect[np.lexsort((keys, vals))] = np.arange(1, n + 1)
+        by_key = df.set_index("k")
+        got = by_key.loc[keys, "rn"].to_numpy()
+        assert (got == expect).all(), blocks
+        assert np.array_equal(
+            by_key["cume"].to_numpy(), by_key["rn"].to_numpy() / float(n)
+        )

@@ -89,6 +89,9 @@ def test_rows_only_queries_run(registry):
         and df["cluster"].between(0, 7).all(),
         "lineitem_price_quantile_sketch": lambda df: len(df) == 4
         and df["value"].is_monotonic_increasing,
+        "crawl_pagerank": lambda df: len(df) == 120
+        and abs(df["rank"].sum() - 1.0) < 1e-9
+        and df["rank"].is_monotonic_decreasing,
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
