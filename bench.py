@@ -330,6 +330,8 @@ def run_components(num_cpus: int) -> dict:
         "lineitem_price_quantiles_cont",
         "docs_heavy_terms",
         "events_funnel",
+        "orders_global_rank",
+        "docs_term_pmi",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

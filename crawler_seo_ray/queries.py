@@ -2928,33 +2928,49 @@ def crawl_pagerank(sf_dir: str):
 
 def docs_term_pmi(sf_dir: str, k: int = 100):
     """Term co-occurrence lift (the monotone core of PMI, sans the
-    ln whose libm rounding differs across engines): distinct (doc,term)
-    pairs → DF filter (df ≥ max(5, N//20)) → SELF-JOIN on doc_id for
-    within-doc pairs → pair-count groupby → lift =
-    (c_ab·N)/(df_a·df_b), top-k. The DF vocabulary that survives the
-    threshold is broadcast (ray.put once — tiny by construction: the
-    threshold caps it at ≤ 20·N/N docs-per-term inverse); the self-join
-    and the pair groupby stay fully distributed. Per-doc distinctness
-    is block-local-exact because one document is one row."""
+    ln whose libm rounding differs across engines): per-doc distinct
+    terms → DF filter (df ≥ max(5, N//20)) → within-doc pair counts →
+    lift = (c_ab·N)/(df_a·df_b), top-k.
+
+    NO self-join: a document is one row, so its term set is block-local
+    and the map stage emits the triangular pairs directly, pre-counted
+    per block (combiner) — the only exchanges are the term-DF groupby
+    and a pair groupby whose input is capped at blocks × vocab² rows.
+    The surviving vocabulary is broadcast once (ray.put; tiny by
+    construction — the DF threshold caps it at 20·docs/df terms)."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
     n_docs = ds.count()
     min_df = max(5, n_docs // 20)
 
-    def explode(b: pa.Table) -> pa.Table:
+    def doc_terms(b: pa.Table) -> pa.ListArray:
         toks = pc.split_pattern_regex(
             pc.utf8_lower(pc.utf8_trim_whitespace(b.column("text"))), r"\s+"
         )
-        ln = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        rep = pa.array(np.repeat(b.column("doc_id").to_numpy(), ln))
-        flat = pa.table({"doc_id": rep, "term": pc.list_flatten(toks)})
-        return flat.group_by(["doc_id", "term"]).aggregate([])  # distinct
+        return toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
 
-    pairs = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = doc_terms(b)
+        ln = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pa.table(
+            {
+                "doc": pa.array(np.repeat(np.arange(b.num_rows), ln)),
+                "term": pc.list_flatten(toks),
+            }
+        ).group_by(["doc", "term"]).aggregate([])  # per-doc distinct
+        return (
+            flat.group_by("term")
+            .aggregate([("doc", "count")])
+            .rename_columns(["term", "df"])
+        )
 
     from .util import collect_arrow, drop_empty_blocks
 
     df_tbl = collect_arrow(
-        drop_empty_blocks(pairs.groupby("term").aggregate(Count(alias_name="df")))
+        drop_empty_blocks(
+            ds.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+        )
     )
     df_tbl = df_tbl.filter(pc.greater_equal(df_tbl.column("df"), min_df))
     dfs = dict(
@@ -2962,24 +2978,54 @@ def docs_term_pmi(sf_dir: str, k: int = 100):
     )
     vocab_ref = ray.put(df_tbl.column("term").combine_chunks())
 
-    def in_vocab(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b.column("term"), value_set=ray.get(vocab_ref)))
+    def pair_partial(b: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        toks = doc_terms(b)
+        ln = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.is_in(flat, value_set=voc)
+        tbl = pa.table(
+            {
+                "doc": pa.array(np.repeat(np.arange(b.num_rows), ln)).filter(keep),
+                "term": flat.filter(keep),
+            }
+        ).group_by(["doc", "term"]).aggregate([])
+        docs = tbl.column("doc").to_numpy(zero_copy_only=False)
+        terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+        order = np.lexsort((terms, docs))
+        docs, terms = docs[order], terms[order]
+        cut = np.flatnonzero(np.diff(docs)) + 1
+        starts = np.concatenate(([0], cut)) if len(docs) else np.array([], np.int64)
+        ends = np.concatenate((cut, [len(docs)])) if len(docs) else np.array([], np.int64)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            seg = terms[s:e]
+            ia, ib = np.triu_indices(len(seg), k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+        if not out_a:
+            return pa.table(
+                {"term_a": pa.array([], pa.string()),
+                 "term_b": pa.array([], pa.string()),
+                 "c_ab": pa.array([], pa.int64())}
+            )
+        return (
+            pa.table(
+                {
+                    "term_a": pa.array(np.concatenate(out_a), pa.string()),
+                    "term_b": pa.array(np.concatenate(out_b), pa.string()),
+                }
+            )
+            .group_by(["term_a", "term_b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["term_a", "term_b", "c_ab"])
+        )
 
-    tv = pairs.map_batches(in_vocab, batch_format="pyarrow")
-    right = tv.map_batches(
-        lambda b: pa.table({"_d": b.column("doc_id"), "term_b": b.column("term")}),
-        batch_format="pyarrow",
-    )
-    co = tv.join(right, "inner", _join_partitions(), on=("doc_id",), right_on=("_d",)
-    ).map_batches(
-        lambda b: pa.table(
-            {"term_a": b.column("term"), "term_b": b.column("term_b")}
-        ).filter(pc.less(b.column("term"), b.column("term_b"))),
-        batch_format="pyarrow",
-    )
     c_ab = collect_arrow(
         drop_empty_blocks(
-            co.groupby(["term_a", "term_b"]).aggregate(Count(alias_name="c_ab"))
+            ds.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["term_a", "term_b"])
+            .aggregate(Sum("c_ab", alias_name="c_ab"))
         )
     )
     ta = c_ab.column("term_a").to_pylist()
