@@ -274,9 +274,21 @@ def excel_projection(final: Dataset) -> Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _where_processed(ds: Dataset) -> Dataset:
+    """Vectorized `processed == true` filter (null-safe) — every sheet
+    starts here; a row-lambda filter would deserialize each row into a
+    Python dict."""
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.fill_null(b.column("processed"), False)
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def score_ranking(final: Dataset, k: int = 100) -> Dataset:
     """Top-k by score (K1; excel_generator.py:589 nlargest)."""
-    return final.filter(lambda r: r["processed"]).sort(
+    return _where_processed(final).sort(
         "metatags_score", descending=True
     ).limit(k)
 
@@ -302,7 +314,7 @@ def duplicates_report(final: Dataset, text_col: str) -> Dataset:
         return pa.table({text_col: [t], "urls": [urls], "count": [len(urls)]})
 
     return (
-        final.filter(lambda r: bool(r["processed"]))
+        _where_processed(final)
         .select_columns([text_col, "url", "visit_seq"])
         .groupby(text_col)
         .map_groups(per_group, batch_format="pyarrow")
@@ -348,7 +360,7 @@ def summary(final: Dataset) -> dict:
     totals = parts.sum(numeric_only=True).to_dict()
 
     score_stats = (
-        final.filter(lambda r: bool(r["processed"]))
+        _where_processed(final)
         .aggregate(
             Mean("metatags_score", alias_name="avg_score"),
             Min("metatags_score", alias_name="min_score"),
@@ -356,7 +368,7 @@ def summary(final: Dataset) -> dict:
         )
     )
     risk = (
-        final.filter(lambda r: bool(r["processed"]))
+        _where_processed(final)
         .groupby("risk_level")
         .aggregate(Count(alias_name="pages"))
         .to_pandas()
@@ -665,7 +677,7 @@ def heading_sequence_sheet(final: Dataset) -> Dataset:
             }
         )
 
-    return final.filter(lambda r: bool(r["processed"])).map_batches(
+    return _where_processed(final).map_batches(
         project, batch_format="pyarrow"
     )
 
@@ -735,8 +747,16 @@ def write_report(final: Dataset, rejected: pa.Table, out_dir: str) -> dict:
 
     final = final.materialize()
     final.write_parquet(os.path.join(out_dir, "complete"))
-    final.filter(
-        lambda r: bool(r["processed"]) and (r["total_critical"] or 0) > 0
+    final.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.fill_null(b.column("processed"), False),
+                pc.greater(
+                    pc.fill_null(b.column("total_critical"), 0), 0
+                ),
+            )
+        ),
+        batch_format="pyarrow",
     ).write_parquet(os.path.join(out_dir, "criticos"))
     score_ranking(final).write_parquet(os.path.join(out_dir, "score_ranking"))
     duplicates_report(final, "title").write_parquet(os.path.join(out_dir, "title_duplicados"))
