@@ -2881,6 +2881,113 @@ def docs_clean(sf_dir: str):
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+def orders_price_histogram(sf_dir: str, nbins: int = 16):
+    """Fixed-width histogram of order totals: one exact min/max
+    aggregate (int cents), then per-block ``np.bincount`` partials
+    (nbins ints per block — the cheapest possible exchange) summed in a
+    tiny groupby. Bin width = ceil((max−min+1)/nbins) in cents with the
+    SAME double-division ceil in the SQL, so edges are bit-identical."""
+    import math
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    ds = _pq(sf_dir, "orders", ["o_totalprice"], blocks=8).map_batches(
+        lambda b: pa.table({"cents": _cents(b.column("o_totalprice"))}),
+        batch_format="pyarrow",
+    ).materialize()
+    mm = ds.aggregate(_Min("cents", alias_name="mn"), _Max("cents", alias_name="mx"))
+    mn, mx = mm["mn"], mm["mx"]
+    width = int(math.ceil(float(mx - mn + 1) / nbins))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        c = b.column("cents").to_numpy(zero_copy_only=False)
+        counts = np.bincount((c - mn) // width, minlength=nbins)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(nbins, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    from .util import collect_arrow
+
+    t = collect_arrow(
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = t.filter(pc.greater(t.column("n"), 0))  # SQL GROUP BY emits no empty bins
+    bins = t.column("bin").to_numpy(zero_copy_only=False)
+    lo = (mn + bins * width).astype(np.float64) / 100.0
+    hi = (mn + (bins + 1) * width - 1).astype(np.float64) / 100.0
+    out = pa.table(
+        {
+            "bin": t.column("bin"),
+            "lo": pa.array(lo, pa.float64()),
+            "hi": pa.array(hi, pa.float64()),
+            "n": t.column("n"),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("bin", "ascending")]))
+
+
+def lineitem_mad(sf_dir: str):
+    """Median absolute deviation per returnflag — the robust-stats
+    sibling of lineitem_iqr_outliers: two exact interpolated-median
+    passes over the sort-free histogram machinery. Works in DOUBLED
+    cents (v = 2·cents) so the even-n interpolated median is an exact
+    integer, making the deviation column |v − median| integer again;
+    the second median's ±0.5 interpolation is dyadic, so the oracle's
+    identical IEEE expression reproduces both columns bit-for-bit."""
+    from .stages.quantile import grouped_quantile_cont
+
+    ds = _pq(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"], blocks=16
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "v": pc.multiply(_cents(b.column("l_extendedprice")), 2),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    med = grouped_quantile_cont(ds, "l_returnflag", "v", [0.5])
+    m2 = dict(
+        zip(med.column("l_returnflag").to_pylist(), med.column("q50").to_pylist())
+    )
+    m2_ref = ray.put(m2)
+
+    def dev_batch(b: pa.Table) -> pa.Table:
+        mm = ray.get(m2_ref)
+        flags = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.float64)
+        center = np.empty(len(v), np.float64)
+        for k, m in mm.items():
+            center[flags == k] = m
+        dev = np.abs(v - center).astype(np.int64)
+        return pa.table(
+            {"l_returnflag": b.column("l_returnflag"), "dev": pa.array(dev)}
+        )
+
+    mad = grouped_quantile_cont(
+        ds.map_batches(dev_batch, batch_format="pyarrow"), "l_returnflag", "dev", [0.5]
+    )
+    md = dict(
+        zip(mad.column("l_returnflag").to_pylist(), mad.column("q50").to_pylist())
+    )
+    keys = sorted(m2)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(keys, pa.string()),
+            "median_price": pa.array([m2[k] / 200.0 for k in keys], pa.float64()),
+            "mad_price": pa.array([md[k] / 200.0 for k in keys], pa.float64()),
+        }
+    )
+
+
 def orders_global_rank(sf_dir: str):
     """GLOBAL ranking window — row_number + cume_dist over ALL orders
     ordered by (o_totalprice, o_orderkey), i.e. no partition key to
@@ -3139,6 +3246,8 @@ QUERIES = {
     "orders_global_rank": orders_global_rank,
     "crawl_pagerank": crawl_pagerank,
     "docs_term_pmi": docs_term_pmi,
+    "orders_price_histogram": orders_price_histogram,
+    "lineitem_mad": lineitem_mad,
 }
 
 ORACLE_SQL = {
@@ -4191,3 +4300,70 @@ ORACLE_SQL["docs_term_pmi"] = """
     JOIN voc vb ON vb.term = pairs.term_b
     ORDER BY lift DESC, term_a, term_b LIMIT 100
 """
+
+ORACLE_SQL["orders_price_histogram"] = """
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders
+    ), m AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c),
+    w AS (
+      SELECT mn, CAST(ceil(CAST(mx - mn + 1 AS DOUBLE) / 16) AS BIGINT) AS width
+      FROM m
+    )
+    SELECT (cents - mn) // width AS bin,
+           CAST(mn + ((cents - mn) // width) * width AS DOUBLE) / 100.0 AS lo,
+           CAST(mn + (((cents - mn) // width) + 1) * width - 1 AS DOUBLE) / 100.0
+             AS hi,
+           count(*) AS n
+    FROM c, w
+    GROUP BY 1, 2, 3
+    ORDER BY bin
+"""
+
+# MAD: the same rank-bracket construction as the cont-quantile oracle,
+# in DOUBLED cents (see lineitem_mad's docstring for the exactness
+# argument); q = 0.5 so frac = (n-1)*0.5 - floor((n-1)*0.5).
+_MAD_BRACKET = """
+    (max(CASE WHEN rr = CAST(floor((n - 1) * 0.5) AS BIGINT) THEN {v} END)
+     + (max(CASE WHEN rr = least(CAST(floor((n - 1) * 0.5) AS BIGINT) + 1, n - 1)
+                 THEN {v} END)
+        - max(CASE WHEN rr = CAST(floor((n - 1) * 0.5) AS BIGINT) THEN {v} END))
+       * ((n - 1) * 0.5 - floor((n - 1) * 0.5)))
+"""
+
+ORACLE_SQL["lineitem_mad"] = (
+    """
+    WITH c AS (
+      SELECT l_returnflag AS k,
+             2 * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+    ), r AS (
+      SELECT k, v,
+             row_number() OVER (PARTITION BY k ORDER BY v) - 1 AS rr,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM c
+    ), med AS (
+      SELECT k, """
+    + _MAD_BRACKET.format(v="v")
+    + """ AS m2
+      FROM r GROUP BY k, n
+    ), d AS (
+      SELECT c.k, CAST(abs(v - m2) AS BIGINT) AS dev
+      FROM c JOIN med ON med.k = c.k
+    ), rd AS (
+      SELECT k, dev,
+             row_number() OVER (PARTITION BY k ORDER BY dev) - 1 AS rr,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM d
+    ), madt AS (
+      SELECT k, """
+    + _MAD_BRACKET.format(v="dev")
+    + """ AS md
+      FROM rd GROUP BY k, n
+    )
+    SELECT med.k AS l_returnflag,
+           m2 / 200.0 AS median_price,
+           md / 200.0 AS mad_price
+    FROM med JOIN madt ON madt.k = med.k
+    ORDER BY l_returnflag
+"""
+)
