@@ -26,6 +26,37 @@ from ray.data.aggregate import Count, Sum
 from ..util import collect_arrow, drop_empty_blocks
 
 
+def _pagerank_dense(et: pa.Table, damping: float, iterations: int) -> pa.Table:
+    """Driver-side vectorized loop over a collected edge table — the
+    identical recurrence the distributed rounds compute (np.add.at in
+    place of the groupby-sum; summation order differs only within IEEE
+    rounding)."""
+    import numpy as np
+
+    if et.num_rows == 0:
+        return pa.table(
+            {"id": pa.array([], pa.string()), "rank": pa.array([], pa.float64())}
+        )
+    src = np.asarray(et.column("src").to_pylist(), dtype=object)
+    dst = np.asarray(et.column("dst").to_pylist(), dtype=object)
+    univ, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    src_i, dst_i = inv[: len(src)], inv[len(src):]
+    n = len(univ)
+    deg = np.bincount(src_i, minlength=n).astype(np.float64)
+    out_deg = np.where(deg > 0, deg, 1.0)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        dang = r[deg == 0].sum()
+        nxt = np.zeros(n)
+        np.add.at(nxt, dst_i, r[src_i] / out_deg[src_i])
+        r = base + damping * (nxt + dang / n)
+    out = pa.table({"id": pa.array(univ.tolist()), "rank": pa.array(r, pa.float64())})
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("rank", "descending"), ("id", "ascending")])
+    )
+
+
 def pagerank(
     edges: Dataset,
     damping: float = 0.85,
@@ -33,17 +64,28 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: int = 8,
+    driver_edge_limit: int = 1_000_000,
 ) -> pa.Table:
     """Rank every node appearing in ``edges`` (either endpoint).
 
     Returns a pa.Table(id, rank) sorted by rank desc — node-count-sized,
     which IS the operator's output (consumed as a top-k or a broadcast
-    priority side downstream). All per-round state stays in the object
-    store as edge-/node-sized Datasets."""
+    priority side downstream).
+
+    Path selection (the df_broadcast_limit pattern): a graph whose edge
+    list fits the driver (≤ ``driver_edge_limit`` edges) runs the same
+    recurrence as one vectorized numpy loop — each distributed round
+    costs several whole Dataset executions of fixed overhead, which for
+    a subgraph-sized input is pure waste. Past the limit, every
+    per-round state stays in the object store as edge-/node-sized
+    Datasets (tests pin both paths to the same ranks)."""
     edges = edges.map_batches(
         lambda b: pa.table({"src": b.column(src_col), "dst": b.column(dst_col)}),
         batch_format="pyarrow",
     ).materialize()
+
+    if edges.count() <= driver_edge_limit:
+        return _pagerank_dense(collect_arrow(edges), damping, iterations)
 
     # node universe = src nodes (with out-degree) ∪ dst-only nodes (deg 0)
     deg = drop_empty_blocks(

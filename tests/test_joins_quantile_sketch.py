@@ -456,8 +456,14 @@ def test_pagerank_matches_dense_power_iteration():
         edges = rd.from_arrow(
             pa.table({"src": pa.array(ids[src]), "dst": pa.array(ids[dst])})
         )
-        out = pagerank(edges, damping=0.85, iterations=15)
+        # distributed rounds (driver_edge_limit=0 forces them) AND the
+        # dense driver path must both match the reference
+        out = pagerank(edges, damping=0.85, iterations=15, driver_edge_limit=0)
         got = dict(zip(out.column("id").to_pylist(), out.column("rank").to_pylist()))
+        dense = pagerank(edges, damping=0.85, iterations=15)
+        got_dense = dict(
+            zip(dense.column("id").to_pylist(), dense.column("rank").to_pylist())
+        )
 
         univ = sorted(set(ids[src]) | set(ids[dst]))
         idx = {u: i for i, u in enumerate(univ)}
@@ -472,9 +478,11 @@ def test_pagerank_matches_dense_power_iteration():
             for s, d in zip(ids[src], ids[dst]):
                 nxt[idx[d]] += r[idx[s]] / deg[idx[s]]
             r = 0.15 / N + 0.85 * (nxt + dang / N)
-        assert set(got) == set(univ)
+        assert set(got) == set(univ) == set(got_dense)
         err = max(abs(got[u] - r[idx[u]]) for u in univ)
         assert err < 1e-12, (seed, err)
+        err_d = max(abs(got_dense[u] - r[idx[u]]) for u in univ)
+        assert err_d < 1e-12, (seed, err_d)
         assert abs(sum(got.values()) - 1.0) < 1e-9
         # output is sorted by rank desc, id asc
         ranks = out.column("rank").to_pylist()
@@ -507,3 +515,34 @@ def test_global_row_number_exact_across_blocks():
         assert np.array_equal(
             by_key["cume"].to_numpy(), by_key["rn"].to_numpy() / float(n)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_drop_empty_blocks_groupby_join():
+    """The Ray 2.49 landmine: hash aggregates emit zero-column blocks
+    for empty hash partitions, and a downstream Dataset.join aborts on
+    them ("No match ... for key field reference"). drop_empty_blocks
+    strips them at the block-ref level (no rows collected) and the join
+    result is exactly the aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from crawler_seo_ray.util import drop_empty_blocks
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1] * 50 + [2] * 50, pa.int64()),
+                "v": pa.array(range(100), pa.int64()),
+            }
+        )
+    ).repartition(5)
+    agg = drop_empty_blocks(ds.groupby("k").aggregate(Sum("v", alias_name="s")))
+    other = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "w": pa.array([10, 20, 30], pa.int64())})
+    )
+    out = agg.join(other, "inner", 4, on=("k",)).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 2]
+    assert out["s"].tolist() == [sum(range(50)), sum(range(50, 100))]
+    assert out["w"].tolist() == [10, 20]
