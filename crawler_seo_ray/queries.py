@@ -2103,14 +2103,19 @@ def orders_price_window(sf_dir: str):
 
 
 def lineitem_corr(sf_dir: str):
-    """Distributed correlation (numerically stable): per returnflag,
-    corr(l_quantity, l_extendedprice). Each block computes CENTERED
-    per-group moments (mean, M2, co-moment) vectorized; the tiny
-    partial rows (blocks × groups) collect to the driver and merge with
-    Chan's pairwise-merge update in a deterministically sorted order —
-    no raw row ever crosses the wire, and the centered merge avoids the
-    catastrophic cancellation a naive n·Σxy − Σx·Σy suffers at 100 TB
-    row counts."""
+    """Distributed correlation, exactly reproducible: per returnflag,
+    corr(l_quantity, l_extendedprice) from EXACT INTEGER moments.
+    Each block accumulates n, Σx, Σy, Σxy, Σx², Σy² over integer units
+    (quantity, price cents) in overflow-guarded sub-chunks folded into
+    Python ints, shipped as decimal128(38,0) partial rows (blocks ×
+    groups); the driver merges in arbitrary-precision ints. The naive
+    n·Σxy − Σx·Σy cancellation is a FLOAT hazard only — on exact
+    integers the subtraction is exact at any row count — and the final
+    expression (one int→double conversion per term, sqrt, divide) is
+    the identical IEEE op sequence the HUGEINT SQL oracle performs, so
+    the doubles are bit-equal under any block layout. (The previous
+    Chan pairwise merge was numerically stable but its last-ulp result
+    depended on the merge tree — unreproducible against any oracle.)"""
     import math
 
     from .util import collect_arrow
@@ -2121,77 +2126,70 @@ def lineitem_corr(sf_dir: str):
         ["l_returnflag", "l_quantity", "l_extendedprice"],
         blocks=16,
     )
+    dec = pa.decimal128(38, 0)
 
     def partial_moments(b: pa.Table) -> pa.Table:
         flags = b.column("l_returnflag").to_numpy(zero_copy_only=False)
-        x = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
-        y = (
-            b.column("l_extendedprice")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-        )
-        cols: dict[str, list] = {
-            "l_returnflag": [], "n": [], "mx": [], "my": [],
-            "m2x": [], "m2y": [], "cxy": [],
+        x = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = _cents(b.column("l_extendedprice")).to_numpy()
+        out = {
+            "l_returnflag": [], "n": [], "sx": [], "sy": [],
+            "sxy": [], "sxx": [], "syy": [],
         }
+        # int64-safe sub-chunking: the largest per-row term is
+        # y² ≲ 1.2·10¹⁴ cents², so 50k-row partial sums stay < 2⁶³
+        # with >10³ headroom at any block size
+        CH = 50_000
         for f in np.unique(flags):
             sel = flags == f
             xs, ys = x[sel], y[sel]
-            mx, my = xs.mean(), ys.mean()
-            dx, dy = xs - mx, ys - my
-            cols["l_returnflag"].append(str(f))
-            cols["n"].append(int(sel.sum()))
-            cols["mx"].append(mx)
-            cols["my"].append(my)
-            cols["m2x"].append(float(dx @ dx))
-            cols["m2y"].append(float(dy @ dy))
-            cols["cxy"].append(float(dx @ dy))
+            n = len(xs)
+            sx = sy = sxy = sxx = syy = 0
+            for s0 in range(0, n, CH):
+                cx, cy = xs[s0 : s0 + CH], ys[s0 : s0 + CH]
+                sx += int(cx.sum())
+                sy += int(cy.sum())
+                sxy += int((cx * cy).sum())
+                sxx += int((cx * cx).sum())
+                syy += int((cy * cy).sum())
+            out["l_returnflag"].append(str(f))
+            out["n"].append(n)
+            out["sx"].append(sx)
+            out["sy"].append(sy)
+            out["sxy"].append(sxy)
+            out["sxx"].append(sxx)
+            out["syy"].append(syy)
         return pa.table(
             {
-                "l_returnflag": pa.array(cols["l_returnflag"], pa.string()),
-                "n": pa.array(cols["n"], pa.int64()),
-                "mx": pa.array(cols["mx"], pa.float64()),
-                "my": pa.array(cols["my"], pa.float64()),
-                "m2x": pa.array(cols["m2x"], pa.float64()),
-                "m2y": pa.array(cols["m2y"], pa.float64()),
-                "cxy": pa.array(cols["cxy"], pa.float64()),
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                **{c: pa.array(out[c], dec) for c in ("sx", "sy", "sxy", "sxx", "syy")},
             }
         )
 
     parts = collect_arrow(
         ds.map_batches(partial_moments, batch_format="pyarrow")
     ).to_pydict()
-    # deterministic merge order regardless of block arrival
-    rows = sorted(
-        zip(*(parts[c] for c in ["l_returnflag", "n", "mx", "my", "m2x", "m2y", "cxy"]))
-    )
-    merged: dict[str, list[float]] = {}
-    for f, n, mx, my, m2x, m2y, cxy in rows:
-        if f not in merged:
-            merged[f] = [n, mx, my, m2x, m2y, cxy]
-            continue
-        N, Mx, My, M2x, M2y, Cxy = merged[f]
-        tot = N + n
-        dx, dy = mx - Mx, my - My
-        merged[f] = [
-            tot,
-            Mx + dx * n / tot,
-            My + dy * n / tot,
-            M2x + m2x + dx * dx * N * n / tot,
-            M2y + m2y + dy * dy * N * n / tot,
-            Cxy + cxy + dx * dy * N * n / tot,
-        ]
+    merged: dict[str, list[int]] = {}
+    for i, f in enumerate(parts["l_returnflag"]):
+        m = merged.setdefault(f, [0, 0, 0, 0, 0, 0])
+        m[0] += int(parts["n"][i])
+        for j, c in enumerate(("sx", "sy", "sxy", "sxx", "syy"), start=1):
+            m[j] += int(parts[c][i])
     flags = sorted(merged)
-    corr = [
-        merged[f][5] / math.sqrt(merged[f][3] * merged[f][4])
-        if merged[f][3] > 0 and merged[f][4] > 0
-        else None
-        for f in flags
-    ]
+    corr = []
+    for f in flags:
+        n, sx, sy, sxy, sxx, syy = merged[f]
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        corr.append(
+            float(n * sxy - sx * sy) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+            if dx > 0 and dy > 0
+            else None
+        )
     return pa.table(
         {
             "l_returnflag": pa.array(flags, pa.string()),
-            "n": pa.array([int(merged[f][0]) for f in flags], pa.int64()),
+            "n": pa.array([merged[f][0] for f in flags], pa.int64()),
             "corr_qty_price": pa.array(corr, pa.float64()),
         }
     )
@@ -4041,9 +4039,22 @@ ORACLE_SQL["orders_price_window"] = """
 """
 
 ORACLE_SQL["lineitem_corr"] = """
-    SELECT l_returnflag, count(*) AS n,
-           corr(l_quantity, l_extendedprice) AS corr_qty_price
-    FROM lineitem GROUP BY l_returnflag
+    WITH a AS (
+      SELECT l_returnflag AS k, CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT k, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM a GROUP BY k
+    )
+    SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS corr_qty_price
+    FROM m ORDER BY k
 """
 
 ORACLE_SQL["docs_sample_per_source"] = """
