@@ -1,4 +1,5 @@
-"""Distributed PageRank over an edge Dataset.
+"""Distributed graph analytics over edge Datasets: PageRank and
+triangle counting.
 
 Same iterative join+groupby shape as
 ``dedup.connected_components_distributed`` (the repo's other fixed-point
@@ -183,3 +184,75 @@ def pagerank(
     return out.take(
         pc.sort_indices(out, sort_keys=[("rank", "descending"), ("id", "ascending")])
     )
+
+
+def _triangles_dense(et: pa.Table) -> int:
+    """Driver-side vectorized wedge check over a collected oriented
+    edge table (columns p1 < p2): CSR successor lists, ragged-gather
+    wedge expansion, packed-key membership — no Python loop."""
+    import numpy as np
+
+    if et.num_rows == 0:
+        return 0
+    a = et.column("p1").to_numpy(zero_copy_only=False)
+    b = et.column("p2").to_numpy(zero_copy_only=False)
+    univ, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)].astype(np.int64), inv[len(a):].astype(np.int64)
+    n = len(univ)
+    # CSR of successors by first endpoint
+    order = np.lexsort((bi, ai))
+    ai, bi = ai[order], bi[order]
+    out_deg = np.bincount(ai, minlength=n)
+    start = np.concatenate(([0], np.cumsum(out_deg)))[:-1]
+    # wedges (x→m→y): for every edge (x, m), fan out to succ(m)
+    cnt = out_deg[bi]
+    total = int(cnt.sum())
+    if total == 0:
+        return 0
+    base = np.repeat(start[bi], cnt)
+    offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    wy = bi[base + offs]  # successors are the bi of the CSR-sorted edges
+    wx = np.repeat(ai, cnt)
+    keys = wx * n + wy
+    edge_keys = ai * n + bi
+    return int(np.isin(keys, edge_keys).sum())
+
+
+def triangle_count(
+    edges: Dataset,
+    num_partitions: int = 8,
+    driver_edge_limit: int = 1_000_000,
+) -> int:
+    """Count triangles in an oriented distinct edge Dataset (columns
+    ``p1 < p2``; every triangle then appears as exactly one wedge
+    a→b→c, a<b<c, closed by edge (a, c)).
+
+    Distributed shape: one hash join builds the wedges (edges ⋈ edges
+    on the middle vertex), one composite-key join closes them; only the
+    count leaves the cluster. Degree-skewed graphs want the standard
+    lower-(degree, id) orientation refinement to bound wedge fan-out at
+    O(√m) per vertex. Below ``driver_edge_limit`` the same wedge check
+    runs as one vectorized numpy pass (see _triangles_dense) — the two
+    joins cost whole fixed-overhead Dataset executions, pure waste for
+    a subgraph-sized edge list (the pagerank path-selection pattern)."""
+    edges = edges.materialize()
+    if edges.count() <= driver_edge_limit:
+        return _triangles_dense(collect_arrow(edges))
+
+    mid = edges.map_batches(
+        lambda b: pa.table({"q1": b.column("p1"), "q2": b.column("p2")}),
+        batch_format="pyarrow",
+    )
+    wedges = edges.join(
+        mid, "inner", num_partitions, on=("p2",), right_on=("q1",)
+    ).map_batches(
+        lambda b: pa.table({"a": b.column("p1"), "c": b.column("q2")}),
+        batch_format="pyarrow",
+    )
+    closing = edges.map_batches(
+        lambda b: pa.table({"r1": b.column("p1"), "r2": b.column("p2")}),
+        batch_format="pyarrow",
+    )
+    return wedges.join(
+        closing, "inner", num_partitions, on=("a", "c"), right_on=("r1", "r2")
+    ).count()

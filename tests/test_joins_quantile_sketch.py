@@ -546,3 +546,31 @@ def test_drop_empty_blocks_groupby_join():
     assert out["k"].tolist() == [1, 2]
     assert out["s"].tolist() == [sum(range(50)), sum(range(50, 100))]
     assert out["w"].tolist() == [10, 20]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_paths_agree_with_brute_force():
+    """Distributed wedge-join path (driver_edge_limit=0), dense CSR
+    path, and an O(n·m) brute force must count identically on random
+    oriented graphs."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.graph import _triangles_dense, triangle_count
+
+    for seed in (5, 9):
+        rng = np.random.default_rng(seed)
+        n, m = 60, 500
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        keep = a < b
+        et = pa.table(
+            {"p1": pa.array(a[keep], pa.int64()), "p2": pa.array(b[keep], pa.int64())}
+        ).group_by(["p1", "p2"]).aggregate([])
+        ds = rd.from_arrow(et).repartition(4)
+        dist = triangle_count(ds, num_partitions=4, driver_edge_limit=0)
+        dense = _triangles_dense(et)
+        E = set(zip(et.column("p1").to_pylist(), et.column("p2").to_pylist()))
+        brute = sum(
+            1 for (x, y) in E for z in range(n) if (y, z) in E and (x, z) in E
+        )
+        assert dist == dense == brute, (seed, dist, dense, brute)
