@@ -3036,6 +3036,162 @@ def lineitem_basket_triangles(sf_dir: str):
     return pa.table({"triangles": pa.array([n], pa.int64())})
 
 
+def orders_ntile(sf_dir: str, tiles: int = 8):
+    """Equi-depth NTILE bucketing — the feature-binning primitive ML
+    pipelines use for quantile discretization. Reuses
+    stages/window.global_row_number (range-sort + per-block offset
+    stamping; the driver holds one row COUNT per block, never rows);
+    each block then derives its tile from (rn, N, k) arithmetic
+    locally — SQL NTILE's first (N mod k) tiles get ceil(N/k) rows."""
+    from .stages.window import global_row_number
+
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"], blocks=8)
+    rn = global_row_number(ds, ["o_totalprice", "o_orderkey"], out_col="rn")
+    total = rn.count()  # post-materialize: a metadata sum, no scan
+    big = total % tiles
+    small = total // tiles
+    cut = big * (small + 1)
+
+    def stamp(b: pa.Table) -> pa.Table:
+        r = b.column("rn").to_numpy() - 1  # 0-based global rank
+        if small == 0:  # fewer rows than tiles: one row per tile
+            tile = r + 1
+        else:
+            tile = np.where(r < cut, r // (small + 1), big + (r - cut) // small) + 1
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return rn.map_batches(stamp, batch_format="pyarrow")
+
+
+def _skyline2d(cents: np.ndarray, dates: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D Pareto frontier (maximize ``cents``,
+    minimize ``dates``). A point is dropped only if some other point is
+    ≥ on cents AND ≤ on dates AND strictly better on at least one —
+    exact duplicates are both kept. One lexsort, one grouped reduceat,
+    one prefix-min: no Python loop."""
+    n = len(cents)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((dates, -cents))  # cents desc, date asc
+    c, d = cents[order], dates[order]
+    new_grp = np.concatenate(([True], c[1:] != c[:-1]))
+    starts = np.flatnonzero(new_grp)
+    gmin = np.minimum.reduceat(d, starts)  # min date per equal-cents group
+    # exclusive prefix-min of dates over strictly-greater-cents groups
+    prev = np.concatenate(
+        ([np.iinfo(np.int64).max], np.minimum.accumulate(gmin)[:-1])
+    )
+    gidx = np.cumsum(new_grp) - 1
+    keep_sorted = (d == gmin[gidx]) & (d < prev[gidx])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def orders_pareto(sf_dir: str):
+    """2-D Pareto frontier (skyline) — orders undominated on
+    (max price, earliest date). The skyline operator has an exact
+    combiner: a globally undominated point is undominated inside its
+    block, so skyline(∪ block skylines) = skyline(all). Each block ships
+    only its local frontier (O(log n) points in expectation for
+    independent dimensions) and the driver-side merge reruns the same
+    vectorized kernel on that tiny union — no shuffle at all."""
+    from .util import collect_arrow
+
+    ds = _pq(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"], blocks=8
+    )
+
+    def _dates_us(col) -> np.ndarray:
+        return (
+            pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+
+    def local_sky(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("o_totalprice")).to_numpy()
+        keep = _skyline2d(cents, _dates_us(b.column("o_orderdate")))
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").take(idx),
+                "price_cents": pa.array(cents[keep]),
+                "o_orderdate": b.column("o_orderdate").take(idx),
+            }
+        )
+
+    partials = collect_arrow(ds.map_batches(local_sky, batch_format="pyarrow"))
+    keep = _skyline2d(
+        partials.column("price_cents").to_numpy(zero_copy_only=False),
+        _dates_us(partials.column("o_orderdate")),
+    )
+    out = partials.filter(pa.array(keep))
+    return out.take(pc.sort_indices(out, sort_keys=[("o_orderkey", "ascending")]))
+
+
+def events_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event
+    sequence ordered by (ts, event_id) — the sequence-mining /
+    session-model estimation primitive. ``groupby(user).map_groups``
+    emits (prev, next) pairs PRE-COUNTED per group (combiner), so the
+    exchanges are the narrow user groupby and a |types|²-row pair
+    groupby; counts are int64 end-to-end."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"], blocks=16)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ts = (
+            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(order) < 2:
+            return empty
+        et = g.column("event_type").take(pa.array(order)).combine_chunks()
+        t = pa.table(
+            {
+                "prev_type": et.slice(0, len(order) - 1),
+                "event_type": et.slice(1),
+            }
+        )
+        gb = t.group_by(["prev_type", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "prev_type": gb.column("prev_type"),
+                "event_type": gb.column("event_type"),
+                "n": pc.cast(gb.column("count_all"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = collect_arrow(agg)
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("prev_type", "ascending"), ("event_type", "ascending")],
+        )
+    )
+
+
 def orders_global_rank(sf_dir: str):
     """GLOBAL ranking window — row_number + cume_dist over ALL orders
     ordered by (o_totalprice, o_orderkey), i.e. no partition key to
@@ -3297,6 +3453,9 @@ QUERIES = {
     "orders_price_histogram": orders_price_histogram,
     "lineitem_mad": lineitem_mad,
     "lineitem_basket_triangles": lineitem_basket_triangles,
+    "orders_ntile": orders_ntile,
+    "orders_pareto": orders_pareto,
+    "events_transitions": events_transitions,
 }
 
 ORACLE_SQL = {
@@ -4440,4 +4599,40 @@ ORACLE_SQL["lineitem_basket_triangles"] = """
     FROM e e1
     JOIN e e2 ON e1.p2 = e2.p1
     JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+"""
+
+ORACLE_SQL["orders_ntile"] = """
+    SELECT o_orderkey,
+           NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+    FROM orders
+"""
+
+ORACLE_SQL["orders_pareto"] = """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+             o_orderdate
+      FROM orders
+    )
+    SELECT o_orderkey, price_cents, o_orderdate FROM o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o d
+      WHERE d.price_cents >= o.price_cents
+        AND d.o_orderdate <= o.o_orderdate
+        AND (d.price_cents > o.price_cents OR d.o_orderdate < o.o_orderdate))
+    ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["events_transitions"] = """
+    WITH s AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type, count(*) AS n
+    FROM s
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, event_type
 """

@@ -264,3 +264,84 @@ def test_above_user_avg_excludes_exact_mean():
     # user 1: mean 2.00 → only event 3 (value 3.00); event 2 == mean excluded
     # user 2: both values equal the mean → nothing
     assert out["event_id"].tolist() == [3]
+
+
+def test_skyline2d_matches_brute_force():
+    """Property: the vectorized 2-D skyline kernel equals the O(n²)
+    dominance definition on random data with heavy ties."""
+    import numpy as np
+
+    from crawler_seo_ray.queries import _skyline2d
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n = 200
+        c = rng.integers(0, 20, n).astype(np.int64)  # heavy ties
+        d = rng.integers(0, 20, n).astype(np.int64)
+        keep = _skyline2d(c, d)
+        for i in range(n):
+            dominated = bool(
+                np.any(
+                    (c >= c[i]) & (d <= d[i]) & ((c > c[i]) | (d < d[i]))
+                )
+            )
+            assert keep[i] == (not dominated), (seed, i, c[i], d[i])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ntile_uneven_division_and_transitions():
+    """NTILE semantics on an uneven split (N=10, k=8 → first two tiles
+    get 2 rows) across forced block boundaries; transition counts on a
+    planted per-user sequence with a timestamp tie broken by event_id."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import crawler_seo_ray.queries as Q
+    from crawler_seo_ray.queries import events_transitions, orders_ntile
+
+    d = tempfile.mkdtemp(prefix="ntile_")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(list(range(10)), pa.int64()),
+                "o_totalprice": pa.array([float(9 - i) for i in range(10)]),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    t0 = pd.Timestamp("2026-01-01").value // 1000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 7, 7], pa.int64()),
+                # ids 3,4 share a ts: order must be ...,3,4 by event_id
+                "ts": pa.array(
+                    [t0, t0 + 1, t0 + 2, t0 + 2, t0 + 9], pa.timestamp("us")
+                ),
+                "event_type": pa.array(["a", "b", "c", "d", "a"], pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    orig = Q._pq
+    try:
+        Q._pq = lambda sf, t, cols=None, blocks=None: rd.read_parquet(
+            os.path.join(sf, f"{t}.parquet"), columns=cols, override_num_blocks=4
+        )
+        nt = orders_ntile(d).to_pandas().sort_values("o_orderkey")
+        tr = events_transitions(d).to_pandas()
+    finally:
+        Q._pq = orig
+    # price descends with key, so rank order = key 9..0 reversed:
+    # rank 1 = key 9. N=10, k=8: tiles sizes 2,2,1,1,1,1,1,1.
+    by_key = dict(zip(nt["o_orderkey"], nt["tile"]))
+    assert [by_key[9 - r] for r in range(10)] == [1, 1, 2, 2, 3, 4, 5, 6, 7, 8]
+    got = {
+        (r.prev_type, r.event_type): r.n for r in tr.itertuples()
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1, ("d", "a"): 1}
