@@ -3037,8 +3037,10 @@ def lineitem_basket_triangles(sf_dir: str):
 
 
 def orders_ntile(sf_dir: str, tiles: int = 8):
-    """Equi-depth NTILE bucketing — the feature-binning primitive ML
-    pipelines use for quantile discretization. Reuses
+    """GLOBAL equi-depth NTILE bucketing — the feature-binning
+    primitive for quantile discretization. Unlike orders_price_window's
+    per-partition ntile (map_groups; partition fits one group), this is
+    the unpartitioned window: no key to shard on, so it reuses
     stages/window.global_row_number (range-sort + per-block offset
     stamping; the driver holds one row COUNT per block, never rows);
     each block then derives its tile from (rn, N, k) arithmetic
@@ -3188,6 +3190,87 @@ def events_transitions(sf_dir: str):
         pc.sort_indices(
             t,
             sort_keys=[("prev_type", "ascending"), ("event_type", "ascending")],
+        )
+    )
+
+
+def events_retention(sf_dir: str):
+    """Retention cohort analysis: users are cohorted by the DAY of
+    their first event; each (cohort_day, day_offset) cell counts the
+    DISTINCT cohort users active on that offset day — the standard
+    product-analytics retention matrix, and a temporal self-join shape
+    (per-key min joined back onto the fact stream). Shape: narrow
+    first-touch groupby (map-side Min combine) → hash join back onto
+    events on user_id (both sides are fact-sized at scale: no
+    broadcast) → vectorized integer day arithmetic → exact distinct
+    count via block-local triple dedup, one triple groupby, and a tiny
+    cell-count groupby."""
+    from ray.data.aggregate import Min
+
+    from .util import collect_arrow, drop_empty_blocks
+
+    US_PER_DAY = 86_400_000_000
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": pc.cast(
+                    pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16).map_batches(
+        to_us, batch_format="pyarrow"
+    )
+    first = drop_empty_blocks(
+        ev.groupby("user_id").aggregate(Min("ts_us", alias_name="first_us"))
+    ).map_batches(
+        lambda b: pa.table(
+            {"_uid": b.column("user_id"), "first_us": b.column("first_us")}
+        ),
+        batch_format="pyarrow",
+    )
+    j = ev.join(first, "inner", _join_partitions(), on=("user_id",), right_on=("_uid",))
+
+    def cells(b: pa.Table) -> pa.Table:
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        fu = b.column("first_us").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "cohort_us": pa.array((fu // US_PER_DAY) * US_PER_DAY),
+                "day_offset": pa.array(ts // US_PER_DAY - fu // US_PER_DAY),
+                "user_id": b.column("user_id"),
+            }
+        )
+        # block-local dedup: the exchange ships unique triples only
+        return t.group_by(["cohort_us", "day_offset", "user_id"]).aggregate([])
+
+    triples = (
+        j.map_batches(cells, batch_format="pyarrow")
+        .groupby(["cohort_us", "day_offset", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    agg = (
+        triples.map_batches(
+            lambda b: b.select(["cohort_us", "day_offset"]), batch_format="pyarrow"
+        )
+        .groupby(["cohort_us", "day_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+    t = collect_arrow(agg)
+    out = pa.table(
+        {
+            "cohort_day": pc.cast(t.column("cohort_us"), pa.timestamp("us")),
+            "day_offset": t.column("day_offset"),
+            "n_users": t.column("n_users"),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("cohort_day", "ascending"), ("day_offset", "ascending")],
         )
     )
 
@@ -3456,6 +3539,7 @@ QUERIES = {
     "orders_ntile": orders_ntile,
     "orders_pareto": orders_pareto,
     "events_transitions": events_transitions,
+    "events_retention": events_retention,
 }
 
 ORACLE_SQL = {
@@ -4635,4 +4719,17 @@ ORACLE_SQL["events_transitions"] = """
     WHERE prev_type IS NOT NULL
     GROUP BY prev_type, event_type
     ORDER BY prev_type, event_type
+"""
+
+ORACLE_SQL["events_retention"] = """
+    WITH f AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT date_trunc('day', f.first_ts) AS cohort_day,
+           datediff('day', date_trunc('day', f.first_ts),
+                    date_trunc('day', e.ts)) AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
 """

@@ -345,3 +345,57 @@ def test_ntile_uneven_division_and_transitions():
         (r.prev_type, r.event_type): r.n for r in tr.itertuples()
     }
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1, ("d", "a"): 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_cohort_day_boundary_and_distinct():
+    """A user active twice in one offset day counts once; first events
+    late in a day still cohort to that day's midnight; offsets measure
+    calendar days, not 24h periods."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import crawler_seo_ray.queries as Q
+    from crawler_seo_ray.queries import events_retention
+
+    day = 86_400_000_000
+    d0 = pd.Timestamp("2026-02-01").value // 1000
+    rows = [
+        # user 1: first event 23:00 day0 → cohort day0; next event 01:00
+        # day1 = offset 1 (calendar-day diff, only 2h later)
+        (1, d0 + 23 * 3600 * 1_000_000),
+        (1, d0 + day + 3600 * 1_000_000),
+        # user 2: three events on its first day → one distinct in cell 0
+        (2, d0), (2, d0 + 5), (2, d0 + 9),
+        # user 3: same cohort day as user 2, active at offset 2
+        (3, d0 + 10), (3, d0 + 2 * day),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="ret_")
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    orig = Q._pq
+    try:
+        Q._pq = lambda sf, t, cols=None, blocks=None: rd.read_parquet(
+            os.path.join(sf, f"{t}.parquet"), columns=cols, override_num_blocks=4
+        )
+        out = events_retention(d).to_pandas()
+    finally:
+        Q._pq = orig
+    got = {
+        (r.cohort_day.isoformat(), r.day_offset): r.n_users
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("2026-02-01T00:00:00", 0): 3,  # users 1,2,3 on their first day
+        ("2026-02-01T00:00:00", 1): 1,  # user 1
+        ("2026-02-01T00:00:00", 2): 1,  # user 3
+    }, got
