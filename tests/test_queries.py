@@ -80,6 +80,9 @@ def test_rows_only_queries_run(registry):
     n_docs = len(pd.read_parquet(os.path.join(SF, "documents.parquet"), columns=["doc_id"]))
     expectations = {
         "embeddings_knn_ivf": lambda df: set(df["query_idx"]) <= set(range(5)),
+        "embeddings_knn_pq": lambda df: len(df) == 25
+        and set(df["query_id"]) == set(range(5))
+        and sorted(df[df["query_id"] == 0]["neighbor_rank"]) == [1, 2, 3, 4, 5],
         "crawl_visit_order": lambda df: len(df) == 120 and list(df["visit_seq"]) == list(range(120)),
         "crawl_visit_order_weighted": lambda df: len(df) == 120
         and list(df["visit_seq"]) == list(range(120)),
