@@ -837,6 +837,94 @@ def docs_fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def docs_source_digest(sf_dir: str):
+    """Order-independent per-source content digest — the partition
+    integrity primitive for 100 TB verification: re-run after any
+    repartition/migration and compare digests without sorting anything.
+    Digest = Σ fingerprint64(text) mod 2⁶⁴ per source; commutative, so
+    block order never matters. Exact distributed form: each block sums
+    the 32-bit limbs separately (no int64 overflow below 2³¹ rows per
+    block), one narrow groupby sums the limbs, and the driver composes
+    limbs mod 2⁶⁴ over the handful of sources."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "documents", ["source", "text"], blocks=8)
+
+    def limb_partials(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [fingerprint64(t) for t in batch.column("text").to_pylist()],
+            dtype=np.int64,
+        ).view(np.uint64)
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lo": pa.array((h & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+                "n": pa.array(np.ones(len(h), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["source"])
+            .aggregate([("lo", "sum"), ("hi", "sum"), ("n", "sum")])
+            .rename_columns(["source", "lo", "hi", "n"])
+        )
+
+    agg = (
+        ds.map_batches(limb_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("lo", alias_name="lo"),
+            Sum("hi", alias_name="hi"),
+            Sum("n", alias_name="n_docs"),
+        )
+    )
+    t = collect_arrow(agg)
+    digests = [
+        (lo + (hi << 32)) % (1 << 64)
+        for lo, hi in zip(t.column("lo").to_pylist(), t.column("hi").to_pylist())
+    ]
+    signed = [d - (1 << 64) if d >= (1 << 63) else d for d in digests]
+    return pa.table(
+        {
+            "source": t.column("source"),
+            "digest": pa.array(signed, pa.int64()),
+            "n_docs": t.column("n_docs"),
+        }
+    )
+
+
+def events_debounce(sf_dir: str, min_gap_us: int = 600_000_000):
+    """Windowed deduplication (debounce): keep an event only if it is
+    the first, or ≥ 10 minutes after the previous event of the same
+    (user, event_type) — the duplicate-suppression primitive for noisy
+    event streams. Same distributed shape as lag(): a two-key
+    groupby(user, type).map_groups with one in-group lexsort and a
+    vectorized diff; only narrow columns ride the shuffle."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"], blocks=16)
+
+    def keep_first_gapped(g: pa.Table) -> pa.Table:
+        ts = (
+            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_s = ts[order]
+        keep = np.concatenate(([True], np.diff(ts_s) >= min_gap_us))
+        idx = pa.array(order[keep])
+        return pa.table(
+            {
+                "event_id": g.column("event_id").take(idx),
+                "user_id": g.column("user_id").take(idx),
+                "event_type": g.column("event_type").take(idx),
+            }
+        )
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(
+        keep_first_gapped, batch_format="pyarrow"
+    )
+
+
 def docs_simhash(sf_dir: str):
     """Full signature table — returned as a streaming Dataset (the
     signatures never materialize on the driver; the driver/consumer
@@ -3567,6 +3655,8 @@ QUERIES = {
     "events_transitions": events_transitions,
     "events_retention": events_retention,
     "embeddings_knn_pq": embeddings_knn_pq,
+    "docs_source_digest": docs_source_digest,
+    "events_debounce": events_debounce,
 }
 
 ORACLE_SQL = {
@@ -4759,4 +4849,50 @@ ORACLE_SQL["events_retention"] = """
     FROM events e JOIN f ON e.user_id = f.user_id
     GROUP BY 1, 2
     ORDER BY 1, 2
+"""
+
+# order-independent digest: reuse docs_fingerprint's exact FNV-1a CTE,
+# then sum the unsigned hashes mod 2^64 per source (commutative)
+ORACLE_SQL["docs_source_digest"] = """
+    WITH th AS (
+      SELECT d.source, d.doc_id,
+             list_transform(regexp_extract_all(coalesce(d.text, ''), '\\S+'), tok ->
+               list_reduce(
+                 list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(range(1, length(tok)+1), i -> ascii(tok[i]))),
+                 (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                              * 1099511628211::HUGEINT)
+                             % 18446744073709551616::HUGEINT)) AS hs
+      FROM documents d
+    ), fp AS (
+      SELECT source,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT, hs),
+               (acc, h) -> (xor(acc::HUGEINT, h::HUGEINT)
+                            * 1099511628211::HUGEINT)
+                           % 18446744073709551616::HUGEINT) AS h
+      FROM th
+    ), agg AS (
+      SELECT source,
+             sum(h) % 18446744073709551616::HUGEINT AS d,
+             count(*) AS n_docs
+      FROM fp GROUP BY source
+    )
+    SELECT source,
+           CASE WHEN d >= 9223372036854775808::HUGEINT
+                THEN (d - 18446744073709551616::HUGEINT)::BIGINT
+                ELSE d::BIGINT END AS digest,
+           n_docs
+    FROM agg
+"""
+
+ORACLE_SQL["events_debounce"] = """
+    WITH s AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM s WHERE gap IS NULL OR gap >= 600000000
 """

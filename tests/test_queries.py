@@ -402,3 +402,72 @@ def test_retention_cohort_day_boundary_and_distinct():
         ("2026-02-01T00:00:00", 1): 1,  # user 1
         ("2026-02-01T00:00:00", 2): 1,  # user 3
     }, got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_digest_order_invariance_and_debounce_boundary():
+    """The per-source digest must be identical under any row order /
+    block split (commutative mod-2^64 sum); debounce keeps an event at
+    EXACTLY the threshold gap and drops one 1µs under it."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import crawler_seo_ray.queries as Q
+    from crawler_seo_ray.queries import docs_source_digest, events_debounce
+
+    d = tempfile.mkdtemp(prefix="dig_")
+    texts = [f"doc number {i} content alpha" for i in range(40)]
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["s1" if i % 3 else "s2" for i in range(40)]),
+                "text": pa.array(texts),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    d2 = tempfile.mkdtemp(prefix="dig_")
+    perm = list(reversed(range(40)))
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["s1" if i % 3 else "s2" for i in perm]),
+                "text": pa.array([texts[i] for i in perm]),
+            }
+        ),
+        os.path.join(d2, "documents.parquet"),
+    )
+    t0 = pd.Timestamp("2026-03-01").value // 1000
+    gap = 600_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+                "ts": pa.array(
+                    [t0, t0 + gap, t0 + 2 * gap - 1, t0 + 3 * gap], pa.timestamp("us")
+                ),
+                "event_type": pa.array(["x", "x", "x", "x"]),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    orig = Q._pq
+    try:
+        Q._pq = lambda sf, t, cols=None, blocks=None: rd.read_parquet(
+            os.path.join(sf, f"{t}.parquet"), columns=cols, override_num_blocks=5
+        )
+        a = docs_source_digest(d).to_pandas().sort_values("source").reset_index(drop=True)
+        b = docs_source_digest(d2).to_pandas().sort_values("source").reset_index(drop=True)
+        deb = events_debounce(d).to_pandas()
+    finally:
+        Q._pq = orig
+    assert a.equals(b), (a, b)
+    assert a["n_docs"].tolist() == [26, 14]
+    # event 2: gap exactly 600s → kept; event 3: 1µs short → dropped;
+    # event 4: gap vs PREVIOUS RAW event 3 is gap+1 → kept
+    assert sorted(deb["event_id"]) == [1, 2, 4]
