@@ -40,7 +40,7 @@ import ray.data
 from ray.data import Dataset
 
 from ..functions.text import shingles, simhash64
-from ..util import collect_arrow
+from ..util import atomic_write_parquet, collect_arrow
 
 # 31-bit Mersenne prime: a,b,x < 2^31 keeps a*x+b < 2^63 — exact in
 # uint64, so the (a·x+b) mod p permutation family vectorizes in numpy
@@ -1250,7 +1250,7 @@ def build_minhash_index(
     def write_part(g: pa.Table) -> pa.Table:
         band = g.column("band")[0].as_py()
         bucket = g.column("bucket")[0].as_py()
-        pq.write_table(
+        atomic_write_parquet(
             g.drop_columns(["bucket"]),
             os.path.join(index_dir, f"band={band:02d}_bucket={bucket:02d}.parquet"),
         )
@@ -1469,7 +1469,7 @@ def build_hamming_index(
     def write_part(g: pa.Table) -> pa.Table:
         band = g.column("band")[0].as_py()
         bucket = g.column("bucket")[0].as_py()
-        pq.write_table(
+        atomic_write_parquet(
             g.drop_columns(["bucket"]),
             os.path.join(index_dir, f"band={band:02d}_bucket={bucket:02d}.parquet"),
         )

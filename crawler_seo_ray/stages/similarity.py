@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ..util import collect_arrow
+from ..util import atomic_write_parquet, collect_arrow
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -242,7 +242,7 @@ def build_ivf_index(
 
     def write_cell(g: pa.Table) -> pa.Table:
         cell = g.column("cell")[0].as_py()
-        pq.write_table(g, os.path.join(index_dir, f"cell={cell:05d}.parquet"))
+        atomic_write_parquet(g, os.path.join(index_dir, f"cell={cell:05d}.parquet"))
         return pa.table(
             {"cell": pa.array([cell], pa.int32()), "rows": pa.array([g.num_rows], pa.int64())}
         )

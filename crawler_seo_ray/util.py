@@ -45,3 +45,22 @@ def drop_empty_blocks(ds: Dataset) -> Dataset:
     if not keep:
         return mat  # all-empty: nothing to join anyway
     return rd.from_arrow_refs(keep)
+
+
+def atomic_write_parquet(table: pa.Table, path: str) -> None:
+    """Write-then-rename publish for on-disk index partitions. A Ray
+    task can be retried or re-executed for lineage reconstruction AFTER
+    its first attempt already ran; a plain ``pq.write_table`` then
+    races a concurrent reader with a partially-written file (observed:
+    0-byte IVF cell aborting a probe read). ``os.replace`` is atomic on
+    POSIX, so readers only ever see complete files; the tmp name is
+    unique per attempt so concurrent attempts never clobber each
+    other's in-progress writes."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
