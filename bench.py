@@ -332,6 +332,10 @@ def run_components(num_cpus: int) -> dict:
         "events_funnel",
         "orders_global_rank",
         "docs_term_pmi",
+        "orders_pareto",
+        "events_retention",
+        "events_debounce",
+        "embeddings_knn_pq",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)
