@@ -837,6 +837,70 @@ def docs_fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def docs_repetition(sf_dir: str):
+    """Repetition-based quality stats (the Gopher/C4 pretraining
+    filter): per-doc token histogram (total / distinct / most-frequent
+    count) and bigram histogram (total / most-frequent count), plus an
+    integer-only pass flag: top token ≤ 20 % of tokens and top bigram
+    ≤ 20 % of bigrams, each applied only above a minimum count (5
+    tokens / 20 bigrams — Gopher applies its repetition thresholds to
+    long documents; below the minimum the check is vacuous), all
+    cross-multiplied, no floats. NO shuffle at all: a document is one
+    row, so both histograms are block-local Arrow group_bys and the
+    map stage emits one finished row per doc."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def rep(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.utf8_trim_whitespace(texts)), r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = np.diff(arr.offsets.to_numpy())
+        did_all = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        flat = arr.values
+        tl = pa.table(
+            {"doc_id": pa.array(np.repeat(did_all, lens)), "tok": flat}
+        ).filter(pc.not_equal(flat, ""))
+        tc = tl.group_by(["doc_id", "tok"]).aggregate([([], "count_all")])
+        ts = (
+            tc.group_by(["doc_id"])
+            .aggregate([("count_all", "sum"), ("count_all", "max"), ([], "count_all")])
+            .rename_columns(["doc_id", "n_tokens", "top_token_n", "n_distinct"])
+        )
+        # bigrams over the UNFILTERED token list — the exact
+        # construction the docs_top_ngrams oracle proves parity for
+        ngrams, docidx = _bigram_expand(texts)
+        bt = pa.table({"doc_id": pa.array(did_all[docidx]), "ng": ngrams})
+        bc = bt.group_by(["doc_id", "ng"]).aggregate([([], "count_all")])
+        bs = (
+            bc.group_by(["doc_id"])
+            .aggregate([("count_all", "sum"), ("count_all", "max")])
+            .rename_columns(["doc_id", "n_bigrams", "top_bigram_n"])
+        )
+        j = ts.join(bs, keys="doc_id", join_type="left outer")
+        n_tok = j.column("n_tokens").to_numpy(zero_copy_only=False)
+        top_tok = j.column("top_token_n").to_numpy(zero_copy_only=False)
+        n_bg = j.column("n_bigrams").fill_null(0).to_numpy(zero_copy_only=False)
+        top_bg = j.column("top_bigram_n").fill_null(0).to_numpy(zero_copy_only=False)
+        ok = ((n_tok < 5) | (top_tok * 5 <= n_tok)) & (
+            (n_bg < 20) | (top_bg * 5 <= n_bg)
+        )
+        return pa.table(
+            {
+                "doc_id": j.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct": j.column("n_distinct"),
+                "top_token_n": pa.array(top_tok, pa.int64()),
+                "n_bigrams": pa.array(n_bg, pa.int64()),
+                "top_bigram_n": pa.array(top_bg, pa.int64()),
+                "rep_ok": pa.array(ok),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
 def docs_source_digest(sf_dir: str):
     """Order-independent per-source content digest — the partition
     integrity primitive for 100 TB verification: re-run after any
@@ -3657,6 +3721,7 @@ QUERIES = {
     "embeddings_knn_pq": embeddings_knn_pq,
     "docs_source_digest": docs_source_digest,
     "events_debounce": events_debounce,
+    "docs_repetition": docs_repetition,
 }
 
 ORACLE_SQL = {
@@ -4895,4 +4960,39 @@ ORACLE_SQL["events_debounce"] = """
     )
     SELECT event_id, user_id, event_type
     FROM s WHERE gap IS NULL OR gap >= 600000000
+"""
+
+ORACLE_SQL["docs_repetition"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ), ts AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+             max(c) AS top_token_n
+      FROM tc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS ngram
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    ), bc AS (
+      SELECT doc_id, ngram, count(*) AS c FROM bg GROUP BY doc_id, ngram
+    ), bs AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_bigram_n
+      FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens, t.n_distinct, t.top_token_n,
+           coalesce(b.n_bigrams, 0) AS n_bigrams,
+           coalesce(b.top_bigram_n, 0) AS top_bigram_n,
+           ((t.n_tokens < 5 OR t.top_token_n * 5 <= t.n_tokens)
+            AND (coalesce(b.n_bigrams, 0) < 20
+                 OR coalesce(b.top_bigram_n, 0) * 5 <= coalesce(b.n_bigrams, 0)))
+             AS rep_ok
+    FROM ts t LEFT JOIN bs b USING (doc_id)
 """

@@ -471,3 +471,54 @@ def test_digest_order_invariance_and_debounce_boundary():
     # event 2: gap exactly 600s → kept; event 3: 1µs short → dropped;
     # event 4: gap vs PREVIOUS RAW event 3 is gap+1 → kept
     assert sorted(deb["event_id"]) == [1, 2, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_filter_planted_docs():
+    """Planted repetition: a token-spam doc and a bigram-loop doc fail,
+    an all-distinct doc passes; counts are exact."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import crawler_seo_ray.queries as Q
+    from crawler_seo_ray.queries import docs_repetition
+
+    d = tempfile.mkdtemp(prefix="rep_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "spam spam spam spam other",      # top token 4/5
+                        "a b a b a b",                     # top token 3/6
+                        "one two three four five six",     # clean, short
+                        " ".join(f"w{i}" for i in range(30)),  # clean, long
+                    ]
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    orig = Q._pq
+    try:
+        Q._pq = lambda sf, t, cols=None, blocks=None: rd.read_parquet(
+            os.path.join(sf, f"{t}.parquet"), columns=cols, override_num_blocks=2
+        )
+        out = docs_repetition(d).to_pandas().set_index("doc_id").sort_index()
+    finally:
+        Q._pq = orig
+    assert out.loc[1, ["n_tokens", "n_distinct", "top_token_n"]].tolist() == [5, 2, 4]
+    assert not out.loc[1, "rep_ok"]
+    assert out.loc[2, ["n_bigrams", "top_bigram_n"]].tolist() == [5, 3]
+    assert not out.loc[2, "rep_ok"]  # top token 3 of 6
+    # short clean doc: bigram check vacuous below 20 bigrams
+    assert out.loc[3, "rep_ok"]
+    assert out.loc[3, ["n_tokens", "n_distinct", "top_token_n"]].tolist() == [6, 6, 1]
+    # long clean doc: BOTH checks non-vacuous and passing
+    assert out.loc[4, "rep_ok"]
+    assert out.loc[4, ["n_tokens", "n_bigrams", "top_bigram_n"]].tolist() == [30, 29, 1]
