@@ -901,6 +901,59 @@ def docs_repetition(sf_dir: str):
     return ds.map_batches(rep, batch_format="pyarrow")
 
 
+def docs_pack_sequences(sf_dir: str, budget: int = 256):
+    """Greedy sequence packing (training-batch assembly): documents
+    pack into bins of ≤ ``budget`` tokens by first-fit-decreasing
+    WITHIN each block — packing is inherently sequential, so the
+    distributed form packs per block (blocks' bins are independent and
+    the corpus parallelizes) and names each bin by its smallest doc_id,
+    which is deterministic for a deterministic block layout. A doc
+    longer than the budget gets a singleton bin (truncation is the
+    trainer's call). Rows-only: bin assignment is iterative, not SQL;
+    capacity / partition / near-optimality invariants are test-pinned
+    (FFD uses ≤ 11/9·OPT + 1 bins; the test checks the ceil(Σ/budget)
+    lower bound per block)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern_regex(
+                pc.utf8_lower(pc.utf8_trim_whitespace(batch.column("text"))), r"\s+"
+            )
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(-toks, kind="stable")  # first-fit DECREASING
+        bin_of = np.empty(len(did), dtype=np.int64)
+        bins: list[list] = []  # [remaining, member row indices]
+        for i in order:
+            need = toks[i]
+            for b, rec in enumerate(bins):
+                if rec[0] >= need:
+                    rec[0] -= need
+                    rec[1].append(i)
+                    bin_of[i] = b
+                    break
+            else:
+                bins.append([max(budget - need, 0), [i]])
+                bin_of[i] = len(bins) - 1
+        bin_ids = np.array(
+            [did[rec[1]].min() for rec in bins], dtype=np.int64
+        )
+        bin_tok = np.array([toks[rec[1]].sum() for rec in bins], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "n_tokens": pa.array(toks),
+                "bin_id": pa.array(bin_ids[bin_of]),
+                "bin_tokens": pa.array(bin_tok[bin_of]),
+            }
+        )
+
+    # batch_size=None ⇒ whole-block batches: bins are per-BLOCK, the
+    # documented packing unit
+    return ds.map_batches(pack, batch_format="pyarrow", batch_size=None)
+
+
 def docs_source_digest(sf_dir: str):
     """Order-independent per-source content digest — the partition
     integrity primitive for 100 TB verification: re-run after any
@@ -3722,6 +3775,7 @@ QUERIES = {
     "docs_source_digest": docs_source_digest,
     "events_debounce": events_debounce,
     "docs_repetition": docs_repetition,
+    "docs_pack_sequences": docs_pack_sequences,
 }
 
 ORACLE_SQL = {

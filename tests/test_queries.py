@@ -95,6 +95,12 @@ def test_rows_only_queries_run(registry):
         "crawl_pagerank": lambda df: len(df) == 120
         and abs(df["rank"].sum() - 1.0) < 1e-9
         and df["rank"].is_monotonic_decreasing,
+        "docs_pack_sequences": lambda df: len(df) == n_docs
+        and df["doc_id"].is_unique
+        and all(
+            g["n_tokens"].sum() <= 256 or len(g) == 1
+            for _, g in df.groupby("bin_id")
+        ),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
@@ -522,3 +528,33 @@ def test_repetition_filter_planted_docs():
     # long clean doc: BOTH checks non-vacuous and passing
     assert out.loc[4, "rep_ok"]
     assert out.loc[4, ["n_tokens", "n_bigrams", "top_bigram_n"]].tolist() == [30, 29, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_invariants():
+    """Packing invariants on the real table: every doc appears exactly
+    once; every multi-doc bin respects the budget (singletons may be
+    oversized docs); per-bin token sums are consistent; the bin count
+    is within FFD's bound of the global lower bound × block count; and
+    the assignment is deterministic across runs."""
+    from crawler_seo_ray.queries import docs_pack_sequences
+
+    budget = 256
+    a = docs_pack_sequences(SF, budget=budget).to_pandas()
+    b = docs_pack_sequences(SF, budget=budget).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id", ignore_index=True),
+        b.sort_values("doc_id", ignore_index=True),
+    )
+    n_docs = len(pd.read_parquet(os.path.join(SF, "documents.parquet"), columns=["doc_id"]))
+    assert len(a) == n_docs and a["doc_id"].is_unique
+    for bin_id, g in a.groupby("bin_id"):
+        assert (g["bin_tokens"] == g["n_tokens"].sum()).all()
+        assert g["n_tokens"].sum() <= budget or len(g) == 1
+        assert bin_id == g["doc_id"].min()
+    # near-optimality: FFD ≤ 11/9·OPT + 1 per block; with 8 blocks the
+    # global bin count must stay within that envelope of the global
+    # lower bound
+    lower = -(-a["n_tokens"].sum() // budget)
+    n_bins = a["bin_id"].nunique()
+    assert n_bins <= (11 * lower) // 9 + 8, (n_bins, lower)
