@@ -757,6 +757,152 @@ def embeddings_knn_pq(sf_dir: str):
     )
 
 
+def revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped FIVE-table join — the canonical multi-join plan:
+    customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region with the
+    same-nation predicate, region filter and a one-year date slice.
+    Distributed plan: the tiny region⋈nation dimension resolves
+    driver-side into a nation-id set + name map (25 rows, broadcast by
+    closure); customer and supplier prune to those nations INSIDE their
+    scans; orders prunes the date slice at its scan; one hash join
+    chains orders⋈customer (both fact-sized at scale), lineitem joins
+    that on orderkey, and a map-side partial sum by (suppkey,
+    c_nationkey) compresses the exchange to ≤ |supp|×|nations| rows
+    before the supplier join; the same-nation filter and a tiny final
+    groupby finish. Exact int64 cents per row, mirrored in SQL."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    nparts = _join_partitions()
+    nat = collect_arrow(_pq(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]))
+    reg = collect_arrow(_pq(sf_dir, "region", ["r_regionkey", "r_name"]))
+    asia = {
+        rk.as_py()
+        for rk, rn in zip(reg.column("r_regionkey"), reg.column("r_name"))
+        if rn.as_py() == "ASIA"
+    }
+    nat_ids = [
+        nk.as_py()
+        for nk, nr in zip(nat.column("n_nationkey"), nat.column("n_regionkey"))
+        if nr.as_py() in asia
+    ]
+    nat_names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    nat_set = pa.array(nat_ids, pa.int64())
+
+    def cust_scan(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("c_nationkey"), value_set=nat_set)
+        t = b.filter(keep)
+        return pa.table(
+            {"_ck": t.column("c_custkey"), "c_nationkey": t.column("c_nationkey")}
+        )
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"], blocks=4).map_batches(
+        cust_scan, batch_format="pyarrow"
+    )
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    def ord_scan(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        t = b.filter(keep)
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "_ck2": t.column("o_custkey")})
+
+    ords = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"], blocks=8).map_batches(
+        ord_scan, batch_format="pyarrow"
+    )
+    j1 = ords.join(cust, "inner", nparts, on=("_ck2",), right_on=("_ck",))
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        t = pa.table(
+            {
+                "_ok": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "rev_cents": _cents(rev),
+            }
+        )
+        # pre-aggregate by the join key pair inside the block
+        return (
+            t.group_by(["_ok", "l_suppkey"])
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["_ok", "l_suppkey", "rev_cents"])
+        )
+
+    li = _pq(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        blocks=16,
+    ).map_batches(li_scan, batch_format="pyarrow")
+    j2 = li.join(j1, "inner", nparts, on=("_ok",), right_on=("o_orderkey",))
+
+    def combine(b: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "l_suppkey": b.column("l_suppkey"),
+                    "c_nationkey": b.column("c_nationkey"),
+                    "rev_cents": b.column("rev_cents"),
+                }
+            )
+            .group_by(["l_suppkey", "c_nationkey"])
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["l_suppkey", "c_nationkey", "rev_cents"])
+        )
+
+    agg = drop_empty_blocks(
+        j2.map_batches(combine, batch_format="pyarrow")
+        .groupby(["l_suppkey", "c_nationkey"])
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    )
+
+    def supp_scan(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("s_nationkey"), value_set=nat_set)
+        t = b.filter(keep)
+        return pa.table(
+            {"_sk": t.column("s_suppkey"), "s_nationkey": t.column("s_nationkey")}
+        )
+
+    # a small-file read split into blocks can leave an EMPTY read block
+    # whose zero-column form aborts Dataset.join (util docstring) —
+    # strip it like any groupby-derived input
+    supp = drop_empty_blocks(
+        _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"], blocks=2).map_batches(
+            supp_scan, batch_format="pyarrow"
+        )
+    )
+    j3 = agg.join(supp, "inner", nparts, on=("l_suppkey",), right_on=("_sk",))
+    final = collect_arrow(
+        drop_empty_blocks(
+            j3.map_batches(
+                lambda b: b.filter(
+                    pc.equal(b.column("c_nationkey"), b.column("s_nationkey"))
+                ).select(["c_nationkey", "rev_cents"]),
+                batch_format="pyarrow",
+            )
+            .groupby("c_nationkey")
+            .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+        )
+    )
+    names = pa.array(
+        [nat_names[k] for k in final.column("c_nationkey").to_pylist()], pa.string()
+    )
+    out = pa.table(
+        {
+            "n_name": names,
+            "rev_cents": final.column("rev_cents"),
+            "revenue": pc.divide(
+                pc.cast(final.column("rev_cents"), pa.float64()), 100.0
+            ),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("n_name", "ascending")]))
+
+
 def docs_ngram_jaccard(sf_dir: str):
     """Exact token-set Jaccard similarity self-join (prefix-filtered
     PPJoin-style; SQL oracle is the brute-force cross join)."""
@@ -3776,6 +3922,7 @@ QUERIES = {
     "events_debounce": events_debounce,
     "docs_repetition": docs_repetition,
     "docs_pack_sequences": docs_pack_sequences,
+    "revenue_by_nation": revenue_by_nation,
 }
 
 ORACLE_SQL = {
@@ -5049,4 +5196,24 @@ ORACLE_SQL["docs_repetition"] = """
                  OR coalesce(b.top_bigram_n, 0) * 5 <= coalesce(b.n_bigrams, 0)))
              AS rep_ok
     FROM ts t LEFT JOIN bs b USING (doc_id)
+"""
+
+ORACLE_SQL["revenue_by_nation"] = """
+    SELECT n.n_name,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                    AS BIGINT))::BIGINT AS rev_cents,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                    AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
 """
