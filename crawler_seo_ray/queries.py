@@ -3576,65 +3576,43 @@ def events_retention(sf_dir: str):
     their first event; each (cohort_day, day_offset) cell counts the
     DISTINCT cohort users active on that offset day — the standard
     product-analytics retention matrix, and a temporal self-join shape
-    (per-key min joined back onto the fact stream). Shape: narrow
-    first-touch groupby (map-side Min combine) → hash join back onto
-    events on user_id (both sides are fact-sized at scale: no
-    broadcast) → vectorized integer day arithmetic → exact distinct
-    count via block-local triple dedup, one triple groupby, and a tiny
-    cell-count groupby."""
-    from ray.data.aggregate import Min
-
-    from .util import collect_arrow, drop_empty_blocks
+    (per-key min related back onto the fact stream). Because BOTH the
+    first-touch min and the per-user distinct-day dedup key on
+    user_id, the whole thing needs exactly ONE fact-sized exchange:
+    groupby(user).map_groups computes the user's first day, its
+    distinct offset days and the cohort in place and emits ≤ |days|
+    pre-counted cell rows per user; a tiny (cohort, offset) groupby
+    sums them. (An earlier min-groupby + join-back + triple-groupby
+    plan did three exchanges and ran 3× slower at sf0.1.)"""
+    from .util import collect_arrow
 
     US_PER_DAY = 86_400_000_000
 
-    def to_us(b: pa.Table) -> pa.Table:
+    ev = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        days = (
+            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // US_PER_DAY
+        )
+        first = days.min()
+        off = np.unique(days - first)  # distinct offsets = distinct days
         return pa.table(
             {
-                "user_id": b.column("user_id"),
-                "ts_us": pc.cast(
-                    pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()
+                "cohort_us": pa.array(
+                    np.full(len(off), first * US_PER_DAY, dtype=np.int64)
                 ),
+                "day_offset": pa.array(off.astype(np.int64)),
+                "n": pa.array(np.ones(len(off), dtype=np.int64)),
             }
         )
 
-    ev = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16).map_batches(
-        to_us, batch_format="pyarrow"
-    )
-    first = drop_empty_blocks(
-        ev.groupby("user_id").aggregate(Min("ts_us", alias_name="first_us"))
-    ).map_batches(
-        lambda b: pa.table(
-            {"_uid": b.column("user_id"), "first_us": b.column("first_us")}
-        ),
-        batch_format="pyarrow",
-    )
-    j = ev.join(first, "inner", _join_partitions(), on=("user_id",), right_on=("_uid",))
-
-    def cells(b: pa.Table) -> pa.Table:
-        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
-        fu = b.column("first_us").to_numpy(zero_copy_only=False)
-        t = pa.table(
-            {
-                "cohort_us": pa.array((fu // US_PER_DAY) * US_PER_DAY),
-                "day_offset": pa.array(ts // US_PER_DAY - fu // US_PER_DAY),
-                "user_id": b.column("user_id"),
-            }
-        )
-        # block-local dedup: the exchange ships unique triples only
-        return t.group_by(["cohort_us", "day_offset", "user_id"]).aggregate([])
-
-    triples = (
-        j.map_batches(cells, batch_format="pyarrow")
-        .groupby(["cohort_us", "day_offset", "user_id"])
-        .aggregate(Count(alias_name="_c"))
-    )
     agg = (
-        triples.map_batches(
-            lambda b: b.select(["cohort_us", "day_offset"]), batch_format="pyarrow"
-        )
+        ev.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
         .groupby(["cohort_us", "day_offset"])
-        .aggregate(Count(alias_name="n_users"))
+        .aggregate(Sum("n", alias_name="n_users"))
     )
     t = collect_arrow(agg)
     out = pa.table(
