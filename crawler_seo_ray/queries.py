@@ -2479,6 +2479,64 @@ def orders_price_window(sf_dir: str):
     return ds.groupby("o_orderpriority").map_groups(window, batch_format="pyarrow")
 
 
+def lineitem_zscore(sf_dir: str):
+    """Global z-score standardization (feature scaling): two streaming
+    passes. Pass 1 accumulates EXACT integer moments (n, Σx, Σx² over
+    price cents, int64-safe sub-chunks folded into Python ints — the
+    lineitem_corr machinery); the driver derives mean and sd as doubles
+    from the exact integers with the SAME int→double conversions the
+    HUGEINT SQL performs. Pass 2 stamps z = (x − mean)/sd per row,
+    pure vectorized float ops in the identical IEEE order — so the
+    doubles are bit-equal under any block layout, with no per-row
+    big-int cost."""
+    import math
+
+    from .util import collect_arrow
+
+    ds = _pq(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"],
+        blocks=16,
+    )
+    dec = pa.decimal128(38, 0)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _cents(b.column("l_extendedprice")).to_numpy()
+        s = q = 0
+        CH = 50_000  # y² ≲ 1.2·10¹⁴ ⇒ 50k-row sums stay < 2⁶³
+        for s0 in range(0, len(x), CH):
+            c = x[s0 : s0 + CH]
+            s += int(c.sum())
+            q += int((c * c).sum())
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "s": pa.array([s], dec),
+                "q": pa.array([q], dec),
+            }
+        )
+
+    parts = collect_arrow(ds.map_batches(partial, batch_format="pyarrow")).to_pydict()
+    n = sum(int(v) for v in parts["n"])
+    s = sum(int(v) for v in parts["s"])
+    q = sum(int(v) for v in parts["q"])
+    # identical conversions to the SQL: each exact integer → nearest
+    # double once, then the same float expression
+    mean = float(s) / float(n)
+    sd = math.sqrt(float(q * n - s * s)) / float(n)
+
+    def stamp(b: pa.Table) -> pa.Table:
+        xf = _cents(b.column("l_extendedprice")).to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber"),
+                "z": pa.array((xf - mean) / sd),
+            }
+        )
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
+
+
 def lineitem_corr(sf_dir: str):
     """Distributed correlation, exactly reproducible: per returnflag,
     corr(l_quantity, l_extendedprice) from EXACT INTEGER moments.
@@ -3901,6 +3959,7 @@ QUERIES = {
     "docs_repetition": docs_repetition,
     "docs_pack_sequences": docs_pack_sequences,
     "revenue_by_nation": revenue_by_nation,
+    "lineitem_zscore": lineitem_zscore,
 }
 
 ORACLE_SQL = {
@@ -5194,4 +5253,21 @@ ORACLE_SQL["revenue_by_nation"] = """
       AND o.o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY n.n_name
     ORDER BY n.n_name
+"""
+
+ORACLE_SQL["lineitem_zscore"] = """
+    WITH c AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS x
+      FROM lineitem
+    ), m AS (
+      SELECT sum(x::HUGEINT) AS s,
+             sum(x::HUGEINT * x::HUGEINT) AS q,
+             count(*)::HUGEINT AS n
+      FROM c
+    )
+    SELECT l_orderkey, l_linenumber,
+           (x::DOUBLE - (s::DOUBLE / n::DOUBLE))
+             / (sqrt((q * n - s * s)::DOUBLE) / n::DOUBLE) AS z
+    FROM c, m
 """

@@ -558,3 +558,37 @@ def test_pack_sequences_invariants():
     lower = -(-a["n_tokens"].sum() // budget)
     n_bins = a["bin_id"].nunique()
     assert n_bins <= (11 * lower) // 9 + 8, (n_bins, lower)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zscore_bit_reproducible_across_block_layouts():
+    """The standardized doubles must be BITWISE identical under
+    different block splits (exact integer moments ⇒ identical scalar
+    doubles ⇒ identical per-row float ops), and z must have ~zero mean
+    and unit variance."""
+    import numpy as np
+    import ray.data as rd
+
+    import crawler_seo_ray.queries as Q
+    from crawler_seo_ray.queries import lineitem_zscore
+
+    orig = Q._pq
+    outs = []
+    try:
+        for nb in (3, 16):
+            Q._pq = lambda sf, t, cols=None, blocks=None, _nb=nb: rd.read_parquet(
+                os.path.join(sf, f"{t}.parquet"), columns=cols, override_num_blocks=_nb
+            )
+            outs.append(
+                lineitem_zscore(SF)
+                .to_pandas()
+                # (orderkey, linenumber) is NOT unique in the synthetic
+                # table — include z so the sort is a total order
+                .sort_values(["l_orderkey", "l_linenumber", "z"], ignore_index=True)
+            )
+    finally:
+        Q._pq = orig
+    a, b = outs
+    assert (a["z"].values == b["z"].values).all()  # bitwise, not approx
+    assert abs(a["z"].mean()) < 1e-9
+    assert abs(a["z"].std(ddof=0) - 1.0) < 1e-9
