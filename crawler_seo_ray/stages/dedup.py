@@ -835,7 +835,9 @@ def embedding_cosine_pairs(
 
     def bucket(batch: pa.Table) -> pa.Table:
         P = ray.get(planes_ref)
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        from .similarity import _vec_matrix
+
+        vecs = _vec_matrix(batch.column(vec_col))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         vn = vecs / norms
@@ -853,7 +855,9 @@ def embedding_cosine_pairs(
 
     def in_bucket_pairs(g: pa.Table) -> pa.Table:
         ids = g.column(id_col).to_pylist()
-        vecs = np.array(g.column("vec").to_pylist(), dtype=np.float64)
+        from .similarity import _vec_matrix
+
+        vecs = _vec_matrix(g.column("vec"))
         if len(ids) < 2:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),

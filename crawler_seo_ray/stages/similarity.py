@@ -28,6 +28,34 @@ from ray.data import Dataset
 from ..util import atomic_write_parquet, collect_arrow
 
 
+
+def _vec_matrix(col) -> np.ndarray:
+    """Zero-copy-ish (n, d) float64 matrix from a list<float> /
+    fixed_size_list<float> column: one flat-buffer reshape instead of a
+    per-row to_pylist() — the embedding-decode hot path of every scan
+    stage here. Ragged lists raise (embedding columns are fixed-dim by
+    contract)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.FixedSizeListArray):
+        d = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), d).astype(np.float64, copy=False)
+    offsets = arr.offsets.to_numpy()
+    lens = np.diff(offsets)
+    if len(lens) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    d = int(lens[0])
+    if not (lens == d).all():
+        raise ValueError("ragged embedding column")
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    # offsets need not start at 0 after slicing
+    return (
+        flat[offsets[0] : offsets[0] + len(arr) * d]
+        .reshape(len(arr), d)
+        .astype(np.float64, copy=False)
+    )
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -133,8 +161,8 @@ def knn_brute(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _normalize(_vec_matrix(batch.column(vec_col)))
         sims = vecs @ qm.T  # (batch, nq)
         kk = min(k, len(ids))
         out_q, out_id, out_sim = [], [], []
@@ -229,7 +257,7 @@ def build_ivf_index(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        vecs = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        vecs = _normalize(_vec_matrix(batch.column(vec_col)))
         cells = (vecs @ c.T).argmax(axis=1)
         return pa.table(
             {
@@ -331,9 +359,9 @@ def knn_ivf(
         def local_topk(batch: pa.Table) -> pa.Table:
             qm = ray.get(q_ref)
             pr = ray.get(probe_ref)
-            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-            vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-            cells = np.asarray(batch.column("cell").to_pylist(), dtype=np.int64)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            vecs = _vec_matrix(batch.column(vec_col))
+            cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
             out_q, out_id, out_sim = [], [], []
             for qi in range(qm.shape[0]):
                 m = np.isin(cells, pr[qi])
@@ -437,7 +465,7 @@ def pq_encode(ds: Dataset, vec_col: str, id_col: str, codebooks: np.ndarray) -> 
 
     def enc(batch: pa.Table) -> pa.Table:
         cb = ray.get(cb_ref)
-        vecs = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        vecs = _normalize(_vec_matrix(batch.column(vec_col)))
         codes = np.empty((len(vecs), m), dtype=np.uint8)
         for s in range(m):
             xs = vecs[:, s * dsub : (s + 1) * dsub]
@@ -480,7 +508,7 @@ def knn_pq(
         L = ray.get(lut_ref)
         arr = batch.column("pq_code").combine_chunks()
         cds = arr.values.to_numpy(zero_copy_only=False).reshape(-1, m)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         # (n, m, nq) gather → (n, nq) approx inner products
         sims = L[np.arange(m)[None, :], cds, :].sum(axis=1)
         kk = min(k, len(ids))
@@ -558,16 +586,13 @@ def knn_pq_rerank(
 
     def exact_topk(batch: pa.Table) -> pa.Table:
         qm, cd, un = ray.get(q_ref), ray.get(cand_ref), ray.get(union_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         msk = np.isin(ids, un)
         out_q, out_id, out_sim = [], [], []
         if msk.any():
             ids_m = ids[msk]
             vecs = _normalize(
-                np.array(
-                    batch.column(vec_col).filter(pa.array(msk)).to_pylist(),
-                    dtype=np.float64,
-                )
+                _vec_matrix(batch.column(vec_col).filter(pa.array(msk)))
             )
             sims = vecs @ qm.T
             for qi in range(qm.shape[0]):
