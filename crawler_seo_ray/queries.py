@@ -903,6 +903,68 @@ def revenue_by_nation(sf_dir: str):
     return out.take(pc.sort_indices(out, sort_keys=[("n_name", "ascending")]))
 
 
+def embeddings_label_centroids(sf_dir: str):
+    """Grouped VECTOR aggregate: the mean embedding per label — the
+    k-means M-step / class-prototype primitive, and the one operator
+    class where the aggregated value is a list column. Per-block
+    partials carry (label, Σvec float64[d], n, min vec_id); the driver
+    folds the handful of label partials in (label, min_vec_id) order so
+    the float reduction order — hence the last ulp — is a pure function
+    of the block layout, not of task completion order. Rows-only:
+    float vector sums are not hash-stable against a SQL engine's own
+    reduction order; a numpy reference test pins values to 1e-12."""
+    from .stages.similarity import _vec_matrix
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"], blocks=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = _vec_matrix(b.column("embedding"))
+        labels = b.column("label").to_numpy(zero_copy_only=False)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        out_l, out_n, out_m, out_s = [], [], [], []
+        for lab in np.unique(labels):
+            sel = labels == lab
+            out_l.append(int(lab))
+            out_n.append(int(sel.sum()))
+            out_m.append(int(ids[sel].min()))
+            out_s.append(vecs[sel].sum(axis=0).tolist())
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int32()),
+                "n": pa.array(out_n, pa.int64()),
+                "min_id": pa.array(out_m, pa.int64()),
+                "vsum": pa.array(out_s, pa.list_(pa.float64())),
+            }
+        )
+
+    parts = collect_arrow(ds.map_batches(partial, batch_format="pyarrow"))
+    labs = parts.column("label").to_pylist()
+    ns = parts.column("n").to_pylist()
+    mins = parts.column("min_id").to_pylist()
+    sums = parts.column("vsum").to_pylist()
+    folded: dict[int, list] = {}
+    for _, lab, n, s in sorted(zip(mins, labs, ns, sums)):
+        if lab not in folded:
+            folded[lab] = [0, None]
+        folded[lab][0] += n
+        acc = folded[lab][1]
+        folded[lab][1] = (
+            np.asarray(s) if acc is None else acc + np.asarray(s)
+        )
+    out_lab = sorted(folded)
+    return pa.table(
+        {
+            "label": pa.array(out_lab, pa.int32()),
+            "n": pa.array([folded[k][0] for k in out_lab], pa.int64()),
+            "centroid": pa.array(
+                [(folded[k][1] / folded[k][0]).tolist() for k in out_lab],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+
+
 def docs_ngram_jaccard(sf_dir: str):
     """Exact token-set Jaccard similarity self-join (prefix-filtered
     PPJoin-style; SQL oracle is the brute-force cross join)."""
@@ -3960,6 +4022,7 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "revenue_by_nation": revenue_by_nation,
     "lineitem_zscore": lineitem_zscore,
+    "embeddings_label_centroids": embeddings_label_centroids,
 }
 
 ORACLE_SQL = {

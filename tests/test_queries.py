@@ -101,6 +101,9 @@ def test_rows_only_queries_run(registry):
             g["n_tokens"].sum() <= 256 or len(g) == 1
             for _, g in df.groupby("bin_id")
         ),
+        "embeddings_label_centroids": lambda df: df["label"].is_unique
+        and (df["n"] > 0).all()
+        and all(len(c) == 64 for c in df["centroid"]),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
@@ -592,3 +595,26 @@ def test_zscore_bit_reproducible_across_block_layouts():
     assert (a["z"].values == b["z"].values).all()  # bitwise, not approx
     assert abs(a["z"].mean()) < 1e-9
     assert abs(a["z"].std(ddof=0) - 1.0) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_centroids_match_numpy_and_are_deterministic():
+    """Per-label centroids must match a single-pass numpy reference to
+    1e-12 and be IDENTICAL across two runs (the driver folds partials
+    in (label, min_vec_id) order, so the reduction order is a function
+    of the block layout only)."""
+    import numpy as np
+
+    from crawler_seo_ray.queries import embeddings_label_centroids
+
+    a = embeddings_label_centroids(SF).to_pandas()
+    b = embeddings_label_centroids(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)  # bitwise: same layout → same fold
+    emb = pd.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    vecs = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    for _, row in a.iterrows():
+        sel = emb["label"].values == row["label"]
+        assert row["n"] == int(sel.sum())
+        ref = vecs[sel].mean(axis=0)
+        assert np.allclose(np.array(row["centroid"]), ref, atol=1e-12), row["label"]
+    assert sorted(a["label"]) == sorted(emb["label"].unique())
