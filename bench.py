@@ -336,6 +336,8 @@ def run_components(num_cpus: int) -> dict:
         "events_retention",
         "events_debounce",
         "embeddings_knn_pq",
+        "revenue_by_nation",
+        "lineitem_zscore",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)
