@@ -1349,6 +1349,39 @@ def events_asof_order(sf_dir: str):
     )
 
 
+def _asof_order(sf_dir: str, direction: str):
+    from .stages.joins import asof_join
+
+    events = _pq(sf_dir, "events", ["event_id", "user_id", "ts"], blocks=8)
+    orders = _pq(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"], blocks=8
+    ).map_batches(
+        lambda b: b.rename_columns(["user_id", "o_orderkey", "o_orderdate", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    return asof_join(
+        events, orders,
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"], right_cols=["o_orderkey", "o_totalprice"],
+        direction=direction,
+    )
+
+
+def events_asof_order_forward(sf_dir: str):
+    """Forward as-of join: each event picks the user's NEXT order at or
+    after event time (earliest right_ts ≥ left_ts, min tie-break) —
+    completes the merge_asof direction family with events_asof_order
+    (backward) and events_asof_order_nearest."""
+    return _asof_order(sf_dir, "forward")
+
+
+def events_asof_order_nearest(sf_dir: str):
+    """Nearest as-of join: each event picks the user's temporally
+    CLOSEST order, earlier order winning equidistant ties — the third
+    merge_asof direction."""
+    return _asof_order(sf_dir, "nearest")
+
+
 PRICE_BAND_EDGES = [0.0, 50_000.0, 100_000.0, 200_000.0, 300_000.0, 1_000_000.0]
 PRICE_BAND_LABELS = ["b1_lt50k", "b2_50_100k", "b3_100_200k", "b4_200_300k", "b5_ge300k"]
 
@@ -4023,6 +4056,8 @@ QUERIES = {
     "revenue_by_nation": revenue_by_nation,
     "lineitem_zscore": lineitem_zscore,
     "embeddings_label_centroids": embeddings_label_centroids,
+    "events_asof_order_forward": events_asof_order_forward,
+    "events_asof_order_nearest": events_asof_order_nearest,
 }
 
 ORACLE_SQL = {
@@ -5333,4 +5368,23 @@ ORACLE_SQL["lineitem_zscore"] = """
            (x::DOUBLE - (s::DOUBLE / n::DOUBLE))
              / (sqrt((q * n - s * s)::DOUBLE) / n::DOUBLE) AS z
     FROM c, m
+"""
+
+ORACLE_SQL["events_asof_order_forward"] = """
+    SELECT e.user_id, e.ts, e.event_id, o.o_orderkey, o.o_totalprice
+    FROM events e LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1
+    ) o ON TRUE
+"""
+
+ORACLE_SQL["events_asof_order_nearest"] = """
+    SELECT e.user_id, e.ts, e.event_id, o.o_orderkey, o.o_totalprice
+    FROM events e LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = e.user_id
+      ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) ASC,
+               o_orderdate ASC, o_orderkey ASC LIMIT 1
+    ) o ON TRUE
 """

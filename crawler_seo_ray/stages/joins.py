@@ -1,6 +1,6 @@
 """Temporal / range join operators Ray Data lacks natively.
 
-``asof_join`` — backward as-of join (each left row picks the latest
+``asof_join`` — backward/forward/nearest as-of join (each left row picks the latest
 right row with right_ts <= left_ts for the same key), expressed as the
 union-tag + co-partition pattern: both sides are projected to one
 aligned narrow schema, unioned, hash-partitioned ONCE by key through
@@ -35,16 +35,26 @@ def asof_join(
     right_ts: str,
     left_cols: list[str],
     right_cols: list[str],
+    direction: str = "backward",
 ) -> Dataset:
-    """Backward as-of LEFT join. Every left row is kept; ``right_cols``
-    are taken from the latest right row with ``right_ts <= left_ts`` for
-    the same ``key`` (null when no such row). Ties on ``right_ts`` break
-    to the row greatest under (right_ts, *right_cols) ascending sort —
-    deterministic, mirrored in the paired LATERAL oracle.
+    """As-of LEFT join (pandas merge_asof parity). Every left row is
+    kept; ``right_cols`` come from the matched right row (null when no
+    match):
+
+    - ``backward``: latest right row with ``right_ts <= left_ts``; ties
+      on right_ts break to the GREATEST (right_ts, *right_cols) row.
+    - ``forward``: earliest right row with ``right_ts >= left_ts``; ties
+      break to the SMALLEST (right_ts, *right_cols) row.
+    - ``nearest``: the candidate with the smaller |right_ts − left_ts|
+      (the earlier/backward one when equidistant), tie within a ts run
+      to the SMALLEST *right_cols — exactly the LATERAL oracle's
+      ``ORDER BY abs(Δ), right_ts, *cols``.
 
     Timestamps are compared as int64 microseconds; ``left_ts`` is
     emitted back as timestamp[us] so value hashes are stable.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(direction)
     l_schema_cols = [key, left_ts, *left_cols]
     r_schema_cols = [key, right_ts, *right_cols]
 
@@ -108,8 +118,28 @@ def asof_join(
             pc.sort_indices(rt, sort_keys=[("__ts", "ascending")] + [(c, "ascending") for c in right_cols])
         )
         rts = rt.column("__ts").to_numpy()
-        idx = np.searchsorted(rts, lt.column("__ts").to_numpy(), side="right") - 1
-        matched = idx >= 0
+        lts = lt.column("__ts").to_numpy()
+        if direction == "backward":
+            idx = np.searchsorted(rts, lts, side="right") - 1
+            matched = idx >= 0
+        elif direction == "forward":
+            idx = np.searchsorted(rts, lts, side="left")
+            matched = idx < len(rts)
+            idx = np.minimum(idx, len(rts) - 1)
+        else:  # nearest
+            bidx = np.searchsorted(rts, lts, side="right") - 1
+            fidx = np.searchsorted(rts, lts, side="left")
+            bok = bidx >= 0
+            fok = fidx < len(rts)
+            big = np.iinfo(np.int64).max
+            bdt = np.where(bok, lts - rts[np.maximum(bidx, 0)], big)
+            fdt = np.where(fok, rts[np.minimum(fidx, len(rts) - 1)] - lts, big)
+            use_b = bok & (~fok | (bdt <= fdt))
+            # re-tiebreak the backward candidate to the FIRST row of its
+            # ts run: nearest uses min-(*right_cols) on BOTH sides
+            bfirst = np.searchsorted(rts, rts[np.maximum(bidx, 0)], side="left")
+            idx = np.where(use_b, bfirst, np.minimum(fidx, len(rts) - 1))
+            matched = bok | fok
         take_idx = pa.array(
             np.where(matched, idx, 0), pa.int64(), mask=~matched
         )  # null index -> null value

@@ -574,3 +574,70 @@ def test_triangle_count_paths_agree_with_brute_force():
             1 for (x, y) in E for z in range(n) if (y, z) in E and (x, z) in E
         )
         assert dist == dense == brute, (seed, dist, dense, brute)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_forward_and_nearest_property():
+    """forward matches pandas merge_asof(direction='forward') (first of
+    a tie run = min rid, same as the pre-sorted right side); nearest is
+    checked against a brute-force of its documented rule ORDER BY
+    (|Δts|, rt, rid) — heavy key/ts collisions included."""
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.joins import asof_join
+    from crawler_seo_ray.util import collect_arrow
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        nl, nr = 120, 80
+        lk = rng.randint(0, 6, nl)
+        lt = rng.randint(0, 50, nl)
+        rk = rng.randint(0, 8, nr)
+        rt = rng.randint(0, 50, nr)
+        ts = pa.timestamp("us")
+        left = pa.table(
+            {"k": pa.array(lk, pa.int64()), "t": pa.array(lt, ts),
+             "lid": pa.array(np.arange(nl), pa.int64())}
+        )
+        right = pa.table(
+            {"k": pa.array(rk, pa.int64()), "rt": pa.array(rt, ts),
+             "rid": pa.array(np.arange(nr), pa.int64())}
+        )
+
+        def run(direction):
+            out = collect_arrow(
+                asof_join(
+                    rd.from_arrow(left).repartition(4),
+                    rd.from_arrow(right).repartition(3),
+                    key="k", left_ts="t", right_ts="rt",
+                    left_cols=["lid"], right_cols=["rid"], direction=direction,
+                )
+            ).to_pandas()
+            return dict(
+                zip(out["lid"], [None if pd.isna(v) else int(v) for v in out["rid"]])
+            )
+
+        # forward vs pandas
+        ldf = left.to_pandas().sort_values("t", kind="mergesort", ignore_index=True)
+        rdf = right.to_pandas().sort_values(
+            ["rt", "rid"], kind="mergesort", ignore_index=True
+        )
+        want = pd.merge_asof(
+            ldf, rdf, left_on="t", right_on="rt", by="k", direction="forward"
+        )
+        want_map = dict(
+            zip(want["lid"], [None if pd.isna(v) else int(v) for v in want["rid"]])
+        )
+        assert run("forward") == want_map, ("forward", trial)
+
+        # nearest vs brute force of the documented rule
+        brute = {}
+        for i in range(nl):
+            cand = [
+                (abs(int(rt[j]) - int(lt[i])), int(rt[j]), j)
+                for j in range(nr)
+                if rk[j] == lk[i]
+            ]
+            brute[i] = min(cand)[2] if cand else None
+        assert run("nearest") == brute, ("nearest", trial)
