@@ -2725,6 +2725,82 @@ def lineitem_corr(sf_dir: str):
     )
 
 
+def lineitem_regression(sf_dir: str):
+    """Grouped OLS fit (price-on-quantity slope + intercept per
+    returnflag) from the SAME exact-integer-moment machinery as
+    lineitem_corr: block partials in decimal128, arbitrary-precision
+    driver merge, and a final expression whose int→double conversions
+    and float op order are written identically in the HUGEINT oracle —
+    bit-equal doubles under any block layout."""
+    from .util import collect_arrow
+
+    ds = _pq(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"],
+        blocks=16,
+    )
+    dec = pa.decimal128(38, 0)
+
+    def partial(b: pa.Table) -> pa.Table:
+        flags = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        x = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = _cents(b.column("l_extendedprice")).to_numpy()
+        out = {"l_returnflag": [], "n": [], "sx": [], "sy": [], "sxy": [], "sxx": []}
+        CH = 50_000
+        for f in np.unique(flags):
+            sel = flags == f
+            xs, ys = x[sel], y[sel]
+            sx = sy = sxy = sxx = 0
+            for s0 in range(0, len(xs), CH):
+                cx, cy = xs[s0 : s0 + CH], ys[s0 : s0 + CH]
+                sx += int(cx.sum())
+                sy += int(cy.sum())
+                sxy += int((cx * cy).sum())
+                sxx += int((cx * cx).sum())
+            out["l_returnflag"].append(str(f))
+            out["n"].append(len(xs))
+            out["sx"].append(sx)
+            out["sy"].append(sy)
+            out["sxy"].append(sxy)
+            out["sxx"].append(sxx)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                **{c: pa.array(out[c], dec) for c in ("sx", "sy", "sxy", "sxx")},
+            }
+        )
+
+    parts = collect_arrow(ds.map_batches(partial, batch_format="pyarrow")).to_pydict()
+    merged: dict[str, list[int]] = {}
+    for i, f in enumerate(parts["l_returnflag"]):
+        m = merged.setdefault(f, [0, 0, 0, 0, 0])
+        m[0] += int(parts["n"][i])
+        for j, c in enumerate(("sx", "sy", "sxy", "sxx"), start=1):
+            m[j] += int(parts[c][i])
+    flags = sorted(merged)
+    slopes, intercepts = [], []
+    for f in flags:
+        n, sx, sy, sxy, sxx = merged[f]
+        dx = n * sxx - sx * sx
+        if dx > 0:
+            slope = float(n * sxy - sx * sy) / float(dx)
+            intercepts.append(
+                float(sy) / float(n) - slope * (float(sx) / float(n))
+            )
+            slopes.append(slope)
+        else:
+            slopes.append(None)
+            intercepts.append(None)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "n": pa.array([merged[f][0] for f in flags], pa.int64()),
+            "slope_cents_per_qty": pa.array(slopes, pa.float64()),
+            "intercept_cents": pa.array(intercepts, pa.float64()),
+        }
+    )
+
+
 def docs_sample_per_source(sf_dir: str, k: int = 20):
     """Deterministic fixed-k per-group sample: exactly min(k, |group|)
     docs per source, chosen by FNV-hash order — the 'give me 20 random-
@@ -4058,6 +4134,7 @@ QUERIES = {
     "embeddings_label_centroids": embeddings_label_centroids,
     "events_asof_order_forward": events_asof_order_forward,
     "events_asof_order_nearest": events_asof_order_nearest,
+    "lineitem_regression": lineitem_regression,
 }
 
 ORACLE_SQL = {
@@ -5387,4 +5464,29 @@ ORACLE_SQL["events_asof_order_nearest"] = """
       ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) ASC,
                o_orderdate ASC, o_orderkey ASC LIMIT 1
     ) o ON TRUE
+"""
+
+ORACLE_SQL["lineitem_regression"] = """
+    WITH a AS (
+      SELECT l_returnflag AS k, CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT k, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM a GROUP BY k
+    ), sl AS (
+      SELECT k, n, sx, sy,
+             CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+             END AS slope
+      FROM m
+    )
+    SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n,
+           slope AS slope_cents_per_qty,
+           (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             - slope * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             AS intercept_cents
+    FROM sl ORDER BY k
 """

@@ -618,3 +618,25 @@ def test_label_centroids_match_numpy_and_are_deterministic():
         ref = vecs[sel].mean(axis=0)
         assert np.allclose(np.array(row["centroid"]), ref, atol=1e-12), row["label"]
     assert sorted(a["label"]) == sorted(emb["label"].unique())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_regression_matches_numpy_polyfit():
+    """Grouped OLS slope/intercept vs numpy lstsq on the same integer
+    units (cents on quantity), to 1e-9 relative."""
+    import numpy as np
+
+    from crawler_seo_ray.queries import lineitem_regression
+
+    out = lineitem_regression(SF).to_pandas().set_index("l_returnflag")
+    li = pd.read_parquet(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    li["y"] = np.floor(li["l_extendedprice"] * 100.0 + 0.5).astype(np.int64)
+    for f, g in li.groupby("l_returnflag"):
+        A = np.vstack([g["l_quantity"].values, np.ones(len(g))]).T
+        slope, icept = np.linalg.lstsq(A, g["y"].values.astype(float), rcond=None)[0]
+        assert abs(out.loc[f, "slope_cents_per_qty"] - slope) < 1e-6 * max(1, abs(slope))
+        assert abs(out.loc[f, "intercept_cents"] - icept) < 1e-6 * max(1, abs(icept))
+        assert out.loc[f, "n"] == len(g)
