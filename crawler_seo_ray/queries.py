@@ -3065,6 +3065,56 @@ def docs_words(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def docs_postings(sf_dir: str):
+    """Inverted-index construction: term → document frequency + the
+    postings list (sorted doc ids, comma-serialized) — the classic
+    shuffle-heavy index-build job whose exchange key is the TERM.
+    Map side: Arrow explode to (term, doc_id) pairs with a block-local
+    ``group_by`` dedup (the combiner — collapses within-doc repeats
+    before any bytes move); ONE ``groupby(term).map_groups`` then
+    sorts and serializes each postings list. Postings ride as a STRING
+    column so the driver compare is byte-exact (nested list columns
+    hash unstably across engines). At open-web scale the term key is
+    Zipf-skewed — stop-word postings get huge; the standard refinement
+    (documented, not needed at sf) splits a hot term's postings into
+    bounded segments keyed (term, segment) and concatenates at read."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def explode_distinct(b: pa.Table) -> pa.Table:
+        t = b.combine_chunks()
+        words = pc.split_pattern(t.column("text"), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        counts = np.diff(la.offsets.to_numpy())
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        pairs = pa.table(
+            {
+                "term": la.flatten(),
+                "doc_id": t.column("doc_id").take(pa.array(parent)),
+            }
+        )
+        return pairs.group_by(["term", "doc_id"]).aggregate([])
+
+    def serialize(g: pa.Table) -> pa.Table:
+        ids = np.unique(g.column("doc_id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "term": g.column("term").slice(0, 1),
+                "df": pa.array([len(ids)], pa.int64()),
+                "postings": pa.array([",".join(map(str, ids))]),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode_distinct, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(serialize, batch_format="pyarrow")
+    )
+    from .util import collect_arrow
+
+    t = collect_arrow(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("term", "ascending")]))
+
+
 def docs_dedup_incremental(sf_dir: str, scan_stats: dict | None = None):
     """INCREMENTAL near-dup detection against a frozen history index —
     the production crawl shape: wave N+1's new documents are deduped
@@ -3592,28 +3642,17 @@ def lineitem_mad(sf_dir: str):
     )
 
 
-def lineitem_basket_triangles(sf_dir: str):
-    """Triangle count over the market-basket co-occurrence graph (parts
-    appearing in the same order) — the classic multi-join graph
-    analytic. Per-order part pairs are emitted inside
-    ``groupby(order).map_groups`` (orders are small: ≤ a few parts →
-    triu expansion is tiny), distincted by one narrow groupby, then two
-    distributed hash joins build and close the wedges; only the COUNT
-    leaves the cluster. Edges are keyed p1 < p2 so every triangle is
-    counted exactly once. For degree-skewed graphs the standard
-    refinement is orienting each edge from its lower-(degree, id)
-    endpoint, which bounds the wedge fan-out at O(√m) per vertex — the
-    part-basket graph is near-uniform, so the simple orientation is
-    used and the refinement is documented here for the skewed case."""
+def _basket_edges(sf_dir: str, nparts: int):
+    """Distinct oriented co-occurrence edges (p1 < p2) of the
+    market-basket graph — parts appearing in the same order. Built via
+    ONE hash join (baskets are small, so the join fan-out is Σ basket²,
+    a few× the input) — a ``groupby(order).map_groups`` pair emission
+    costs one Python call per ORDER (10⁴–10¹⁰ of them), measured 3×
+    slower than the join here. Shared by the triangle-count and BFS
+    traversal operators."""
     from .util import drop_empty_blocks
 
     ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=16).materialize()
-    nparts = _join_partitions()
-
-    # co-occurrence pairs via ONE hash join (baskets are small, so the
-    # join fan-out is Σ basket², a few× the input) — a
-    # groupby(order).map_groups pair emission costs one Python call per
-    # ORDER (10⁴–10¹⁰ of them), measured 3× slower than the join here
     right = ds.map_batches(
         lambda b: pa.table(
             {"_ok": b.column("l_orderkey"), "pk2": b.column("l_partkey")}
@@ -3628,9 +3667,7 @@ def lineitem_basket_triangles(sf_dir: str):
         ).filter(keep)
         return t.group_by(["p1", "p2"]).aggregate([])  # block-local combiner
 
-    from .stages.graph import triangle_count
-
-    e = drop_empty_blocks(
+    return ds, drop_empty_blocks(
         ds.join(right, "inner", nparts, on=("l_orderkey",), right_on=("_ok",))
         .map_batches(orient_distinct, batch_format="pyarrow")
         .groupby(["p1", "p2"])
@@ -3638,8 +3675,58 @@ def lineitem_basket_triangles(sf_dir: str):
     ).map_batches(
         lambda b: b.drop_columns(["_c"]), batch_format="pyarrow"
     )
+
+
+def lineitem_basket_triangles(sf_dir: str):
+    """Triangle count over the market-basket co-occurrence graph — the
+    classic multi-join graph analytic. Distinct oriented edges
+    (_basket_edges), then two distributed hash joins build and close
+    the wedges; only the COUNT leaves the cluster. Edges are keyed
+    p1 < p2 so every triangle is counted exactly once. For
+    degree-skewed graphs the standard refinement is orienting each edge
+    from its lower-(degree, id) endpoint, which bounds the wedge
+    fan-out at O(√m) per vertex — the part-basket graph is
+    near-uniform, so the simple orientation is used and the refinement
+    is documented here for the skewed case."""
+    from .stages.graph import triangle_count
+
+    nparts = _join_partitions()
+    _, e = _basket_edges(sf_dir, nparts)
     n = triangle_count(e, num_partitions=nparts)
     return pa.table({"triangles": pa.array([n], pa.int64())})
+
+
+def basket_bfs_depth(sf_dir: str, max_hops: int = 3):
+    """BFS hop-depth labelling from the minimum part key over the
+    basket co-occurrence graph — the distributed graph-traversal
+    operator (level-synchronous frontier expansion,
+    ``stages/graph.bfs_depths``; reference parity: the crawl's wave
+    loop as a pure relational fixed point). Edges are the same distinct
+    co-occurrence pairs as ``lineitem_basket_triangles``, symmetrized
+    in-block because the traversal is undirected. Oracle: DuckDB
+    recursive CTE with per-round (id, depth) dedup, min(depth) per
+    vertex."""
+    from .stages.graph import bfs_depths
+
+    nparts = _join_partitions()
+    ds, e = _basket_edges(sf_dir, nparts)
+
+    def sym(b: pa.Table) -> pa.Table:
+        p1 = b.column("p1").to_numpy(zero_copy_only=False)
+        p2 = b.column("p2").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([p1, p2]), pa.int64()),
+                "dst": pa.array(np.concatenate([p2, p1]), pa.int64()),
+            }
+        )
+
+    edges = e.map_batches(sym, batch_format="pyarrow")
+    seed = int(ds.min("l_partkey"))
+    out = bfs_depths(edges, [seed], max_hops, nparts)
+    return out.map_batches(
+        lambda b: b.rename_columns(["part", "depth"]), batch_format="pyarrow"
+    )
 
 
 def orders_ntile(sf_dir: str, tiles: int = 8):
@@ -3857,6 +3944,57 @@ def events_retention(sf_dir: str):
             sort_keys=[("cohort_day", "ascending"), ("day_offset", "ascending")],
         )
     )
+
+
+def events_weekly_active(sf_dir: str):
+    """7-day sliding-window DISTINCT user count per day — the rolling
+    count-distinct window, which no plain windowed aggregate expresses
+    (DISTINCT doesn't decompose over overlapping frames). Shape: the
+    per-user distinct-day dedup AND the ×7 window expansion both key on
+    user_id, so — like events_retention — one
+    ``groupby(user).map_groups`` computes the user's distinct event
+    days, expands each into the 7 window-end days it contributes to and
+    re-dedups in place (≤ 7·|days| pre-counted rows per user); a tiny
+    (day)-keyed groupby sums the contributions. ONE fact-sized
+    exchange; a naive plan (distinct (user,day) → 7× flat-map →
+    distinct (user,wday) → count) needs three. A day d is reported iff
+    some event fell in [d−6, d]."""
+    from .util import collect_arrow
+
+    US_PER_DAY = 86_400_000_000
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        days = (
+            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // US_PER_DAY
+        )
+        wdays = np.unique(
+            (np.unique(days)[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+        )
+        return pa.table(
+            {
+                "wday_us": pa.array(wdays * US_PER_DAY),
+                "n": pa.array(np.ones(len(wdays), dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        ev.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("wday_us")
+        .aggregate(Sum("n", alias_name="active_users"))
+    )
+    t = collect_arrow(agg)
+    out = pa.table(
+        {
+            "wday": pc.cast(t.column("wday_us"), pa.timestamp("us")),
+            "active_users": t.column("active_users"),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("wday", "ascending")]))
 
 
 def orders_global_rank(sf_dir: str):
@@ -4107,6 +4245,7 @@ QUERIES = {
     "orders_customer_full_join": orders_customer_full_join,
     "orders_priority_mode": orders_priority_mode,
     "docs_words": docs_words,
+    "docs_postings": docs_postings,
     "events_moving_avg": events_moving_avg,
     "lineitem_price_quantiles_cont": lineitem_price_quantiles_cont,
     "orders_priority_share": orders_priority_share,
@@ -4120,10 +4259,12 @@ QUERIES = {
     "orders_price_histogram": orders_price_histogram,
     "lineitem_mad": lineitem_mad,
     "lineitem_basket_triangles": lineitem_basket_triangles,
+    "basket_bfs_depth": basket_bfs_depth,
     "orders_ntile": orders_ntile,
     "orders_pareto": orders_pareto,
     "events_transitions": events_transitions,
     "events_retention": events_retention,
+    "events_weekly_active": events_weekly_active,
     "embeddings_knn_pq": embeddings_knn_pq,
     "docs_source_digest": docs_source_digest,
     "events_debounce": events_debounce,
@@ -5489,4 +5630,43 @@ ORACLE_SQL["lineitem_regression"] = """
              - slope * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
              AS intercept_cents
     FROM sl ORDER BY k
+"""
+
+ORACLE_SQL["basket_bfs_depth"] = """
+    WITH RECURSIVE edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    bfs AS (
+      SELECT (SELECT min(l_partkey) FROM lineitem) AS id, 0 AS d
+      UNION
+      SELECT e.dst, bfs.d + 1
+      FROM bfs JOIN edges e ON e.src = bfs.id
+      WHERE bfs.d < 3
+    )
+    SELECT id AS part, CAST(min(d) AS BIGINT) AS depth
+    FROM bfs GROUP BY id ORDER BY part
+"""
+
+ORACLE_SQL["events_weekly_active"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), exp AS (
+      SELECT DISTINCT user_id, day + k * INTERVAL 1 DAY AS wday
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k) g
+    )
+    SELECT wday, count(*)::BIGINT AS active_users
+    FROM exp GROUP BY wday ORDER BY wday
+"""
+
+ORACLE_SQL["docs_postings"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), pairs AS (
+      SELECT DISTINCT doc_id, term FROM toks
+    )
+    SELECT term, count(*)::BIGINT AS df,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY term ORDER BY term
 """

@@ -256,3 +256,70 @@ def triangle_count(
     return wedges.join(
         closing, "inner", num_partitions, on=("a", "c"), right_on=("r1", "r2")
     ).count()
+
+
+def bfs_depths(
+    edges: Dataset,
+    seed_ids: "pa.Array | list[int]",
+    max_hops: int,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Label every vertex reachable from ``seed_ids`` within
+    ``max_hops`` edges with its BFS hop depth (first-visit = minimum
+    depth, the classic level-synchronous frontier expansion).
+
+    Distributed shape — the third fixed-point graph operator next to
+    ``pagerank`` and ``dedup.connected_components_distributed``: each
+    round is ONE hash join (frontier ⋈ edges on the source endpoint),
+    one narrow groupby-distinct of the neighbor set, and one
+    ``left_anti`` join against the visited set; every exchange is
+    frontier- or visited-sized (single int64 id column), never the
+    adjacency, and no frontier row ever transits the driver — levels
+    stay distributed and the result is their lazy union. The driver
+    holds only round counters and per-round row COUNTS; an empty
+    frontier short-circuits before ``max_hops``, so termination is
+    exact. ``edges`` must already contain both directions for an
+    undirected traversal (symmetrize upstream: the operator itself is
+    direction-agnostic).
+
+    At 10^10-frontier scale this is exactly the crawl wave loop with
+    the fetch stage deleted, which is why it shares the wave-barrier
+    scaling analysis in BASELINE.md: rounds are synchronous, so wave
+    size (frontier breadth) must dwarf the per-round barrier cost.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    def stamp(depth: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "depth", pa.array(np.full(b.num_rows, depth, dtype=np.int64))
+            )
+
+        return fn
+
+    frontier = rd.from_arrow(pa.table({"id": pa.array(seed_ids, pa.int64())}))
+    level_ds: list[Dataset] = [frontier]  # id-only, for the visited anti-join
+    labeled: list[Dataset] = [
+        frontier.map_batches(stamp(0), batch_format="pyarrow")
+    ]
+
+    for depth in range(1, max_hops + 1):
+        visited = level_ds[0] if len(level_ds) == 1 else level_ds[0].union(*level_ds[1:])
+        nbrs = edges.join(
+            frontier, "inner", num_partitions, on=("src",), right_on=("id",)
+        ).map_batches(
+            lambda b: pa.table({"id": b.column("dst")}), batch_format="pyarrow"
+        )
+        distinct = drop_empty_blocks(
+            nbrs.groupby("id").aggregate(Count(alias_name="_c"))
+        ).map_batches(lambda b: b.drop_columns(["_c"]), batch_format="pyarrow")
+        frontier = drop_empty_blocks(
+            distinct.join(visited, "left_anti", num_partitions, on=("id",))
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        level_ds.append(frontier)
+        labeled.append(frontier.map_batches(stamp(depth), batch_format="pyarrow"))
+
+    return labeled[0] if len(labeled) == 1 else labeled[0].union(*labeled[1:])
