@@ -731,6 +731,71 @@ def embeddings_knn(sf_dir: str):
     )
 
 
+def embeddings_knn_classify(sf_dir: str, n_queries: int = 50, k: int = 5):
+    """kNN majority-vote labeling — the semi-supervised labeler a
+    training pipeline runs to propagate labels onto unlabeled items:
+    each query vector takes the modal label of its k nearest
+    (cosine) neighbors, SELF EXCLUDED (leave-one-out), ties broken by
+    the smaller label. The distributed part is the exact streamed
+    top-(k+1) scan (knn_brute: broadcast query matrix, block-local
+    top-k partials); self-removal, the label lookup (candidate-sized
+    is_in filter) and the vote happen on the output-sized result. The
+    oracle mirrors the vote with a count-desc/label-asc window."""
+    from .stages.similarity import knn_brute
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qrows = sorted(
+        ds.filter(expr=f"vec_id < {n_queries}").take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    # k+1: the query's own row rides along at (or near) rank 1
+    out = knn_brute(ds, "embedding", "vec_id", queries, k=k + 1)
+
+    qi = out.column("query_idx").to_numpy(zero_copy_only=False)
+    nid = out.column("neighbor_id").to_numpy(zero_copy_only=False)
+    rnk = out.column("rank").to_numpy(zero_copy_only=False)
+    qid = np.array([r["vec_id"] for r in qrows], dtype=np.int64)[qi]
+    keep = nid != qid  # leave-one-out; relative order is preserved
+    qid, nid, rnk = qid[keep], nid[keep], rnk[keep]
+
+    # label lookup for the candidate set only (≤ n_queries·(k+1) ids)
+    cand = pa.array(np.unique(nid))
+    lbl_t = collect_arrow(
+        ds.map_batches(
+            lambda b: pa.table(
+                {"vec_id": b.column("vec_id"), "label": b.column("label")}
+            ).filter(pc.is_in(b.column("vec_id"), value_set=cand)),
+            batch_format="pyarrow",
+        ),
+        schema=pa.schema([("vec_id", pa.int64()), ("label", pa.int32())]),
+    )
+    label_of = dict(
+        zip(
+            lbl_t.column("vec_id").to_pylist(),
+            lbl_t.column("label").to_pylist(),
+        )
+    )
+
+    out_q, out_l = [], []
+    for u in np.unique(qid):
+        m = qid == u
+        top = np.argsort(rnk[m], kind="stable")[:k]
+        votes: dict[int, int] = {}
+        for v in nid[m][top]:
+            lv = int(label_of[int(v)])
+            votes[lv] = votes.get(lv, 0) + 1
+        best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out_q.append(int(u))
+        out_l.append(best)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "label": pa.array(out_l, pa.int64()),
+        }
+    )
+
+
 def embeddings_knn_pq(sf_dir: str):
     """ANN via product quantization + exact re-rank: per-subspace
     codebooks trained on a bounded sample, corpus encoded to 16-byte
@@ -1889,6 +1954,59 @@ def corpus_caption_filter(sf_dir: str):
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def corpus_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucketing census — multimodal batch shaping: a
+    vision trainer groups images into aspect buckets so each device
+    batch resizes to one canvas (padding waste ∝ within-bucket aspect
+    spread). Bucket key is exact integer percent (w·100 // h — no
+    float boundary ambiguity between engines); per bucket: count,
+    total pixels and mean pixels (single float division, mirrored in
+    the oracle). Block-local group_by combiner → one bucket-keyed
+    groupby; pixels stay in the scan tasks."""
+    from .util import collect_arrow
+
+    ds = corpus_parquet(columns=["w", "h"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = pc.cast(b.column("w"), pa.int64())
+        h = pc.cast(b.column("h"), pa.int64())
+        t = pa.table(
+            {
+                "aspect_pct": pc.divide(pc.multiply(w, 100), h),
+                "sum_px": pc.multiply(w, h),
+            }
+        )
+        return (
+            t.group_by("aspect_pct")
+            .aggregate([("sum_px", "sum"), ([], "count_all")])
+            .rename_columns(["aspect_pct", "sum_px", "n"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("aspect_pct")
+        .aggregate(Sum("sum_px", alias_name="sum_px"), Sum("n", alias_name="n"))
+    )
+    t = collect_arrow(
+        agg,
+        schema=pa.schema(
+            [("aspect_pct", pa.int64()), ("sum_px", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+    out = pa.table(
+        {
+            "aspect_pct": t.column("aspect_pct"),
+            "n": t.column("n"),
+            "sum_px": t.column("sum_px"),
+            "mean_px": pc.divide(
+                pc.cast(t.column("sum_px"), pa.float64()),
+                pc.cast(t.column("n"), pa.float64()),
+            ),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("aspect_pct", "ascending")]))
 
 
 def corpus_bytes_census(sf_dir: str):
@@ -3115,6 +3233,75 @@ def docs_postings(sf_dir: str):
     return t.take(pc.sort_indices(t, sort_keys=[("term", "ascending")]))
 
 
+def docs_bpe_pairs(sf_dir: str, k: int = 50):
+    """Adjacent byte-pair frequency count — the BPE tokenizer-training
+    primitive (merge round 0 counts every adjacent byte pair inside
+    whitespace tokens across the corpus; reference semantics: what a
+    from-scratch tokenizer trainer would run over the crawl text).
+    Kernel insight: over space-separated text, "pairs within tokens" ≡
+    "adjacent byte pairs of the raw text where NEITHER byte is the
+    space", so the map stage runs directly on the Arrow string
+    column's UTF-8 data buffer — one np.frombuffer view, two shifted
+    slices, one 16-bit pack, one bincount. No tokenization, no
+    per-row Python; pairs crossing ROW boundaries are masked via the
+    offsets buffer. Each block emits ≤65,536 partial-count rows; one
+    tiny code-keyed groupby merges them and the driver decodes +
+    top-ks. (count desc, pair asc) is a total order over distinct
+    pairs, so the LIMIT is deterministic; for ASCII, byte-code order ≡
+    UTF-8 string order, so the SQL tie-break matches."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "documents", ["text"], blocks=8)
+
+    empty = pa.table(
+        {"code": pa.array([], pa.int32()), "n": pa.array([], pa.int64())}
+    )
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        col = b.column("text").combine_chunks()
+        if len(col) == 0:
+            return empty
+        off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + len(col) + 1
+        ].astype(np.int64)
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+        if len(buf) < 2:
+            return empty
+        a, c = buf[:-1], buf[1:]
+        valid = (a != 32) & (c != 32)
+        bidx = (off[1:-1] - off[0]) - 1  # pair spanning row r's last byte
+        bidx = bidx[(bidx >= 0) & (bidx < len(valid))]
+        valid[bidx] = False
+        codes = (a[valid].astype(np.int32) << 8) | c[valid].astype(np.int32)
+        counts = np.bincount(codes, minlength=1 << 16)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "code": pa.array(nz.astype(np.int32)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = collect_arrow(agg, schema=pa.schema([("code", pa.int32()), ("n", pa.int64())]))
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("code", "ascending")]
+        )
+    ).slice(0, k)
+    codes = t.column("code").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "pair": pa.array([chr(cd >> 8) + chr(cd & 0xFF) for cd in codes]),
+            "n": t.column("n"),
+        }
+    )
+
+
 def docs_dedup_incremental(sf_dir: str, scan_stats: dict | None = None):
     """INCREMENTAL near-dup detection against a frozen history index —
     the production crawl shape: wave N+1's new documents are deduped
@@ -3946,6 +4133,132 @@ def events_retention(sf_dir: str):
     )
 
 
+def lineitem_weighted_median(sf_dir: str):
+    """Exact grouped WEIGHTED median (price weighted by quantity) —
+    the order-statistic no decomposable aggregate gives you. Plan:
+    block-local ``group_by(key, price).sum(weight)`` combiner (the
+    exchange then carries distinct (key, price) rows, not facts) →
+    distributed groupby-sum → per-key ``map_groups`` sorts its
+    distinct prices, prefix-sums the weights and picks the lower
+    weighted median (first price where 2·cumw ≥ totw — mirrored
+    verbatim in the oracle's window form). Prices are int64 cents
+    end-to-end; the only float op is the final /100.0, identical in
+    SQL. For a key whose distinct-value set itself overflows a group,
+    stages/quantile's iterative histogram refinement is the scale
+    path — documented there for the weighted case too."""
+    from .util import collect_arrow
+
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_extendedprice", "l_quantity"],
+        blocks=16,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": b.column("l_returnflag"),
+                "p": _cents(b.column("l_extendedprice")),
+                "w": pc.cast(b.column("l_quantity"), pa.int64()),
+            }
+        )
+        g = t.group_by(["k", "p"]).aggregate([("w", "sum")])
+        return g.rename_columns(["k", "p", "w"])
+
+    def pick(g: pa.Table) -> pa.Table:
+        p = g.column("p").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(p, kind="stable")
+        cw = np.cumsum(w[order])
+        idx = int(np.searchsorted(2 * cw, cw[-1], side="left"))
+        return pa.table(
+            {
+                "l_returnflag": g.column("k").slice(0, 1),
+                "weighted_median_price": pa.array(
+                    [float(p[order][idx]) / 100.0], pa.float64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k", "p"])
+        .aggregate(Sum("w", alias_name="w"))
+        .groupby("k")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+    t = collect_arrow(agg)
+    return t.take(pc.sort_indices(t, sort_keys=[("l_returnflag", "ascending")]))
+
+
+def events_minute_gapfill(sf_dir: str):
+    """Time-series densification: per-minute event count + value sum
+    over a COMPLETE minute grid from the first to the last event, gaps
+    zero-filled — the feature-store resample shape (downstream window
+    models need every tick present). The sparse per-minute aggregate
+    is one fact-sized groupby with cents partials; the grid is
+    generated DISTRIBUTEDLY (``ray.data.range`` over minute ordinals —
+    a year is only ~526k rows but a sensor fleet's grid can be
+    key × minutes, so it must not be a driver list) and left-outer
+    joined against the sparse aggregate; nulls coalesce to zero
+    in-block. Driver holds two scalars (min/max minute)."""
+    import ray.data as rd
+
+    from .util import collect_arrow, drop_empty_blocks
+
+    US_PER_MIN = 60_000_000
+
+    ev = _pq(sf_dir, "events", ["ts", "value"], blocks=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        mins = (
+            pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // US_PER_MIN
+        )
+        t = pa.table(
+            {
+                "minute_us": pa.array(mins * US_PER_MIN),
+                "cents": _cents(b.column("value")),
+                "one": pa.array(np.ones(len(mins), dtype=np.int64)),
+            }
+        )
+        g = t.group_by("minute_us").aggregate([("cents", "sum"), ("one", "sum")])
+        return g.rename_columns(["minute_us", "cents", "n"])
+
+    sparse = drop_empty_blocks(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("minute_us")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+    ).materialize()
+    mn = int(sparse.min("minute_us"))
+    mx = int(sparse.max("minute_us"))
+
+    grid = rd.range((mx - mn) // US_PER_MIN + 1).map_batches(
+        lambda b: pa.table(
+            {"minute_us": pa.array(b["id"].astype(np.int64) * US_PER_MIN + mn)}
+        ),
+        batch_format="numpy",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = pc.coalesce(b.column("cents"), pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "minute": pc.cast(b.column("minute_us"), pa.timestamp("us")),
+                "n": pc.coalesce(b.column("n"), pa.scalar(0, pa.int64())),
+                "sum_value": pc.divide(pc.cast(cents, pa.float64()), 100.0),
+            }
+        )
+
+    joined = grid.join(
+        sparse, "left_outer", _join_partitions(), on=("minute_us",)
+    ).map_batches(finish, batch_format="pyarrow")
+    t = collect_arrow(joined)
+    return t.take(pc.sort_indices(t, sort_keys=[("minute", "ascending")]))
+
+
 def events_weekly_active(sf_dir: str):
     """7-day sliding-window DISTINCT user count per day — the rolling
     count-distinct window, which no plain windowed aggregate expresses
@@ -4191,6 +4504,7 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "lineitem_conditional": lineitem_conditional,
     "embeddings_knn": embeddings_knn,
+    "embeddings_knn_classify": embeddings_knn_classify,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "embeddings_cosine_dups": embeddings_cosine_dups,
     "docs_langid": docs_langid,
@@ -4246,6 +4560,8 @@ QUERIES = {
     "orders_priority_mode": orders_priority_mode,
     "docs_words": docs_words,
     "docs_postings": docs_postings,
+    "docs_bpe_pairs": docs_bpe_pairs,
+    "corpus_aspect_buckets": corpus_aspect_buckets,
     "events_moving_avg": events_moving_avg,
     "lineitem_price_quantiles_cont": lineitem_price_quantiles_cont,
     "orders_priority_share": orders_priority_share,
@@ -4265,6 +4581,8 @@ QUERIES = {
     "events_transitions": events_transitions,
     "events_retention": events_retention,
     "events_weekly_active": events_weekly_active,
+    "lineitem_weighted_median": lineitem_weighted_median,
+    "events_minute_gapfill": events_minute_gapfill,
     "embeddings_knn_pq": embeddings_knn_pq,
     "docs_source_digest": docs_source_digest,
     "events_debounce": events_debounce,
@@ -5669,4 +5987,87 @@ ORACLE_SQL["docs_postings"] = """
     SELECT term, count(*)::BIGINT AS df,
            string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
     FROM pairs GROUP BY term ORDER BY term
+"""
+
+ORACLE_SQL["lineitem_weighted_median"] = """
+    WITH a AS (
+      SELECT l_returnflag AS k,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), c AS (
+      SELECT k, p, sum(w)::BIGINT AS w FROM a GROUP BY k, p
+    ), cum AS (
+      SELECT k, p,
+             sum(w) OVER (PARTITION BY k ORDER BY p)::BIGINT AS cw,
+             sum(w) OVER (PARTITION BY k)::BIGINT AS tot
+      FROM c
+    )
+    SELECT k AS l_returnflag,
+           CAST(min(p) AS DOUBLE) / 100.0 AS weighted_median_price
+    FROM cum WHERE 2 * cw >= tot GROUP BY k ORDER BY k
+"""
+
+ORACLE_SQL["events_minute_gapfill"] = """
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS minute,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS cents,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1
+    ), bounds AS (
+      SELECT min(minute) AS mn, max(minute) AS mx FROM m
+    ), grid AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute
+      FROM bounds
+    )
+    SELECT g.minute, coalesce(m.n, 0) AS n,
+           coalesce(CAST(m.cents AS DOUBLE) / 100.0, 0.0) AS sum_value
+    FROM grid g LEFT JOIN m ON g.minute = m.minute
+    ORDER BY g.minute
+"""
+
+ORACLE_SQL["docs_bpe_pairs"] = """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                                   i -> substr(tok, i, 2))) AS pair
+      FROM toks
+    )
+    SELECT pair, count(*)::BIGINT AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+ORACLE_SQL["corpus_aspect_buckets"] = f"""
+    WITH a AS (
+      SELECT (CAST(w AS BIGINT) * 100) // CAST(h AS BIGINT) AS aspect_pct,
+             CAST(w AS BIGINT) * CAST(h AS BIGINT) AS px
+      FROM read_parquet('{_CORPUS_GLOB}')
+    )
+    SELECT aspect_pct, count(*)::BIGINT AS n,
+           CAST(sum(px) AS BIGINT) AS sum_px,
+           CAST(sum(px) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_px
+    FROM a GROUP BY aspect_pct ORDER BY aspect_pct
+"""
+
+ORACLE_SQL["embeddings_knn_classify"] = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50
+    ), nn AS (
+      SELECT q.qid, e.label,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+             ) AS rnk
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.qid
+    ), votes AS (
+      SELECT qid, label, count(*) AS c FROM nn WHERE rnk <= 5 GROUP BY qid, label
+    ), sel AS (
+      SELECT qid, label,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, label ASC) AS r
+      FROM votes
+    )
+    SELECT qid AS query_id, CAST(label AS BIGINT) AS label
+    FROM sel WHERE r = 1 ORDER BY query_id
 """

@@ -1,0 +1,171 @@
+"""Edge-case tests for the round-3 relational extensions: BFS
+traversal, sliding distinct windows, inverted index, weighted median,
+time-grid gap-fill, byte-pair counting, aspect bucketing. The oracle
+equivalence itself is covered by test_queries.py; these pin the
+semantics the oracles cannot see (early termination, boundary masks,
+tie rules) on planted inputs."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _write_documents(tmp_path, texts):
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_pairs_boundary_masking(tmp_path):
+    """Pairs crossing row boundaries and pairs touching the space byte
+    must be excluded; empty rows and 1-char tokens contribute nothing."""
+    from crawler_seo_ray import queries as q
+
+    sf = _write_documents(tmp_path, ["xy", "", "yz  zq", "a"])
+    out = q.docs_bpe_pairs(sf).to_pandas()
+    got = dict(zip(out["pair"], out["n"]))
+    # NOT: the row-boundary pair "y"+"y", nor any pair containing " "
+    assert got == {"xy": 1, "yz": 1, "zq": 1}
+    # tie order: count desc then pair asc
+    assert list(out["pair"]) == ["xy", "yz", "zq"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_depths_early_exit_and_unreachable():
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.graph import bfs_depths
+
+    # component {1,2,5} (chain 1-2-5), separate component {3,4}
+    src = [1, 2, 2, 5, 3, 4]
+    dst = [2, 1, 5, 2, 4, 3]
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    out = bfs_depths(edges, [1], max_hops=10, num_partitions=2).to_pandas()
+    got = dict(zip(out["id"], out["depth"]))
+    # early exit: depth stops at the component diameter, 3/4 unreachable
+    assert got == {1: 0, 2: 1, 5: 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_median_tie_rule(tmp_path):
+    """Lower weighted median: first price where 2*cumw >= totw."""
+    import pyarrow.parquet as pq
+
+    from crawler_seo_ray import queries as q
+
+    rows = [
+        # flag A: prices 1.00(w2), 2.00(w1) -> cum 2 of 3 at 1.00 -> 1.00
+        ("A", 1.00, 2.0),
+        ("A", 2.00, 1.0),
+        # flag B: 1.00(w1), 2.00(w1) -> 2*1 >= 2 at 1.00 -> 1.00 (lower)
+        ("B", 1.00, 1.0),
+        ("B", 2.00, 1.0),
+        # flag C: 1.00(w1), 2.00(w3) -> 2*1 < 4 -> 2.00
+        ("C", 1.00, 1.0),
+        ("C", 2.00, 3.0),
+    ]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "l_partkey": pa.array([1] * len(rows), pa.int64()),
+            "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+            "l_linenumber": pa.array([1] * len(rows), pa.int32()),
+            "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+            "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+            "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+            "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+            "l_returnflag": pa.array([r[0] for r in rows]),
+            "l_linestatus": pa.array(["O"] * len(rows)),
+            "l_shipdate": pa.array([0] * len(rows), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "lineitem.parquet"))
+    out = q.lineitem_weighted_median(str(tmp_path)).to_pandas()
+    got = dict(zip(out["l_returnflag"], out["weighted_median_price"]))
+    assert got == {"A": 1.0, "B": 1.0, "C": 2.0}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minute_gapfill_zero_rows(tmp_path):
+    import pyarrow.parquet as pq
+
+    from crawler_seo_ray import queries as q
+
+    base = 1_700_000_040_000_000  # arbitrary, mid-minute
+    ts = [base, base + 3 * 60_000_000]  # two events, 3 minutes apart
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["view", "view"]),
+            "value": pa.array([1.25, 2.50], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = q.events_minute_gapfill(str(tmp_path)).to_pandas()
+    assert len(out) == 4  # minutes 0..3 inclusive
+    assert list(out["n"]) == [1, 0, 0, 1]
+    assert list(out["sum_value"]) == [1.25, 0.0, 0.0, 2.50]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weekly_active_window_semantics(tmp_path):
+    """A user active on day 0 counts toward window-end days 0..6 only;
+    two active days inside one window still count the user once."""
+    import pyarrow.parquet as pq
+
+    from crawler_seo_ray import queries as q
+
+    DAY = 86_400_000_000
+    # user 1 on days 0 and 2; user 2 on day 9
+    ts = [0, 2 * DAY, 9 * DAY]
+    uid = [1, 1, 2]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(3), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([0.0] * 3, pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = q.events_weekly_active(str(tmp_path)).to_pandas()
+    got = {int(w.value // (DAY * 1000)): int(n) for w, n in zip(out["wday"], out["active_users"])}
+    # note pandas Timestamp.value is ns
+    expected = {d: 1 for d in range(0, 9)}  # days 0..8: user 1 covers 0..8? no:
+    # user1 day0 -> wdays 0..6; day2 -> 2..8; union 0..8 counted ONCE
+    expected.update({d: 1 for d in range(2, 7)})  # still 1 (dedup)
+    for d in range(9, 16):
+        expected[d] = 1  # user 2 day9 -> 9..15
+    assert got == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_postings_sorted_and_distinct(tmp_path):
+    from crawler_seo_ray import queries as q
+
+    sf = _write_documents(tmp_path, ["b a b", "a c", "c"])
+    out = q.docs_postings(sf).to_pandas().set_index("term")
+    assert out.loc["a", "postings"] == "0,1" and out.loc["a", "df"] == 2
+    assert out.loc["b", "postings"] == "0" and out.loc["b", "df"] == 1  # within-doc dup collapsed
+    assert out.loc["c", "postings"] == "1,2"
