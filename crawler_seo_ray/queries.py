@@ -4482,6 +4482,131 @@ def docs_term_pmi(sf_dir: str, k: int = 100):
     return out.take(idx.slice(0, k))
 
 
+def events_auc(sf_dir: str):
+    """Exact distributed ROC-AUC (Mann-Whitney U with tie handling) —
+    the standard ranking-model evaluation metric, scored here as
+    "does `value` rank purchase events above non-purchases". A naive
+    plan sorts all N scores through one worker; the decomposition used
+    by every distributed AUC (count discordant pairs via a prefix sum
+    of negatives over the sorted DISTINCT scores) is:
+
+      AUC = [Σ_s np(s)·(negs_below(s) + nn(s)/2)] / (npos·nneg)
+
+    Shape: block-local group_by(score_cents) compresses raw rows to
+    distinct scores with (n_pos, n_neg) partials → one distinct-score
+    groupby → range-partition sort by score → per-block negative
+    totals (one int per block on the driver, like
+    ``stages/window.global_row_number``) → per-block exact
+    contribution tasks. The per-block fold runs on object-dtype numpy
+    (arbitrary-precision int — np·cum products overflow int64 past
+    ~3·10⁹ rows); the final division is the single float op, mirrored
+    in the oracle. Scores are exact cents so ties group identically in
+    both engines."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    ev = _pq(sf_dir, "events", ["event_type", "value"], blocks=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c": _cents(b.column("value")),
+                "np_": pc.cast(
+                    pc.equal(b.column("event_type"), "purchase"), pa.int64()
+                ),
+                "nt": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by("c").aggregate([("np_", "sum"), ("nt", "sum")])
+        return g.rename_columns(["c", "np_", "nt"])
+
+    dist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("np_", alias_name="np_"), Sum("nt", alias_name="nt"))
+    )
+    mat = drop_empty_blocks(dist.sort("c")).materialize()
+
+    @ray.remote
+    def block_negsum(b: pa.Table) -> tuple[int, int]:
+        npos = int(pc.sum(b.column("np_")).as_py() or 0)
+        ntot = int(pc.sum(b.column("nt")).as_py() or 0)
+        return npos, ntot - npos
+
+    @ray.remote
+    def block_contrib(b: pa.Table, neg_offset: int) -> int:
+        np_a = b.column("np_").to_numpy(zero_copy_only=False).astype(object)
+        nn_a = (
+            b.column("nt").to_numpy(zero_copy_only=False)
+            - b.column("np_").to_numpy(zero_copy_only=False)
+        ).astype(object)
+        # exclusive prefix of negatives within the block, plus the
+        # cross-block offset; object dtype keeps the products exact
+        cum = np.cumsum(nn_a) - nn_a + neg_offset
+        return int((np_a * (2 * cum + nn_a)).sum())
+
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    sums = ray.get([block_negsum.remote(r) for r in refs])
+    npos = sum(s[0] for s in sums)
+    nneg = sum(s[1] for s in sums)
+    offsets = [0]
+    for _, nn in sums[:-1]:
+        offsets.append(offsets[-1] + nn)
+    num2 = sum(ray.get([
+        block_contrib.remote(r, off) for r, off in zip(refs, offsets)
+    ]))  # = 2 × Σ np·(negs_below + nn/2), exact integer
+    auc = float(num2) / float(2 * npos * nneg)
+    return pa.table(
+        {
+            "auc": pa.array([auc], pa.float64()),
+            "n_pos": pa.array([npos], pa.int64()),
+            "n_neg": pa.array([nneg], pa.int64()),
+        }
+    )
+
+
+# Allowed target canvases for aspect-bucket resize assignment (w, h) —
+# index order is the deterministic tiebreak, mirrored in the oracle.
+RESIZE_BUCKETS = [(64, 64), (48, 64), (64, 48), (32, 64), (64, 32), (40, 56), (56, 40)]
+
+
+def corpus_resize_buckets(sf_dir: str):
+    """Aspect-bucket RESIZE ASSIGNMENT (the SDXL-style batch-shaping
+    step that follows the census): map every image to the allowed
+    target canvas minimizing aspect distortion, measured as the exact
+    integer cross-product |w·th − h·tw| (no float ratio boundaries —
+    both engines bucket identically), ties broken by bucket-list
+    order. Fully vectorized: an n×B distortion matrix per block
+    (B = len(RESIZE_BUCKETS)) and one argmin — embarrassingly
+    parallel, no shuffle; per-bucket counts come from the same
+    block-local combiner as the census."""
+    from .util import collect_arrow
+
+    ds = corpus_parquet(columns=["image_id", "w", "h"])
+    tw = np.array([b[0] for b in RESIZE_BUCKETS], dtype=np.int64)
+    th = np.array([b[1] for b in RESIZE_BUCKETS], dtype=np.int64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        w = pc.cast(b.column("w"), pa.int64()).to_numpy(zero_copy_only=False)
+        h = pc.cast(b.column("h"), pa.int64()).to_numpy(zero_copy_only=False)
+        dist = np.abs(w[:, None] * th[None, :] - h[:, None] * tw[None, :])
+        best = np.argmin(dist, axis=1)  # argmin takes the FIRST min = list order
+        return pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "target_w": pa.array(tw[best]),
+                "target_h": pa.array(th[best]),
+                "distortion": pa.array(dist[np.arange(len(best)), best]),
+            }
+        )
+
+    t = collect_arrow(ds.map_batches(assign, batch_format="pyarrow"))
+    return t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4594,6 +4719,8 @@ QUERIES = {
     "events_asof_order_forward": events_asof_order_forward,
     "events_asof_order_nearest": events_asof_order_nearest,
     "lineitem_regression": lineitem_regression,
+    "events_auc": events_auc,
+    "corpus_resize_buckets": corpus_resize_buckets,
 }
 
 ORACLE_SQL = {
@@ -6070,4 +6197,55 @@ ORACLE_SQL["embeddings_knn_classify"] = """
     )
     SELECT qid AS query_id, CAST(label AS BIGINT) AS label
     FROM sel WHERE r = 1 ORDER BY query_id
+"""
+
+# exact Mann-Whitney AUC on distinct integer-cent scores: the windowed
+# prefix-of-negatives mirrors the engine's per-block exclusive cumsum,
+# the HUGEINT numerator keeps the products exact, and the single final
+# division is the only float op in both engines
+ORACLE_SQL["events_auc"] = """
+    WITH s AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+             CAST(event_type = 'purchase' AS BIGINT) AS pos
+      FROM events
+    ), d AS (
+      SELECT c, sum(pos) AS np_, count(*) - sum(pos) AS nn
+      FROM s GROUP BY c
+    ), w AS (
+      SELECT np_, nn,
+             coalesce(sum(nn) OVER (
+               ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS negs_below
+      FROM d
+    ), tot AS (
+      SELECT CAST(sum(np_ * (2 * negs_below + nn)) AS HUGEINT) AS num2,
+             CAST(sum(np_) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg
+      FROM w
+    )
+    SELECT CAST(num2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc,
+           n_pos, n_neg
+    FROM tot
+"""
+
+# first-min argmin over the fixed bucket list = row_number ordered by
+# (exact integer cross-product distortion, bucket index)
+ORACLE_SQL["corpus_resize_buckets"] = f"""
+    WITH b(idx, tw, th) AS (VALUES
+      (0, 64, 64), (1, 48, 64), (2, 64, 48), (3, 32, 64),
+      (4, 64, 32), (5, 40, 56), (6, 56, 40)
+    ), r AS (
+      SELECT image_id, tw, th,
+             abs(CAST(w AS BIGINT) * th - CAST(h AS BIGINT) * tw) AS distortion,
+             row_number() OVER (
+               PARTITION BY image_id
+               ORDER BY abs(CAST(w AS BIGINT) * th - CAST(h AS BIGINT) * tw),
+                        idx
+             ) AS rn
+      FROM read_parquet('{_CORPUS_GLOB}') CROSS JOIN b
+    )
+    SELECT image_id, CAST(tw AS BIGINT) AS target_w,
+           CAST(th AS BIGINT) AS target_h, distortion
+    FROM r WHERE rn = 1 ORDER BY image_id
 """
