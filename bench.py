@@ -338,6 +338,10 @@ def run_components(num_cpus: int) -> dict:
         "embeddings_knn_pq",
         "revenue_by_nation",
         "lineitem_zscore",
+        "events_auc",
+        "customer_fuzzy_pairs",
+        "events_value_percentile",
+        "lineitem_small_qty_revenue",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -4607,6 +4607,329 @@ def corpus_resize_buckets(sf_dir: str):
     return t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
 
 
+def corpus_letterbox(sf_dir: str):
+    """Integer LETTERBOX geometry on top of the aspect-bucket
+    assignment (the step a trainer's dataloader runs after
+    ``corpus_resize_buckets``): scale each image to fit INSIDE its
+    chosen target canvas and center it, emitting (scaled_w, scaled_h,
+    pad_x, pad_y). All arithmetic is exact integers — the limiting side
+    is picked by cross-product comparison (w·th ≥ h·tw ⇔ image wider
+    than canvas) and the scaled short side is a floor division — so the
+    engine and the oracle bucket identically with zero float ratio
+    boundaries. Same embarrassingly parallel shape as the bucket
+    assignment: one n×B distortion argmin + a handful of numpy
+    where/floordiv ops per block, no shuffle."""
+    from .util import collect_arrow
+
+    ds = corpus_parquet(columns=["image_id", "w", "h"])
+    tws = np.array([b[0] for b in RESIZE_BUCKETS], dtype=np.int64)
+    ths = np.array([b[1] for b in RESIZE_BUCKETS], dtype=np.int64)
+
+    def geom(b: pa.Table) -> pa.Table:
+        w = pc.cast(b.column("w"), pa.int64()).to_numpy(zero_copy_only=False)
+        h = pc.cast(b.column("h"), pa.int64()).to_numpy(zero_copy_only=False)
+        dist = np.abs(w[:, None] * ths[None, :] - h[:, None] * tws[None, :])
+        best = np.argmin(dist, axis=1)
+        tw, th = tws[best], ths[best]
+        wide = w * th >= h * tw  # image aspect ≥ canvas aspect → width-limited
+        scaled_w = np.where(wide, tw, (w * th) // h)
+        scaled_h = np.where(wide, (h * tw) // w, th)
+        return pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "target_w": pa.array(tw),
+                "target_h": pa.array(th),
+                "scaled_w": pa.array(scaled_w),
+                "scaled_h": pa.array(scaled_h),
+                "pad_x": pa.array((tw - scaled_w) // 2),
+                "pad_y": pa.array((th - scaled_h) // 2),
+            }
+        )
+
+    t = collect_arrow(ds.map_batches(geom, batch_format="pyarrow"))
+    return t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+
+
+def _fnv_rows(m: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over the ROWS of a (n, L) uint8 matrix —
+    L xor-multiply passes, one per byte column (the string analog of
+    ``_fnv64``). Returns int64 bucket keys; 64-bit collisions are
+    harmless wherever an exact verify follows."""
+    with np.errstate(over="ignore"):
+        h = np.full(m.shape[0], 14695981039346656037, dtype=np.uint64)
+        for k in range(m.shape[1]):
+            h = (h ^ m[:, k].astype(np.uint64)) * np.uint64(1099511628211)
+    return h.view(np.int64)
+
+
+def customer_fuzzy_pairs(sf_dir: str, bucket_cap: int = 2000):
+    """String-similarity self-join at edit distance ≤ 1 via DELETION-
+    NEIGHBORHOOD hashing (the FastSS / SymSpell family): every name
+    emits itself plus each single-character-deletion variant as a
+    bucket key; any two names within ed 1 of each other provably share
+    a key (equal-length substitution → both delete the differing
+    position; insertion/deletion → the shorter token IS a variant of
+    the longer), so an exact in-bucket verify recovers the full answer
+    with no N² comparison. Distributed shape, tuned bottom-up (each
+    step replaced a measured hotspot at sf0.1):
+
+    - variant emission is fully vectorized per length class (uint8
+      matrix column-drops) and emits int64 FNV bucket keys straight
+      from the byte matrices (``_fnv_rows``) — strings never ride the
+      exchange as keys, and hash collisions are harmless because the
+      verify is exact;
+    - in-bucket pair emission is a hash SELF-JOIN on the int key (a
+      map_groups over the ~13·N mostly-singleton buckets pays a Python
+      call per bucket — measured 10× slower; string-keyed pair-distinct
+      groupby was 47 s — measured 15× slower than this plan);
+    - the exact edit-distance verify runs INSIDE the join's output
+      map_batches, before any further exchange, vectorized for the
+      dominant equal-length case (byte-matrix mismatch counts) with a
+      Python fallback only for rare length-off-by-one candidates;
+    - surviving pairs are block-deduped, and the final global distinct
+      runs on the collected OUTPUT-SIZED table (house rule: driver
+      folds are fine at output size — the same boundary dedup.py draws
+      for its verified-pair sets).
+
+    A bucket of size s costs s² join rows, so a count-partial cap
+    check on the same int keys guards the join (dedup.bucket_cap
+    convention: loud raise, never a silent quadratic)."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    names = _pq(sf_dir, "customer", ["c_name"], blocks=8)
+
+    def variants(b: pa.Table) -> pa.Table:
+        toks = np.asarray(
+            pc.unique(b.column("c_name")).to_numpy(zero_copy_only=False), dtype=object
+        )
+        lens = np.array([len(t) for t in toks])
+        keys, owners = [], []
+        for L in np.unique(lens):
+            sub = toks[lens == L]
+            if L < 1:
+                continue
+            # names are ASCII (Customer#%09d); general text would hash
+            # codepoints instead of bytes
+            m = (
+                np.frombuffer("".join(sub.tolist()).encode("utf-8"), dtype=np.uint8)
+                .reshape(len(sub), int(L))
+            )
+            # identity key (covers insert/delete: the shorter token IS
+            # a deletion variant of the longer)
+            keys.append(_fnv_rows(m))
+            owners.append(sub)
+            if L < 2:
+                continue
+            for i in range(int(L)):
+                keys.append(_fnv_rows(np.delete(m, i, axis=1)))
+                owners.append(sub)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(keys)),
+                "tok": pa.array(np.concatenate(owners), pa.string()),
+            }
+        )
+
+    var_ds = names.map_batches(variants, batch_format="pyarrow")
+    caps = var_ds.groupby("key").aggregate(Count(alias_name="n"))
+
+    def check_cap(b: pa.Table) -> pa.Table:
+        over = pc.greater(b.column("n"), bucket_cap)
+        if pc.any(over).as_py():
+            hot = b.filter(over).column("key")[0].as_py()
+            raise RuntimeError(
+                f"fuzzy-join bucket {hot} exceeds cap {bucket_cap}; "
+                "split the bucket"
+            )
+        return b.slice(0, 0)
+
+    caps.map_batches(check_cap, batch_format="pyarrow").materialize()
+
+    def ed_le_1_slow(x: str, y: str) -> bool:
+        s, l = (x, y) if len(x) < len(y) else (y, x)
+        i = 0
+        while i < len(s) and s[i] == l[i]:
+            i += 1
+        return s[i:] == l[i + 1 :]
+
+    def verify(b: pa.Table) -> pa.Table:
+        mask = pc.less(b.column("tok_a"), b.column("tok_b"))
+        b = pa.table(
+            {"tok_a": b.column("tok_a"), "tok_b": b.column("tok_b")}
+        ).filter(mask)
+        if b.num_rows == 0:
+            return b
+        ta = np.asarray(b.column("tok_a").to_numpy(zero_copy_only=False), dtype=object)
+        tb = np.asarray(b.column("tok_b").to_numpy(zero_copy_only=False), dtype=object)
+        la = np.array([len(t) for t in ta])
+        lb = np.array([len(t) for t in tb])
+        keep = np.zeros(len(ta), dtype=bool)
+        # dominant case: equal lengths → vectorized byte-mismatch count
+        for L in np.unique(la[la == lb]):
+            sel = (la == L) & (lb == L)
+            ma = np.frombuffer(
+                "".join(ta[sel].tolist()).encode("utf-8"), dtype=np.uint8
+            ).reshape(-1, int(L))
+            mb = np.frombuffer(
+                "".join(tb[sel].tolist()).encode("utf-8"), dtype=np.uint8
+            ).reshape(-1, int(L))
+            keep[sel] = (ma != mb).sum(axis=1) <= 1
+        # rare case: length off by one → two-pointer check
+        off1 = np.abs(la - lb) == 1
+        for i in np.nonzero(off1)[0]:
+            keep[i] = ed_le_1_slow(ta[i], tb[i])
+        b = b.filter(pa.array(keep))
+        # block-local dedup; the global distinct runs at output size
+        return b.group_by(["tok_a", "tok_b"]).aggregate([]) if b.num_rows else b
+
+    cand = var_ds.join(
+        var_ds,
+        "inner",
+        max(_join_partitions(), 8),
+        on=("key",),
+        left_suffix="_a",
+        right_suffix="_b",
+    ).map_batches(verify, batch_format="pyarrow")
+
+    out = collect_arrow(drop_empty_blocks(cand))
+    out = out.group_by(["tok_a", "tok_b"]).aggregate([])
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("tok_a", "ascending"), ("tok_b", "ascending")])
+    )
+
+
+def events_value_percentile(sf_dir: str):
+    """Broadcast-CDF percentile transform: annotate EVERY event with its
+    exact rank statistics within its event_type — (n_lt, n_eq, n_type)
+    as integers, from which any percentile definition (rank, cume_dist,
+    midrank) follows without a float in sight. Shape: block-local
+    (type, cents) count partials → one small distinct-score groupby →
+    the per-type sorted score CDF is broadcast via ray.put (distinct
+    cents are bounded — price grids, not raw reals; at open-web
+    cardinality this becomes a range-partitioned join on score instead,
+    same seam as the TF-IDF DF map) → one vectorized searchsorted per
+    (block × type present). The input-sized output never converges to
+    the driver in pipeline use; collect here is the query edge."""
+    ev = _pq(sf_dir, "events", ["event_id", "event_type", "value"], blocks=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "c": _cents(b.column("value")),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "c"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "c", "n"])
+
+    dist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    from .util import collect_arrow
+
+    cdf_tbl = collect_arrow(dist)
+    cdf = {}
+    for typ in pc.unique(cdf_tbl.column("event_type")).to_pylist():
+        sub = cdf_tbl.filter(pc.equal(cdf_tbl.column("event_type"), typ))
+        order = pc.sort_indices(sub, sort_keys=[("c", "ascending")])
+        sub = sub.take(order)
+        cs = sub.column("c").to_numpy(zero_copy_only=False)
+        ns = sub.column("n").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(ns)
+        cdf[typ] = (cs, cum - ns, ns, int(cum[-1]))  # scores, n_lt, n_eq, total
+    cdf_ref = ray.put(cdf)
+
+    def annotate(b: pa.Table) -> pa.Table:
+        m = ray.get(cdf_ref)
+        types = b.column("event_type").to_numpy(zero_copy_only=False)
+        c = _cents(b.column("value")).to_numpy(zero_copy_only=False)
+        n_lt = np.empty(len(c), dtype=np.int64)
+        n_eq = np.empty(len(c), dtype=np.int64)
+        n_type = np.empty(len(c), dtype=np.int64)
+        for typ in np.unique(types):
+            mask = types == typ
+            cs, lt, eq, tot = m[typ]
+            pos = np.searchsorted(cs, c[mask])
+            n_lt[mask] = lt[pos]
+            n_eq[mask] = eq[pos]
+            n_type[mask] = tot
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "n_lt": pa.array(n_lt),
+                "n_eq": pa.array(n_eq),
+                "n_type": pa.array(n_type),
+            }
+        )
+
+    return ev.map_batches(annotate, batch_format="pyarrow")
+
+
+def lineitem_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — a DECORRELATED correlated aggregate: revenue
+    from lineitems whose quantity is below 20 % of their part's average
+    quantity. The correlated subquery (per-part AVG over the same fact
+    table) decorrelates into: per-part (sum_qty, n) partials combined
+    map-side → a part-keyed threshold table → one hash join back
+    against the streaming fact → the predicate as an exact integer
+    cross-multiplication 5·qty·n < sum_qty (no float average, so both
+    engines select identical rows). Single-row output; the only float
+    ops are the mirrored cents→dollars and ÷7 divisions."""
+    li = _pq(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"], blocks=16
+    )
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "sum_qty": pc.cast(b.column("l_quantity"), pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by("l_partkey").aggregate([("sum_qty", "sum"), ("n", "sum")])
+        return g.rename_columns(["l_partkey", "sum_qty", "n"])
+
+    thresholds = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n"))
+    )
+
+    joined = li.join(
+        thresholds, "inner", _join_partitions(), on=("l_partkey",)
+    )
+
+    def select_small(b: pa.Table) -> pa.Table:
+        qty = pc.cast(b.column("l_quantity"), pa.int64()).to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        sq = b.column("sum_qty").to_numpy(zero_copy_only=False)
+        keep = 5 * qty * n < sq
+        cents = _cents(b.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+                "cents": pa.array([int(cents[keep].sum())], pa.int64()),
+            }
+        )
+
+    from .util import collect_arrow
+
+    parts = collect_arrow(joined.map_batches(select_small, batch_format="pyarrow"))
+    n_rows = int(pc.sum(parts.column("n_rows")).as_py() or 0)
+    cents = int(pc.sum(parts.column("cents")).as_py() or 0)
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "avg_yearly": pa.array([(float(cents) / 100.0) / 7.0], pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4721,6 +5044,10 @@ QUERIES = {
     "lineitem_regression": lineitem_regression,
     "events_auc": events_auc,
     "corpus_resize_buckets": corpus_resize_buckets,
+    "corpus_letterbox": corpus_letterbox,
+    "customer_fuzzy_pairs": customer_fuzzy_pairs,
+    "events_value_percentile": events_value_percentile,
+    "lineitem_small_qty_revenue": lineitem_small_qty_revenue,
 }
 
 ORACLE_SQL = {
@@ -6248,4 +6575,72 @@ ORACLE_SQL["corpus_resize_buckets"] = f"""
     SELECT image_id, CAST(tw AS BIGINT) AS target_w,
            CAST(th AS BIGINT) AS target_h, distortion
     FROM r WHERE rn = 1 ORDER BY image_id
+"""
+
+# letterbox geometry: same bucket argmin as corpus_resize_buckets, then
+# the width/height-limited CASE via the exact integer cross-product and
+# floor divisions — mirrored arithmetic, zero float ratios
+ORACLE_SQL["corpus_letterbox"] = f"""
+    WITH b(idx, tw, th) AS (VALUES
+      (0, 64, 64), (1, 48, 64), (2, 64, 48), (3, 32, 64),
+      (4, 64, 32), (5, 40, 56), (6, 56, 40)
+    ), r AS (
+      SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             CAST(tw AS BIGINT) AS tw, CAST(th AS BIGINT) AS th,
+             row_number() OVER (
+               PARTITION BY image_id
+               ORDER BY abs(CAST(w AS BIGINT) * th - CAST(h AS BIGINT) * tw),
+                        idx
+             ) AS rn
+      FROM read_parquet('{_CORPUS_GLOB}') CROSS JOIN b
+    ), g AS (
+      SELECT image_id, tw AS target_w, th AS target_h,
+             CASE WHEN w * th >= h * tw THEN tw ELSE (w * th) // h END AS scaled_w,
+             CASE WHEN w * th >= h * tw THEN (h * tw) // w ELSE th END AS scaled_h
+      FROM r WHERE rn = 1
+    )
+    SELECT image_id, target_w, target_h, scaled_w, scaled_h,
+           (target_w - scaled_w) // 2 AS pad_x,
+           (target_h - scaled_h) // 2 AS pad_y
+    FROM g ORDER BY image_id
+"""
+
+# brute-force ground truth for the deletion-neighborhood join: every
+# distinct-name pair within levenshtein 1
+ORACLE_SQL["customer_fuzzy_pairs"] = """
+    WITH t AS (SELECT DISTINCT c_name AS tok FROM customer)
+    SELECT a.tok AS tok_a, b.tok AS tok_b
+    FROM t a, t b
+    WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+    ORDER BY tok_a, tok_b
+"""
+
+# exact per-type rank statistics: rank()-1 = strictly-below count, the
+# (type, cents) partition count = tie count — integer-only, so the
+# value hash is exact
+ORACLE_SQL["events_value_percentile"] = """
+    SELECT event_id, event_type,
+           CAST(rank() OVER (PARTITION BY event_type ORDER BY c) - 1 AS BIGINT) AS n_lt,
+           CAST(count(*) OVER (PARTITION BY event_type, c) AS BIGINT) AS n_eq,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_type
+    FROM (SELECT event_id, event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+          FROM events)
+"""
+
+# Q17 decorrelated: the per-part average is compared via the exact
+# integer cross-multiplication 5*qty*n < sum_qty, so both engines pick
+# the same rows; cents→dollars→/7 are the only (mirrored) float ops
+ORACLE_SQL["lineitem_small_qty_revenue"] = """
+    WITH t AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           (CAST(coalesce(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)), 0)
+                 AS DOUBLE) / 100.0) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+    WHERE 5 * CAST(l.l_quantity AS BIGINT) * t.n < t.sum_qty
 """

@@ -169,3 +169,66 @@ def test_postings_sorted_and_distinct(tmp_path):
     assert out.loc["a", "postings"] == "0,1" and out.loc["a", "df"] == 2
     assert out.loc["b", "postings"] == "0" and out.loc["b", "df"] == 1  # within-doc dup collapsed
     assert out.loc["c", "postings"] == "1,2"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_pairs_insert_delete_and_mixed_lengths(tmp_path):
+    """The customer-table oracle pair only exercises equal-length
+    substitutions (all c_name share one length); this plants tokens of
+    mixed lengths so the identity-key candidate path (insert/delete
+    pairs), the false-candidate rejection (shared deletion variant but
+    ed=2, e.g. 'ab' vs 'ba'), and length-difference pruning are all
+    hit. Expected set = brute-force python ed<=1 over all pairs."""
+    import itertools
+    import pyarrow.parquet as pq
+
+    from crawler_seo_ray import queries as q
+
+    toks = ["ab", "ba", "abc", "abcd", "axcd", "bcd", "x", "xy", "zzzz", "zzz"]
+
+    def ed(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (min(x, y), max(x, y))
+        for x, y in itertools.combinations(toks, 2)
+        if ed(x, y) <= 1
+    )
+    t = pa.table(
+        {
+            "c_custkey": pa.array(range(len(toks)), pa.int64()),
+            "c_name": pa.array(toks),
+            "c_nationkey": pa.array([0] * len(toks), pa.int32()),
+            "c_acctbal": pa.array([0.0] * len(toks)),
+            "c_mktsegment": pa.array(["BUILDING"] * len(toks)),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "customer.parquet"))
+    out = q.customer_fuzzy_pairs(str(tmp_path)).to_pandas()
+    got = sorted(zip(out["tok_a"], out["tok_b"]))
+    assert got == want
+    assert ("ab", "ba") not in got  # shared-variant false candidate rejected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_letterbox_geometry_invariants():
+    """Every letterbox fits inside its canvas, fills at least one axis
+    exactly, and preserves aspect within the floor-division bound."""
+    from crawler_seo_ray import queries as q
+
+    out = q.corpus_letterbox("unused").to_pandas()
+    assert len(out) > 0
+    assert (out["scaled_w"] <= out["target_w"]).all()
+    assert (out["scaled_h"] <= out["target_h"]).all()
+    fills = (out["scaled_w"] == out["target_w"]) | (out["scaled_h"] == out["target_h"])
+    assert fills.all()
+    assert (out["pad_x"] == (out["target_w"] - out["scaled_w"]) // 2).all()
+    assert (out["pad_y"] == (out["target_h"] - out["scaled_h"]) // 2).all()
