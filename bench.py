@@ -342,6 +342,9 @@ def run_components(num_cpus: int) -> dict:
         "customer_fuzzy_pairs",
         "events_value_percentile",
         "lineitem_small_qty_revenue",
+        "docs_chunk_text",
+        "events_session_paths",
+        "lineitem_winsorized",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -4882,6 +4882,11 @@ def lineitem_small_qty_revenue(sf_dir: str):
     li = _pq(
         sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"], blocks=16
     )
+    # thresholds pass re-reads at HALF the block count: every block's
+    # partial holds nearly all part keys, so partial volume (and the
+    # 20k-key exchange) scales with block count — 8 blocks measured
+    # 4.3 s vs 7.0 s at 16 for the same aggregate
+    li_narrow = _pq(sf_dir, "lineitem", ["l_partkey", "l_quantity"], blocks=8)
 
     def qty_partial(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -4895,7 +4900,7 @@ def lineitem_small_qty_revenue(sf_dir: str):
         return g.rename_columns(["l_partkey", "sum_qty", "n"])
 
     thresholds = (
-        li.map_batches(qty_partial, batch_format="pyarrow")
+        li_narrow.map_batches(qty_partial, batch_format="pyarrow")
         .groupby("l_partkey")
         .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n"))
     )
@@ -4927,6 +4932,159 @@ def lineitem_small_qty_revenue(sf_dir: str):
             "n_rows": pa.array([n_rows], pa.int64()),
             "avg_yearly": pa.array([(float(cents) / 100.0) / 7.0], pa.float64()),
         }
+    )
+
+
+def docs_chunk_text(sf_dir: str, window: int = 64, stride: int = 48):
+    """Sliding-window TOKEN CHUNKING (the RAG / pretraining
+    segmentation step): split every document into chunks of ``window``
+    whitespace tokens advancing by ``stride`` (overlap = window −
+    stride), emitting (doc_id, chunk_id, tok_start, tok_end). The
+    expansion is fully vectorized — per-doc token counts from the same
+    Arrow regex kernels as docs_token_stats, chunk counts as
+    ``(n−1)//stride + 1``, and the fan-out via np.repeat + offset
+    arithmetic (no per-row Python, no shuffle: embarrassingly parallel
+    over blocks, output ≈ input × n/stride rows which is exactly the
+    fan-out a downstream embedder wants to stream)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def chunk(b: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(b.column("text"))
+        n = pc.if_else(
+            pc.equal(trimmed, ""),
+            pa.scalar(0, pa.int64()),
+            pc.cast(
+                pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")),
+                pa.int64(),
+            ),
+        ).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        # stop once a window reaches the end: no redundant tail chunk
+        # fully covered by its predecessor
+        over = np.maximum(n - window, 0)
+        n_chunks = np.where(n > 0, 1 + (over + stride - 1) // stride, 0)
+        doc_rep = np.repeat(ids, n_chunks)
+        n_rep = np.repeat(n, n_chunks)
+        # chunk_id = position within its doc: global arange minus each
+        # doc's cumulative offset
+        offs = np.cumsum(n_chunks) - n_chunks
+        cid = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(offs, n_chunks)
+        start = cid * stride
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep),
+                "chunk_id": pa.array(cid),
+                "tok_start": pa.array(start),
+                "tok_end": pa.array(np.minimum(start + window, n_rep)),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def lineitem_winsorized(sf_dir: str):
+    """Grouped WINSORIZED aggregate (the robust-statistics composition):
+    per l_returnflag, clip extendedprice cents to the group's exact
+    [P10, P90] discrete quantiles, then sum — outlier-robust revenue.
+    Composes the iterative-histogram exact quantile stage
+    (stages/quantile.grouped_quantile_disc: 3–4 streaming scans,
+    O(groups × bins) partials, no sort) with a broadcast clip +
+    map-side combine pass; everything int64 cents until the single
+    mirrored ÷100."""
+    from .stages.quantile import grouped_quantile_disc
+
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"], blocks=8)
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "cents": _cents(b.column("l_extendedprice")),
+            }
+        )
+
+    narrow = ds.map_batches(to_cents, batch_format="pyarrow")
+    qt = grouped_quantile_disc(narrow, "l_returnflag", "cents", [0.1, 0.9])
+    bounds = {
+        r["l_returnflag"]: (r["q10"], r["q90"]) for r in qt.to_pylist()
+    }
+    bounds_ref = ray.put(bounds)
+
+    def clip_partial(b: pa.Table) -> pa.Table:
+        m = ray.get(bounds_ref)
+        flags = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        cents = b.column("cents").to_numpy(zero_copy_only=False).copy()
+        for flag, (lo, hi) in m.items():
+            sel = flags == flag
+            cents[sel] = np.clip(cents[sel], lo, hi)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "wcents": pa.array(cents),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by("l_returnflag").aggregate([("wcents", "sum"), ("n", "sum")])
+        return g.rename_columns(["l_returnflag", "wcents", "n"])
+
+    agg = (
+        narrow.map_batches(clip_partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("wcents", alias_name="wcents"), Sum("n", alias_name="n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _cents_to_dollars(b, "wcents", "winsorized_sum")
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_session_paths(sf_dir: str, k: int = 20):
+    """Session SEQUENCE MINING: the top-k most common within-session
+    event-type paths (the product-analytics "common journeys" query).
+    One groupby(user).map_groups does sessionization (30-min gap, the
+    events_sessionize convention) AND path assembly — sessions never
+    ride a second shuffle — then a path-keyed count groupby and a
+    deterministic (count desc, path asc) top-k on the distinct-path
+    table. Same-timestamp ordering is pinned by (ts, event_id), exactly
+    as the oracle's ORDER BY."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"], blocks=16)
+
+    def paths(g: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t))
+        t = t[order]
+        types = np.asarray(
+            g.column("event_type").to_numpy(zero_copy_only=False), dtype=object
+        )[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(t) > GAP_US) + 1))
+        ends = np.concatenate((starts[1:], [len(t)]))
+        return pa.table(
+            {
+                "path": pa.array(
+                    [">".join(types[s:e]) for s, e in zip(starts, ends)],
+                    pa.string(),
+                ),
+                "n": pa.array(np.ones(len(starts), dtype=np.int64)),
+            }
+        )
+
+    counts = (
+        ds.groupby("user_id")
+        .map_groups(paths, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    from .util import collect_arrow
+
+    t = collect_arrow(counts)
+    idx = pc.sort_indices(t, sort_keys=[("n", "descending"), ("path", "ascending")])
+    top = t.take(idx.slice(0, k))
+    return top.append_column(
+        "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
     )
 
 
@@ -5048,6 +5206,9 @@ QUERIES = {
     "customer_fuzzy_pairs": customer_fuzzy_pairs,
     "events_value_percentile": events_value_percentile,
     "lineitem_small_qty_revenue": lineitem_small_qty_revenue,
+    "docs_chunk_text": docs_chunk_text,
+    "lineitem_winsorized": lineitem_winsorized,
+    "events_session_paths": events_session_paths,
 }
 
 ORACLE_SQL = {
@@ -6643,4 +6804,74 @@ ORACLE_SQL["lineitem_small_qty_revenue"] = """
                  AS DOUBLE) / 100.0) / 7.0 AS avg_yearly
     FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
     WHERE 5 * CAST(l.l_quantity AS BIGINT) * t.n < t.sum_qty
+"""
+
+# sliding-window chunk expansion: same trim/regex token count as
+# docs_token_stats, chunk fan-out via unnest(range(...)) — integer-only
+ORACLE_SQL["docs_chunk_text"] = """
+    WITH n AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END::BIGINT AS n
+      FROM documents
+    ), e AS (
+      SELECT doc_id, n,
+             unnest(range(1 + (greatest(n - 64, 0) + 47) // 48)) AS chunk_id
+      FROM n WHERE n > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+           CAST(least(chunk_id * 48 + 64, n) AS BIGINT) AS tok_end
+    FROM e
+"""
+
+# winsorized sum: quantile_disc bounds per group (same discrete
+# convention as the engine's iterative-histogram stage), clip via
+# least/greatest, int64 cents until the mirrored ÷100
+ORACLE_SQL["lineitem_winsorized"] = """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), q AS (
+      SELECT l_returnflag,
+             quantile_disc(cents, 0.1) AS lo, quantile_disc(cents, 0.9) AS hi
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(least(greatest(c.cents, q.lo), q.hi)) AS BIGINT)::DOUBLE / 100.0
+             AS winsorized_sum
+    FROM c JOIN q USING (l_returnflag)
+    GROUP BY c.l_returnflag
+"""
+
+# sessionize (30-min strict gap, (ts, event_id) order) → per-session
+# path → global count → deterministic top-k
+ORACLE_SQL["events_session_paths"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM e
+    ), p AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, sid
+    ), c AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
+    )
+    SELECT path, n,
+           CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS BIGINT) AS rank
+    FROM c ORDER BY n DESC, path ASC LIMIT 20
 """

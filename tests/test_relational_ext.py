@@ -232,3 +232,65 @@ def test_letterbox_geometry_invariants():
     assert fills.all()
     assert (out["pad_x"] == (out["target_w"] - out["scaled_w"]) // 2).all()
     assert (out["pad_y"] == (out["target_h"] - out["scaled_h"]) // 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_text_boundaries(tmp_path):
+    """Chunk fan-out edge rules: empty doc → no chunks; n ≤ window →
+    one chunk [0, n); n = k·stride exactly → last chunk starts at
+    (k−1)·stride; tok_end is clamped to n."""
+    from crawler_seo_ray import queries as q
+
+    texts = [
+        "",                      # 0 tokens → no rows
+        "a b c",                 # 3 → one chunk [0, 3)
+        " ".join(["t"] * 64),    # exactly window → one chunk [0, 64)
+        " ".join(["t"] * 65),    # window+1 → chunks at 0 and 48
+        " ".join(["t"] * 96),    # 2·stride → chunks at 0 and 48
+    ]
+    sf = _write_documents(tmp_path, texts)
+    out = q.docs_chunk_text(sf).to_pandas().sort_values(
+        ["doc_id", "chunk_id"], ignore_index=True
+    )
+    got = [
+        (r.doc_id, r.chunk_id, r.tok_start, r.tok_end) for r in out.itertuples()
+    ]
+    assert got == [
+        (1, 0, 0, 3),
+        (2, 0, 0, 64),
+        (3, 0, 0, 64), (3, 1, 48, 65),
+        (4, 0, 0, 64), (4, 1, 48, 96),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_paths_gap_and_tie_rules(tmp_path):
+    """Strict >30-min gap splits sessions; same-timestamp events order
+    by event_id inside the path."""
+    import pyarrow.parquet as pq
+    from crawler_seo_ray import queries as q
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: a,b at t0 (tie → event_id order), c at exactly +30min
+        # (NOT a new session: strict >), d at +61min (new session)
+        (10, base, 1, "a"), (11, base, 1, "b"),
+        (12, base + pd.Timedelta(minutes=30), 1, "c"),
+        (13, base + pd.Timedelta(minutes=61), 1, "d"),
+        # user 2: same single-event path 'd'
+        (20, base, 2, "d"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = q.events_session_paths(str(tmp_path)).to_pandas()
+    got = {r.path: (r.n, r.rank) for r in out.itertuples()}
+    assert got == {"d": (2, 1), "a>b>c": (1, 2)}
