@@ -345,6 +345,8 @@ def run_components(num_cpus: int) -> dict:
         "docs_chunk_text",
         "events_session_paths",
         "lineitem_winsorized",
+        "events_max_concurrency",
+        "embeddings_reciprocal_nn",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -5088,6 +5088,144 @@ def events_session_paths(sf_dir: str, k: int = 20):
     )
 
 
+def events_max_concurrency(sf_dir: str):
+    """Interval-sweep MAX CONCURRENCY: the peak number of simultaneously
+    open sessions (inclusive [start, end]) and the earliest instant it
+    is reached — the classic capacity-planning stabbing query. Shape:
+    the sessionize map_groups emits ±1 sweep marks ((start, +1),
+    (end + 1 µs, −1)) instead of session rows → marks collapse by
+    timestamp in a groupby (so same-instant opens/closes net BEFORE the
+    level is read — the inclusive-boundary rule) → range-partitioned
+    sort by ts → the running level uses the events_auc/running-total
+    prefix trick: one int per block flows through the driver, each
+    block's max + earliest argmax computed in parallel, a block-count-
+    sized reduce at the end. No global sort-into-one-worker, no
+    O(marks) driver state."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
+
+    def marks(g: pa.Table) -> pa.Table:
+        t = np.sort(
+            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        )
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(t) > GAP_US) + 1))
+        ends = np.concatenate((starts[1:] - 1, [len(t) - 1]))
+        return pa.table(
+            {
+                "ts": pa.array(np.concatenate([t[starts], t[ends] + 1])),
+                "d": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(starts), dtype=np.int64),
+                            -np.ones(len(starts), dtype=np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    from .util import drop_empty_blocks
+
+    levels = (
+        ds.groupby("user_id")
+        .map_groups(marks, batch_format="pyarrow")
+        .groupby("ts")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+    mat = drop_empty_blocks(levels.sort("ts")).materialize()
+
+    @ray.remote
+    def block_sum(b: pa.Table) -> int:
+        return int(pc.sum(b.column("d")).as_py() or 0)
+
+    @ray.remote
+    def block_peak(b: pa.Table, offset: int) -> tuple[int, int]:
+        d = b.column("d").to_numpy(zero_copy_only=False)
+        run = np.cumsum(d) + offset
+        i = int(np.argmax(run))  # first occurrence = earliest ts
+        return int(run[i]), int(b.column("ts")[i].as_py())
+
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = [0]
+    for v in sums[:-1]:
+        offsets.append(offsets[-1] + v)
+    peaks = ray.get(
+        [block_peak.remote(r, off) for r, off in zip(refs, offsets)]
+    )
+    best = max(peaks, key=lambda p: (p[0], -p[1]))
+    return pa.table(
+        {
+            "max_concurrent": pa.array([best[0]], pa.int64()),
+            "at_ts": pa.array([best[1]], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+
+
+def embeddings_reciprocal_nn(sf_dir: str, k: int = 3):
+    """RECIPROCAL nearest-neighbor matching (mutual top-k): pairs where
+    each vector ranks the other within its cosine top-k, self excluded
+    — the high-precision matching rule used for cross-lingual /
+    cross-modal pair mining (both directions must agree, which kills
+    hub false-positives one-directional kNN suffers). The distributed
+    part is the exact streamed all-vectors top-(k+1) scan (knn_brute:
+    broadcast query matrix, block-local top-k partials); the directed
+    edge list is N·k and the mutual intersection runs on it via one
+    hash of swapped keys. At open-web N the query matrix no longer
+    broadcasts — the scan becomes the IVF-bucketed path
+    (stages/similarity.build_ivf_index), same downstream edge
+    intersection."""
+    from .stages.similarity import knn_brute
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = sorted(ds.take_all(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    queries = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    out = knn_brute(ds, "embedding", "vec_id", queries, k=k + 1)
+
+    src = ids[out.column("query_idx").to_numpy(zero_copy_only=False)]
+    dst = out.column("neighbor_id").to_numpy(zero_copy_only=False)
+    keep = src != dst  # leave-one-out, order preserved
+    src, dst = src[keep], dst[keep]
+    # re-rank within each query after self-removal, then cut to k
+    rnk = np.ones(len(src), dtype=np.int64)
+    bounds = np.flatnonzero(np.diff(src)) + 1
+    segs = np.split(np.arange(len(src)), bounds)
+    for seg in segs:
+        rnk[seg] = np.arange(1, len(seg) + 1)
+    cut = rnk <= k
+    src, dst, rnk = src[cut], dst[cut], rnk[cut]
+
+    # mutual intersection on the N·k edge list: hash directed edges,
+    # look up the swapped key
+    fwd = {}
+    for a, b, r in zip(src.tolist(), dst.tolist(), rnk.tolist()):
+        fwd[(a, b)] = r
+    ia, ib, rab, rba = [], [], [], []
+    for (a, b), r in fwd.items():
+        if a < b and (b, a) in fwd:
+            ia.append(a)
+            ib.append(b)
+            rab.append(r)
+            rba.append(fwd[(b, a)])
+    t = pa.table(
+        {
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "rank_ab": pa.array(rab, pa.int64()),
+            "rank_ba": pa.array(rba, pa.int64()),
+        }
+    )
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5209,6 +5347,8 @@ QUERIES = {
     "docs_chunk_text": docs_chunk_text,
     "lineitem_winsorized": lineitem_winsorized,
     "events_session_paths": events_session_paths,
+    "events_max_concurrency": events_max_concurrency,
+    "embeddings_reciprocal_nn": embeddings_reciprocal_nn,
 }
 
 ORACLE_SQL = {
@@ -6874,4 +7014,55 @@ ORACLE_SQL["events_session_paths"] = """
     SELECT path, n,
            CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS BIGINT) AS rank
     FROM c ORDER BY n DESC, path ASC LIMIT 20
+"""
+
+# sweep-line peak concurrency: sessionize → ±1 marks (end + 1 µs keeps
+# [start, end] inclusive), collapse per instant, running level, first
+# instant achieving the max
+ORACLE_SQL["events_max_concurrency"] = """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ), iv AS (
+      SELECT min(ts) AS s, max(ts) AS e FROM sess GROUP BY user_id, sid
+    ), m AS (
+      SELECT s AS ts, 1 AS d FROM iv
+      UNION ALL
+      SELECT e + INTERVAL 1 MICROSECOND, -1 FROM iv
+    ), g AS (
+      SELECT ts, sum(d) AS d FROM m GROUP BY ts
+    ), r AS (
+      SELECT ts, sum(d) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS c
+      FROM g
+    )
+    SELECT CAST(c AS BIGINT) AS max_concurrent, ts AS at_ts
+    FROM r ORDER BY c DESC, ts ASC LIMIT 1
+"""
+
+# mutual top-k: both directed ranks ≤ k, self excluded, ties by
+# (cosine desc, vec_id asc) exactly as knn_brute
+ORACLE_SQL["embeddings_reciprocal_nn"] = """
+    WITH e AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                        b.vec_id
+             ) AS rnk
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), t AS (SELECT src, dst, rnk FROM e WHERE rnk <= 3)
+    SELECT x.src AS id_a, x.dst AS id_b,
+           CAST(x.rnk AS BIGINT) AS rank_ab, CAST(y.rnk AS BIGINT) AS rank_ba
+    FROM t x JOIN t y ON x.src = y.dst AND x.dst = y.src
+    WHERE x.src < x.dst
+    ORDER BY id_a, id_b
 """

@@ -294,3 +294,73 @@ def test_session_paths_gap_and_tie_rules(tmp_path):
     out = q.events_session_paths(str(tmp_path)).to_pandas()
     got = {r.path: (r.n, r.rank) for r in out.itertuples()}
     assert got == {"d": (2, 1), "a>b>c": (1, 2)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_concurrency_inclusive_boundary(tmp_path):
+    """A session ending at instant t and another starting at t overlap
+    (inclusive [start, end]); the reported instant is the EARLIEST one
+    achieving the peak."""
+    import pyarrow.parquet as pq
+    from crawler_seo_ray import queries as q
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: session [00:00, 00:10]
+        (1, base), (2, base + pd.Timedelta(minutes=10)),
+        # user 2: session starting exactly at user 1's end → overlap of 2
+        (3, base + pd.Timedelta(minutes=10)),
+        # user 3: much later lone session (still peak 1)
+        (4, base + pd.Timedelta(hours=5)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()).take(
+                pa.array([0, 0, 1, 2], pa.int64())
+            ),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = q.events_max_concurrency(str(tmp_path)).to_pylist()[0]
+    assert out["max_concurrent"] == 2
+    assert out["at_ts"] == base + pd.Timedelta(minutes=10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reciprocal_nn_rejects_one_directional(tmp_path):
+    """A hub vector that everyone ranks first is only matched with the
+    vectors IT ranks back within top-k; one-directional edges drop."""
+    import pyarrow.parquet as pq
+    from crawler_seo_ray import queries as q
+
+    # 2-d layout: hub at origin-ish direction; a, b near hub; c, d, e
+    # clustered far away — c/d/e rank hub low but each other high
+    vecs = {
+        0: [1.0, 0.0],        # hub
+        1: [0.99, 0.14],      # near hub
+        2: [0.99, -0.14],     # near hub
+        3: [0.0, 1.0],
+        4: [0.05, 1.0],
+        5: [-0.05, 1.0],
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(vecs), pa.int64()),
+            "embedding": pa.array(list(vecs.values()), pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+    out = q.embeddings_reciprocal_nn(str(tmp_path), k=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    # mutual: hub↔1, hub↔2, 1↔2 (all top-2 of each other);
+    # 3/4/5 mutual among themselves
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert (3, 4) in pairs and (3, 5) in pairs and (4, 5) in pairs
+    # no cross-cluster pair survives
+    assert not any(a in (0, 1, 2) and b in (3, 4, 5) for a, b in pairs)
