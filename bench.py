@@ -347,6 +347,7 @@ def run_components(num_cpus: int) -> dict:
         "lineitem_winsorized",
         "events_max_concurrency",
         "embeddings_reciprocal_nn",
+        "docs_weighted_sample",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -4706,8 +4706,6 @@ def customer_fuzzy_pairs(sf_dir: str, bucket_cap: int = 2000):
         keys, owners = [], []
         for L in np.unique(lens):
             sub = toks[lens == L]
-            if L < 1:
-                continue
             # names are ASCII (Customer#%09d); general text would hash
             # codepoints instead of bytes
             m = (
@@ -4715,11 +4713,11 @@ def customer_fuzzy_pairs(sf_dir: str, bucket_cap: int = 2000):
                 .reshape(len(sub), int(L))
             )
             # identity key (covers insert/delete: the shorter token IS
-            # a deletion variant of the longer)
+            # a deletion variant of the longer; L = 0 and L = 1 rows
+            # emit it too — two distinct 1-char tokens only meet at the
+            # EMPTY deletion variant, a case the property test caught)
             keys.append(_fnv_rows(m))
             owners.append(sub)
-            if L < 2:
-                continue
             for i in range(int(L)):
                 keys.append(_fnv_rows(np.delete(m, i, axis=1)))
                 owners.append(sub)
@@ -5226,6 +5224,46 @@ def embeddings_reciprocal_nn(sf_dir: str, k: int = 3):
     )
 
 
+def docs_weighted_sample(sf_dir: str, k: int = 128):
+    """Deterministic WEIGHTED bottom-k sample — select k documents with
+    probability ∝ n_chars, reproducibly (the quality-weighted sampling
+    step of corpus curation, where longer/higher-scoring docs should be
+    over-represented but the pick must replay identically across runs
+    and partitionings). The A-Res exponential key u^(1/w) is replaced
+    by the integer-exact analog rank = (hash43 << 20) // weight — a
+    63-bit floor-scaled hash/weight ratio computed identically in SQL
+    (HUGEINT) and numpy (uint64), so there is no float boundary and the
+    selected SET is bit-stable. Shape: vectorized key stamp per block →
+    block-local top-k partials → driver merge of ≤ blocks·k rows (the
+    K1 distributed top-k pattern); no sort, no shuffle."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"], blocks=8)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        w = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h43 = _fnv64(ids) >> np.uint64(21)
+        rank = ((h43 << np.uint64(20)) // np.maximum(w, 1)).astype(np.int64)
+        t = pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "rank_key": pa.array(rank),
+            }
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("rank_key", "ascending"), ("doc_id", "ascending")]
+        )
+        return t.take(idx.slice(0, k))
+
+    parts = collect_arrow(ds.map_batches(local_topk, batch_format="pyarrow"))
+    idx = pc.sort_indices(
+        parts, sort_keys=[("rank_key", "ascending"), ("doc_id", "ascending")]
+    )
+    return parts.take(idx.slice(0, k))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5349,6 +5387,7 @@ QUERIES = {
     "events_session_paths": events_session_paths,
     "events_max_concurrency": events_max_concurrency,
     "embeddings_reciprocal_nn": embeddings_reciprocal_nn,
+    "docs_weighted_sample": docs_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -7065,4 +7104,25 @@ ORACLE_SQL["embeddings_reciprocal_nn"] = """
     FROM t x JOIN t y ON x.src = y.dst AND x.dst = y.src
     WHERE x.src < x.dst
     ORDER BY id_a, id_b
+"""
+
+# integer-exact weighted bottom-k: the docs_split FNV HUGEINT hash,
+# top 43 bits scaled by << 20, floor-divided by the weight — identical
+# arithmetic to the engine's uint64 path, so the set matches bit-wise
+ORACLE_SQL["docs_weighted_sample"] = """
+    SELECT doc_id, n_chars, CAST(rank_key AS BIGINT) AS rank_key FROM (
+      SELECT doc_id, n_chars,
+             (( (h // 2097152) << 20) // greatest(n_chars, 1)) AS rank_key
+      FROM (
+        SELECT doc_id, n_chars,
+               list_reduce(
+                 list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(range(0, 8), k ->
+                     (doc_id::HUGEINT // CAST(power(2, 8*k) AS HUGEINT)) % 256)),
+                 (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                              * 1099511628211::HUGEINT)
+                             % 18446744073709551616::HUGEINT
+               ) AS h
+        FROM documents) t
+    ) ORDER BY rank_key, doc_id LIMIT 128
 """

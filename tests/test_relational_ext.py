@@ -184,7 +184,13 @@ def test_fuzzy_pairs_insert_delete_and_mixed_lengths(tmp_path):
 
     from crawler_seo_ray import queries as q
 
-    toks = ["ab", "ba", "abc", "abcd", "axcd", "bcd", "x", "xy", "zzzz", "zzz"]
+    toks = [
+        "ab", "ba", "abc", "abcd", "axcd", "bcd", "x", "xy", "zzzz", "zzz",
+        # two distinct 1-char tokens meet only at the EMPTY deletion
+        # variant (the property-test regression), and "" itself is an
+        # insertion-pair with every 1-char token
+        "q", "r", "",
+    ]
 
     def ed(a, b):
         if len(a) < len(b):
@@ -364,3 +370,45 @@ def test_reciprocal_nn_rejects_one_directional(tmp_path):
     assert (3, 4) in pairs and (3, 5) in pairs and (4, 5) in pairs
     # no cross-cluster pair survives
     assert not any(a in (0, 1, 2) and b in (3, 4, 5) for a, b in pairs)
+
+
+def test_fastss_key_completeness_property():
+    """FastSS completeness theorem, as implemented: any two tokens
+    within edit distance 1 share at least one deletion-neighborhood
+    key under the engine's _fnv_rows hashing (identity ∪ single
+    deletions). Hypothesis drives random short tokens and random
+    ed≤1 edits."""
+    from hypothesis import given, settings, strategies as st
+
+    from crawler_seo_ray.queries import _fnv_rows
+
+    def keys(tok: str) -> set[int]:
+        out = set()
+        b = np.frombuffer(tok.encode(), dtype=np.uint8).reshape(1, -1)
+        out.add(int(_fnv_rows(b)[0]))
+        for i in range(b.shape[1]):
+            out.add(int(_fnv_rows(np.delete(b, i, axis=1))[0]))
+        return out
+
+    alphabet = "abc"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet, min_size=1, max_size=6),
+        st.integers(0, 5),
+        st.sampled_from(["sub", "ins", "del"]),
+        st.sampled_from(alphabet),
+    )
+    def check(tok, pos, op, ch):
+        pos = pos % len(tok)
+        if op == "sub":
+            other = tok[:pos] + ch + tok[pos + 1 :]
+        elif op == "ins":
+            other = tok[:pos] + ch + tok[pos:]
+        else:
+            other = tok[:pos] + tok[pos + 1 :]
+        if not other or other == tok:
+            return
+        assert keys(tok) & keys(other), (tok, other)
+
+    check()
