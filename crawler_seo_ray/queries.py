@@ -3916,6 +3916,116 @@ def basket_bfs_depth(sf_dir: str, max_hops: int = 3):
     )
 
 
+def basket_kcore(sf_dir: str, k: int = 80, max_rounds: int = 8):
+    """k-core decomposition of the basket co-occurrence graph
+    (``stages/graph.kcore``): iteratively peel vertices with degree
+    < k until fixed point, return the surviving core with in-core
+    degrees. The graph-densification operator a crawl corpus uses to
+    isolate strongly-interlinked host clusters (reference parity: the
+    crawl's link graph; here exercised on the part-basket graph so the
+    oracle is pure SQL). k=80 peels non-trivially at both test scales:
+    at sf0.001 the whole graph dissolves (empty core — exercises the
+    full-peel path); at sf0.01 a ~1.9k-vertex core survives after 6
+    peel rounds. Oracle: ``max_rounds`` unrolled HAVING/semi-join CTE
+    rounds — identical output whether or not the peel converges early,
+    because converged rounds are no-ops on both sides."""
+    from .stages.graph import kcore
+    from .util import collect_arrow
+
+    nparts = _join_partitions()
+    _, e = _basket_edges(sf_dir, nparts)
+
+    def sym(b: pa.Table) -> pa.Table:
+        p1 = b.column("p1").to_numpy(zero_copy_only=False)
+        p2 = b.column("p2").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([p1, p2]), pa.int64()),
+                "dst": pa.array(np.concatenate([p2, p1]), pa.int64()),
+            }
+        )
+
+    out = kcore(e.map_batches(sym, batch_format="pyarrow"), k, max_rounds, nparts)
+    # the core vertex list is output-sized (≤ #parts); collect so the
+    # fully-peeled case keeps its typed empty schema (Ray 2.49's
+    # Dataset.to_pandas drops columns on an empty dataset)
+    return collect_arrow(
+        out,
+        schema=pa.schema([("part", pa.int64()), ("degree", pa.int64())]),
+    )
+
+
+def docs_token_offsets(sf_dir: str, max_doc: int = 40):
+    """Token ↔ character-span alignment: for each document, every
+    whitespace-delimited token with its (token_idx, start_char,
+    end_char) span — the training-data primitive for span labelling
+    (NER offsets, answer-span supervision, byte↔token maps). Capped at
+    ``max_doc`` docs because the output is token-sized, not doc-sized.
+
+    Vectorized shape: per batch, all texts are joined into ONE buffer
+    (separator '\\n' is in the delimiter class, so tokens never span
+    docs), decoded once to a uint32 codepoint array, and token
+    boundaries found with pure numpy mask shifts — no per-row regex.
+    The only per-token Python is the final string slice, which is
+    output-sized. Oracle: DuckDB recursive CTE peeling one token per
+    round with ltrim/regexp_extract (char offsets on both sides)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=4).filter(
+        expr=f"doc_id < {max_doc}"
+    )
+    _ws_codes = np.array([9, 10, 13, 32], dtype=np.uint32)
+
+    def offsets(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], b.schema.field("doc_id").type),
+                "token_idx": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "start_char": pa.array([], pa.int64()),
+                "end_char": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        texts = b.column("text").to_pylist()
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        big = "\n".join(texts)
+        codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+        # char offset where each doc starts inside the joined buffer
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        doc_starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+        is_tok = ~np.isin(codes, _ws_codes)
+        if not is_tok.any():
+            return empty
+        prev = np.empty_like(is_tok)
+        prev[0] = False
+        prev[1:] = is_tok[:-1]
+        nxt = np.empty_like(is_tok)
+        nxt[-1] = False
+        nxt[:-1] = is_tok[1:]
+        s = np.flatnonzero(is_tok & ~prev)
+        e = np.flatnonzero(is_tok & ~nxt) + 1
+        di = np.searchsorted(doc_starts, s, side="right") - 1
+        newgrp = np.empty(len(di), dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = di[1:] != di[:-1]
+        grp_first = np.flatnonzero(newgrp)
+        token_idx = np.arange(len(di), dtype=np.int64) - grp_first[
+            np.cumsum(newgrp) - 1
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[di], b.schema.field("doc_id").type),
+                "token_idx": pa.array(token_idx),
+                "token": pa.array([big[a:z] for a, z in zip(s, e)], pa.string()),
+                "start_char": pa.array(s - doc_starts[di]),
+                "end_char": pa.array(e - doc_starts[di]),
+            }
+        )
+
+    return ds.map_batches(offsets, batch_format="pyarrow")
+
+
 def orders_ntile(sf_dir: str, tiles: int = 8):
     """GLOBAL equi-depth NTILE bucketing — the feature-binning
     primitive for quantile discretization. Unlike orders_price_window's
@@ -5358,6 +5468,8 @@ QUERIES = {
     "lineitem_mad": lineitem_mad,
     "lineitem_basket_triangles": lineitem_basket_triangles,
     "basket_bfs_depth": basket_bfs_depth,
+    "basket_kcore": basket_kcore,
+    "docs_token_offsets": docs_token_offsets,
     "orders_ntile": orders_ntile,
     "orders_pareto": orders_pareto,
     "events_transitions": events_transitions,
@@ -6759,6 +6871,57 @@ ORACLE_SQL["basket_bfs_depth"] = """
     )
     SELECT id AS part, CAST(min(d) AS BIGINT) AS depth
     FROM bfs GROUP BY id ORDER BY part
+"""
+
+def _kcore_oracle_sql(k: int = 80, rounds: int = 8) -> str:
+    """Unrolled k-core peel: exactly ``rounds`` HAVING + semi-join
+    rounds (converged rounds are no-ops), matching stages/graph.kcore
+    with the same (k, max_rounds)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"v{i} AS (SELECT src FROM e{i - 1} GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e "
+            f"JOIN v{i} s ON e.src = s.src JOIN v{i} d ON e.dst = d.src)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT src AS part, count(*)::BIGINT AS degree"
+        + f" FROM e{rounds} GROUP BY src ORDER BY part"
+    )
+
+
+ORACLE_SQL["basket_kcore"] = _kcore_oracle_sql()
+
+ORACLE_SQL["docs_token_offsets"] = r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, text AS rest,
+               CAST(0 AS BIGINT) AS pos, CAST(-1 AS BIGINT) AS token_idx,
+               CAST(NULL AS VARCHAR) AS token,
+               CAST(NULL AS BIGINT) AS start_char, CAST(NULL AS BIGINT) AS end_char
+        FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id, substr(stripped, length(tok) + 1), pos + ws + length(tok),
+               token_idx + 1, tok, pos + ws, pos + ws + length(tok)
+        FROM (
+            SELECT doc_id, pos, token_idx,
+                   length(rest) - length(ltrim(rest, E' \t\r\n')) AS ws,
+                   ltrim(rest, E' \t\r\n') AS stripped,
+                   regexp_extract(ltrim(rest, E' \t\r\n'), '^[^ \t\r\n]+') AS tok
+            FROM toks
+        ) WHERE stripped <> ''
+    )
+    SELECT doc_id, token_idx, token, start_char, end_char
+    FROM toks WHERE token_idx >= 0 ORDER BY doc_id, token_idx
 """
 
 ORACLE_SQL["events_weekly_active"] = """

@@ -258,6 +258,86 @@ def triangle_count(
     ).count()
 
 
+def kcore(
+    edges: Dataset,
+    k: int,
+    max_rounds: int,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Iterative k-core peel: repeatedly delete vertices whose degree
+    in the remaining graph is < ``k`` until fixed point (or
+    ``max_rounds`` peels), then return the surviving vertices with
+    their in-core degree — the classic graph-densification filter
+    (Matula & Beck 1983's peeling order, run level-synchronously).
+
+    ``edges`` must be the SYMMETRIC distinct edge set (both directions
+    present, no self-loops), so degree(v) = row count with src=v.
+
+    Distributed shape — one narrow ``groupby(src).count`` plus two
+    ``left_semi`` joins per round, every exchange edge- or
+    vertex-sized over int64 columns; the driver holds only per-round
+    vertex COUNTS for the convergence check. The edge set shrinks
+    monotonically, so each round is cheaper than the last; a converged
+    round (nothing peeled) short-circuits, making the fixed number of
+    oracle-unrolled rounds and the early-exit loop give identical
+    results whether or not the peel converges within ``max_rounds``.
+    Survivors are re-materialized per round so later rounds don't
+    re-execute the whole join chain.
+    """
+
+    def _degrees(e: Dataset) -> Dataset:
+        return drop_empty_blocks(
+            e.groupby("src").aggregate(Count(alias_name="degree"))
+        )
+
+    empty = pa.table(
+        {"part": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
+    )
+    edges = edges.materialize()
+    for _ in range(max_rounds):
+        deg = _degrees(edges).materialize()
+        n_vertices = deg.count()
+        if n_vertices == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(empty)
+        keep = (
+            drop_empty_blocks(deg.filter(expr=f"degree >= {k}"))
+            .map_batches(
+                lambda b: pa.table({"id": b.column("src")}), batch_format="pyarrow"
+            )
+            .materialize()
+        )
+        n_keep = keep.count()
+        if n_keep == n_vertices:
+            break  # fixed point: every survivor already meets the bar
+        if n_keep == 0:
+            # whole graph peeled — joining an all-empty right side would
+            # hit the Ray 2.49 zero-column-block join abort
+            import ray.data as rd
+
+            return rd.from_arrow(empty)
+        edges = drop_empty_blocks(
+            drop_empty_blocks(
+                edges.join(keep, "left_semi", num_partitions, on=("src",), right_on=("id",))
+            ).join(keep, "left_semi", num_partitions, on=("dst",), right_on=("id",))
+        ).materialize()
+    final = _degrees(edges).materialize()
+    if final.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    return final.map_batches(
+        lambda b: pa.table(
+            {
+                "part": pc.cast(b.column("src"), pa.int64()),
+                "degree": pc.cast(b.column("degree"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def bfs_depths(
     edges: Dataset,
     seed_ids: "pa.Array | list[int]",

@@ -412,3 +412,73 @@ def test_fastss_key_completeness_property():
         assert keys(tok) & keys(other), (tok, other)
 
     check()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcore_planted_clique_and_full_peel():
+    """A 4-clique with a pendant chain: k=3 must peel the chain
+    (cascading — removing one chain vertex drops the next below k is
+    not enough here, the chain never reaches degree 3) and keep exactly
+    the clique at degree 3. k=10 must dissolve everything and still
+    return the typed empty schema."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    chain = [(3, 4), (4, 3), (4, 5), (5, 4)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in clique + chain], pa.int64()),
+                "dst": pa.array([e[1] for e in clique + chain], pa.int64()),
+            }
+        )
+    )
+    core = kcore(edges, k=3, max_rounds=8, num_partitions=2).to_pandas()
+    core = core.sort_values("part", ignore_index=True)
+    assert list(core["part"]) == [0, 1, 2, 3]
+    assert list(core["degree"]) == [3, 3, 3, 3]
+
+    from crawler_seo_ray.util import collect_arrow
+
+    gone = collect_arrow(
+        kcore(edges, k=10, max_rounds=8, num_partitions=2),
+        schema=pa.schema([("part", pa.int64()), ("degree", pa.int64())]),
+    )
+    assert gone.num_rows == 0
+    assert gone.schema.names == ["part", "degree"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_offsets_boundaries(tmp_path):
+    """Spans from the vectorized codepoint kernel must equal Python
+    re.finditer on every delimiter edge case: leading/trailing/multiple
+    whitespace, tabs/CR/LF, empty and all-whitespace docs, and
+    single-char tokens at the ends."""
+    import re
+
+    from crawler_seo_ray import queries as q
+
+    texts = [
+        "  leading and trailing  ",
+        "",
+        " \t\r\n ",
+        "a",
+        "one\ttwo\rthree\nfour",
+        "x  y   z",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    out = (
+        q.docs_token_offsets(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "token_idx"], ignore_index=True)
+    )
+    rows = []
+    for doc_id, text in enumerate(texts):
+        for i, m in enumerate(re.finditer(r"[^ \t\r\n]+", text)):
+            rows.append((doc_id, i, m.group(), m.start(), m.end()))
+    ref = pd.DataFrame(
+        rows, columns=["doc_id", "token_idx", "token", "start_char", "end_char"]
+    )
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
