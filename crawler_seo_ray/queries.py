@@ -1723,6 +1723,209 @@ def corpus_image_stats(sf_dir: str):
     return image_stats(ds, concurrency=2, batch_size=64)
 
 
+def corpus_channel_norm(sf_dir: str):
+    """Corpus-level per-channel normalization constants — the dataset
+    RGB mean/std a vision trainer computes once and bakes into its
+    input transform (the ImageNet-normalization pattern). Decode runs
+    in the multimodal actor pool; each block emits ONE row of exact
+    int64 pixel moments (`stages/multimodal.ChannelMomentPartials`),
+    so the driver folds blocks-many 7-int rows with Python ints (no
+    overflow, no float partials). The only float ops are the three
+    final expressions, in this documented order: mean = s/n,
+    var = s2/n − mean·mean, std = sqrt(var) — bit-reproducible under
+    any block layout because the integer partial sums are exact and
+    commutative. Rows-only (an oracle would need SQL pixel decode);
+    pinned to a whole-corpus numpy reference in tests."""
+    import math
+
+    from .stages.multimodal import ChannelMomentPartials
+
+    ds = corpus_parquet(columns=["bytes", "fmt"])
+    parts = ds.map_batches(
+        ChannelMomentPartials, concurrency=2, batch_size=64, batch_format="pyarrow"
+    ).to_pandas()
+    n = sum(int(x) for x in parts["n_px"])
+    chans, means, stds = [], [], []
+    for ch in ("r", "g", "b"):
+        s = sum(int(x) for x in parts[f"sum_{ch}"])
+        s2 = sum(int(x) for x in parts[f"sumsq_{ch}"])
+        mean = s / n
+        var = s2 / n - mean * mean
+        chans.append(ch)
+        means.append(mean)
+        stds.append(math.sqrt(var))
+    return pa.table(
+        {
+            "channel": pa.array(chans, pa.string()),
+            "n_px": pa.array([n] * 3, pa.int64()),
+            "mean": pa.array(means, pa.float64()),
+            "std": pa.array(stds, pa.float64()),
+        }
+    )
+
+
+def corpus_patch_grid(sf_dir: str, patch: int = 16, max_images: int = 30):
+    """ViT-style patch-grid geometry: for each image, every
+    non-overlapping ``patch``×``patch`` tile fully inside the frame as
+    (patch_idx, px, py, x0, y0) — the tiling plan a vision tokenizer
+    materializes before cutting pixels (the cut itself is the decode
+    actor pool's job; this is the pure-geometry operator, so it is
+    integer-exact and SQL-paired). Capped at ``max_images`` images
+    because output is patch-sized. Fully vectorized: per block, tile
+    counts via floor division, then one np.repeat fan-out with
+    cumulative-offset patch ids — no Python loop."""
+    ds = corpus_parquet(columns=["image_id", "w", "h"])
+    bound = f"img{max_images:08d}"
+
+    def grid(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "image_id": pa.array([], pa.string()),
+                "patch_idx": pa.array([], pa.int64()),
+                "px": pa.array([], pa.int64()),
+                "py": pa.array([], pa.int64()),
+                "x0": pa.array([], pa.int64()),
+                "y0": pa.array([], pa.int64()),
+            }
+        )
+        keep = pc.less(b.column("image_id"), bound)
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return empty
+        w = b.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = (w // patch) * (h // patch)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        rows = np.repeat(np.arange(len(w)), cnt)
+        starts = np.zeros(len(w) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        pidx = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], cnt)
+        nx = np.repeat(w // patch, cnt)
+        px, py = pidx % nx, pidx // nx
+        return pa.table(
+            {
+                "image_id": b.column("image_id").take(pa.array(rows)),
+                "patch_idx": pa.array(pidx),
+                "px": pa.array(px),
+                "py": pa.array(py),
+                "x0": pa.array(px * patch),
+                "y0": pa.array(py * patch),
+            }
+        )
+
+    return ds.map_batches(grid, batch_format="pyarrow")
+
+
+def _fnv64_strings(arr: pa.Array) -> np.ndarray:
+    """Vectorized FNV-1a (uint64, mod 2⁶⁴) over the UTF-8 bytes of a
+    string column, processed per length class (FNV is sequential in
+    the byte index, so each equal-length class runs as L vectorized
+    xor-multiply passes over an (n, L) byte matrix — the FastSS
+    length-class trick applied to hashing). Exactly expressible in SQL
+    via HUGEINT list_reduce over ascii codes."""
+    import pyarrow.compute as _pc
+
+    lens = _pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    joined = "".join(arr.to_pylist()).encode("utf-8")
+    flat = np.frombuffer(joined, dtype=np.uint8)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    out = np.empty(len(lens), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for L in np.unique(lens):
+            idx = np.flatnonzero(lens == L)
+            h = np.full(len(idx), 14695981039346656037, dtype=np.uint64)
+            if L:
+                mat = flat[starts[idx][:, None] + np.arange(L)]
+                for j in range(int(L)):
+                    h = (h ^ mat[:, j].astype(np.uint64)) * np.uint64(1099511628211)
+            out[idx] = h
+    return out
+
+
+def corpus_crop_plan(sf_dir: str, crop: int = 16):
+    """Deterministic seeded crop-augmentation plan: for every image,
+    one ``crop``×``crop`` window whose offsets are pure functions of
+    the image id — the reproducible random-crop a training pipeline
+    needs so re-runs (and the val loader) cut identical windows with
+    no stored RNG state. Offsets: FNV-1a over the id bytes continued
+    with one axis byte ('x' / 'y'), mod the valid offset range —
+    integer-exact, vectorized per length class, and mirrored in SQL
+    with HUGEINT list_reduce arithmetic. The cut itself belongs to the
+    decode actor pool; this operator is the geometry plan (same
+    contract as corpus_patch_grid)."""
+    ds = corpus_parquet(columns=["image_id", "w", "h"])
+
+    def plan(b: pa.Table) -> pa.Table:
+        w = pc.cast(b.column("w"), pa.int64()).to_numpy(zero_copy_only=False)
+        h = pc.cast(b.column("h"), pa.int64()).to_numpy(zero_copy_only=False)
+        base = _fnv64_strings(b.column("image_id"))
+        with np.errstate(over="ignore"):
+            hx = (base ^ np.uint64(ord("x"))) * np.uint64(1099511628211)
+            hy = (base ^ np.uint64(ord("y"))) * np.uint64(1099511628211)
+        rx = np.maximum(w - crop + 1, 1).astype(np.uint64)
+        ry = np.maximum(h - crop + 1, 1).astype(np.uint64)
+        x0 = (hx % rx).astype(np.int64)
+        y0 = (hy % ry).astype(np.int64)
+        fits = (w >= crop) & (h >= crop)
+        t = pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "x0": pa.array(x0),
+                "y0": pa.array(y0),
+                "x1": pa.array(x0 + crop),
+                "y1": pa.array(y0 + crop),
+            }
+        )
+        return t.filter(pa.array(fits))
+
+    return ds.map_batches(plan, batch_format="pyarrow")
+
+
+def corpus_luma_histogram(sf_dir: str):
+    """Corpus-wide 256-bin luminance histogram with its equalization
+    LUT — the global histogram-equalization table (level → stretched
+    level) an image pipeline derives once per dataset. Per-pixel luma
+    is INTEGER ITU-601: (299·R + 587·G + 114·B) // 1000, so the whole
+    operator is integer-exact end-to-end: the decode actor pool emits
+    one ≤256-row bincount partial per block
+    (`stages/multimodal.LumaHistogramPartials`), one level-keyed
+    groupby sums them, and the driver's 256-row prefix scan derives
+    cdf and lut = (255·cdf) // n_px. Rows-only (needs pixel decode);
+    pinned bit-exact to a whole-corpus numpy reference in tests."""
+    from .stages.multimodal import LumaHistogramPartials
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = corpus_parquet(columns=["bytes", "fmt"])
+    agg = drop_empty_blocks(
+        ds.map_batches(
+            LumaHistogramPartials, concurrency=2, batch_size=64, batch_format="pyarrow"
+        )
+        .groupby("level")
+        .aggregate(Sum("n", alias_name="n_sum"))
+    )
+    t = collect_arrow(
+        agg, schema=pa.schema([("level", pa.int64()), ("n", pa.int64())])
+    ).sort_by("level")
+    levels = t.column("level").to_numpy(zero_copy_only=False)
+    counts = t.column(t.schema.names[1]).to_numpy(zero_copy_only=False)
+    full = np.zeros(256, dtype=np.int64)
+    full[levels] = counts
+    cdf = np.cumsum(full)
+    n_px = int(cdf[-1])
+    lut = (255 * cdf) // n_px
+    return pa.table(
+        {
+            "level": pa.array(np.arange(256, dtype=np.int64)),
+            "n": pa.array(full),
+            "cdf": pa.array(cdf),
+            "lut": pa.array(lut),
+        }
+    )
+
+
 def corpus_phash_dups(sf_dir: str):
     """Image near-dup pairs by perceptual-hash Hamming banding over the
     corpus phash column (multimodal dedup). SQL-paired: threshold (4) <
@@ -3955,6 +4158,332 @@ def basket_kcore(sf_dir: str, k: int = 80, max_rounds: int = 8):
     )
 
 
+def basket_rules(sf_dir: str, min_support: int = 3, k: int = 20):
+    """Association-rule mining over market baskets (the Apriori /
+    FP-growth output surface at itemset size 2): the top-``k`` part
+    pairs by co-occurrence support, each with antecedent/consequent
+    supports, confidence and lift — the classic recommender /
+    query-expansion primitive. Distributed shape: distinct
+    (order, part) via block-local dedup + one groupby; pair supports
+    via ONE hash self-join on the order key (baskets are small, fan-out
+    Σ basket²) + oriented pair groupby; the HAVING prune cuts the pair
+    table to frequent pairs BEFORE the two parts-keyed support joins;
+    top-k via per-block (sup desc, ant, cons) partials merged on the
+    driver (≤ blocks·k rows). Confidence and lift are single divisions
+    over exact int64 counts, expressions mirrored in the oracle."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    nparts = _join_partitions()
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=16)
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by(["l_orderkey", "l_partkey"])
+            .aggregate([])
+            .rename_columns(["ok", "p"])
+        )
+
+    op = drop_empty_blocks(
+        ds.map_batches(block_distinct, batch_format="pyarrow")
+        .groupby(["ok", "p"])
+        .aggregate(Count(alias_name="_c"))
+    ).map_batches(lambda b: b.drop_columns(["_c"]), batch_format="pyarrow").materialize()
+
+    n_orders = int(
+        drop_empty_blocks(
+            op.groupby("ok").aggregate(Count(alias_name="_c"))
+        ).count()
+    )
+    isup = drop_empty_blocks(
+        op.groupby("p").aggregate(Count(alias_name="sup"))
+    ).materialize()
+
+    right = op.map_batches(
+        lambda b: pa.table({"_ok": b.column("ok"), "p2": b.column("p")}),
+        batch_format="pyarrow",
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        keep = pc.less(b.column("p"), b.column("p2"))
+        return pa.table(
+            {"ant": b.column("p"), "cons": b.column("p2")}
+        ).filter(keep)
+
+    pairs = drop_empty_blocks(
+        op.join(right, "inner", nparts, on=("ok",), right_on=("_ok",))
+        .map_batches(orient, batch_format="pyarrow")
+        .groupby(["ant", "cons"])
+        .aggregate(Count(alias_name="sup_ab"))
+    ).filter(expr=f"sup_ab >= {min_support}")
+
+    sup_a = isup.map_batches(
+        lambda b: pa.table({"_pa": b.column("p"), "sup_a": b.column("sup")}),
+        batch_format="pyarrow",
+    )
+    sup_b = isup.map_batches(
+        lambda b: pa.table({"_pb": b.column("p"), "sup_b": b.column("sup")}),
+        batch_format="pyarrow",
+    )
+    joined = drop_empty_blocks(
+        drop_empty_blocks(
+            pairs.join(sup_a, "inner", nparts, on=("ant",), right_on=("_pa",))
+        ).join(sup_b, "inner", nparts, on=("cons",), right_on=("_pb",))
+    )
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        ant = b.column("ant").to_numpy(zero_copy_only=False)
+        cons = b.column("cons").to_numpy(zero_copy_only=False)
+        sup = b.column("sup_ab").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cons, ant, -sup))[:k]
+        return b.select(["ant", "cons", "sup_ab", "sup_a", "sup_b"]).take(
+            pa.array(order)
+        )
+
+    cand = collect_arrow(
+        joined.map_batches(block_topk, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("ant", pa.int64()),
+                ("cons", pa.int64()),
+                ("sup_ab", pa.int64()),
+                ("sup_a", pa.int64()),
+                ("sup_b", pa.int64()),
+            ]
+        ),
+    )
+    ant = cand.column("ant").to_numpy(zero_copy_only=False)
+    cons = cand.column("cons").to_numpy(zero_copy_only=False)
+    sup = cand.column("sup_ab").to_numpy(zero_copy_only=False)
+    order = np.lexsort((cons, ant, -sup))[:k]
+    top = cand.take(pa.array(order))
+    sup_ab = pc.cast(top.column("sup_ab"), pa.int64())
+    s_a = pc.cast(top.column("sup_a"), pa.int64())
+    s_b = pc.cast(top.column("sup_b"), pa.int64())
+    conf = pc.divide(
+        pc.cast(sup_ab, pa.float64()), pc.cast(s_a, pa.float64())
+    )
+    lift = pc.divide(
+        pc.cast(pc.multiply(sup_ab, pa.scalar(n_orders, pa.int64())), pa.float64()),
+        pc.cast(pc.multiply(s_a, s_b), pa.float64()),
+    )
+    return pa.table(
+        {
+            "ant": pc.cast(top.column("ant"), pa.int64()),
+            "cons": pc.cast(top.column("cons"), pa.int64()),
+            "sup_ab": sup_ab,
+            "sup_a": s_a,
+            "sup_b": s_b,
+            "confidence": conf,
+            "lift": lift,
+        }
+    )
+
+
+def orders_chi2(sf_dir: str):
+    """Pearson chi-square test of independence between order status and
+    priority — the categorical-association statistic an analyst runs
+    before trusting a segmentation. The contingency table is exact
+    int64 (block-local group_by partials → one cell groupby); the
+    driver folds cells-many rows and accumulates
+    (obs − exp)²/exp STRICTLY in (status, priority) order with
+    exp = double(row_tot·col_tot)/double(n) — both mirrored in the
+    oracle's ordered aggregate, so the double is bit-equal."""
+    ds = _pq(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"], blocks=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["s", "p", "obs"])
+
+    from .util import collect_arrow, drop_empty_blocks
+
+    cells = collect_arrow(
+        drop_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["s", "p"])
+            .aggregate(Sum("obs", alias_name="obs"))
+        ),
+        schema=pa.schema(
+            [("s", pa.string()), ("p", pa.string()), ("obs", pa.int64())]
+        ),
+    ).to_pandas()
+    n = int(cells["obs"].sum())
+    rs = cells.groupby("s")["obs"].sum().to_dict()
+    cs = cells.groupby("p")["obs"].sum().to_dict()
+    chi2 = 0.0
+    for _, row in cells.sort_values(["s", "p"]).iterrows():
+        exp = float(int(rs[row["s"]]) * int(cs[row["p"]])) / float(n)
+        d = float(row["obs"]) - exp
+        chi2 += d * d / exp
+    dof = (len(rs) - 1) * (len(cs) - 1)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "chi2": pa.array([chi2], pa.float64()),
+        }
+    )
+
+
+def orders_time_decay(sf_dir: str, half_life_days: int = 30):
+    """Exponential time-decay revenue per customer — the recency-
+    weighted LTV feature (weight halves every ``half_life_days``).
+    Days-from-anchor is exact integer µs arithmetic (mirrored via
+    epoch_us in SQL); each customer's Σ cents·2^(−days/half_life) is
+    accumulated STRICTLY in (o_orderdate, o_orderkey) order inside one
+    ``groupby(custkey).map_groups`` (narrow fact-sized exchange), and
+    the oracle mirrors the order with sum(… ORDER BY …) — doubles
+    bit-equal given libm pow parity (verified on this box)."""
+    ds = _pq(
+        sf_dir,
+        "orders",
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        blocks=8,
+    )
+    anchor_us = 1009756800000000  # epoch µs of TIMESTAMP '2001-12-31'
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("o_orderdate"), pa.int64())
+        days = pc.divide(
+            pc.subtract(pa.scalar(anchor_us, pa.int64()), ts),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        return pa.table(
+            {
+                "cust": b.column("o_custkey"),
+                "ok": b.column("o_orderkey"),
+                "days": days,
+                "cents": _cents(b.column("o_totalprice")),
+            }
+        )
+
+    def decay(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g.column("ok").to_numpy(zero_copy_only=False),
+                g.column("days").to_numpy(zero_copy_only=False) * -1,
+            )
+        )
+        # days DESC == orderdate ASC; ties broken by orderkey ASC
+        days = g.column("days").to_numpy(zero_copy_only=False)[order]
+        cents = g.column("cents").to_numpy(zero_copy_only=False)[order]
+        s = 0.0
+        for d, c in zip(days, cents):
+            s += float(c) * 2.0 ** (-float(d) / float(half_life_days))
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    [g.column("cust")[0].as_py()], pa.int64()
+                ),
+                "n_orders": pa.array([g.num_rows], pa.int64()),
+                "decayed_cents": pa.array([s], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("cust")
+        .map_groups(decay, batch_format="pyarrow")
+    )
+
+
+def supplier_part_coverage(sf_dir: str, max_size: int = 2, k: int = 10):
+    """Relational division, ranked: which suppliers ship (all of, or
+    the most of) the universe of small parts (p_size ≤ ``max_size``)
+    seen in lineitem — the set-containment operator behind
+    'supplier covers the whole catalog segment' checks. Universe ids
+    broadcast via ``ray.put`` (segment-sized); distinct (supp, part)
+    via block dedup + one groupby; coverage counts per supplier; the
+    exact-division flag is cnt == |universe|. Top-``k`` by
+    (coverage desc, suppkey) so the ranking is non-degenerate at any
+    scale even when nobody divides exactly."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    parts = _pq(sf_dir, "part", ["p_partkey", "p_size"]).filter(
+        expr=f"p_size <= {max_size}"
+    )
+    small = set(
+        collect_arrow(
+            parts, schema=pa.schema([("p_partkey", pa.int64()), ("p_size", pa.int32())])
+        )
+        .column("p_partkey")
+        .to_pylist()
+    )
+    ds = _pq(sf_dir, "lineitem", ["l_suppkey", "l_partkey"], blocks=16)
+    universe_ref = ray.put(np.array(sorted(small), dtype=np.int64))
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        uni = ray.get(universe_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = pa.array(np.isin(pk, uni))
+        return (
+            b.filter(keep)
+            .group_by(["l_suppkey", "l_partkey"])
+            .aggregate([])
+            .rename_columns(["s", "p"])
+        )
+
+    sp = drop_empty_blocks(
+        ds.map_batches(block_distinct, batch_format="pyarrow")
+        .groupby(["s", "p"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    universe_in_li = int(
+        drop_empty_blocks(sp.groupby("p").aggregate(Count(alias_name="_c"))).count()
+    )
+    cov = collect_arrow(
+        drop_empty_blocks(sp.groupby("s").aggregate(Count(alias_name="n_parts"))),
+        schema=pa.schema([("s", pa.int64()), ("n_parts", pa.int64())]),
+    )
+    s_arr = cov.column("s").to_numpy(zero_copy_only=False)
+    n_arr = cov.column("n_parts").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((s_arr, -n_arr))[:k]
+    return pa.table(
+        {
+            "suppkey": pa.array(s_arr[order].astype(np.int64)),
+            "n_parts": pa.array(n_arr[order]),
+            "universe": pa.array(
+                np.full(len(order), universe_in_li, dtype=np.int64)
+            ),
+            "full_cover": pa.array(
+                (n_arr[order] == universe_in_li).astype(np.int64)
+            ),
+        }
+    )
+
+
+def corpus_mip_levels(sf_dir: str):
+    """Mipmap pyramid geometry: for every image, each level's
+    (w >> level, h >> level) dimensions down to 1×1 — the LOD plan a
+    texture/thumbnail pipeline materializes before generating the
+    actual pyramid (generation belongs to the decode actor pool; this
+    is the integer-exact plan, same contract as corpus_patch_grid).
+    n_levels = ⌊log2(max(w,h))⌋ + 1; log2 of small ints is IEEE-exact
+    on both engines. Vectorized np.repeat fan-out per block."""
+    ds = corpus_parquet(columns=["image_id", "w", "h"])
+
+    def levels(b: pa.Table) -> pa.Table:
+        w = pc.cast(b.column("w"), pa.int64()).to_numpy(zero_copy_only=False)
+        h = pc.cast(b.column("h"), pa.int64()).to_numpy(zero_copy_only=False)
+        nlev = np.floor(np.log2(np.maximum(w, h))).astype(np.int64) + 1
+        total = int(nlev.sum())
+        rows = np.repeat(np.arange(len(w)), nlev)
+        starts = np.zeros(len(w) + 1, dtype=np.int64)
+        np.cumsum(nlev, out=starts[1:])
+        lev = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], nlev)
+        return pa.table(
+            {
+                "image_id": b.column("image_id").take(pa.array(rows)),
+                "level": pa.array(lev),
+                "w_l": pa.array(np.maximum(w[rows] >> lev, 1)),
+                "h_l": pa.array(np.maximum(h[rows] >> lev, 1)),
+            }
+        )
+
+    return ds.map_batches(levels, batch_format="pyarrow")
+
+
 def docs_token_offsets(sf_dir: str, max_doc: int = 40):
     """Token ↔ character-span alignment: for each document, every
     whitespace-delimited token with its (token_idx, start_char,
@@ -4367,6 +4896,48 @@ def events_minute_gapfill(sf_dir: str):
     ).map_batches(finish, batch_format="pyarrow")
     t = collect_arrow(joined)
     return t.take(pc.sort_indices(t, sort_keys=[("minute", "ascending")]))
+
+
+def events_user_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (bot / power-user detection: H≈0 is a
+    single-action account, H≈ln(types) is uniform). ONE exchange:
+    block-local (user, type) count partials ride a
+    ``groupby(user).map_groups`` that folds partials, sorts types and
+    accumulates Σ c·ln(c) STRICTLY left-to-right in type order — the
+    oracle mirrors that order with DuckDB's ordered-aggregate
+    ``sum(... ORDER BY event_type)``, making the doubles bit-equal
+    (verified) via H = ln(n) − Σ c·ln(c) / n (counts are exact ints,
+    so only this final expression is float)."""
+    import math
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"], blocks=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "c"])
+
+    def entropy(g: pa.Table) -> pa.Table:
+        t = g.group_by("event_type").aggregate([("c", "sum")]).sort_by("event_type")
+        cs = t.column("c_sum").to_numpy(zero_copy_only=False)
+        n = int(cs.sum())
+        s = 0.0
+        for c in cs:  # ≤ |event types| terms; order IS the semantics
+            s += float(c) * math.log(float(c))
+        return pa.table(
+            {
+                "user_id": pa.array([g.column("user_id")[0].as_py()], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "n_types": pa.array([t.num_rows], pa.int64()),
+                "entropy": pa.array([math.log(float(n)) - s / float(n)], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(entropy, batch_format="pyarrow")
+    )
 
 
 def events_weekly_active(sf_dir: str):
@@ -5470,6 +6041,16 @@ QUERIES = {
     "basket_bfs_depth": basket_bfs_depth,
     "basket_kcore": basket_kcore,
     "docs_token_offsets": docs_token_offsets,
+    "events_user_entropy": events_user_entropy,
+    "corpus_patch_grid": corpus_patch_grid,
+    "corpus_channel_norm": corpus_channel_norm,
+    "basket_rules": basket_rules,
+    "corpus_crop_plan": corpus_crop_plan,
+    "corpus_luma_histogram": corpus_luma_histogram,
+    "orders_chi2": orders_chi2,
+    "orders_time_decay": orders_time_decay,
+    "supplier_part_coverage": supplier_part_coverage,
+    "corpus_mip_levels": corpus_mip_levels,
     "orders_ntile": orders_ntile,
     "orders_pareto": orders_pareto,
     "events_transitions": events_transitions,
@@ -6922,6 +7503,141 @@ ORACLE_SQL["docs_token_offsets"] = r"""
     )
     SELECT doc_id, token_idx, token, start_char, end_char
     FROM toks WHERE token_idx >= 0 ORDER BY doc_id, token_idx
+"""
+
+ORACLE_SQL["orders_chi2"] = """
+    WITH cells AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, count(*)::BIGINT AS obs
+      FROM orders GROUP BY 1, 2
+    ), rt AS (SELECT s, sum(obs)::BIGINT AS rs FROM cells GROUP BY s),
+    ct AS (SELECT p, sum(obs)::BIGINT AS cs FROM cells GROUP BY p),
+    tot AS (SELECT sum(obs)::BIGINT AS n FROM cells),
+    terms AS (
+      SELECT c.s, c.p, c.obs,
+             CAST(rt.rs * ct.cs AS DOUBLE) / CAST(tot.n AS DOUBLE) AS exp
+      FROM cells c JOIN rt USING (s) JOIN ct USING (p) CROSS JOIN tot
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS dof,
+           sum((CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp
+               ORDER BY s, p) AS chi2
+    FROM terms
+"""
+
+ORACLE_SQL["orders_time_decay"] = """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             (1009756800000000 - epoch_us(o_orderdate)) // 86400000000 AS days,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_custkey, count(*)::BIGINT AS n_orders,
+           sum(CAST(cents AS DOUBLE) * pow(2.0, -CAST(days AS DOUBLE) / 30.0)
+               ORDER BY days DESC, o_orderkey) AS decayed_cents
+    FROM o GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+ORACLE_SQL["supplier_part_coverage"] = """
+    WITH u AS (
+      SELECT DISTINCT l_partkey AS p FROM lineitem
+      JOIN part ON p_partkey = l_partkey WHERE p_size <= 2
+    ), sp AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+      WHERE l_partkey IN (SELECT p FROM u)
+    ), cov AS (SELECT s, count(*)::BIGINT AS n_parts FROM sp GROUP BY s),
+    tot AS (SELECT count(DISTINCT p)::BIGINT AS universe FROM sp)
+    SELECT s AS suppkey, n_parts, tot.universe,
+           CAST(CASE WHEN n_parts = tot.universe THEN 1 ELSE 0 END AS BIGINT)
+             AS full_cover
+    FROM cov CROSS JOIN tot ORDER BY n_parts DESC, s LIMIT 10
+"""
+
+ORACLE_SQL["corpus_mip_levels"] = f"""
+    WITH i AS (
+      SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             CAST(floor(log2(greatest(w, h))) AS BIGINT) + 1 AS nlev
+      FROM read_parquet('{_CORPUS_GLOB}')
+    ), e AS (
+      SELECT image_id, w, h, unnest(range(nlev)) AS l FROM i
+    )
+    SELECT image_id, CAST(l AS BIGINT) AS level,
+           greatest(w >> l, 1) AS w_l, greatest(h >> l, 1) AS h_l
+    FROM e ORDER BY image_id, level
+"""
+
+ORACLE_SQL["basket_rules"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    n AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM op),
+    isup AS (SELECT p, count(*)::BIGINT AS sup FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS ant, b.p AS cons, count(*)::BIGINT AS sup_ab
+      FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT pr.ant, pr.cons, pr.sup_ab, ia.sup AS sup_a, ib.sup AS sup_b,
+           CAST(pr.sup_ab AS DOUBLE) / CAST(ia.sup AS DOUBLE) AS confidence,
+           CAST(pr.sup_ab * n.n_orders AS DOUBLE)
+             / CAST(ia.sup * ib.sup AS DOUBLE) AS lift
+    FROM pairs pr CROSS JOIN n
+    JOIN isup ia ON pr.ant = ia.p
+    JOIN isup ib ON pr.cons = ib.p
+    ORDER BY pr.sup_ab DESC, pr.ant, pr.cons LIMIT 20
+"""
+
+ORACLE_SQL["corpus_crop_plan"] = f"""
+    WITH f AS (
+      SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(image_id) + 1),
+                                i -> ascii(image_id[i]))),
+               (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                            * 1099511628211::HUGEINT)
+                           % 18446744073709551616::HUGEINT) AS base
+      FROM read_parquet('{_CORPUS_GLOB}')
+    ), g AS (
+      SELECT image_id, w, h,
+             (xor(base, 120::HUGEINT) * 1099511628211::HUGEINT)
+               % 18446744073709551616::HUGEINT AS hx,
+             (xor(base, 121::HUGEINT) * 1099511628211::HUGEINT)
+               % 18446744073709551616::HUGEINT AS hy
+      FROM f WHERE w >= 16 AND h >= 16
+    )
+    SELECT image_id,
+           CAST(hx % CAST(w - 15 AS HUGEINT) AS BIGINT) AS x0,
+           CAST(hy % CAST(h - 15 AS HUGEINT) AS BIGINT) AS y0,
+           CAST(hx % CAST(w - 15 AS HUGEINT) AS BIGINT) + 16 AS x1,
+           CAST(hy % CAST(h - 15 AS HUGEINT) AS BIGINT) + 16 AS y1
+    FROM g ORDER BY image_id
+"""
+
+ORACLE_SQL["events_user_entropy"] = """
+    WITH tc AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS c
+      FROM events GROUP BY user_id, event_type
+    ), agg AS (
+      SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_types,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY event_type) AS s
+      FROM tc GROUP BY user_id
+    )
+    SELECT user_id, n, n_types,
+           ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE) AS entropy
+    FROM agg ORDER BY user_id
+"""
+
+ORACLE_SQL["corpus_patch_grid"] = f"""
+    WITH i AS (
+      SELECT image_id, CAST(w AS BIGINT) // 16 AS nx, CAST(h AS BIGINT) // 16 AS ny
+      FROM read_parquet('{_CORPUS_GLOB}') WHERE image_id < 'img00000030'
+    ), p AS (
+      SELECT image_id, nx, unnest(range(nx * ny)) AS patch_idx
+      FROM i WHERE nx * ny > 0
+    )
+    SELECT image_id, patch_idx::BIGINT AS patch_idx,
+           (patch_idx % nx)::BIGINT AS px, (patch_idx // nx)::BIGINT AS py,
+           ((patch_idx % nx) * 16)::BIGINT AS x0,
+           ((patch_idx // nx) * 16)::BIGINT AS y0
+    FROM p ORDER BY image_id, patch_idx
 """
 
 ORACLE_SQL["events_weekly_active"] = """

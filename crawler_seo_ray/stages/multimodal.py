@@ -22,6 +22,60 @@ from ray.data import Dataset
 from ..functions.imagecodec import decode_image, phash64
 
 
+class ChannelMomentPartials:
+    """Actor stage: decode → ONE row of exact integer per-channel pixel
+    moments per input block (pixel count, Σx and Σx² for R/G/B as
+    int64) — the map side of corpus normalization-constant computation
+    (the dataset mean/std a vision trainer bakes into its input
+    transform). 255²·n overflows int64 only past ~1.4·10¹⁴ pixels per
+    BLOCK, far beyond any block size, so the partials are exact;
+    pixels never leave the stage and the driver folds only
+    blocks-many 7-int rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = 0
+        s = np.zeros(3, dtype=np.int64)
+        s2 = np.zeros(3, dtype=np.int64)
+        for r in batch.select(["bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"]).astype(np.int64)
+            n += px.shape[0] * px.shape[1]
+            s += px.sum(axis=(0, 1))
+            s2 += (px * px).sum(axis=(0, 1))
+        return pa.table(
+            {
+                "n_px": pa.array([n], pa.int64()),
+                "sum_r": pa.array([int(s[0])], pa.int64()),
+                "sum_g": pa.array([int(s[1])], pa.int64()),
+                "sum_b": pa.array([int(s[2])], pa.int64()),
+                "sumsq_r": pa.array([int(s2[0])], pa.int64()),
+                "sumsq_g": pa.array([int(s2[1])], pa.int64()),
+                "sumsq_b": pa.array([int(s2[2])], pa.int64()),
+            }
+        )
+
+
+class LumaHistogramPartials:
+    """Actor stage: decode → one ≤256-row integer luminance-bincount
+    partial per block. Luma is INTEGER ITU-601
+    ((299·R + 587·G + 114·B) // 1000 per pixel), so partials are exact
+    and commutative; pixels never leave the stage. Feeds the corpus
+    histogram-equalization LUT (queries.corpus_luma_histogram)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hist = np.zeros(256, dtype=np.int64)
+        for r in batch.select(["bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"]).astype(np.int64)
+            luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+            hist += np.bincount(luma.ravel(), minlength=256)
+        lv = np.flatnonzero(hist)
+        return pa.table(
+            {
+                "level": pa.array(lv.astype(np.int64)),
+                "n": pa.array(hist[lv]),
+            }
+        )
+
+
 class DecodeImageStats:
     """Actor stage: decode → per-image stats (no pixels in the output)."""
 

@@ -104,6 +104,15 @@ def test_rows_only_queries_run(registry):
         "embeddings_label_centroids": lambda df: df["label"].is_unique
         and (df["n"] > 0).all()
         and all(len(c) == 64 for c in df["centroid"]),
+        "corpus_channel_norm": lambda df: list(df["channel"]) == ["r", "g", "b"]
+        and df["n_px"].nunique() == 1
+        and (df["std"] > 0).all()
+        and df["mean"].between(0, 255).all(),
+        "corpus_luma_histogram": lambda df: len(df) == 256
+        and df["n"].sum() == df["cdf"].iloc[-1]
+        and df["cdf"].is_monotonic_increasing
+        and df["lut"].is_monotonic_increasing
+        and df["lut"].between(0, 255).all(),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))

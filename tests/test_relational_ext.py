@@ -482,3 +482,121 @@ def test_token_offsets_boundaries(tmp_path):
         rows, columns=["doc_id", "token_idx", "token", "start_char", "end_char"]
     )
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_channel_norm_matches_whole_corpus_numpy():
+    """The folded integer moments must equal a single-pass numpy
+    reference over every decoded image, and the float finals must be
+    bit-equal when computed in the documented op order."""
+    import math
+
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+    from crawler_seo_ray.functions.imagecodec import decode_image
+
+    out = q.corpus_channel_norm("unused").to_pandas()
+    rows = duckdb.sql(
+        f"SELECT bytes, fmt FROM read_parquet('{q._CORPUS_GLOB}')"
+    ).fetchall()
+    n = 0
+    s = np.zeros(3, dtype=object)
+    s2 = np.zeros(3, dtype=object)
+    for data, fmt in rows:
+        px = decode_image(bytes(data), fmt).astype(np.int64)
+        n += px.shape[0] * px.shape[1]
+        s = s + px.sum(axis=(0, 1))
+        s2 = s2 + (px * px).sum(axis=(0, 1))
+    assert out["n_px"].nunique() == 1 and int(out["n_px"][0]) == n
+    for i, ch in enumerate(("r", "g", "b")):
+        mean = int(s[i]) / n
+        var = int(s2[i]) / n - mean * mean
+        row = out[out["channel"] == ch].iloc[0]
+        assert row["mean"] == mean, ch
+        assert row["std"] == math.sqrt(var), ch
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_entropy_degenerate_and_uniform(tmp_path):
+    """A single-type user must get exactly H=0.0; a perfectly uniform
+    k-type user must get exactly the ordered-accumulation value of
+    ln(n) - k·(c·ln c)/n (floats compared bit-equal, not approx)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from crawler_seo_ray import queries as q
+
+    ts = pa.array([1_000_000 * i for i in range(12)], pa.timestamp("us"))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(12), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1] * 4 + [2] * 8, pa.int64()),
+            "event_type": pa.array(
+                ["view"] * 4 + ["view", "cart", "purchase", "click"] * 2
+            ),
+            "value": pa.array([1.0] * 12, pa.float64()),
+            "props": pa.array(["{}"] * 12),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = (
+        q.events_user_entropy(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert out.loc[0, "entropy"] == 0.0 and out.loc[0, "n_types"] == 1
+    # user 2: four types, 2 events each, accumulated in sorted-type order
+    s = 0.0
+    for _ in range(4):
+        s += 2.0 * math.log(2.0)
+    assert out.loc[1, "entropy"] == math.log(8.0) - s / 8.0
+    assert out.loc[1, "n_types"] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_luma_histogram_matches_whole_corpus_numpy():
+    """The distributed 256-bin histogram, its cdf and the equalization
+    LUT must be integer-identical to a single-pass numpy reference over
+    every decoded image."""
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+    from crawler_seo_ray.functions.imagecodec import decode_image
+
+    out = q.corpus_luma_histogram("unused").to_pandas()
+    hist = np.zeros(256, dtype=np.int64)
+    for data, fmt in duckdb.sql(
+        f"SELECT bytes, fmt FROM read_parquet('{q._CORPUS_GLOB}')"
+    ).fetchall():
+        px = decode_image(bytes(data), fmt).astype(np.int64)
+        luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+        hist += np.bincount(luma.ravel(), minlength=256)
+    cdf = np.cumsum(hist)
+    assert (out["n"].to_numpy() == hist).all()
+    assert (out["cdf"].to_numpy() == cdf).all()
+    assert (out["lut"].to_numpy() == (255 * cdf) // int(cdf[-1])).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crop_plan_windows_inside_frame_and_deterministic():
+    """Every planned crop must lie fully inside its image, be exactly
+    crop×crop, and be identical across two runs (the operator's whole
+    point is stored-RNG-free reproducibility)."""
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+
+    a = q.corpus_crop_plan("unused").to_pandas().sort_values("image_id", ignore_index=True)
+    b = q.corpus_crop_plan("unused").to_pandas().sort_values("image_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    dims = duckdb.sql(
+        f"SELECT image_id, w, h FROM read_parquet('{q._CORPUS_GLOB}')"
+    ).df()
+    m = a.merge(dims, on="image_id")
+    assert len(m) == len(a)
+    assert ((m["x1"] - m["x0"]) == 16).all() and ((m["y1"] - m["y0"]) == 16).all()
+    assert (m["x0"] >= 0).all() and (m["y0"] >= 0).all()
+    assert (m["x1"] <= m["w"]).all() and (m["y1"] <= m["h"]).all()
