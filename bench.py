@@ -348,6 +348,10 @@ def run_components(num_cpus: int) -> dict:
         "events_max_concurrency",
         "embeddings_reciprocal_nn",
         "docs_weighted_sample",
+        "basket_kcore",
+        "basket_rules",
+        "events_user_entropy",
+        "orders_time_decay",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -4940,6 +4940,112 @@ def events_user_entropy(sf_dir: str):
     )
 
 
+def events_trailing_hour_sum(sf_dir: str):
+    """Time-based RANGE-frame window: for every event, the sum of
+    event values within the trailing hour **by timestamp value**
+    (RANGE … INTERVAL 1 HOUR PRECEDING — peers at the SAME ts are all
+    included, unlike the ROWS frame in events_moving_avg; that peer
+    rule is the semantics this operator pins). ONE
+    ``groupby(user).map_groups`` exchange of narrow int columns;
+    in-group it is two vectorized searchsorted probes against a prefix
+    sum (window start side='left', peer-run end side='right') — exact
+    int64 cents, no per-row loop."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"], blocks=16)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "cents": _cents(b.column("value")),
+            }
+        )
+
+    HOUR = 3_600_000_000
+
+    def trailing(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid, cents = ts[order], eid[order], cents[order]
+        prefix = np.zeros(len(ts) + 1, dtype=np.int64)
+        np.cumsum(cents, out=prefix[1:])
+        lo = np.searchsorted(ts, ts - HOUR, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # include ts peers
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(
+                    np.full(len(ts), g.column("user_id")[0].as_py(), dtype=np.int64)
+                ),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "trailing_cents": pa.array(prefix[hi] - prefix[lo]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(trailing, batch_format="pyarrow")
+    )
+
+
+def events_active_time(sf_dir: str, window_min: int = 30):
+    """Interval-union 'active time': each event opens a
+    ``window_min``-minute activity interval; per user, merge
+    overlapping intervals into islands (the gaps-and-islands operator)
+    and report total covered time, island count and event count — the
+    engagement-duration metric sessionization alone can't give
+    (overlaps must not double-count). ONE narrow
+    ``groupby(user).map_groups``; in-group the sweep is vectorized:
+    running-max of interval ends, break mask where the next start
+    clears it, segment reduceat for island bounds. Integer µs
+    end-to-end; the oracle is the classic lag/running-max
+    gaps-and-islands CTE."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
+    W = window_min * 60_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+            }
+        )
+
+    def islands(g: pa.Table) -> pa.Table:
+        ts = np.sort(g.column("ts").to_numpy(zero_copy_only=False))
+        ends = ts + W
+        cm = np.maximum.accumulate(ends)
+        brk = np.empty(len(ts), dtype=bool)
+        brk[0] = True
+        brk[1:] = ts[1:] > cm[:-1]
+        starts_idx = np.flatnonzero(brk)
+        island_start = ts[starts_idx]
+        bounds = np.append(starts_idx[1:], len(ts)) - 1
+        island_end = cm[bounds]
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n_events": pa.array([len(ts)], pa.int64()),
+                "n_islands": pa.array([len(starts_idx)], pa.int64()),
+                "active_us": pa.array(
+                    [int((island_end - island_start).sum())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(islands, batch_format="pyarrow")
+    )
+
+
 def events_weekly_active(sf_dir: str):
     """7-day sliding-window DISTINCT user count per day — the rolling
     count-distinct window, which no plain windowed aggregate expresses
@@ -6047,6 +6153,8 @@ QUERIES = {
     "basket_rules": basket_rules,
     "corpus_crop_plan": corpus_crop_plan,
     "corpus_luma_histogram": corpus_luma_histogram,
+    "events_trailing_hour_sum": events_trailing_hour_sum,
+    "events_active_time": events_active_time,
     "orders_chi2": orders_chi2,
     "orders_time_decay": orders_time_decay,
     "supplier_part_coverage": supplier_part_coverage,
@@ -7503,6 +7611,50 @@ ORACLE_SQL["docs_token_offsets"] = r"""
     )
     SELECT doc_id, token_idx, token, start_char, end_char
     FROM toks WHERE token_idx >= 0 ORDER BY doc_id, token_idx
+"""
+
+ORACLE_SQL["events_trailing_hour_sum"] = """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           sum(cents) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           )::BIGINT AS trailing_cents
+    FROM e ORDER BY user_id, ts, event_id
+"""
+
+ORACLE_SQL["events_active_time"] = """
+    WITH e AS (
+      SELECT user_id, ts, ts + INTERVAL 30 MINUTE AS te FROM events
+    ), m AS (
+      SELECT user_id, ts, te,
+             max(te) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM e
+    ), f AS (
+      SELECT user_id, ts, te,
+             CASE WHEN prev_max IS NULL OR ts > prev_max THEN 1 ELSE 0 END AS brk
+      FROM m
+    ), g AS (
+      SELECT user_id, ts, te,
+             sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS island
+      FROM f
+    ), i AS (
+      SELECT user_id, island, min(ts) AS s, max(te) AS e2, count(*) AS ne
+      FROM g GROUP BY user_id, island
+    )
+    SELECT user_id, sum(ne)::BIGINT AS n_events,
+           count(*)::BIGINT AS n_islands,
+           sum(epoch_us(e2) - epoch_us(s))::BIGINT AS active_us
+    FROM i GROUP BY user_id ORDER BY user_id
 """
 
 ORACLE_SQL["orders_chi2"] = """

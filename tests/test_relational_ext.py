@@ -600,3 +600,70 @@ def test_crop_plan_windows_inside_frame_and_deterministic():
     assert ((m["x1"] - m["x0"]) == 16).all() and ((m["y1"] - m["y0"]) == 16).all()
     assert (m["x0"] >= 0).all() and (m["y0"] >= 0).all()
     assert (m["x1"] <= m["w"]).all() and (m["y1"] <= m["h"]).all()
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, user_id, ts_us, value)."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trailing_sum_peer_and_hour_boundary(tmp_path):
+    """RANGE-frame semantics the ROWS frame doesn't have: peers at the
+    SAME ts are all in each other's window (even the 'later' event_id),
+    and an event exactly 1h earlier is still inside the frame."""
+    from crawler_seo_ray import queries as q
+
+    H = 3_600_000_000
+    rows = [
+        (1, 7, 0, 1.00),          # exactly 1h before the peers
+        (2, 7, H, 2.00),          # peer pair at the same ts
+        (3, 7, H, 4.00),
+        (4, 7, 2 * H + 1, 8.00),  # first event now out of its window
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = (
+        q.events_trailing_hour_sum(sf)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert list(out["trailing_cents"]) == [100, 700, 700, 800]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_active_time_touching_intervals_merge(tmp_path):
+    """Two events exactly 30 min apart produce ONE island (touching
+    intervals merge: next start == running max end is not a break);
+    31 min apart produce two. Overlaps must not double-count."""
+    from crawler_seo_ray import queries as q
+
+    M = 60_000_000
+    rows = [
+        (1, 1, 0, 1.0),
+        (2, 1, 30 * M, 1.0),      # touching → merge, island spans 60 min
+        (3, 2, 0, 1.0),
+        (4, 2, 31 * M, 1.0),      # gap → two islands of 30 min each
+        (5, 3, 0, 1.0),
+        (6, 3, 10 * M, 1.0),      # overlap → one 40-min island
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = (
+        q.events_active_time(sf)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert list(out["n_islands"]) == [1, 2, 1]
+    assert list(out["active_us"]) == [60 * M, 60 * M, 40 * M]
