@@ -4042,7 +4042,11 @@ def _basket_edges(sf_dir: str, nparts: int):
     traversal operators."""
     from .util import drop_empty_blocks
 
-    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=16).materialize()
+    # the self-join fan-out is the heavy stage; measured at sf0.1/32cpu
+    # it wants ~16 hash partitions (21 s) where the generic
+    # _join_partitions() gives 4 (47 s) — boost just this exchange
+    nparts = max(nparts, min(16, _join_partitions() * 4))
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=32).materialize()
     right = ds.map_batches(
         lambda b: pa.table(
             {"_ok": b.column("l_orderkey"), "pk2": b.column("l_partkey")}
@@ -4166,15 +4170,18 @@ def basket_rules(sf_dir: str, min_support: int = 3, k: int = 20):
     query-expansion primitive. Distributed shape: distinct
     (order, part) via block-local dedup + one groupby; pair supports
     via ONE hash self-join on the order key (baskets are small, fan-out
-    Σ basket²) + oriented pair groupby; the HAVING prune cuts the pair
-    table to frequent pairs BEFORE the two parts-keyed support joins;
-    top-k via per-block (sup desc, ant, cons) partials merged on the
-    driver (≤ blocks·k rows). Confidence and lift are single divisions
-    over exact int64 counts, expressions mirrored in the oracle."""
+    Σ basket²) with a block-local pair combiner before the pair
+    groupby; the HAVING prune cuts to frequent pairs, then item
+    supports (vertex-sized) annotate via ONE broadcast searchsorted
+    lookup — no pair re-shuffle (flip to two hash joins past web part
+    cardinality: the tfidf broadcast/join threshold seam); top-k via
+    per-block (sup desc, ant, cons) partials merged on the driver
+    (≤ blocks·k rows). Confidence and lift are single divisions over
+    exact int64 counts, expressions mirrored in the oracle."""
     from .util import collect_arrow, drop_empty_blocks
 
-    nparts = _join_partitions()
-    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=16)
+    nparts = max(_join_partitions(), min(16, _join_partitions() * 4))
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=32)
 
     def block_distinct(b: pa.Table) -> pa.Table:
         return (
@@ -4205,30 +4212,51 @@ def basket_rules(sf_dir: str, min_support: int = 3, k: int = 20):
 
     def orient(b: pa.Table) -> pa.Table:
         keep = pc.less(b.column("p"), b.column("p2"))
-        return pa.table(
-            {"ant": b.column("p"), "cons": b.column("p2")}
-        ).filter(keep)
+        t = pa.table({"ant": b.column("p"), "cons": b.column("p2")}).filter(keep)
+        # block-local combiner: (ant, cons, partial count) so the pair
+        # exchange carries distinct-pairs-per-block, not raw fan-out
+        g = t.group_by(["ant", "cons"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ant", "cons", "c"])
 
     pairs = drop_empty_blocks(
-        op.join(right, "inner", nparts, on=("ok",), right_on=("_ok",))
-        .map_batches(orient, batch_format="pyarrow")
-        .groupby(["ant", "cons"])
-        .aggregate(Count(alias_name="sup_ab"))
-    ).filter(expr=f"sup_ab >= {min_support}")
-
-    sup_a = isup.map_batches(
-        lambda b: pa.table({"_pa": b.column("p"), "sup_a": b.column("sup")}),
-        batch_format="pyarrow",
-    )
-    sup_b = isup.map_batches(
-        lambda b: pa.table({"_pb": b.column("p"), "sup_b": b.column("sup")}),
-        batch_format="pyarrow",
-    )
-    joined = drop_empty_blocks(
         drop_empty_blocks(
-            pairs.join(sup_a, "inner", nparts, on=("ant",), right_on=("_pa",))
-        ).join(sup_b, "inner", nparts, on=("cons",), right_on=("_pb",))
+            op.join(right, "inner", nparts, on=("ok",), right_on=("_ok",))
+            .map_batches(orient, batch_format="pyarrow")
+            .groupby(["ant", "cons"])
+            .aggregate(Sum("c", alias_name="sup_ab"))
+        ).filter(expr=f"sup_ab >= {min_support}")
+        # the HAVING prune can empty whole partitions; scrub again so
+        # downstream stages never meet a zero-column block
     )
+
+    # item supports are vertex-sized (≤ #parts) — broadcast one sorted
+    # (key, sup) pair of arrays and annotate with searchsorted instead
+    # of two hash joins (each join re-shuffles the pair table; at
+    # open-web part cardinality flip back to the join form — the tfidf
+    # broadcast/join threshold seam)
+    it = collect_arrow(
+        isup, schema=pa.schema([("p", pa.int64()), ("sup", pa.int64())])
+    )
+    keys = it.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+    sups = it.column("sup").to_numpy(zero_copy_only=False).astype(np.int64)
+    ksort = np.argsort(keys)
+    sup_ref = ray.put((keys[ksort], sups[ksort]))
+
+    def annotate(b: pa.Table) -> pa.Table:
+        kk, ss = ray.get(sup_ref)
+        ant = b.column("ant").to_numpy(zero_copy_only=False).astype(np.int64)
+        cons = b.column("cons").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ant": b.column("ant"),
+                "cons": b.column("cons"),
+                "sup_ab": b.column("sup_ab"),
+                "sup_a": pa.array(ss[np.searchsorted(kk, ant)]),
+                "sup_b": pa.array(ss[np.searchsorted(kk, cons)]),
+            }
+        )
+
+    joined = pairs.map_batches(annotate, batch_format="pyarrow")
 
     def block_topk(b: pa.Table) -> pa.Table:
         ant = b.column("ant").to_numpy(zero_copy_only=False)
@@ -5043,6 +5071,89 @@ def events_active_time(sf_dir: str, window_min: int = 30):
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(islands, batch_format="pyarrow")
+    )
+
+
+def events_engagement_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts — the inequality /
+    skew diagnostic (0 = uniform engagement, →1 = one user dominates;
+    the same statistic flags hot-key skew before a shuffle). Exact and
+    distributed: per-user counts (one groupby), GLOBAL rank over
+    (count, user) via the range-sort + per-block offset machinery
+    (`stages/window.global_row_number`), then per-block INTEGER
+    partials of Σ(2i−1)·n on object-dtype numpy (no overflow at any
+    scale, the events_auc trick); the driver folds Python ints and the
+    single division num/(n_users·total) is the only float op —
+    bit-equal to the oracle's HUGEINT window sum."""
+    from .stages.window import global_row_number
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id"], blocks=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    uc = drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    ranked = global_row_number(uc, ["n", "user_id"], out_col="i")
+
+    def moments(b: pa.Table) -> pa.Table:
+        i = b.column("i").to_numpy(zero_copy_only=False).astype(object)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(object)
+        a = int(((2 * i - 1) * n).sum()) if len(i) else 0
+        return pa.table(
+            {
+                "a": pa.array([str(a)], pa.string()),  # exact int as text
+                "s": pa.array([int(n.sum()) if len(n) else 0], pa.int64()),
+                "c": pa.array([len(n)], pa.int64()),
+            }
+        )
+
+    parts = collect_arrow(
+        ranked.map_batches(moments, batch_format="pyarrow"),
+        schema=pa.schema([("a", pa.string()), ("s", pa.int64()), ("c", pa.int64())]),
+    ).to_pandas()
+    nu = int(parts["c"].sum())
+    tot = sum(int(x) for x in parts["s"])
+    num = sum(int(x) for x in parts["a"]) - nu * tot
+    return pa.table(
+        {
+            "n_users": pa.array([nu], pa.int64()),
+            "gini": pa.array([float(num) / float(nu * tot)], pa.float64()),
+        }
+    )
+
+
+def docs_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size census: how many near-dup clusters of
+    each size exist (the dedup-impact report a curation run publishes —
+    'N pairs, M triples, one 12-way pile-up'). Composes the MinHash
+    connected-components output (`docs_minhash_groups`, output-sized
+    (id, rep) table) with two tiny aggregations; only dup-connected
+    docs appear, so singletons are excluded by construction."""
+    from .stages.dedup import minhash_pipeline
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    groups = minhash_pipeline(
+        ds, "text", "doc_id", jaccard_threshold=0.5, components="distributed"
+    )["groups"]
+    sizes = groups.group_by("rep").aggregate([([], "count_all")])
+    hist = (
+        sizes.rename_columns(["rep", "cluster_size"])
+        .group_by("cluster_size")
+        .aggregate([([], "count_all")])
+        .rename_columns(["cluster_size", "n_clusters"])
+        .sort_by("cluster_size")
+    )
+    return pa.table(
+        {
+            "cluster_size": pc.cast(hist.column("cluster_size"), pa.int64()),
+            "n_clusters": pc.cast(hist.column("n_clusters"), pa.int64()),
+        }
     )
 
 
@@ -6155,6 +6266,8 @@ QUERIES = {
     "corpus_luma_histogram": corpus_luma_histogram,
     "events_trailing_hour_sum": events_trailing_hour_sum,
     "events_active_time": events_active_time,
+    "events_engagement_gini": events_engagement_gini,
+    "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
     "orders_chi2": orders_chi2,
     "orders_time_decay": orders_time_decay,
     "supplier_part_coverage": supplier_part_coverage,
@@ -6631,6 +6744,17 @@ ORACLE_SQL["docs_minhash_groups"] = (
     "  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a\n"
     ")\n"
     "SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id"
+)
+
+# cluster-size census = the same transitive closure, aggregated twice
+ORACLE_SQL["docs_dup_cluster_sizes"] = (
+    "WITH g AS ("
+    + ORACLE_SQL["docs_minhash_groups"]
+    + """)
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters
+    FROM (SELECT rep, count(*)::BIGINT AS cluster_size FROM g GROUP BY rep)
+    GROUP BY cluster_size ORDER BY cluster_size
+"""
 )
 
 # --- corpus-backed oracles (read_parquet over the deterministic corpus
@@ -7655,6 +7779,20 @@ ORACLE_SQL["events_active_time"] = """
            count(*)::BIGINT AS n_islands,
            sum(epoch_us(e2) - epoch_us(s))::BIGINT AS active_us
     FROM i GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["events_engagement_gini"] = """
+    WITH uc AS (
+      SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id
+    ), r AS (
+      SELECT n, row_number() OVER (ORDER BY n, user_id) AS i,
+             count(*) OVER () AS nu, sum(n) OVER () AS tot
+      FROM uc
+    )
+    SELECT max(nu)::BIGINT AS n_users,
+           CAST(sum((2 * i - nu - 1) * n) AS DOUBLE)
+             / CAST(max(nu) * max(tot) AS DOUBLE) AS gini
+    FROM r
 """
 
 ORACLE_SQL["orders_chi2"] = """

@@ -258,11 +258,53 @@ def triangle_count(
     ).count()
 
 
+def _kcore_dense(et: pa.Table, k: int, max_rounds: int) -> pa.Table:
+    """Driver-side vectorized peel over a collected SYMMETRIC edge
+    table (src, dst): per round, one boolean mask finds under-degree
+    vertices and one bincount decrements their incident edges — exactly
+    the distributed rounds' semantics (v_i = deg ≥ k in e_{i-1};
+    e_i = both endpoints kept), so the two paths are interchangeable."""
+    import numpy as np
+
+    empty = pa.table(
+        {"part": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
+    )
+    if et.num_rows == 0:
+        return empty
+    src = et.column("src").to_numpy(zero_copy_only=False)
+    dst = et.column("dst").to_numpy(zero_copy_only=False)
+    univ, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si = inv[: len(src)].astype(np.int64)
+    di = inv[len(src):].astype(np.int64)
+    n = len(univ)
+    alive_v = np.ones(n, dtype=bool)
+    alive_e = np.ones(len(si), dtype=bool)
+    deg = np.bincount(si, minlength=n)
+    for _ in range(max_rounds):
+        bad = alive_v & (deg < k)
+        if not bad.any():
+            break
+        alive_v &= ~bad
+        kill = alive_e & (bad[si] | bad[di])
+        deg -= np.bincount(si[kill], minlength=n)
+        alive_e &= ~kill
+    keep = alive_v & (deg > 0)
+    if not keep.any():
+        return empty
+    return pa.table(
+        {
+            "part": pa.array(univ[keep].astype(np.int64)),
+            "degree": pa.array(deg[keep].astype(np.int64)),
+        }
+    )
+
+
 def kcore(
     edges: Dataset,
     k: int,
     max_rounds: int,
     num_partitions: int = 8,
+    driver_edge_limit: int = 4_000_000,
 ) -> Dataset:
     """Iterative k-core peel: repeatedly delete vertices whose degree
     in the remaining graph is < ``k`` until fixed point (or
@@ -294,6 +336,13 @@ def kcore(
         {"part": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
     )
     edges = edges.materialize()
+    if edges.count() <= driver_edge_limit:
+        # subgraph-sized edge list: 8 distributed rounds cost ~24 whole
+        # Dataset executions of fixed overhead — the pagerank /
+        # triangle_count dense-path selection pattern applies
+        import ray.data as rd
+
+        return rd.from_arrow(_kcore_dense(collect_arrow(edges), k, max_rounds))
     for _ in range(max_rounds):
         deg = _degrees(edges).materialize()
         n_vertices = deg.count()

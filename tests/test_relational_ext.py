@@ -435,19 +435,26 @@ def test_kcore_planted_clique_and_full_peel():
             }
         )
     )
-    core = kcore(edges, k=3, max_rounds=8, num_partitions=2).to_pandas()
-    core = core.sort_values("part", ignore_index=True)
-    assert list(core["part"]) == [0, 1, 2, 3]
-    assert list(core["degree"]) == [3, 3, 3, 3]
+    # driver_edge_limit=0 forces the distributed rounds; the default
+    # takes the dense path — both must peel identically
+    for lim in (0, 4_000_000):
+        core = (
+            kcore(edges, k=3, max_rounds=8, num_partitions=2, driver_edge_limit=lim)
+            .to_pandas()
+            .sort_values("part", ignore_index=True)
+        )
+        assert list(core["part"]) == [0, 1, 2, 3], lim
+        assert list(core["degree"]) == [3, 3, 3, 3], lim
 
     from crawler_seo_ray.util import collect_arrow
 
-    gone = collect_arrow(
-        kcore(edges, k=10, max_rounds=8, num_partitions=2),
-        schema=pa.schema([("part", pa.int64()), ("degree", pa.int64())]),
-    )
-    assert gone.num_rows == 0
-    assert gone.schema.names == ["part", "degree"]
+    for lim in (0, 4_000_000):
+        gone = collect_arrow(
+            kcore(edges, k=10, max_rounds=8, num_partitions=2, driver_edge_limit=lim),
+            schema=pa.schema([("part", pa.int64()), ("degree", pa.int64())]),
+        )
+        assert gone.num_rows == 0, lim
+        assert gone.schema.names == ["part", "degree"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -667,3 +674,35 @@ def test_active_time_touching_intervals_merge(tmp_path):
     )
     assert list(out["n_islands"]) == [1, 2, 1]
     assert list(out["active_us"]) == [60 * M, 60 * M, 40 * M]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_uniform_zero_and_dominant(tmp_path):
+    """Equal per-user counts must give exactly gini = 0.0; a heavily
+    dominant user must push it toward 1. Values are bit-checked against
+    the closed-form integer formula, not approximated."""
+    from crawler_seo_ray import queries as q
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):  # 4 events each → perfectly uniform
+        for _ in range(4):
+            rows.append((eid, u, eid * 1_000_000, 1.0))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    out = q.events_engagement_gini(sf).to_pandas()
+    assert out.loc[0, "n_users"] == 3 and out.loc[0, "gini"] == 0.0
+
+    import shutil
+
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    os.makedirs(tmp_path, exist_ok=True)
+    rows = [(i, 9, i * 1_000_000, 1.0) for i in range(97)]
+    rows += [(97, 1, 97_000_000, 1.0), (98, 2, 98_000_000, 1.0), (99, 3, 99_000_000, 1.0)]
+    sf = _write_events(tmp_path, rows)
+    out = q.events_engagement_gini(sf).to_pandas()
+    # sorted counts [1,1,1,97]: num = Σ(2i-nu-1)c = (-3-1-1+3*97)... closed form
+    n = np.array([1, 1, 1, 97], dtype=np.int64)
+    i = np.arange(1, 5)
+    expect = float(((2 * i - 4 - 1) * n).sum()) / float(4 * n.sum())
+    assert out.loc[0, "gini"] == expect and out.loc[0, "gini"] > 0.7
