@@ -4162,6 +4162,66 @@ def basket_kcore(sf_dir: str, k: int = 80, max_rounds: int = 8):
     )
 
 
+def embeddings_pca_top(sf_dir: str, iters: int = 500):
+    """Top principal component of the embedding table — the
+    dimensionality-reduction / drift-monitoring primitive (anisotropy
+    removal, 'is the new shard's dominant direction the old one?').
+    Distributed shape: each block emits ONE (min_id, n, Σx, Σxxᵀ)
+    moment partial (the 64×64 Gram via one BLAS syrk per block); the
+    driver sorts partials by min_id so the float fold order is a
+    function of the BLOCK LAYOUT only (layout-deterministic, the
+    label-centroids rule), forms the covariance, and runs a fixed-seed
+    power iteration with sign normalization (first component of
+    largest |loading| made positive). Rows-only (eigenvectors aren't
+    SQL); pinned to numpy.linalg.eigh + determinism in tests."""
+    from .stages.similarity import _vec_matrix
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8)
+
+    def moments(b: pa.Table) -> pa.Table:
+        X = _vec_matrix(b.column("embedding"))
+        d = X.shape[1]
+        return pa.table(
+            {
+                "min_id": pa.array(
+                    [int(pc.min(b.column("vec_id")).as_py())], pa.int64()
+                ),
+                "n": pa.array([X.shape[0]], pa.int64()),
+                "s": pa.array([X.sum(axis=0)], pa.list_(pa.float64(), d)),
+                "g": pa.array([(X.T @ X).ravel()], pa.list_(pa.float64(), d * d)),
+            }
+        )
+
+    parts = collect_arrow(
+        ds.map_batches(moments, batch_format="pyarrow")
+    ).sort_by("min_id")
+    n = int(pc.sum(parts.column("n")).as_py())
+    d = len(parts.column("s")[0])
+    s = np.zeros(d)
+    g = np.zeros(d * d)
+    for i in range(parts.num_rows):  # ≤ blocks partials, sorted fold
+        s += np.asarray(parts.column("s")[i].as_py())
+        g += np.asarray(parts.column("g")[i].as_py())
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    v = np.zeros(d)
+    v[0] = 1.0  # fixed deterministic seed
+    for _ in range(iters):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    eigval = float(v @ (cov @ v))
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v  # canonical sign
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "loading": pa.array(v, pa.float64()),
+            "eigenvalue": pa.array(np.full(d, eigval), pa.float64()),
+        }
+    )
+
+
 def basket_rules(sf_dir: str, min_support: int = 3, k: int = 20):
     """Association-rule mining over market baskets (the Apriori /
     FP-growth output surface at itemset size 2): the top-``k`` part
@@ -6268,6 +6328,7 @@ QUERIES = {
     "events_active_time": events_active_time,
     "events_engagement_gini": events_engagement_gini,
     "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
+    "embeddings_pca_top": embeddings_pca_top,
     "orders_chi2": orders_chi2,
     "orders_time_decay": orders_time_decay,
     "supplier_part_coverage": supplier_part_coverage,

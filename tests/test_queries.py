@@ -108,6 +108,10 @@ def test_rows_only_queries_run(registry):
         and df["n_px"].nunique() == 1
         and (df["std"] > 0).all()
         and df["mean"].between(0, 255).all(),
+        "embeddings_pca_top": lambda df: len(df) == 64
+        and abs((df["loading"] ** 2).sum() - 1.0) < 1e-9
+        and df["eigenvalue"].nunique() == 1
+        and df["eigenvalue"].iloc[0] > 0,
         "corpus_luma_histogram": lambda df: len(df) == 256
         and df["n"].sum() == df["cdf"].iloc[-1]
         and df["cdf"].is_monotonic_increasing

@@ -706,3 +706,26 @@ def test_gini_uniform_zero_and_dominant(tmp_path):
     i = np.arange(1, 5)
     expect = float(((2 * i - 4 - 1) * n).sum()) / float(4 * n.sum())
     assert out.loc[0, "gini"] == expect and out.loc[0, "gini"] > 0.7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_top_matches_eigh_and_deterministic():
+    """The power-iteration component must align with numpy.linalg.eigh's
+    top eigenvector of the same covariance (|cos| ≈ 1), its Rayleigh
+    quotient must equal the top eigenvalue, and two runs must be
+    bit-identical (layout-deterministic partial fold)."""
+    from crawler_seo_ray import queries as q
+
+    SF = "/root/testdata/sf0.001"
+    a = q.embeddings_pca_top(SF).to_pandas()
+    b = q.embeddings_pca_top(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    X = np.stack(pd.read_parquet(os.path.join(SF, "embeddings.parquet"))["embedding"].to_numpy())
+    X = X.astype(np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1]
+    got = a["loading"].to_numpy()
+    assert abs(abs(top @ got) - 1.0) < 1e-6  # eigengap-limited convergence
+    assert abs(a["eigenvalue"].iloc[0] - w[-1]) < 1e-8 * max(1.0, w[-1])
