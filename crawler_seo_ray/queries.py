@@ -4032,42 +4032,235 @@ def lineitem_mad(sf_dir: str):
     )
 
 
-def _basket_edges(sf_dir: str, nparts: int):
-    """Distinct oriented co-occurrence edges (p1 < p2) of the
-    market-basket graph — parts appearing in the same order. Built via
-    ONE hash join (baskets are small, so the join fan-out is Σ basket²,
-    a few× the input) — a ``groupby(order).map_groups`` pair emission
-    costs one Python call per ORDER (10⁴–10¹⁰ of them), measured 3×
-    slower than the join here. Shared by the triangle-count and BFS
-    traversal operators."""
-    from .util import drop_empty_blocks
+def _emit_run_pairs(ok: np.ndarray, p: np.ndarray):
+    """Vectorized within-basket pair emission over (ok, p) rows: dedup
+    to distinct (ok, p), then for every ok-run emit all part pairs
+    p1 < p2 via one np.repeat fan-out (no Python loop). Returns
+    (ant, cons) int64 arrays — ant < cons by construction because
+    parts are sorted inside each run."""
+    if len(ok) == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    order = np.lexsort((p, ok))
+    ok, p = ok[order], p[order]
+    keep = np.empty(len(ok), dtype=bool)
+    keep[0] = True
+    keep[1:] = (ok[1:] != ok[:-1]) | (p[1:] != p[:-1])
+    ok, p = ok[keep], p[keep]
+    newrun = np.empty(len(ok), dtype=bool)
+    newrun[0] = True
+    newrun[1:] = ok[1:] != ok[:-1]
+    run_id = np.cumsum(newrun) - 1
+    run_start = np.flatnonzero(newrun)
+    run_len = np.diff(np.append(run_start, len(ok)))
+    idx = np.arange(len(ok), dtype=np.int64)
+    rem = run_start[run_id] + run_len[run_id] - idx - 1
+    total = int(rem.sum())
+    if total == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    first = np.repeat(p, rem)
+    base = np.repeat(idx + 1, rem)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(rem) - rem, rem)
+    return first.astype(np.int64), p[base + offs].astype(np.int64)
 
-    # the self-join fan-out is the heavy stage; measured at sf0.1/32cpu
-    # it wants ~16 hash partitions (21 s) where the generic
-    # _join_partitions() gives 4 (47 s) — boost just this exchange
-    nparts = max(nparts, min(16, _join_partitions() * 4))
-    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=32).materialize()
-    right = ds.map_batches(
+
+def _basket_pair_counts(sf_dir: str, nparts: int):
+    """(ant, cons, sup) distinct-per-order part pairs with their order
+    support, built WITHOUT the order-keyed self-join: one range sort of
+    the narrow (order, part) table co-locates each basket, then every
+    block pair-emits its interior runs vectorized (_emit_run_pairs)
+    with a block-local count combiner; runs touching a block boundary
+    (an order can straddle range partitions) ship their raw rows to a
+    tiny side channel the driver pair-emits exactly once. Replaces the
+    join build measured 21–47 s at sf0.1/32cpu with ~¼ the cost, and
+    the exchange carries pre-combined pairs, not raw fan-out. Item
+    supports and the distinct-order count ride the SAME pass (kinds 2
+    and 3 of the mixed output), so association rules need no further
+    fact-sized shuffles. Returns
+    (lineitem ds, pair-count Dataset, item-support Dataset, n_orders)."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=32)
+    nrw = ds.map_batches(
         lambda b: pa.table(
-            {"_ok": b.column("l_orderkey"), "pk2": b.column("l_partkey")}
+            {"ok": b.column("l_orderkey"), "p": b.column("l_partkey")}
         ),
         batch_format="pyarrow",
+    ).sort("ok")
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        ok = b.column("ok").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        # rows of the first and last order in this (range-sorted) block
+        # may continue in neighbor blocks — side-channel them raw
+        side = (ok == ok[0]) | (ok == ok[-1])
+        ok_i, p_i = ok[~side], p[~side]
+        tables = []
+        if len(ok_i):
+            order = np.lexsort((p_i, ok_i))
+            ok_i, p_i = ok_i[order], p_i[order]
+            keep = np.empty(len(ok_i), dtype=bool)
+            keep[0] = True
+            keep[1:] = (ok_i[1:] != ok_i[:-1]) | (p_i[1:] != p_i[:-1])
+            ok_i, p_i = ok_i[keep], p_i[keep]
+            ant, cons = _emit_run_pairs(ok_i, p_i)
+            if len(ant):
+                pairs = (
+                    pa.table({"a": pa.array(ant), "b": pa.array(cons)})
+                    .group_by(["a", "b"])
+                    .aggregate([([], "count_all")])
+                    .rename_columns(["a", "b", "c"])
+                )
+                tables.append(
+                    pa.table(
+                        {
+                            "kind": pa.array(np.zeros(pairs.num_rows, dtype=np.int8)),
+                            "a": pairs.column("a"),
+                            "b": pairs.column("b"),
+                            "c": pc.cast(pairs.column("c"), pa.int64()),
+                        }
+                    )
+                )
+            # kind 2: per-part distinct-order counts of the interior
+            up, uc = np.unique(p_i, return_counts=True)
+            tables.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.full(len(up), 2, dtype=np.int8)),
+                        "a": pa.array(up),
+                        "b": pa.array(np.zeros(len(up), dtype=np.int64)),
+                        "c": pa.array(uc.astype(np.int64)),
+                    }
+                )
+            )
+            # kind 3: interior distinct-order count
+            n_runs = 1 + int((ok_i[1:] != ok_i[:-1]).sum())
+            tables.append(
+                pa.table(
+                    {
+                        "kind": pa.array([3], pa.int8()),
+                        "a": pa.array([0], pa.int64()),
+                        "b": pa.array([0], pa.int64()),
+                        "c": pa.array([n_runs], pa.int64()),
+                    }
+                )
+            )
+        n_side = int(side.sum())
+        if n_side:
+            tables.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.ones(n_side, dtype=np.int8)),
+                        "a": pa.array(ok[side]),
+                        "b": pa.array(p[side]),
+                        "c": pa.array(np.ones(n_side, dtype=np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(tables) if tables else empty
+
+    mixed = nrw.map_batches(block_pairs, batch_format="pyarrow").materialize()
+
+    side_t = collect_arrow(
+        mixed.filter(expr="kind == 1"),
+        schema=pa.schema(
+            [("kind", pa.int8()), ("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())]
+        ),
+    )
+    s_ok = side_t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+    s_p = side_t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    sa, sc = _emit_run_pairs(s_ok, s_p)
+    side_rows = pa.table(
+        {
+            "kind": pa.array(np.zeros(len(sa), dtype=np.int8)),
+            "a": pa.array(sa),
+            "b": pa.array(sc),
+            "c": pa.array(np.ones(len(sa), dtype=np.int64)),
+        }
+    )
+    # side items: distinct (ok, p) → per-part counts; distinct ok count
+    if len(s_ok):
+        dedup = np.unique(np.stack([s_ok, s_p], axis=1), axis=0)  # tiny
+        up_s, uc_s = np.unique(dedup[:, 1], return_counts=True)
+        side_items = pa.table(
+            {
+                "kind": pa.array(np.full(len(up_s), 2, dtype=np.int8)),
+                "a": pa.array(up_s.astype(np.int64)),
+                "b": pa.array(np.zeros(len(up_s), dtype=np.int64)),
+                "c": pa.array(uc_s.astype(np.int64)),
+            }
+        )
+        n_side_orders = len(np.unique(s_ok))
+    else:
+        side_items = None
+        n_side_orders = 0
+
+    n_orders = n_side_orders + int(
+        pc.sum(
+            collect_arrow(
+                mixed.filter(expr="kind == 3"),
+                schema=pa.schema(
+                    [("kind", pa.int8()), ("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())]
+                ),
+            ).column("c")
+        ).as_py()
+        or 0
     )
 
-    def orient_distinct(b: pa.Table) -> pa.Table:
-        keep = pc.less(b.column("l_partkey"), b.column("pk2"))
-        t = pa.table(
-            {"p1": b.column("l_partkey"), "p2": b.column("pk2")}
-        ).filter(keep)
-        return t.group_by(["p1", "p2"]).aggregate([])  # block-local combiner
+    pair_parts = drop_empty_blocks(mixed.filter(expr="kind == 0"))
+    if side_rows.num_rows:
+        pair_parts = pair_parts.union(rd.from_arrow(side_rows))
+    # the pair table is the largest exchange here (≈2× input rows even
+    # pre-combined) — give its hash aggregate real parallelism; the
+    # generic _join_partitions() default starves it (measured)
+    gparts = max(nparts, min(16, _join_partitions() * 4))
+    counts = drop_empty_blocks(
+        pair_parts.map_batches(
+            lambda t: pa.table(
+                {"ant": t.column("a"), "cons": t.column("b"), "c": t.column("c")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["ant", "cons"], num_partitions=gparts)
+        .aggregate(Sum("c", alias_name="sup"))
+    )
+    item_parts = drop_empty_blocks(mixed.filter(expr="kind == 2"))
+    if side_items is not None:
+        item_parts = item_parts.union(rd.from_arrow(side_items))
+    items = drop_empty_blocks(
+        item_parts.map_batches(
+            lambda t: pa.table({"p": t.column("a"), "c": t.column("c")}),
+            batch_format="pyarrow",
+        )
+        .groupby("p")
+        .aggregate(Sum("c", alias_name="sup"))
+    )
+    return ds, counts, items, n_orders
 
-    return ds, drop_empty_blocks(
-        ds.join(right, "inner", nparts, on=("l_orderkey",), right_on=("_ok",))
-        .map_batches(orient_distinct, batch_format="pyarrow")
-        .groupby(["p1", "p2"])
-        .aggregate(Count(alias_name="_c"))
-    ).map_batches(
-        lambda b: b.drop_columns(["_c"]), batch_format="pyarrow"
+
+def _basket_edges(sf_dir: str, nparts: int):
+    """Distinct oriented co-occurrence edges (p1 < p2) of the
+    market-basket graph — parts appearing in the same order. Built on
+    the sort + vectorized run-pair-emission path (_basket_pair_counts:
+    measured ~4× over the order-keyed hash self-join it replaces, and
+    ~12× over a ``groupby(order).map_groups`` per-order Python
+    emission). Shared by the triangle-count, BFS and k-core
+    operators."""
+    ds, counts, _, _ = _basket_pair_counts(sf_dir, nparts)
+    return ds, counts.map_batches(
+        lambda b: pa.table({"p1": b.column("ant"), "p2": b.column("cons")}),
+        batch_format="pyarrow",
     )
 
 
@@ -4227,65 +4420,28 @@ def basket_rules(sf_dir: str, min_support: int = 3, k: int = 20):
     FP-growth output surface at itemset size 2): the top-``k`` part
     pairs by co-occurrence support, each with antecedent/consequent
     supports, confidence and lift — the classic recommender /
-    query-expansion primitive. Distributed shape: distinct
-    (order, part) via block-local dedup + one groupby; pair supports
-    via ONE hash self-join on the order key (baskets are small, fan-out
-    Σ basket²) with a block-local pair combiner before the pair
-    groupby; the HAVING prune cuts to frequent pairs, then item
-    supports (vertex-sized) annotate via ONE broadcast searchsorted
-    lookup — no pair re-shuffle (flip to two hash joins past web part
-    cardinality: the tfidf broadcast/join threshold seam); top-k via
-    per-block (sup desc, ant, cons) partials merged on the driver
-    (≤ blocks·k rows). Confidence and lift are single divisions over
-    exact int64 counts, expressions mirrored in the oracle."""
+    query-expansion primitive. Distributed shape: pair supports come
+    straight from the shared sort + vectorized run-pair-emission build
+    (_basket_pair_counts — each order contributes each distinct pair
+    once, so the count IS the support); the HAVING prune cuts to
+    frequent pairs, then item supports (vertex-sized) annotate via ONE
+    broadcast searchsorted lookup — no pair re-shuffle (flip to two
+    hash joins past web part cardinality: the tfidf broadcast/join
+    threshold seam); top-k via per-block (sup desc, ant, cons)
+    partials merged on the driver (≤ blocks·k rows). Confidence and
+    lift are single divisions over exact int64 counts, expressions
+    mirrored in the oracle."""
     from .util import collect_arrow, drop_empty_blocks
 
-    nparts = max(_join_partitions(), min(16, _join_partitions() * 4))
-    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=32)
-
-    def block_distinct(b: pa.Table) -> pa.Table:
-        return (
-            b.group_by(["l_orderkey", "l_partkey"])
-            .aggregate([])
-            .rename_columns(["ok", "p"])
-        )
-
-    op = drop_empty_blocks(
-        ds.map_batches(block_distinct, batch_format="pyarrow")
-        .groupby(["ok", "p"])
-        .aggregate(Count(alias_name="_c"))
-    ).map_batches(lambda b: b.drop_columns(["_c"]), batch_format="pyarrow").materialize()
-
-    n_orders = int(
-        drop_empty_blocks(
-            op.groupby("ok").aggregate(Count(alias_name="_c"))
-        ).count()
-    )
-    isup = drop_empty_blocks(
-        op.groupby("p").aggregate(Count(alias_name="sup"))
-    ).materialize()
-
-    right = op.map_batches(
-        lambda b: pa.table({"_ok": b.column("ok"), "p2": b.column("p")}),
-        batch_format="pyarrow",
-    )
-
-    def orient(b: pa.Table) -> pa.Table:
-        keep = pc.less(b.column("p"), b.column("p2"))
-        t = pa.table({"ant": b.column("p"), "cons": b.column("p2")}).filter(keep)
-        # block-local combiner: (ant, cons, partial count) so the pair
-        # exchange carries distinct-pairs-per-block, not raw fan-out
-        g = t.group_by(["ant", "cons"]).aggregate([([], "count_all")])
-        return g.rename_columns(["ant", "cons", "c"])
+    nparts = _join_partitions()
+    _, counts, isup, n_orders = _basket_pair_counts(sf_dir, nparts)
 
     pairs = drop_empty_blocks(
-        drop_empty_blocks(
-            op.join(right, "inner", nparts, on=("ok",), right_on=("_ok",))
-            .map_batches(orient, batch_format="pyarrow")
-            .groupby(["ant", "cons"])
-            .aggregate(Sum("c", alias_name="sup_ab"))
+        counts.map_batches(
+            lambda b: b.rename_columns(["ant", "cons", "sup_ab"]),
+            batch_format="pyarrow",
         ).filter(expr=f"sup_ab >= {min_support}")
-        # the HAVING prune can empty whole partitions; scrub again so
+        # the HAVING prune can empty whole partitions; scrub so
         # downstream stages never meet a zero-column block
     )
 
@@ -7759,11 +7915,14 @@ def _kcore_oracle_sql(k: int = 80, rounds: int = 8) -> str:
     )"""
     ]
     for i in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing: inlined, each round re-evaluates
+        # the whole chain below it (measured 30 s at sf0.001 vs ~1 s)
         parts.append(
-            f"v{i} AS (SELECT src FROM e{i - 1} GROUP BY src HAVING count(*) >= {k})"
+            f"v{i} AS MATERIALIZED (SELECT src FROM e{i - 1} "
+            f"GROUP BY src HAVING count(*) >= {k})"
         )
         parts.append(
-            f"e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e "
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e "
             f"JOIN v{i} s ON e.src = s.src JOIN v{i} d ON e.dst = d.src)"
         )
     return (

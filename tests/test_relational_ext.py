@@ -729,3 +729,31 @@ def test_pca_top_matches_eigh_and_deterministic():
     got = a["loading"].to_numpy()
     assert abs(abs(top @ got) - 1.0) < 1e-6  # eigengap-limited convergence
     assert abs(a["eigenvalue"].iloc[0] - w[-1]) < 1e-8 * max(1.0, w[-1])
+
+
+def test_emit_run_pairs_matches_itertools():
+    """The vectorized within-basket pair emission must equal a brute
+    itertools reference on dup-heavy, shuffled, single- and empty-run
+    input."""
+    import itertools
+
+    from crawler_seo_ray.queries import _emit_run_pairs
+
+    rng = np.random.default_rng(7)
+    ok = rng.integers(0, 40, size=500)
+    p = rng.integers(0, 25, size=500)
+    ant, cons = _emit_run_pairs(ok.copy(), p.copy())
+    got = sorted(zip(ant.tolist(), cons.tolist()))
+    ref = []
+    import collections
+
+    baskets = collections.defaultdict(set)
+    for o, q in zip(ok, p):
+        baskets[o].add(q)
+    for o, s in baskets.items():
+        ref.extend(itertools.combinations(sorted(s), 2))
+    assert got == sorted(ref)
+    a, c = _emit_run_pairs(np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    assert len(a) == 0 and len(c) == 0
+    a, c = _emit_run_pairs(np.array([1, 1], dtype=np.int64), np.array([5, 5], dtype=np.int64))
+    assert len(a) == 0  # single distinct part → no pairs
