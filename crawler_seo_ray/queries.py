@@ -1926,6 +1926,34 @@ def corpus_luma_histogram(sf_dir: str):
     )
 
 
+def corpus_quality_flags(sf_dir: str, dark_pct: int = 30, blur_var: int = 100):
+    """Image-quality gate census — the multimodal analog of the Gopher
+    text filter: per image, exposure fractions and a Laplacian-variance
+    sharpness score from exact integer pixel math
+    (`stages/multimodal.ExposureBlurStats`, decode actor pool), plus
+    the keep/drop flags a curation run applies (too-dark = dark pixels
+    > ``dark_pct`` % via integer cross-multiplication, blurry =
+    lap_var < ``blur_var``). Rows-only (needs pixel decode); every
+    numeric pinned to a whole-corpus numpy reference in tests."""
+    from .stages.multimodal import ExposureBlurStats
+
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    feats = ds.map_batches(
+        ExposureBlurStats, concurrency=2, batch_size=64, batch_format="pyarrow"
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        too_dark = pc.greater(
+            pc.multiply(b.column("n_dark"), 100), pc.multiply(b.column("n_px"), dark_pct)
+        )
+        blurry = pc.less(b.column("lap_var"), float(blur_var))
+        return b.append_column("too_dark", pc.cast(too_dark, pa.int64())).append_column(
+            "blurry", pc.cast(blurry, pa.int64())
+        )
+
+    return feats.map_batches(flags, batch_format="pyarrow")
+
+
 def corpus_phash_dups(sf_dir: str):
     """Image near-dup pairs by perceptual-hash Hamming banding over the
     corpus phash column (multimodal dedup). SQL-paired: threshold (4) <
@@ -5290,6 +5318,40 @@ def events_active_time(sf_dir: str, window_min: int = 30):
     )
 
 
+def events_markov_stationary(sf_dir: str, iters: int = 200):
+    """Stationary distribution of the user-behavior Markov chain — the
+    long-run state-occupancy vector (where sessions end up), composing
+    the distributed transition-count operator with a driver-side power
+    iteration over the |types|×|types| matrix (model-sized, like the
+    PageRank dense path). Counts are exact int64; the matrix is
+    row-normalized in sorted type order and iterated from the uniform
+    vector with L1 renormalization — deterministic. Rows-only
+    (iterative); pinned to a numpy eigenvector reference in tests."""
+    from .util import collect_arrow
+
+    tr = events_transitions(sf_dir)
+    t = (tr if isinstance(tr, pa.Table) else collect_arrow(tr)).to_pandas()
+    types = sorted(set(t["prev_type"]) | set(t["event_type"]))
+    idx = {s: i for i, s in enumerate(types)}
+    n = len(types)
+    M = np.zeros((n, n), dtype=np.float64)
+    for _, r in t.iterrows():  # |types|² rows, model-sized
+        M[idx[r["prev_type"]], idx[r["event_type"]]] = float(r["n"])
+    rows = M.sum(axis=1)
+    for i in range(n):  # absorbing/unseen rows → uniform (standard fix)
+        M[i] = M[i] / rows[i] if rows[i] > 0 else 1.0 / n
+    v = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        v = v @ M
+        v = v / v.sum()
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "stationary": pa.array(v, pa.float64()),
+        }
+    )
+
+
 def events_engagement_gini(sf_dir: str):
     """Gini coefficient of per-user event counts — the inequality /
     skew diagnostic (0 = uniform engagement, →1 = one user dominates;
@@ -6485,6 +6547,8 @@ QUERIES = {
     "events_engagement_gini": events_engagement_gini,
     "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
     "embeddings_pca_top": embeddings_pca_top,
+    "corpus_quality_flags": corpus_quality_flags,
+    "events_markov_stationary": events_markov_stationary,
     "orders_chi2": orders_chi2,
     "orders_time_decay": orders_time_decay,
     "supplier_part_coverage": supplier_part_coverage,

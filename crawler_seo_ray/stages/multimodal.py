@@ -76,6 +76,55 @@ class LumaHistogramPartials:
         )
 
 
+class ExposureBlurStats:
+    """Actor stage: decode → per-image exposure and sharpness features,
+    all from exact integer pixel math — the image-quality filter pass a
+    curation pipeline runs before training (drop over/under-exposed and
+    blurry frames). Per image: dark/bright pixel counts on ITU-601
+    integer luma (thresholds 16 / 239, the broadcast-video range), and
+    the Laplacian-variance sharpness score (4-neighbour kernel on the
+    interior, variance from exact int64 Σ/Σ²; the only floats are the
+    two final divisions). Pixels never leave the stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, dark, bright, npx, lvar, nint = [], [], [], [], [], []
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"]).astype(np.int64)
+            luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+            ids.append(r["image_id"])
+            npx.append(int(luma.size))
+            dark.append(int((luma < 16).sum()))
+            bright.append(int((luma > 239).sum()))
+            if luma.shape[0] >= 3 and luma.shape[1] >= 3:
+                c = luma[1:-1, 1:-1]
+                lap = (
+                    4 * c
+                    - luma[:-2, 1:-1]
+                    - luma[2:, 1:-1]
+                    - luma[1:-1, :-2]
+                    - luma[1:-1, 2:]
+                )
+                n = int(lap.size)
+                s = int(lap.sum())
+                s2 = int((lap * lap).sum())
+                mean = s / n
+                lvar.append(s2 / n - mean * mean)
+                nint.append(n)
+            else:
+                lvar.append(0.0)
+                nint.append(0)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(npx, pa.int64()),
+                "n_dark": pa.array(dark, pa.int64()),
+                "n_bright": pa.array(bright, pa.int64()),
+                "lap_var": pa.array(lvar, pa.float64()),
+                "n_interior": pa.array(nint, pa.int64()),
+            }
+        )
+
+
 class DecodeImageStats:
     """Actor stage: decode → per-image stats (no pixels in the output)."""
 

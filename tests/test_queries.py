@@ -108,6 +108,14 @@ def test_rows_only_queries_run(registry):
         and df["n_px"].nunique() == 1
         and (df["std"] > 0).all()
         and df["mean"].between(0, 255).all(),
+        "events_markov_stationary": lambda df: abs(df["stationary"].sum() - 1.0) < 1e-12
+        and (df["stationary"] > 0).all()
+        and df["event_type"].is_monotonic_increasing,
+        "corpus_quality_flags": lambda df: len(df) == 300
+        and df["image_id"].is_unique
+        and (df["n_dark"] + df["n_bright"] <= df["n_px"]).all()
+        and df["too_dark"].isin((0, 1)).all()
+        and df["blurry"].isin((0, 1)).all(),
         "embeddings_pca_top": lambda df: len(df) == 64
         and abs((df["loading"] ** 2).sum() - 1.0) < 1e-9
         and df["eigenvalue"].nunique() == 1

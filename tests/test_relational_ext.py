@@ -757,3 +757,72 @@ def test_emit_run_pairs_matches_itertools():
     assert len(a) == 0 and len(c) == 0
     a, c = _emit_run_pairs(np.array([1, 1], dtype=np.int64), np.array([5, 5], dtype=np.int64))
     assert len(a) == 0  # single distinct part → no pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_flags_match_whole_corpus_numpy():
+    """Exposure counts, Laplacian variance and both flags must equal a
+    per-image numpy reference in the documented op order (integer Σ/Σ²,
+    two float divisions)."""
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+    from crawler_seo_ray.functions.imagecodec import decode_image
+
+    out = (
+        q.corpus_quality_flags("unused")
+        .to_pandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    rows = duckdb.sql(
+        f"SELECT image_id, bytes, fmt FROM read_parquet('{q._CORPUS_GLOB}')"
+    ).fetchall()
+    assert len(out) == len(rows)
+    n_blurry = 0
+    for iid, data, fmt in rows:
+        px = decode_image(bytes(data), fmt).astype(np.int64)
+        luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+        r = out.loc[iid]
+        assert r["n_px"] == luma.size
+        assert r["n_dark"] == int((luma < 16).sum())
+        assert r["n_bright"] == int((luma > 239).sum())
+        c = luma[1:-1, 1:-1]
+        lap = 4 * c - luma[:-2, 1:-1] - luma[2:, 1:-1] - luma[1:-1, :-2] - luma[1:-1, 2:]
+        n = lap.size
+        mean = int(lap.sum()) / n
+        var = int((lap * lap).sum()) / n - mean * mean
+        assert r["lap_var"] == var
+        assert r["too_dark"] == int(100 * r["n_dark"] > 30 * r["n_px"])
+        assert r["blurry"] == int(var < 100.0)
+        n_blurry += int(var < 100.0)
+    # the synthetic corpus has textured images — not everything is blurry
+    assert 0 <= n_blurry < len(rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_stationary_matches_eig():
+    """The power-iterated stationary vector must satisfy v = vM to
+    numerical tolerance and match the dominant left eigenvector of the
+    same row-normalized matrix."""
+    from crawler_seo_ray import queries as q
+
+    SF = "/root/testdata/sf0.001"
+    out = q.events_markov_stationary(SF).to_pandas()
+    tr = q.events_transitions(SF).to_pandas()
+    types = sorted(set(tr["prev_type"]) | set(tr["event_type"]))
+    idx = {s: i for i, s in enumerate(types)}
+    n = len(types)
+    M = np.zeros((n, n))
+    for _, r in tr.iterrows():
+        M[idx[r["prev_type"]], idx[r["event_type"]]] = r["n"]
+    rows = M.sum(axis=1)
+    for i in range(n):
+        M[i] = M[i] / rows[i] if rows[i] > 0 else 1.0 / n
+    v = out["stationary"].to_numpy()
+    assert list(out["event_type"]) == types
+    assert np.abs(v @ M - v).max() < 1e-12
+    w, vecs = np.linalg.eig(M.T)
+    top = np.real(vecs[:, np.argmax(np.real(w))])
+    top = top / top.sum()
+    assert np.abs(top - v).max() < 1e-9
