@@ -2813,6 +2813,423 @@ def lineitem_bloom_semi(sf_dir: str):
     )
 
 
+_Q19_BRACKETS = (
+    # (brand, max_size, qty_lo, qty_hi) — bracket k qualifies a lineitem
+    # row iff its part matches the brand + size window AND its quantity
+    # falls in the bracket's range (TPC-H Q19's OR-of-ANDs shape).
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#23", 10, 10.0, 20.0),
+    ("Brand#15", 15, 20.0, 30.0),
+)
+
+
+def lineitem_disjunctive_join(sf_dir: str):
+    """TPC-H Q19 shape — a DISJUNCTIVE multi-bracket join predicate
+    (OR of per-bracket AND-conditions spanning BOTH join sides), the
+    case where naive plans join everything and filter late.  Plan:
+    the part side resolves each part to its bracket id (brands are
+    disjoint, so ≤1 per part) and only bracket-qualified parts survive
+    — a bracket-selective build side, broadcast once via ``ray.put``
+    as sorted partkey/bracket arrays; the streaming lineitem scan
+    computes a per-row quantity BITMASK over the brackets, looks its
+    part up with one vectorized ``searchsorted``, keeps rows whose
+    part-bracket bit is set in the quantity mask (the whole
+    disjunction becomes one integer AND), and folds exact revenue
+    cents into per-block 3-row partials; a 3-group aggregate
+    finishes.  No fact-side shuffle at all."""
+    from .util import collect_arrow
+
+    pt = collect_arrow(
+        _pq(sf_dir, "part", ["p_partkey", "p_brand", "p_size"], blocks=4)
+    )
+    brand = pt.column("p_brand")
+    size = pt.column("p_size")
+    bracket = np.zeros(pt.num_rows, dtype=np.int64)
+    for k, (b, smax, _, _) in enumerate(_Q19_BRACKETS, start=1):
+        hit = pc.and_(
+            pc.equal(brand, b),
+            pc.and_(pc.greater_equal(size, 1), pc.less_equal(size, smax)),
+        ).to_numpy(zero_copy_only=False)
+        bracket[hit] = k
+    keep = bracket > 0
+    pk = pt.column("p_partkey").to_numpy()[keep]
+    order = np.argsort(pk, kind="stable")
+    build_ref = ray.put((pk[order], bracket[keep][order]))
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        blocks=16,
+    )
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys, brk = ray.get(build_ref)  # plasma read, once per task
+        lp = b.column("l_partkey").to_numpy()
+        if len(keys) == 0:
+            pbr = np.zeros(len(lp), dtype=np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(keys, lp), len(keys) - 1)
+            pbr = np.where(keys[pos] == lp, brk[pos], 0)
+        qty = b.column("l_quantity").to_numpy()
+        qmask = np.zeros(len(lp), dtype=np.int64)
+        for k, (_, _, qlo, qhi) in enumerate(_Q19_BRACKETS, start=1):
+            qmask |= np.int64(1 << k) * ((qty >= qlo) & (qty <= qhi))
+        sel = (pbr > 0) & ((qmask >> pbr) & 1).astype(bool)
+        if not sel.any():
+            return pa.table(
+                {
+                    "bracket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        t = b.filter(pa.array(sel))
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        part = pa.table(
+            {
+                "bracket": pa.array(pbr[sel], pa.int64()),
+                "n": pa.array(np.ones(int(sel.sum()), dtype=np.int64)),
+                "cents": _cents(rev),
+            }
+        )
+        return part.group_by("bracket").aggregate(
+            [("n", "sum"), ("cents", "sum")]
+        ).rename_columns(["bracket", "n", "cents"])
+
+    agg = (
+        li.map_batches(probe, batch_format="pyarrow")
+        .groupby("bracket")
+        .sum(["n", "cents"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bracket": b.column("bracket"),
+                "n": b.column("sum(n)"),
+                "revenue": pc.divide(
+                    pc.cast(b.column("sum(cents)"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_PROFILE_NUM = ("l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+def lineitem_profile(sf_dir: str):
+    """Column profiler — the data-quality audit every ingestion
+    pipeline runs before training: per column, row/null counts, EXACT
+    distinct cardinality, and min/max (numeric range for measure
+    columns, lexicographic for categoricals), emitted as one row per
+    column.  Two streaming passes over the fact table, driver holds
+    only the five final rows:
+
+    - stats pass: ``map_batches`` reduces each block to ONE partial
+      row per column (count/nulls/min/max), folded by a 5-group
+      ``groupby(col)``;
+    - distinct pass: block-local ``pc.unique`` per column, values
+      re-keyed to strings (float bit-values normalized so ±0.0
+      collapse, matching SQL value equality) and HASH-SUB-BUCKETED so
+      no single group ever holds a whole column's distinct set (the
+      all-distinct measure column would otherwise be a one-worker
+      group at scale); per-(col, bucket) unique counts then sum per
+      col."""
+    from .util import collect_arrow
+
+    cols = list(_PROFILE_NUM) + list(_PROFILE_STR)
+    ds = _pq(sf_dir, "lineitem", cols, blocks=16)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        rows = {
+            "col": [], "n_rows": [], "n_null": [],
+            "min_num": [], "max_num": [], "min_str": [], "max_str": [],
+        }
+        for c in cols:
+            a = b.column(c)
+            rows["col"].append(c)
+            rows["n_rows"].append(b.num_rows)
+            rows["n_null"].append(a.null_count)
+            if c in _PROFILE_NUM:
+                rows["min_num"].append(pc.min(a).as_py())
+                rows["max_num"].append(pc.max(a).as_py())
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+            else:
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["min_str"].append(pc.min(a).as_py())
+                rows["max_str"].append(pc.max(a).as_py())
+        return pa.table(
+            {
+                "col": pa.array(rows["col"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "n_null": pa.array(rows["n_null"], pa.int64()),
+                "min_num": pa.array(rows["min_num"], pa.float64()),
+                "max_num": pa.array(rows["max_num"], pa.float64()),
+                "min_str": pa.array(rows["min_str"], pa.string()),
+                "max_str": pa.array(rows["max_str"], pa.string()),
+            }
+        )
+
+    def stats_fold(g: pa.Table) -> pa.Table:
+        name = g.column("col")[0].as_py()
+        return pa.table(
+            {
+                "col": pa.array([name], pa.string()),
+                "n_rows": pa.array([pc.sum(g.column("n_rows")).as_py()], pa.int64()),
+                "n_null": pa.array([pc.sum(g.column("n_null")).as_py()], pa.int64()),
+                "min_num": pa.array([pc.min(g.column("min_num")).as_py()], pa.float64()),
+                "max_num": pa.array([pc.max(g.column("max_num")).as_py()], pa.float64()),
+                "min_str": pa.array([pc.min(g.column("min_str")).as_py()], pa.string()),
+                "max_str": pa.array([pc.max(g.column("max_str")).as_py()], pa.string()),
+            }
+        )
+
+    stats = collect_arrow(
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("col")
+        .map_groups(stats_fold, batch_format="pyarrow")
+    )
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        out_col, out_val = [], []
+        for c in cols:
+            u = pc.unique(pc.drop_null(b.column(c)))
+            if c in _PROFILE_NUM:
+                v = u.to_numpy(zero_copy_only=False)
+                v = np.where(v == 0, 0.0, v)  # ±0.0 → one SQL value
+                vals = np.unique(v).astype(str)
+            else:
+                vals = u.to_numpy(zero_copy_only=False).astype(str)
+            out_col.extend([c] * len(vals))
+            out_val.extend(vals.tolist())
+        t = pa.table(
+            {"col": pa.array(out_col, pa.string()), "val": pa.array(out_val, pa.string())}
+        )
+        bucket = (_fnv64_strings(t.column("val")) % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col": pa.array([g.column("col")[0].as_py()], pa.string()),
+                "nd": pa.array([len(pc.unique(g.column("val")))], pa.int64()),
+            }
+        )
+
+    nd = collect_arrow(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["col", "bucket"])
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .groupby("col")
+        .sum("nd")
+    )
+    nd_map = dict(zip(nd.column("col").to_pylist(), nd.column("sum(nd)").to_pylist()))
+    order = pc.sort_indices(stats.column("col"))
+    stats = stats.take(order)
+    return stats.add_column(
+        3,
+        "n_distinct",
+        pa.array([nd_map[c] for c in stats.column("col").to_pylist()], pa.int64()),
+    )
+
+
+def customer_order_histogram(sf_dir: str):
+    """TPC-H Q13 shape — LEFT OUTER join + count DISTRIBUTION: how many
+    customers placed 0, 1, 2, … qualifying orders, where the qualifier
+    (non-urgent priority) lives in the JOIN predicate, so customers
+    whose every order is filtered out still appear in the 0 bucket.
+    The classic plan trap is materializing the outer join; here the
+    fact side never joins at all: block-local per-custkey counts →
+    one groupby(custkey) sum (at most one row per customer leaves the
+    exchange) → the count-of-counts histogram is a second, tiny
+    groupby.  The 0 bucket is arithmetic — total customers (metadata
+    count of the dimension) minus customers seen in the aggregate —
+    never a join."""
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"], blocks=8)
+
+    def local_cnt(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("o_orderpriority"), "1-URGENT"))
+        g = t.select(["o_custkey"]).group_by("o_custkey").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["o_custkey", "n"])
+
+    per_cust = (
+        orders.map_batches(local_cnt, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("n")
+        .materialize()  # ≤ one row per customer, object-store resident;
+        # lets the 0-bucket count reuse this shuffle instead of re-running it
+    )
+    n_with_orders = per_cust.count()
+    n_customers = _pq(sf_dir, "customer", ["c_custkey"]).count()
+
+    def to_bucket(b: pa.Table) -> pa.Table:
+        return pa.table({"c_count": pc.cast(b.column("sum(n)"), pa.int64())})
+
+    hist = per_cust.map_batches(to_bucket, batch_format="pyarrow").groupby(
+        "c_count"
+    ).count()
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": b.column("c_count"),
+                "custdist": pc.cast(b.column("count()"), pa.int64()),
+            }
+        )
+
+    out = hist.map_batches(finish, batch_format="pyarrow")
+    n_zero = n_customers - n_with_orders
+    if n_zero == 0:  # SQL emits no 0 bucket when every customer qualifies
+        return out
+    zero = rd.from_arrow(
+        pa.table(
+            {
+                "c_count": pa.array([0], pa.int64()),
+                "custdist": pa.array([n_zero], pa.int64()),
+            }
+        )
+    )
+    return out.union(zero)
+
+
+_IDLE_CUTOFF = "2001-01-01"
+
+
+def customer_above_avg_idle(sf_dir: str):
+    """TPC-H Q22 shape — a GLOBAL scalar aggregate gating an anti-join:
+    customers whose balance exceeds the positive-balance average AND
+    who placed no order since a cutoff date, summarized per nation.
+    Composition: (1) the average is one exact-cents scalar reduction
+    (sum+count partials; the division happens once, identically to the
+    SQL, so the float threshold is bit-identical); (2) the balance
+    filter runs BEFORE the anti-join, so only above-average customers
+    enter the exchange; (3) the anti side is the distinct custkeys of
+    recent orders — block-local dedup shrinks it before the
+    ``left_anti`` hash join; (4) a nation-keyed groupby folds exact
+    cents.  No driver-side row ever exceeds one partial per block."""
+    from .util import drop_empty_blocks
+
+    cust = _pq(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"], blocks=8
+    )
+
+    def avg_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("c_acctbal"), 0.0))
+        return pa.table(
+            {
+                "cents": pa.array(
+                    [pc.sum(_cents(t.column("c_acctbal"))).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    from .util import collect_arrow
+
+    parts = collect_arrow(cust.map_batches(avg_partial, batch_format="pyarrow"))
+    total_cents = pc.sum(parts.column("cents")).as_py()
+    total_n = pc.sum(parts.column("n")).as_py()
+    # one division, mirrored exactly in the oracle: cents::DOUBLE/100.0/n
+    avg_bal = total_cents / 100.0 / total_n
+
+    cutoff = np.datetime64(_IDLE_CUTOFF + "T00:00:00", "us").astype(np.int64)
+
+    def recent_keys(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")), pa.int64())
+        t = b.filter(pc.greater_equal(ts, cutoff))
+        return t.select(["o_custkey"]).group_by("o_custkey").aggregate([])
+
+    recent = drop_empty_blocks(
+        _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"], blocks=8).map_batches(
+            recent_keys, batch_format="pyarrow"
+        )
+    )
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b.column("c_acctbal"), avg_bal)),
+        batch_format="pyarrow",
+    )
+    idle = rich.join(
+        recent, "left_anti", _join_partitions(), on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_nationkey": b.column("c_nationkey"),
+                "numcust": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "cents": _cents(b.column("c_acctbal")),
+            }
+        )
+        return t.group_by("c_nationkey").aggregate(
+            [("numcust", "sum"), ("cents", "sum")]
+        ).rename_columns(["c_nationkey", "numcust", "cents"])
+
+    agg = (
+        idle.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .sum(["numcust", "cents"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                # the hash exchange upcasts the int32 key; restore it
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int32()),
+                "numcust": b.column("sum(numcust)"),
+                "totacctbal": pc.divide(
+                    pc.cast(b.column("sum(cents)"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_flipflop(sf_dir: str):
+    """LAG-based change detection — per user, how often the event type
+    FLIPS between consecutive events in time order (the behavioral
+    volatility / alternation metric; also the shape of status-change
+    counting over any change-data stream).  One groupby(user) exchange;
+    inside each group the kernel is fully vectorized: lexsort by
+    (ts, event_id), dictionary-encode the type column once, and count
+    code transitions with one shifted comparison — no Python loop, no
+    LAG materialization."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"], blocks=16)
+
+    def flips(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id")[0].as_py()
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts))
+        codes = pc.dictionary_encode(
+            g.column("event_type").combine_chunks()
+        ).indices.to_numpy()[order]
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_events": pa.array([g.num_rows], pa.int64()),
+                "n_changes": pa.array(
+                    [int((codes[1:] != codes[:-1]).sum())], pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(flips, batch_format="pyarrow")
+
+
 def nation_segments(sf_dir: str):
     """Grouped collect-list / string_agg: per nation, the sorted
     DISTINCT market segments of its customers as one comma-joined
@@ -5352,6 +5769,63 @@ def events_markov_stationary(sf_dir: str, iters: int = 200):
     )
 
 
+def events_late_census(sf_dir: str, delay_min: int = 10):
+    """Streaming watermark / late-data accounting — the semantics every
+    streaming engine applies before closing an event-time window:
+    arrival order is ``event_id``, the watermark at each arrival is the
+    exclusive running max of event time minus the allowed delay, and a
+    row is *late* when its event time is already behind that watermark
+    (its window would have closed).  Built on
+    `stages/window.global_exclusive_running_max` — range-sort by
+    arrival, ONE scalar max per sorted block to the driver, exclusive
+    prefix-max carry-in, per-block stamping (rows never leave the
+    object store; same driver contract as the global ranking window).
+    First arrival has an empty exclusive frame → NULL watermark, not
+    late (matches the SQL window frame exactly).
+
+    The synthetic events table is written in event-time order, which
+    would make every arrival on-time; arrival order is therefore
+    event time plus a DETERMINISTIC bounded jitter (Knuth
+    multiplicative hash of event_id, < 30 min) modelling network
+    reordering — the identical integer expression orders the oracle's
+    window, so watermark and late flags stay hash-exact."""
+    from .stages.window import global_exclusive_running_max
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts"], blocks=16)
+
+    def arrival(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy().astype(np.uint64)
+        jit = (eid * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(
+            1_800_000_000
+        )
+        ts_us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        arr = ts_us.to_numpy() + jit.astype(np.int64)
+        return b.append_column("arrival_us", pa.array(arr, pa.int64()))
+
+    wm = global_exclusive_running_max(
+        ds.map_batches(arrival, batch_format="pyarrow"),
+        ["arrival_us", "event_id"],
+        "ts",
+        out_col="prev_max_us",
+    )
+    delay_us = delay_min * 60_000_000
+
+    def finish(b: pa.Table) -> pa.Table:
+        wm_us = pc.subtract(b.column("prev_max_us"), delay_us)  # null-safe
+        ts_us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        late = pc.cast(pc.fill_null(pc.less(ts_us, wm_us), False), pa.int64())
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "ts": pc.cast(b.column("ts"), pa.timestamp("us")),
+                "watermark": pc.cast(wm_us, pa.timestamp("us")),
+                "late": late,
+            }
+        )
+
+    return wm.map_batches(finish, batch_format="pyarrow")
+
+
 def events_engagement_gini(sf_dir: str):
     """Gini coefficient of per-user event counts — the inequality /
     skew diagnostic (0 = uniform engagement, →1 = one user dominates;
@@ -6545,6 +7019,12 @@ QUERIES = {
     "events_trailing_hour_sum": events_trailing_hour_sum,
     "events_active_time": events_active_time,
     "events_engagement_gini": events_engagement_gini,
+    "events_late_census": events_late_census,
+    "lineitem_disjunctive_join": lineitem_disjunctive_join,
+    "lineitem_profile": lineitem_profile,
+    "customer_order_histogram": customer_order_histogram,
+    "customer_above_avg_idle": customer_above_avg_idle,
+    "events_flipflop": events_flipflop,
     "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
     "embeddings_pca_top": embeddings_pca_top,
     "corpus_quality_flags": corpus_quality_flags,
@@ -7057,6 +7537,135 @@ ORACLE_SQL["corpus_phash_dups"] = f"""
            CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
     FROM c a JOIN c b ON a.image_id < b.image_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 4
+"""
+
+# column profiler: one row per profiled column; numeric min/max as
+# DOUBLE, categorical min/max lexicographic, exact COUNT(DISTINCT)
+ORACLE_SQL["lineitem_profile"] = """
+    SELECT 'l_quantity' AS col, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS DOUBLE) AS min_num,
+           CAST(max(l_quantity) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           min(l_extendedprice), max(l_extendedprice), NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           min(l_discount), max(l_discount), NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+           count(DISTINCT l_linestatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(l_linestatus), max(l_linestatus)
+    FROM lineitem
+"""
+
+# Q19-shaped disjunctive bracket join — the CASE resolves each part to
+# its (unique, brands disjoint) bracket; the WHERE re-applies each
+# bracket's quantity range, i.e. the OR-of-ANDs across both join sides
+ORACLE_SQL["lineitem_disjunctive_join"] = """
+    WITH p AS (
+      SELECT p_partkey,
+             CASE WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  THEN 1
+                  WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 THEN 2
+                  WHEN p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 THEN 3
+             END AS bracket
+      FROM part
+    )
+    SELECT CAST(bracket AS BIGINT) AS bracket,
+           count(*) AS n,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                    AS BIGINT))::DOUBLE / 100.0 AS revenue
+    FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+    WHERE (bracket = 1 AND l_quantity BETWEEN 1 AND 11)
+       OR (bracket = 2 AND l_quantity BETWEEN 10 AND 20)
+       OR (bracket = 3 AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY bracket
+"""
+
+# Q13: left-outer count distribution — the 0 bucket comes from customers
+# whose every order the JOIN predicate filters out
+ORACLE_SQL["customer_order_histogram"] = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+"""
+
+# Q22: global positive-balance average (exact cents, one division) gating
+# a date-filtered NOT EXISTS, per-nation rollup
+ORACLE_SQL["customer_above_avg_idle"] = f"""
+    WITH avgv AS (
+      SELECT sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))::DOUBLE
+               / 100.0 / count(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0
+             AS totacctbal
+    FROM customer c, avgv
+    WHERE c.c_acctbal > avgv.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '{_IDLE_CUTOFF}'
+      )
+    GROUP BY c_nationkey
+"""
+
+# lag-based change detection: count of event-type flips per user in
+# (ts, event_id) order
+ORACLE_SQL["events_flipflop"] = """
+    SELECT user_id, count(*) AS n_events,
+           count(*) FILTER (
+             WHERE prev IS NOT NULL AND prev <> event_type
+           ) AS n_changes
+    FROM (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    GROUP BY user_id
+"""
+
+# streaming watermark: exclusive running max over arrival order, NULL on
+# the first arrival (empty frame), late = event time behind the watermark
+ORACLE_SQL["events_late_census"] = """
+    WITH w AS (
+      SELECT event_id, ts,
+             max(ts) OVER (
+               ORDER BY epoch_us(ts)
+                        + CAST(CAST(event_id AS HUGEINT) * 2654435761
+                               AS HUGEINT) % 4294967296 % 1800000000,
+                        event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pm
+      FROM events
+    )
+    SELECT event_id, ts,
+           pm - INTERVAL '10 minutes' AS watermark,
+           CAST(CASE WHEN ts < pm - INTERVAL '10 minutes' THEN 1 ELSE 0 END
+                AS BIGINT) AS late
+    FROM w
 """
 
 # resize emits a fixed target geometry per input row (pixel payloads are

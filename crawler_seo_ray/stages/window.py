@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data import Dataset
@@ -71,4 +72,61 @@ def global_row_number(
         _stamp_block.remote(ref, int(off), out_col, total, cume_col)
         for ref, off in zip(refs, offsets)
     ]
+    return rd.from_arrow_refs(stamped)
+
+
+@ray.remote
+def _block_col_max(block: pa.Table, val_col: str) -> int:
+    # int64 view of the ordered column (timestamps arrive as int64 µs)
+    v = pc.cast(block.column(val_col), pa.int64())
+    return int(pc.max(v).as_py())
+
+
+@ray.remote
+def _stamp_running_max(
+    block: pa.Table, prior_max: int | None, val_col: str, out_col: str
+) -> pa.Table:
+    v = pc.cast(block.column(val_col), pa.int64()).to_numpy()
+    run = np.maximum.accumulate(v)
+    if prior_max is None:
+        prev = np.concatenate(([np.int64(0)], run[:-1]))
+        valid = np.ones(len(v), dtype=bool)
+        valid[0] = False  # SQL: empty exclusive frame → NULL
+    else:
+        prev = np.maximum(np.concatenate(([np.int64(prior_max)], run[:-1])), prior_max)
+        valid = np.ones(len(v), dtype=bool)
+    return block.append_column(out_col, pa.array(prev, pa.int64(), mask=~valid))
+
+
+def global_exclusive_running_max(
+    ds: Dataset,
+    sort_keys: list[str],
+    val_col: str,
+    out_col: str = "prev_max",
+) -> Dataset:
+    """Exact global ``max(val) over (order by *sort_keys rows between
+    unbounded preceding and 1 preceding)`` — the streaming-watermark
+    primitive (arrival-ordered exclusive running max; NULL on the first
+    row, like the SQL empty frame).
+
+    Same driver contract as :func:`global_row_number`: after the range
+    sort, the driver holds ONE int64 per block (the block's max), never
+    rows — phase 1 reduces each sorted block to its scalar max, the
+    exclusive prefix-max of those scalars is the carry-in for phase 2's
+    per-block stamping tasks (refs in, refs out)."""
+    mat = ds.sort(sort_keys).materialize()
+    refs: list = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows == 0:
+                continue
+            refs.append(ref)
+    if not refs:
+        return mat
+    maxes = ray.get([_block_col_max.remote(r, val_col) for r in refs])
+    stamped = []
+    carry: int | None = None
+    for ref, mx in zip(refs, maxes):
+        stamped.append(_stamp_running_max.remote(ref, carry, val_col, out_col))
+        carry = mx if carry is None else max(carry, mx)
     return rd.from_arrow_refs(stamped)

@@ -826,3 +826,48 @@ def test_markov_stationary_matches_eig():
     top = np.real(vecs[:, np.argmax(np.real(w))])
     top = top / top.sum()
     assert np.abs(top - v).max() < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_exclusive_running_max_cross_block_carry():
+    """The watermark primitive must carry the prefix max ACROSS sorted
+    blocks (descending value at a block boundary must still see the
+    earlier max) and emit NULL only on the globally first row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.window import global_exclusive_running_max
+
+    n = 1000
+    rng = np.random.default_rng(7)
+    order = np.arange(n, dtype=np.int64)
+    vals = rng.integers(0, 10_000, size=n).astype(np.int64)
+    t = pa.table({"k": pa.array(order), "v": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(7)
+    out = (
+        global_exclusive_running_max(ds, ["k"], "v", out_col="pm")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = np.maximum.accumulate(vals)[:-1]
+    assert pd.isna(out["pm"].iloc[0])
+    assert (out["pm"].iloc[1:].to_numpy().astype(np.int64) == expect).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_late_census_flags_planted_stragglers():
+    """events_late_census on the real table: every flagged row must be
+    behind its watermark, and the jittered arrival order must produce a
+    non-degenerate split (some late, most on time)."""
+    from crawler_seo_ray import queries as q
+
+    out = q.events_late_census("/root/testdata/sf0.001").to_pandas()
+    late = out[out["late"] == 1]
+    ontime = out[out["late"] == 0]
+    assert len(late) > 0 and len(ontime) > len(late)
+    assert (late["ts"] < late["watermark"]).all()
+    # on-time rows with a non-null watermark must NOT be behind it
+    ok = ontime.dropna(subset=["watermark"])
+    assert (ok["ts"] >= ok["watermark"]).all()
+    assert out["watermark"].isna().sum() == 1
