@@ -3230,6 +3230,332 @@ def events_flipflop(sf_dir: str):
     return ds.groupby("user_id").map_groups(flips, batch_format="pyarrow")
 
 
+def events_scd2(sf_dir: str):
+    """Change-log → SCD-2 validity intervals: compress each user's
+    event-type stream into runs, each with ``[valid_from, valid_to)``
+    where valid_to is the NEXT run's start (NULL while current) — the
+    snapshot-reconstruction shape every CDC/warehouse pipeline needs.
+    One groupby(user) exchange; the in-group kernel is one lexsort +
+    one dictionary-encode + one shifted comparison, and the interval
+    endpoints are pure index arithmetic on the change positions (no
+    LAG/LEAD materialization, no second window pass)."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"], blocks=16)
+
+    def runs(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id")[0].as_py()
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        enc = pc.dictionary_encode(g.column("event_type").combine_chunks())
+        codes = enc.indices.to_numpy()[order]
+        vocab = enc.dictionary.to_pylist()
+        chg = np.concatenate(([True], codes[1:] != codes[:-1]))
+        idx = np.flatnonzero(chg)
+        n_seg = len(idx)
+        seg_len = np.diff(np.concatenate((idx, [len(ts)]))).astype(np.int64)
+        valid_from = ts[idx]
+        valid_to = pa.array(
+            np.concatenate((valid_from[1:], [0])),
+            pa.int64(),
+            mask=np.concatenate((np.zeros(n_seg - 1, dtype=bool), [True])),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(n_seg, uid, dtype=np.int64)),
+                "event_type": pa.array([vocab[c] for c in codes[idx]], pa.string()),
+                "valid_from": pa.array(valid_from).cast(pa.timestamp("us")),
+                "valid_to": valid_to.cast(pa.timestamp("us")),
+                "n_events": pa.array(seg_len),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(runs, batch_format="pyarrow")
+
+
+_BLAME_CUTOFF = "2001-06-01"
+
+
+def supplier_blame(sf_dir: str):
+    """TPC-H Q21 shape — the multi-predicate EXISTS / NOT-EXISTS
+    self-join: suppliers who were the ONLY late shipper on a
+    multi-supplier order.  The two correlated subqueries never run:
+    block-local (orderkey, suppkey, max-late) dedup shrinks the
+    exchange to distinct pairs, then ONE groupby(orderkey) evaluates
+    both quantifiers together inside the group (n distinct suppliers
+    > 1 ∧ exactly one late supplier), emitting at most one blame row
+    per order.  A supplier-keyed count and a broadcast 100-row name
+    lookup finish — three small shuffles total, no join of the fact
+    table against itself."""
+    from .util import collect_arrow
+
+    cutoff = np.datetime64(_BLAME_CUTOFF + "T00:00:00", "us").astype(np.int64)
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"], blocks=16)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(b.column("l_shipdate"), pa.timestamp("us")), pa.int64())
+        t = pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "late": pc.cast(pc.greater_equal(ship, cutoff), pa.int64()),
+            }
+        )
+        return t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("late", "max")]
+        ).rename_columns(["l_orderkey", "l_suppkey", "late"])
+
+    def blame(g: pa.Table) -> pa.Table:
+        supp = g.column("l_suppkey").to_numpy()
+        late = g.column("late").to_numpy()
+        # pairs may repeat across blocks — fold max(late) per supplier
+        uniq, inv = np.unique(supp, return_inverse=True)
+        late_by = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(late_by, inv, late)
+        lates = np.flatnonzero(late_by)
+        if len(uniq) > 1 and len(lates) == 1:
+            return pa.table(
+                {"l_suppkey": pa.array([int(uniq[lates[0]])], pa.int64())}
+            )
+        return pa.table({"l_suppkey": pa.array([], pa.int64())})
+
+    blamed = (
+        li.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .map_groups(blame, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .count()
+    )
+
+    names = collect_arrow(_pq(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    order = pc.sort_indices(names.column("s_suppkey"))
+    name_ref = ray.put(
+        (
+            names.column("s_suppkey").take(order).to_numpy(),
+            names.column("s_name").take(order).to_pylist(),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys, nm = ray.get(name_ref)
+        sk = b.column("l_suppkey").to_numpy()
+        pos = np.searchsorted(keys, sk)
+        return pa.table(
+            {
+                "s_suppkey": b.column("l_suppkey"),
+                "s_name": pa.array([nm[p] for p in pos], pa.string()),
+                "numwait": pc.cast(b.column("count()"), pa.int64()),
+            }
+        )
+
+    return blamed.map_batches(finish, batch_format="pyarrow")
+
+
+@ray.remote
+def _ks_block_meta(block: pa.Table):
+    v = block.column("v").to_numpy()
+    s1 = block.column("s1").to_numpy()
+    return int(s1.sum()), int(len(s1) - s1.sum()), int(v[0]), int(v[-1])
+
+
+@ray.remote
+def _ks_block_best(block: pa.Table, carry1: int, carry2: int, n1: int, n2: int,
+                   skip_last: bool):
+    v = block.column("v").to_numpy()
+    s1 = block.column("s1").to_numpy()
+    cum1 = np.cumsum(s1) + carry1
+    cum2 = np.cumsum(1 - s1) + carry2
+    ends = np.flatnonzero(v[1:] != v[:-1])
+    if not skip_last:
+        ends = np.append(ends, len(v) - 1)
+    if len(ends) == 0:
+        return None
+    # identical float expression to the oracle: DOUBLE(c)/n per side
+    d = np.abs(cum1[ends] / n1 - cum2[ends] / n2)
+    i = int(np.argmax(d))  # first max = smallest value (v ascending)
+    return float(d[i]), int(v[ends[i]])
+
+
+def orders_ks_drift(sf_dir: str):
+    """EXACT two-sample Kolmogorov–Smirnov statistic — the
+    distribution-drift gate (train vs holdout, yesterday vs today)
+    computed without approximation: D = sup_x |F₁(x) − F₂(x)| over
+    open-order vs closed-order price distributions.  One range sort
+    on exact cents, then the driver holds FOUR scalars per block
+    (side counts + boundary values): an exclusive prefix-count
+    carry-in turns each block's cumsum into the global CDFs, each
+    block reports its local (max D, argmin value), and the driver
+    folds block bests.  Value runs spanning blocks are evaluated only
+    at their true end (the carry logic skips a block's final run when
+    the next block continues it).  Ties in D resolve to the smallest
+    value on both sides, so the single output row is bit-exact vs the
+    SQL window oracle."""
+    ds = _pq(sf_dir, "orders", ["o_totalprice", "o_orderstatus"], blocks=16)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": _cents(b.column("o_totalprice")),
+                "s1": pc.cast(
+                    pc.equal(b.column("o_orderstatus"), "O"), pa.int64()
+                ),
+            }
+        )
+
+    mat = ds.map_batches(prep, batch_format="pyarrow").sort("v").materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    metas = ray.get([_ks_block_meta.remote(r) for r in refs])
+    n1 = sum(m[0] for m in metas)
+    n2 = sum(m[1] for m in metas)
+    tasks, c1, c2 = [], 0, 0
+    for k, (ref, (b1, b2, _first, last)) in enumerate(zip(refs, metas)):
+        skip = k + 1 < len(metas) and metas[k + 1][2] == last
+        tasks.append(_ks_block_best.remote(ref, c1, c2, n1, n2, skip))
+        c1 += b1
+        c2 += b2
+    best = (-1.0, 0)
+    for r in ray.get(tasks):
+        if r is not None and (r[0] > best[0] or (r[0] == best[0] and r[1] < best[1])):
+            best = r
+    return pa.table(
+        {
+            "d_stat": pa.array([best[0]], pa.float64()),
+            "at_value": pa.array([best[1] / 100.0], pa.float64()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+        }
+    )
+
+
+_SPAN_K = 8  # tokens per shingle in the duplication census
+
+
+def docs_dup_span_census(sf_dir: str):
+    """Exact substring-duplication census (the span-level statistic
+    behind suffix-array training-data dedup, Lee et al. 2022,
+    arXiv:2107.06499): per document, how many of its DISTINCT
+    token-8-grams also occur in at least one OTHER document — the
+    per-doc duplicated-span exposure that decides trim-vs-drop.
+    Gram construction is fully vectorized: one Arrow whitespace
+    split per block, k shifted ``take``s off the flattened token
+    buffer joined element-wise — no Python loop touches a token.
+    A doc lives in one row, so block-distinct (doc, gram) pairs are
+    GLOBALLY distinct: gram document-frequency is a block-partial
+    count + one groupby(gram) sum (never a set union), and dup
+    exposure is one inner join of the pairs against the df≥2 grams
+    followed by a doc-keyed count.  At open-web scale the join key
+    would be ``fingerprint64(gram)`` instead of the gram string
+    (documented seam — exactness here is what the oracle checks)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    K = _SPAN_K
+
+    def gram_parts(b: pa.Table):
+        toks = pc.split_pattern(b.column("text"), " ").combine_chunks()
+        offs = np.asarray(toks.offsets)
+        flat = toks.values
+        n_gr = np.maximum(np.diff(offs) - (K - 1), 0)
+        doc_ids = b.column("doc_id").to_numpy()
+        total = int(n_gr.sum())
+        if total == 0:
+            return doc_ids, n_gr, None, None
+        base = np.repeat(offs[:-1].astype(np.int64), n_gr)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_gr)[:-1])), n_gr
+        )
+        starts = base + within
+        cols = [flat.take(pa.array(starts + j)) for j in range(K)]
+        gram = pc.binary_join_element_wise(*cols, " ")
+        return doc_ids, n_gr, np.repeat(doc_ids, n_gr), gram
+
+    def totals(b: pa.Table) -> pa.Table:
+        doc_ids, n_gr, pair_doc, gram = gram_parts(b)
+        keep = n_gr > 0
+        if gram is None:
+            nd = np.zeros(0, dtype=np.int64)
+            docs = doc_ids[keep]
+        else:
+            t = pa.table({"doc_id": pa.array(pair_doc), "gram": gram})
+            d = t.group_by("doc_id").aggregate([("gram", "count_distinct")])
+            dd = dict(
+                zip(d.column("doc_id").to_pylist(),
+                    d.column("gram_count_distinct").to_pylist())
+            )
+            docs = doc_ids[keep]
+            nd = np.array([dd[i] for i in docs], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "n_kgrams": pa.array(n_gr[keep].astype(np.int64)),
+                "n_distinct": pa.array(nd),
+            }
+        )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        _, _, pair_doc, gram = gram_parts(b)
+        if gram is None:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "gram": pa.array([], pa.string())}
+            )
+        t = pa.table({"doc_id": pa.array(pair_doc), "gram": gram})
+        return t.group_by(["doc_id", "gram"]).aggregate([])
+
+    from .util import drop_empty_blocks
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("gram").aggregate([([], "count_all")])
+        return g.rename_columns(["gram", "nd"])
+
+    df = drop_empty_blocks(
+        pair_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("nd")
+        .map_batches(
+            lambda b: pa.table(
+                {"gram": b.column("gram"), "nd": b.column("sum(nd)")}
+            ).filter(pc.greater_equal(b.column("sum(nd)"), 2)),
+            batch_format="pyarrow",
+        )
+    )
+
+    dup = (
+        drop_empty_blocks(pair_ds)
+        .join(df, "inner", _join_partitions(), on=("gram",))
+        .map_batches(
+            lambda b: b.select(["doc_id"])
+            .group_by("doc_id")
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "n_dup"]),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .sum("n_dup")
+    )
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+    out = tot.join(
+        drop_empty_blocks(dup), "left_outer", _join_partitions(), on=("doc_id",)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_kgrams": b.column("n_kgrams"),
+                "n_distinct": b.column("n_distinct"),
+                "n_dup": pc.fill_null(b.column("sum(n_dup)"), 0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def nation_segments(sf_dir: str):
     """Grouped collect-list / string_agg: per nation, the sorted
     DISTINCT market segments of its customers as one comma-joined
@@ -7025,6 +7351,10 @@ QUERIES = {
     "customer_order_histogram": customer_order_histogram,
     "customer_above_avg_idle": customer_above_avg_idle,
     "events_flipflop": events_flipflop,
+    "events_scd2": events_scd2,
+    "supplier_blame": supplier_blame,
+    "orders_ks_drift": orders_ks_drift,
+    "docs_dup_span_census": docs_dup_span_census,
     "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
     "embeddings_pca_top": embeddings_pca_top,
     "corpus_quality_flags": corpus_quality_flags,
@@ -7645,6 +7975,104 @@ ORACLE_SQL["events_flipflop"] = """
       FROM events
     )
     GROUP BY user_id
+"""
+
+# exact two-sample KS: grouped cents CDFs, D evaluated at every distinct
+# value, ties on D resolve to the smallest value
+ORACLE_SQL["orders_ks_drift"] = """
+    WITH s AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS s1
+      FROM orders
+    ), tot AS (
+      SELECT CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(1 - s1) AS BIGINT) AS n2 FROM s
+    ), c AS (
+      SELECT v, sum(s1) AS c1, sum(1 - s1) AS c2 FROM s GROUP BY v
+    ), cum AS (
+      SELECT v,
+             sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+             sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+      FROM c
+    )
+    SELECT abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2) AS d_stat,
+           v::DOUBLE / 100.0 AS at_value, n1, n2
+    FROM cum, tot
+    ORDER BY d_stat DESC, v ASC
+    LIMIT 1
+"""
+
+# span-duplication census: distinct token-8-grams per doc, document
+# frequency per gram, per-doc count of grams shared with other docs
+ORACLE_SQL["docs_dup_span_census"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(t[i:i+{_SPAN_K - 1}], ' ') AS gram
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - {_SPAN_K - 1}, 0)))
+                     AS i
+            FROM toks)
+    ), d AS (
+      SELECT DISTINCT doc_id, gram FROM g
+    ), df AS (
+      SELECT gram, count(*) AS nd FROM d GROUP BY gram
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_kgrams,
+             count(DISTINCT gram) AS n_distinct
+      FROM g GROUP BY doc_id
+    ), dup AS (
+      SELECT d.doc_id, count(*) AS n_dup
+      FROM d JOIN df USING (gram) WHERE df.nd >= 2 GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_kgrams, n_distinct, coalesce(n_dup, 0) AS n_dup
+    FROM tot LEFT JOIN dup USING (doc_id)
+"""
+
+# SCD-2 build: gaps-and-islands runs of event_type per user in
+# (ts, event_id) order; valid_to = next run's start (NULL while current)
+ORACLE_SQL["events_scd2"] = """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), i AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    ), s AS (
+      SELECT user_id, island, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM i GROUP BY user_id, island
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+             AS valid_to,
+           n_events
+    FROM s
+"""
+
+# Q21: only-late-supplier-on-a-multi-supplier-order, the textual
+# EXISTS / NOT EXISTS form the distributed plan decorrelates
+ORACLE_SQL["supplier_blame"] = f"""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate >= DATE '{_BLAME_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+    FROM l l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+    GROUP BY s.s_suppkey, s.s_name
 """
 
 # streaming watermark: exclusive running max over arrival order, NULL on

@@ -871,3 +871,92 @@ def test_late_census_flags_planted_stragglers():
     ok = ontime.dropna(subset=["watermark"])
     assert (ok["ts"] >= ok["watermark"]).all()
     assert out["watermark"].isna().sum() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ks_drift_matches_numpy_reference():
+    """The distributed KS must equal a single-process exact reference
+    (cumulative counts over the merged sorted sample)."""
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    out = q.orders_ks_drift(sf).to_pandas().iloc[0]
+    t = duckdb.query(
+        f"SELECT o_totalprice, o_orderstatus FROM read_parquet('{sf}/orders.parquet')"
+    ).df()
+    v = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    s1 = (t["o_orderstatus"] == "O").to_numpy()
+    n1, n2 = int(s1.sum()), int((~s1).sum())
+    vals = np.unique(v)
+    c1 = np.searchsorted(np.sort(v[s1]), vals, side="right")
+    c2 = np.searchsorted(np.sort(v[~s1]), vals, side="right")
+    d = np.abs(c1 / n1 - c2 / n2)
+    i = int(np.argmax(d))
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert out["d_stat"] == d[i]
+    assert out["at_value"] == vals[i] / 100.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_span_census_matches_set_reference():
+    """Span census vs an independent set-based reference over the same
+    documents (distinct 8-gram sets, pairwise-shared counts)."""
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        q.docs_dup_span_census(sf)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    t = duckdb.query(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    grams = {}
+    totals = {}
+    for did, text in zip(t["doc_id"], t["text"]):
+        tok = text.split(" ")
+        gs = [" ".join(tok[i : i + 8]) for i in range(max(len(tok) - 7, 0))]
+        totals[did] = len(gs)
+        grams[did] = set(gs)
+    df = {}
+    for did, gs in grams.items():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    for did in totals:
+        if totals[did] == 0:
+            assert did not in out.index
+            continue
+        row = out.loc[did]
+        assert row["n_kgrams"] == totals[did]
+        assert row["n_distinct"] == len(grams[did])
+        assert row["n_dup"] == sum(1 for g in grams[did] if df[g] >= 2)
+    assert out["n_dup"].sum() > 0  # census is non-degenerate on this corpus
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scd2_intervals_tile_user_history():
+    """SCD-2 runs must partition each user's events: valid_from strictly
+    increasing, valid_to chains to the next valid_from (NULL last), and
+    run lengths sum to the user's event count."""
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    out = q.events_scd2(sf).to_pandas()
+    counts = duckdb.query(
+        f"SELECT user_id, count(*) AS n FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+    ).df().set_index("user_id")["n"]
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("valid_from").reset_index(drop=True)
+        assert g["n_events"].sum() == counts[uid]
+        assert g["valid_to"].isna().sum() == 1 and pd.isna(g["valid_to"].iloc[-1])
+        assert (g["valid_to"].iloc[:-1].to_numpy() == g["valid_from"].iloc[1:].to_numpy()).all()
+        # adjacent runs must actually change type
+        assert (g["event_type"].iloc[1:].to_numpy() != g["event_type"].iloc[:-1].to_numpy()).all()
