@@ -1954,6 +1954,21 @@ def corpus_quality_flags(sf_dir: str, dark_pct: int = 30, blur_var: int = 100):
     return feats.map_batches(flags, batch_format="pyarrow")
 
 
+def corpus_palette(sf_dir: str):
+    """Dominant-color palette + color-entropy census over the image
+    corpus (`stages/multimodal.DominantPalette`, decode actor pool,
+    small batches): top-3 quantized RGB bins with pixel shares and the
+    Shannon entropy of each image's 4096-bin color histogram. Rows-only
+    (needs pixel decode); every numeric pinned to a whole-corpus numpy
+    reference in tests."""
+    from .stages.multimodal import DominantPalette
+
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(
+        DominantPalette, concurrency=2, batch_size=64, batch_format="pyarrow"
+    )
+
+
 def corpus_phash_dups(sf_dir: str):
     """Image near-dup pairs by perceptual-hash Hamming banding over the
     corpus phash column (multimodal dedup). SQL-paired: threshold (4) <
@@ -7355,6 +7370,7 @@ QUERIES = {
     "supplier_blame": supplier_blame,
     "orders_ks_drift": orders_ks_drift,
     "docs_dup_span_census": docs_dup_span_census,
+    "corpus_palette": corpus_palette,
     "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
     "embeddings_pca_top": embeddings_pca_top,
     "corpus_quality_flags": corpus_quality_flags,

@@ -241,6 +241,52 @@ VIDEO_FRAME_SCHEMA = pa.schema(
 )
 
 
+class DominantPalette:
+    """Actor stage: decode → per-image dominant-color summary — the
+    palette statistic a curation UI / near-dup triager keys on and a
+    cheap color-space census for corpus balance.  Each image's pixels
+    quantize to a 12-bit bin (4 bits/channel, ``(r>>4)<<8 |
+    (g>>4)<<4 | (b>>4)``); one ``np.bincount`` per image yields the
+    top-3 bins (ties break to the smaller bin id via a stable
+    argsort on (−count, bin)), their pixel shares, and the Shannon
+    entropy of the full 4096-bin color histogram (log2, summed in
+    ascending-bin order — deterministic float fold).  Pixels never
+    leave the stage; output is 8 narrow columns per image."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = []
+        bins = [[], [], []]
+        shares = [[], [], []]
+        ent = []
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"]).astype(np.int64)
+            q = (
+                ((px[..., 0] >> 4) << 8)
+                | ((px[..., 1] >> 4) << 4)
+                | (px[..., 2] >> 4)
+            ).ravel()
+            counts = np.bincount(q, minlength=4096)
+            n = q.size
+            nz = np.flatnonzero(counts)
+            order = nz[np.lexsort((nz, -counts[nz]))]
+            ids.append(r["image_id"])
+            for k in range(3):
+                if k < len(order):
+                    bins[k].append(int(order[k]))
+                    shares[k].append(counts[order[k]] / n)
+                else:
+                    bins[k].append(None)
+                    shares[k].append(None)
+            p = counts[nz] / n
+            ent.append(float(-(p * np.log2(p)).sum()))
+        cols = {"image_id": pa.array(ids, pa.string())}
+        for k in range(3):
+            cols[f"bin{k + 1}"] = pa.array(bins[k], pa.int64())
+            cols[f"share{k + 1}"] = pa.array(shares[k], pa.float64())
+        cols["color_entropy"] = pa.array(ent, pa.float64())
+        return pa.table(cols)
+
+
 class DecodeAudio:
     """STUB: audio codec libraries are not present in this container.
 

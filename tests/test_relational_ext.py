@@ -960,3 +960,40 @@ def test_scd2_intervals_tile_user_history():
         assert (g["valid_to"].iloc[:-1].to_numpy() == g["valid_from"].iloc[1:].to_numpy()).all()
         # adjacent runs must actually change type
         assert (g["event_type"].iloc[1:].to_numpy() != g["event_type"].iloc[:-1].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_palette_matches_whole_corpus_numpy():
+    """Top-3 quantized bins, shares and color entropy must equal the
+    per-image numpy reference bit-for-bit (stable (-count, bin)
+    tie-break, ascending-bin entropy fold)."""
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+    from crawler_seo_ray.functions.imagecodec import decode_image
+
+    out = (
+        q.corpus_palette("unused").to_pandas().set_index("image_id").sort_index()
+    )
+    rows = duckdb.sql(
+        f"SELECT image_id, bytes, fmt FROM read_parquet('{q._CORPUS_GLOB}')"
+    ).fetchall()
+    assert len(out) == len(rows)
+    multi = 0
+    for iid, data, fmt in rows:
+        px = decode_image(bytes(data), fmt).astype(np.int64)
+        qz = (((px[..., 0] >> 4) << 8) | ((px[..., 1] >> 4) << 4) | (px[..., 2] >> 4)).ravel()
+        counts = np.bincount(qz, minlength=4096)
+        nz = np.flatnonzero(counts)
+        order = nz[np.lexsort((nz, -counts[nz]))]
+        r = out.loc[iid]
+        for k in range(3):
+            if k < len(order):
+                assert r[f"bin{k+1}"] == order[k]
+                assert r[f"share{k+1}"] == counts[order[k]] / qz.size
+            else:
+                assert pd.isna(r[f"bin{k+1}"])
+        p = counts[nz] / qz.size
+        assert r["color_entropy"] == float(-(p * np.log2(p)).sum())
+        multi += int(len(order) >= 3)
+    assert multi > 0  # corpus images are not single-color
