@@ -352,6 +352,11 @@ def run_components(num_cpus: int) -> dict:
         "basket_rules",
         "events_user_entropy",
         "orders_time_decay",
+        "supplier_blame",
+        "orders_ks_drift",
+        "docs_dup_span_census",
+        "events_scd2",
+        "customer_order_histogram",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -3521,7 +3521,10 @@ def docs_dup_span_census(sf_dir: str):
 
     from .util import drop_empty_blocks
 
-    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+    # the pair set feeds BOTH the DF aggregate and the dup join — one
+    # materialization (object-store resident, spillable) instead of two
+    # full gram-construction passes
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow").materialize()
 
     def df_partial(b: pa.Table) -> pa.Table:
         g = b.group_by("gram").aggregate([([], "count_all")])
@@ -3569,6 +3572,193 @@ def docs_dup_span_census(sf_dir: str):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def part_value_concentration(sf_dir: str):
+    """TPC-H Q11 shape — groups whose share of a GLOBAL total exceeds a
+    scale-free threshold (inventory-value concentration; the same
+    scalar-gated HAVING every 'which keys dominate' audit runs).  Q11's
+    fixed fraction carries SF in the spec; the scale-free form used
+    here keeps parts holding > 1.2× the AVERAGE per-part share.  The
+    global total and the per-part totals come out of ONE pass:
+    block-local (partkey, cents) partials feed the groupby, and the
+    global total is the sum of the same partials' block sums (driver
+    holds one int64 per block), so the fact table is read once.  The
+    gate is exact-integer cross-multiplication — keep part p iff
+    cents_p · n_parts · 10 > total · 12 — no float compare, mirrored
+    in SQL (DuckDB evaluates it in HUGEINT; at true 100 TB scale the
+    Arrow side would promote the products to decimal128 the same
+    way)."""
+    from .util import collect_arrow
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"], blocks=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "cents": _cents(b.column("l_extendedprice")),
+            }
+        )
+        return t.group_by("l_partkey").aggregate([("cents", "sum")]).rename_columns(
+            ["l_partkey", "cents"]
+        )
+
+    partials = li.map_batches(partial, batch_format="pyarrow").materialize()
+    block_sums = collect_arrow(
+        partials.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([pc.sum(b.column("cents")).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    total = pc.sum(block_sums.column("s")).as_py()
+
+    agg = partials.groupby("l_partkey").sum("cents").materialize()
+    n_parts = agg.count()
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = b.column("sum(cents)")
+        keep = pc.greater(
+            pc.multiply(cents, n_parts * 10), pa.scalar(total * 12, pa.int64())
+        )
+        t = pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "value": pc.divide(pc.cast(cents, pa.float64()), 100.0),
+            }
+        )
+        return t.filter(keep)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_gap_stats(sf_dir: str):
+    """Per-user inter-arrival gap statistics (min/max/mean seconds
+    between consecutive events) — the cadence profile behind bot
+    detection and session-timeout tuning.  One groupby(user) exchange;
+    the in-group kernel is one lexsort + one ``np.diff`` — gaps stay
+    exact int64 microseconds until the single float division per
+    aggregate, written identically in the oracle."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id"], blocks=16)
+
+    def gaps(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id")[0].as_py()
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        ts = ts[np.lexsort((eid, ts))]
+        d = np.diff(ts)
+        n = len(d)
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_gaps": pa.array([n], pa.int64()),
+                "min_gap_s": pa.array(
+                    [int(d.min()) / 1_000_000.0 if n else None], pa.float64()
+                ),
+                "max_gap_s": pa.array(
+                    [int(d.max()) / 1_000_000.0 if n else None], pa.float64()
+                ),
+                "mean_gap_s": pa.array(
+                    [int(d.sum()) / n / 1_000_000.0 if n else None], pa.float64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+
+
+def orders_monthly_growth(sf_dir: str):
+    """Period-over-period growth — monthly revenue plus its
+    month-over-month ratio (the BI comparison every revenue dashboard
+    leads with).  Exact-cents month totals via map-side partials; the
+    month series is calendar-bounded (≤ a few thousand rows at ANY
+    data scale), so the LAG ratio is one vectorized pass over the
+    collected series — driver-sized by the domain, not the data."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"], blocks=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        month = pc.strftime(ts, format="%Y-%m-01")
+        t = pa.table(
+            {"month": month, "cents": _cents(b.column("o_totalprice"))}
+        )
+        return t.group_by("month").aggregate([("cents", "sum")]).rename_columns(
+            ["month", "cents"]
+        )
+
+    agg = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow").groupby("month").sum("cents")
+    )
+    order = pc.sort_indices(agg.column("month"))
+    months = agg.column("month").take(order)
+    cents = agg.column("sum(cents)").take(order).to_numpy()
+    rev = cents.astype(np.float64) / 100.0
+    growth = np.concatenate(([np.nan], rev[1:] / rev[:-1]))
+    return pa.table(
+        {
+            "month": months,
+            "revenue": pa.array(rev, pa.float64()),
+            "growth": pa.array(
+                growth, pa.float64(), mask=np.isnan(growth)
+            ),
+        }
+    )
+
+
+_ANOM_W = 24  # trailing window (hours) for the anomaly baseline
+
+
+def events_hourly_anomaly(sf_dir: str):
+    """Streaming anomaly scores — each hour's event count z-scored
+    against the PRECEDING ``_ANOM_W`` hours (exclusive frame), the
+    alert primitive over any metric stream.  The heavy step (hourly
+    counts) is map-side partials + one small groupby; the window pass
+    runs over the hour series, which is calendar-bounded (10⁴ rows per
+    year at any data scale) — the same domain-sized-series argument as
+    the monthly-growth operator.  Mean and variance come from exact
+    integer Σ/Σ² prefix sums in the same op order as the oracle; hours
+    with an incomplete baseline (fewer than ``_ANOM_W`` predecessors)
+    or zero variance emit NULL."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "events", ["ts"], blocks=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.timestamp("us"))
+        hour = pc.strftime(ts, format="%Y-%m-%d %H:00:00")
+        t = pa.table({"hour": hour})
+        return t.group_by("hour").aggregate([([], "count_all")]).rename_columns(
+            ["hour", "n"]
+        )
+
+    agg = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow").groupby("hour").sum("n")
+    )
+    order = pc.sort_indices(agg.column("hour"))
+    hours = agg.column("hour").take(order)
+    n = agg.column("sum(n)").take(order).to_numpy().astype(np.int64)
+    W = _ANOM_W
+    c1 = np.concatenate(([0], np.cumsum(n)))
+    c2 = np.concatenate(([0], np.cumsum(n * n)))
+    z = np.full(len(n), np.nan)
+    for i in range(W, len(n)):
+        s1 = int(c1[i] - c1[i - W])
+        s2 = int(c2[i] - c2[i - W])
+        mean = s1 / W
+        var = s2 / W - mean * mean
+        if var > 0:
+            z[i] = (int(n[i]) - mean) / (var ** 0.5)
+    return pa.table(
+        {
+            "hour": hours,
+            "n": pa.array(n),
+            "z": pa.array(z, pa.float64(), mask=np.isnan(z)),
+        }
+    )
 
 
 def nation_segments(sf_dir: str):
@@ -7371,6 +7561,10 @@ QUERIES = {
     "orders_ks_drift": orders_ks_drift,
     "docs_dup_span_census": docs_dup_span_census,
     "corpus_palette": corpus_palette,
+    "part_value_concentration": part_value_concentration,
+    "events_gap_stats": events_gap_stats,
+    "orders_monthly_growth": orders_monthly_growth,
+    "events_hourly_anomaly": events_hourly_anomaly,
     "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
     "embeddings_pca_top": embeddings_pca_top,
     "corpus_quality_flags": corpus_quality_flags,
@@ -7991,6 +8185,77 @@ ORACLE_SQL["events_flipflop"] = """
       FROM events
     )
     GROUP BY user_id
+"""
+
+# Q11: per-part value share gated on a global total via integer
+# cross-multiplication (no float compare)
+ORACLE_SQL["part_value_concentration"] = """
+    WITH p AS (
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), t AS (SELECT sum(cents) AS total, count(*) AS np FROM p)
+    SELECT l_partkey, CAST(cents AS DOUBLE) / 100.0 AS value
+    FROM p, t
+    WHERE cents * np * 10 > total * 12
+"""
+
+# per-user inter-arrival gaps in (ts, event_id) order; single-event
+# users emit NULL gap stats
+ORACLE_SQL["events_gap_stats"] = """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events
+    )
+    SELECT user_id, count(d) AS n_gaps,
+           min(d) / 1000000.0 AS min_gap_s,
+           max(d) / 1000000.0 AS max_gap_s,
+           sum(d) / count(d) / 1000000.0 AS mean_gap_s
+    FROM g GROUP BY user_id
+"""
+
+# month-over-month growth: exact-cents month totals, LAG ratio
+ORACLE_SQL["orders_monthly_growth"] = """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m-01') AS month,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(cents AS DOUBLE) / 100.0
+             / lag(CAST(cents AS DOUBLE) / 100.0) OVER (ORDER BY month)
+             AS growth
+    FROM m
+"""
+
+# hourly anomaly z vs the preceding 24h (exclusive frame): exact integer
+# window sums, identical float op order, NULL on short or flat baselines
+ORACLE_SQL["events_hourly_anomaly"] = f"""
+    WITH h AS (
+      SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, count(*) AS n
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT hour, n,
+             sum(n) OVER win AS s1, sum(n * n) OVER win AS s2,
+             count(*) OVER win AS cnt
+      FROM h
+      WINDOW win AS (ORDER BY hour
+                     ROWS BETWEEN {_ANOM_W} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour, n,
+           CASE WHEN cnt = {_ANOM_W}
+                 AND CAST(s2 AS DOUBLE) / {_ANOM_W}
+                     - (CAST(s1 AS DOUBLE) / {_ANOM_W})
+                       * (CAST(s1 AS DOUBLE) / {_ANOM_W}) > 0
+                THEN (n - CAST(s1 AS DOUBLE) / {_ANOM_W})
+                     / sqrt(CAST(s2 AS DOUBLE) / {_ANOM_W}
+                            - (CAST(s1 AS DOUBLE) / {_ANOM_W})
+                              * (CAST(s1 AS DOUBLE) / {_ANOM_W}))
+           END AS z
+    FROM w
 """
 
 # exact two-sample KS: grouped cents CDFs, D evaluated at every distinct

@@ -120,6 +120,11 @@ def test_rows_only_queries_run(registry):
         and abs((df["loading"] ** 2).sum() - 1.0) < 1e-9
         and df["eigenvalue"].nunique() == 1
         and df["eigenvalue"].iloc[0] > 0,
+        "corpus_palette": lambda df: len(df) == 300
+        and df["image_id"].is_unique
+        and df["share1"].between(0, 1).all()
+        and (df["share1"] >= df["share2"].fillna(0)).all()
+        and (df["color_entropy"] >= 0).all(),
         "corpus_luma_histogram": lambda df: len(df) == 256
         and df["n"].sum() == df["cdf"].iloc[-1]
         and df["cdf"].is_monotonic_increasing
