@@ -66,14 +66,34 @@ def _bench_corpus_dir() -> str:
 
 
 def ensure_bench_corpus() -> str:
+    """Race-safe shared corpus cache: concurrent lanes (the self-load
+    scaling protocol starts four bench processes in the same instant)
+    serialize on an flock; the winner builds into a scratch dir and
+    atomically renames it in, losers wake to the finished manifest.
+    Without this, four first-run lanes all saw a missing manifest and
+    wrote the same directory concurrently (0/4 lane failures)."""
+    import fcntl
+    import shutil
+
     from crawler_seo_ray import datagen
 
     d = _bench_corpus_dir()
-    if not os.path.exists(os.path.join(d, "manifest.json")):
-        datagen.write_corpus_parallel(
-            d, BENCH_CORPUS_N, rows_per_shard=2048,
-            dim_base=BENCH_DIMS[0], dim_mod=BENCH_DIMS[1],
-        )
+    if os.path.exists(os.path.join(d, "manifest.json")):
+        return d
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    with open(d + ".lock", "a+") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if not os.path.exists(os.path.join(d, "manifest.json")):
+                tmp = d + ".building"
+                shutil.rmtree(tmp, ignore_errors=True)
+                datagen.write_corpus_parallel(
+                    tmp, BENCH_CORPUS_N, rows_per_shard=2048,
+                    dim_base=BENCH_DIMS[0], dim_mod=BENCH_DIMS[1],
+                )
+                os.rename(tmp, d)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
     return d
 
 

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 
 from . import datagen
 from .canon import Scope
@@ -1969,6 +1969,46 @@ def corpus_palette(sf_dir: str):
     )
 
 
+_NEG_K = 4  # negatives per anchor
+
+
+def corpus_negative_samples(sf_dir: str):
+    """Deterministic negative sampling for contrastive image–caption
+    training (the CLIP-style pair-construction step): each anchor image
+    draws ``_NEG_K`` hash-seeded negatives uniformly from the corpus
+    EXCLUDING itself (draw from [0, N−1) and shift past the anchor —
+    exact, no rejection loop), reproducible across any partitioning and
+    restart because the draw is fnv64(anchor·K + slot), not RNG state.
+    Fully vectorized per block; the only inputs are the id column and
+    the corpus size."""
+    ds = corpus_parquet(columns=["image_id"])
+    n = CORPUS_N
+    K = _NEG_K
+
+    def negs(b: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(b.column("image_id"), 3, 32), pa.int64()
+        ).to_numpy()
+        anchors, slots, neg = [], [], []
+        for j in range(K):
+            h = (_fnv64(idx * K + j) % np.uint64(n - 1)).astype(np.int64)
+            neg.append(h + (h >= idx))
+            anchors.append(idx)
+            slots.append(np.full(len(idx), j, dtype=np.int64))
+        a = np.concatenate(anchors)
+        g = np.concatenate(neg)
+        fmt = np.frompyfunc(lambda v: f"img{v:08d}", 1, 1)
+        return pa.table(
+            {
+                "image_id": pa.array(fmt(a).astype(str)),
+                "slot": pa.array(np.concatenate(slots)),
+                "neg_image_id": pa.array(fmt(g).astype(str)),
+            }
+        )
+
+    return ds.map_batches(negs, batch_format="pyarrow")
+
+
 def corpus_phash_dups(sf_dir: str):
     """Image near-dup pairs by perceptual-hash Hamming banding over the
     corpus phash column (multimodal dedup). SQL-paired: threshold (4) <
@@ -3758,6 +3798,214 @@ def events_hourly_anomaly(sf_dir: str):
             "n": pa.array(n),
             "z": pa.array(z, pa.float64(), mask=np.isnan(z)),
         }
+    )
+
+
+# Poisson(1) CDF cutoffs scaled to 2^64 (floor(P(X≤k)·2^64), k=0..7):
+# a row's replicate weight = #cutoffs ≤ its 64-bit hash — the standard
+# hash-seeded Poisson bootstrap (one pass, no resampling shuffle)
+_BOOT_T = (
+    6786177901268885504,
+    13572355802537771008,
+    16965444753172213760,
+    18096474403383695360,
+    18379231815936565248,
+    18435783298447138816,
+    18445208545532233728,
+    18446555009401532416,
+)
+_BOOT_B = 32  # bootstrap replicates
+
+
+def lineitem_bootstrap_se(sf_dir: str):
+    """Deterministic Poisson bootstrap — the one-pass distributed way
+    to put an ERROR BAR on a statistic at any scale (Chamandy et al.,
+    'Estimating Uncertainty for Massive Data Streams', Google 2012):
+    every row gets ``B`` independent Poisson(1) weights derived from a
+    hash of its key, so replicate means come out of ONE scan as 2·B
+    int64 partials per block — no resampling shuffle, no RNG state,
+    bit-reproducible across any partitioning.  Output: one row per
+    replicate (its effective n and weighted mean revenue); the SE is
+    the sample std of the means (asserted in tests; the replicate
+    table is the oracle-checkable artifact).  The weight is the count
+    of Poisson-CDF cutoffs ≤ fnv64(rid·B + b) — integer compares
+    against shared literal constants, identical in the SQL oracle."""
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice"],
+        blocks=16,
+    )
+    T = np.array(_BOOT_T, dtype=np.uint64)
+    B = _BOOT_B
+
+    def partial(b: pa.Table) -> pa.Table:
+        rid = (
+            b.column("l_orderkey").to_numpy() * 16
+            + pc.cast(b.column("l_linenumber"), pa.int64()).to_numpy()
+        )
+        cents = _cents(b.column("l_extendedprice")).to_numpy()
+        reps, sw, swc = [], [], []
+        for rb in range(B):
+            h = _fnv64(rid * B + rb)
+            w = np.searchsorted(T, h, side="right").astype(np.int64)
+            reps.append(rb)
+            sw.append(int(w.sum()))
+            swc.append(int((w * cents).sum()))
+        return pa.table(
+            {
+                "replicate": pa.array(reps, pa.int64()),
+                "sw": pa.array(sw, pa.int64()),
+                "swc": pa.array(swc, pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").groupby(
+        "replicate"
+    ).sum(["sw", "swc"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        sw = b.column("sum(sw)").to_numpy()
+        swc = b.column("sum(swc)").to_numpy()
+        return pa.table(
+            {
+                "replicate": b.column("replicate"),
+                "n_eff": pa.array(sw),
+                "mean_revenue": pa.array(swc / sw / 100.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _ntile_on(ds, sort_cols: list, tiles: int, key_col: str, out_col: str):
+    """Global equi-depth NTILE over ``ds`` (same machinery as
+    orders_ntile: range-sort + per-block offset stamping, driver holds
+    one row count per block). Returns Dataset(key_col, out_col)."""
+    from .stages.window import global_row_number
+
+    rn = global_row_number(ds, sort_cols, out_col="rn")
+    total = rn.count()
+    big = total % tiles
+    small = total // tiles
+    cut = big * (small + 1)
+
+    def stamp(b: pa.Table) -> pa.Table:
+        r = b.column("rn").to_numpy() - 1
+        if small == 0:
+            tile = r + 1
+        else:
+            tile = np.where(r < cut, r // (small + 1), big + (r - cut) // small) + 1
+        return pa.table(
+            {
+                key_col: b.column(key_col),
+                out_col: pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return rn.map_batches(stamp, batch_format="pyarrow")
+
+
+def customer_rfm(sf_dir: str):
+    """RFM segmentation — the classic customer-curation pipeline
+    (recency / frequency / monetary quartiles): per-customer aggregates
+    from one fact pass (count, exact-cents sum, max order date), then
+    THREE independent global equi-depth NTILE(4) passes (each the
+    range-sort + block-offset machinery — the aggregate table scales
+    with customers, so no driver collection), joined back on custkey
+    into the 3-digit RFM code.  Tie-breaks are (metric, custkey) in
+    both the Ray sorts and the SQL windows, so quartile assignment is
+    deterministic and hash-exact."""
+    orders = _pq(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"], blocks=8
+    )
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")), pa.int64())
+        t = pa.table(
+            {
+                "custkey": b.column("o_custkey"),
+                "f": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "m": _cents(b.column("o_totalprice")),
+                "r": ts,
+            }
+        )
+        return t.group_by("custkey").aggregate(
+            [("f", "sum"), ("m", "sum"), ("r", "max")]
+        ).rename_columns(["custkey", "f", "m", "r"])
+
+    cust = (
+        orders.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("f", alias_name="f"), Sum("m", alias_name="m"),
+                   Max("r", alias_name="r"))
+        .materialize()
+    )
+
+    rq = _ntile_on(cust.select_columns(["custkey", "r"]), ["r", "custkey"], 4,
+                   "custkey", "r_q")
+    fq = _ntile_on(cust.select_columns(["custkey", "f"]), ["f", "custkey"], 4,
+                   "custkey", "f_q")
+    mq = _ntile_on(cust.select_columns(["custkey", "m"]), ["m", "custkey"], 4,
+                   "custkey", "m_q")
+    joined = rq.join(fq, "inner", _join_partitions(), on=("custkey",)).join(
+        mq, "inner", _join_partitions(), on=("custkey",)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        code = (
+            b.column("r_q").to_numpy() * 100
+            + b.column("f_q").to_numpy() * 10
+            + b.column("m_q").to_numpy()
+        )
+        return pa.table(
+            {
+                "custkey": b.column("custkey"),
+                "r_q": b.column("r_q"),
+                "f_q": b.column("f_q"),
+                "m_q": b.column("m_q"),
+                "rfm": pa.array(code.astype(np.int64)),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_hits(sf_dir: str):
+    """HITS hubs-and-authorities over the flagship crawl's link graph
+    (same closed edge set as crawl_pagerank): per page, the hub score
+    (links to good authorities) and authority score (linked from good
+    hubs) — the second classic link-quality fixed point the frontier's
+    priority queue can consume.  Rows-only (iterative, not ANSI-SQL);
+    pinned against a dense numpy reference in tests."""
+    from .oracle import CrawlSpec
+    from .pipelines.crawl import EngineConfig, run_crawl
+    from .stages.graph import hits
+
+    spec = CrawlSpec(
+        n_pages=CORPUS_N, seeds=[datagen.url(1)], max_urls=120, batch_size=25,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+    )
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=_safe_workers()))
+    audit = res.audit
+    urls = audit.column("url").combine_chunks()
+    links = audit.column("links_encontrados").combine_chunks()
+    ln = pc.list_value_length(links).fill_null(0).to_numpy(zero_copy_only=False)
+    src = urls.take(pa.array(np.repeat(np.arange(len(urls)), ln)))
+    dst = pc.list_flatten(links)
+    visited = pc.is_in(dst, value_set=urls)
+    edges = rd.from_arrow(
+        pa.table({"src": src.filter(visited), "dst": dst.filter(visited)})
+    )
+    hub, auth = hits(edges, iterations=20)
+    merged = hub.rename_columns(["url", "hub"]).join(
+        auth.rename_columns(["url", "authority"]), keys="url"
+    )
+    return merged.take(
+        pc.sort_indices(
+            merged,
+            sort_keys=[("authority", "descending"), ("url", "ascending")],
+        )
     )
 
 
@@ -7565,6 +7813,10 @@ QUERIES = {
     "events_gap_stats": events_gap_stats,
     "orders_monthly_growth": orders_monthly_growth,
     "events_hourly_anomaly": events_hourly_anomaly,
+    "lineitem_bootstrap_se": lineitem_bootstrap_se,
+    "customer_rfm": customer_rfm,
+    "crawl_hits": crawl_hits,
+    "corpus_negative_samples": corpus_negative_samples,
     "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
     "embeddings_pca_top": embeddings_pca_top,
     "corpus_quality_flags": corpus_quality_flags,
@@ -8079,6 +8331,33 @@ ORACLE_SQL["corpus_phash_dups"] = f"""
     WHERE bit_count(xor(a.phash, b.phash)) <= 4
 """
 
+# deterministic negative sampling: same FNV chain, draw from [0, N-1)
+# then shift past the anchor (exact uniform over corpus minus self)
+ORACLE_SQL["corpus_negative_samples"] = f"""
+    WITH c AS (
+      SELECT CAST(substr(image_id, 4) AS BIGINT) AS i
+      FROM read_parquet('{_CORPUS_GLOB}')
+    ), r AS (SELECT unnest(range(0, {_NEG_K})) AS j),
+    h AS (
+      SELECT c.i, r.j,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(0, 8), k ->
+                   ((c.i * {_NEG_K} + r.j)::HUGEINT
+                    // CAST(power(2, 8*k) AS HUGEINT)) % 256)),
+               (acc, byte) -> (xor(acc::HUGEINT, byte::HUGEINT)
+                               * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT
+             ) % {CORPUS_N - 1} AS hv
+      FROM c, r
+    )
+    SELECT printf('img%08d', i) AS image_id, j AS slot,
+           printf('img%08d',
+                  CAST(CASE WHEN hv >= i THEN hv + 1 ELSE hv END AS BIGINT))
+             AS neg_image_id
+    FROM h
+"""
+
 # column profiler: one row per profiled column; numeric min/max as
 # DOUBLE, categorical min/max lexicographic, exact COUNT(DISTINCT)
 ORACLE_SQL["lineitem_profile"] = """
@@ -8185,6 +8464,56 @@ ORACLE_SQL["events_flipflop"] = """
       FROM events
     )
     GROUP BY user_id
+"""
+
+# Poisson bootstrap: same FNV-1a HUGEINT chain as docs_split, replicate
+# weight = #CDF cutoffs ≤ hash, one weighted mean per replicate
+ORACLE_SQL["lineitem_bootstrap_se"] = f"""
+    WITH r AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    x AS (
+      SELECT l_orderkey * 16 + l_linenumber AS rid,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), h AS (
+      SELECT r.b, x.cents,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(0, 8), k ->
+                   ((x.rid * {_BOOT_B} + r.b)::HUGEINT
+                    // CAST(power(2, 8*k) AS HUGEINT)) % 256)),
+               (acc, byte) -> (xor(acc::HUGEINT, byte::HUGEINT)
+                               * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT
+             ) AS hv
+      FROM x, r
+    ), w AS (
+      SELECT b, cents,
+             {" + ".join(f"(CASE WHEN hv >= {t}::HUGEINT THEN 1 ELSE 0 END)" for t in _BOOT_T)}
+               AS w
+      FROM h
+    )
+    SELECT b AS replicate, CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100.0 AS mean_revenue
+    FROM w GROUP BY b
+"""
+
+# RFM: three ntile(4) windows with (metric, custkey) tie-breaks over
+# the per-customer aggregate
+ORACLE_SQL["customer_rfm"] = """
+    WITH c AS (
+      SELECT o_custkey AS custkey, count(*) AS f,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS m,
+             max(o_orderdate) AS rdate
+      FROM orders GROUP BY 1
+    ), q AS (
+      SELECT custkey,
+             ntile(4) OVER (ORDER BY rdate, custkey) AS r_q,
+             ntile(4) OVER (ORDER BY f, custkey) AS f_q,
+             ntile(4) OVER (ORDER BY m, custkey) AS m_q
+      FROM c
+    )
+    SELECT custkey, r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm
+    FROM q
 """
 
 # Q11: per-part value share gated on a global total via integer

@@ -452,3 +452,156 @@ def bfs_depths(
         labeled.append(frontier.map_batches(stamp(depth), batch_format="pyarrow"))
 
     return labeled[0] if len(labeled) == 1 else labeled[0].union(*labeled[1:])
+
+
+def _hits_dense(et: pa.Table, iterations: int) -> tuple:
+    """Driver-side vectorized HITS loop over a collected edge table —
+    the identical recurrence the distributed rounds compute."""
+    import numpy as np
+
+    if et.num_rows == 0:
+        empty = pa.table(
+            {"id": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64())}
+        )
+        return empty, empty
+    src = np.asarray(et.column("src").to_pylist(), dtype=object)
+    dst = np.asarray(et.column("dst").to_pylist(), dtype=object)
+    univ, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    src_i, dst_i = inv[: len(src)], inv[len(src):]
+    n = len(univ)
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        a_new = np.zeros(n)
+        np.add.at(a_new, dst_i, hub[src_i])
+        s = a_new.sum()
+        auth = a_new / s if s > 0 else a_new
+        h_new = np.zeros(n)
+        np.add.at(h_new, src_i, auth[dst_i])
+        s = h_new.sum()
+        hub = h_new / s if s > 0 else h_new
+
+    def as_table(scores):
+        t = pa.table(
+            {"id": pa.array(univ.tolist()), "score": pa.array(scores, pa.float64())}
+        )
+        return t.take(
+            pc.sort_indices(
+                t, sort_keys=[("score", "descending"), ("id", "ascending")]
+            )
+        )
+
+    return as_table(hub), as_table(auth)
+
+
+def hits(
+    edges: Dataset,
+    iterations: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 8,
+    driver_edge_limit: int = 1_000_000,
+) -> tuple:
+    """HITS hubs-and-authorities fixed point (Kleinberg 1999): a node
+    is a good HUB when it links to good authorities and a good
+    AUTHORITY when good hubs link to it — the mutual recursion
+    ``a ← Aᵀh``, ``h ← A·a``, L1-normalized each half-step (the fixed
+    ray is the same as the classic L2 form; L1 keeps the normalizer a
+    one-scalar driver fold).  Returns ``(hubs, authorities)`` — two
+    node-count-sized pa.Tables(id, score) sorted by score desc.
+
+    Same dual-path selection as :func:`pagerank`: a subgraph-sized
+    edge list (≤ ``driver_edge_limit``) runs the dense numpy loop;
+    past it, each half-step is one hash join (edges ⋈ scores on one
+    endpoint) and one groupby-sum over EDGE-sized data, with the L1
+    normalizer as per-block partials → one driver scalar."""
+    edges = edges.map_batches(
+        lambda b: pa.table({"src": b.column(src_col), "dst": b.column(dst_col)}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if edges.count() <= driver_edge_limit:
+        return _hits_dense(collect_arrow(edges), iterations)
+
+    srcs = edges.groupby("src").aggregate(Count(alias_name="_n")).map_batches(
+        lambda b: pa.table({"id": b.column("src")}), batch_format="pyarrow"
+    )
+    dsts = edges.groupby("dst").aggregate(Count(alias_name="_n")).map_batches(
+        lambda b: pa.table({"id": b.column("dst")}), batch_format="pyarrow"
+    )
+    nodes = drop_empty_blocks(srcs.union(dsts)).groupby("id").aggregate(
+        Count(alias_name="_n")
+    ).map_batches(
+        lambda b: pa.table({"id": b.column("id")}), batch_format="pyarrow"
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        empty = pa.table(
+            {"id": pa.array([], pa.string()), "score": pa.array([], pa.float64())}
+        )
+        return empty, empty
+
+    init = 1.0 / n
+
+    def with_score(ds, value):
+        return ds.map_batches(
+            lambda b: pa.table(
+                {"id": b.column("id"),
+                 "score": pa.array([value] * b.num_rows, pa.float64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def half_step(scores, from_col, to_col):
+        """to(x) = Σ_{edges} score(from side); L1-normalized."""
+        raw = drop_empty_blocks(
+            edges.join(scores, "inner", num_partitions, on=(from_col,),
+                       right_on=("id",))
+            .map_batches(
+                lambda b: pa.table(
+                    {"id": b.column(to_col), "c": b.column("score")}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("id")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        norm = raw.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([pc.sum(b.column("c")).as_py() or 0.0],
+                               pa.float64())}
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Sum("s", alias_name="s"))["s"] or 0.0
+        inv_norm = (1.0 / norm) if norm > 0 else 0.0
+        return nodes.join(
+            raw, "left_outer", num_partitions, on=("id",)
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b.column("id"),
+                    "score": pc.multiply(
+                        pc.coalesce(b.column("c"), pa.scalar(0.0, pa.float64())),
+                        inv_norm,
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    hub = with_score(nodes, init)
+    auth = with_score(nodes, init)
+    for _ in range(iterations):
+        auth = half_step(hub, "src", "dst")
+        hub = half_step(auth, "dst", "src")
+
+    def collect_sorted(ds):
+        t = collect_arrow(ds)
+        return t.take(
+            pc.sort_indices(
+                t, sort_keys=[("score", "descending"), ("id", "ascending")]
+            )
+        )
+
+    return collect_sorted(hub), collect_sorted(auth)

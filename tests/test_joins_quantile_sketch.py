@@ -641,3 +641,52 @@ def test_asof_join_forward_and_nearest_property():
             ]
             brute[i] = min(cand)[2] if cand else None
         assert run("nearest") == brute, ("nearest", trial)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_matches_dense_reference():
+    """Distributed join+groupby HITS equals the dense numpy mutual
+    recursion (same round count, same L1 normalization) on random
+    digraphs, via both the dense and the forced-distributed path."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.graph import hits
+
+    for seed in (3,):
+        rng = np.random.default_rng(seed)
+        n, m = 30, 120
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        ids = np.array([f"n{i:03d}" for i in range(n)])
+        edges = rd.from_arrow(
+            pa.table({"src": pa.array(ids[src]), "dst": pa.array(ids[dst])})
+        )
+        # 6 rounds keeps the forced-distributed path (24 joins) cheap;
+        # equality is per-round, not at convergence
+        hub_d, auth_d = hits(edges, iterations=6, driver_edge_limit=0)
+        hub, auth = hits(edges, iterations=6)
+
+        univ = sorted(set(ids[src]) | set(ids[dst]))
+        idx = {u: i for i, u in enumerate(univ)}
+        N = len(univ)
+        h = np.full(N, 1.0 / N)
+        a = np.full(N, 1.0 / N)
+        for _ in range(6):
+            a_new = np.zeros(N)
+            for s, d in zip(ids[src], ids[dst]):
+                a_new[idx[d]] += h[idx[s]]
+            a = a_new / a_new.sum()
+            h_new = np.zeros(N)
+            for s, d in zip(ids[src], ids[dst]):
+                h_new[idx[s]] += a[idx[d]]
+            h = h_new / h_new.sum()
+
+        for table, ref in ((hub, h), (auth, a), (hub_d, h), (auth_d, a)):
+            got = dict(
+                zip(table.column("id").to_pylist(), table.column("score").to_pylist())
+            )
+            assert set(got) == set(univ)
+            for u in univ:
+                assert abs(got[u] - ref[idx[u]]) < 1e-9, (u, got[u], ref[idx[u]])
+        assert abs(sum(hub.column("score").to_pylist()) - 1.0) < 1e-9
+        assert abs(sum(auth.column("score").to_pylist()) - 1.0) < 1e-9

@@ -120,6 +120,10 @@ def test_rows_only_queries_run(registry):
         and abs((df["loading"] ** 2).sum() - 1.0) < 1e-9
         and df["eigenvalue"].nunique() == 1
         and df["eigenvalue"].iloc[0] > 0,
+        "crawl_hits": lambda df: len(df) == 120
+        and abs(df["hub"].sum() - 1.0) < 1e-9
+        and abs(df["authority"].sum() - 1.0) < 1e-9
+        and df["authority"].is_monotonic_decreasing,
         "corpus_palette": lambda df: len(df) == 300
         and df["image_id"].is_unique
         and df["share1"].between(0, 1).all()

@@ -997,3 +997,40 @@ def test_palette_matches_whole_corpus_numpy():
         assert r["color_entropy"] == float(-(p * np.log2(p)).sum())
         multi += int(len(order) >= 3)
     assert multi > 0  # corpus images are not single-color
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bootstrap_replicates_give_sane_se():
+    """Replicate means must vary (independent weight draws), and the
+    point estimate must sit within a few bootstrap SEs of every
+    replicate mean's center."""
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    out = q.lineitem_bootstrap_se(sf).to_pandas()
+    assert len(out) == 32 and out["replicate"].is_unique
+    means = out["mean_revenue"].to_numpy()
+    se = means.std(ddof=1)
+    assert se > 0
+    point = duckdb.query(
+        f"SELECT avg(l_extendedprice) FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert abs(means.mean() - point) < 5 * se
+    # Poisson(1) weights: effective n stays near the row count
+    n_rows = duckdb.query(
+        f"SELECT count(*) FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert (abs(out["n_eff"] - n_rows) < 5 * np.sqrt(n_rows)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_negative_samples_exclude_anchor():
+    from crawler_seo_ray import queries as q
+
+    out = q.corpus_negative_samples("unused").to_pandas()
+    assert (out["image_id"] != out["neg_image_id"]).all()
+    assert out.groupby("image_id")["slot"].count().eq(4).all()
+    # shifted-draw uniformity smoke: negatives cover most of the corpus
+    assert out["neg_image_id"].nunique() > 250
