@@ -77,6 +77,31 @@ def finalize_audit_from_checkpoint(
     return _finalize_with_narrow(full, narrow, num_partitions)
 
 
+def audit_snapshot(
+    checkpoint_dir: str,
+    upto_wave: int,
+    num_partitions: int = JOIN_PARTITIONS,
+    columns: list[str] | None = None,
+) -> Dataset:
+    """Time-travel read — the audit exactly as of wave ``upto_wave``,
+    reconstructed from the per-wave per-partition checkpoint lineage
+    (north_rule: resumable, per-partition lineage).  Only COMMITTED
+    waves participate: ``state.json`` is each wave's atomic commit
+    marker (written last), so a half-written wave from a crash is
+    invisible here just as it is to resume.  Because ``visit_seq`` is
+    assigned at wave take, the snapshot is a contiguous visit-order
+    prefix of the final audit — asserted in tests."""
+    import glob
+    import os
+
+    paths = []
+    for d in sorted(glob.glob(os.path.join(checkpoint_dir, "waves", "wave=*"))):
+        w = int(os.path.basename(d).split("=")[1])
+        if w <= upto_wave and os.path.exists(os.path.join(d, "state.json")):
+            paths.extend(sorted(glob.glob(os.path.join(d, "audit*.parquet"))))
+    return _compacting_read(paths, num_partitions, columns=columns)
+
+
 @ray.remote
 def _read_many(paths: list[str], columns: list[str] | None = None) -> pa.Table:
     import pyarrow.parquet as pq

@@ -1969,6 +1969,89 @@ def corpus_palette(sf_dir: str):
     )
 
 
+def corpus_channel_covariance(sf_dir: str):
+    """Corpus-wide RGB COVARIANCE/CORRELATION matrix — the statistic
+    behind ZCA whitening and PCA color augmentation (Krizhevsky et al.
+    2012): which color channels co-vary across the whole corpus.
+    Decode runs in the multimodal actor pool; each block emits ONE row
+    of exact int64 cross moments (`stages/multimodal.
+    ChannelCovariancePartials`), the driver folds blocks-many 10-int
+    rows with Python ints, and the only float ops are the documented
+    final expressions (cov = sxy/n − mean_x·mean_y, corr =
+    cov/sqrt(var_x·var_y)) — bit-reproducible under any block layout.
+    Rows-only (needs pixel decode); pinned to a whole-corpus numpy
+    reference in tests."""
+    import math
+
+    from .stages.multimodal import ChannelCovariancePartials
+
+    ds = corpus_parquet(columns=["bytes", "fmt"])
+    parts = ds.map_batches(
+        ChannelCovariancePartials, concurrency=2, batch_size=64,
+        batch_format="pyarrow",
+    ).to_pandas()
+    n = sum(int(x) for x in parts["n_px"])
+    s = {c: sum(int(x) for x in parts[f"sum_{c}"]) for c in "rgb"}
+    sx = {
+        p: sum(int(x) for x in parts[f"s_{p}"])
+        for p in ("rr", "gg", "bb", "rg", "rb", "gb")
+    }
+    mean = {c: s[c] / n for c in "rgb"}
+    var = {c: sx[c + c] / n - mean[c] * mean[c] for c in "rgb"}
+    rows_a, rows_b, covs, corrs = [], [], [], []
+    for a, b in (("r", "r"), ("r", "g"), ("r", "b"),
+                 ("g", "g"), ("g", "b"), ("b", "b")):
+        key = a + b if a + b in sx else b + a
+        cov = sx[key] / n - mean[a] * mean[b]
+        rows_a.append(a)
+        rows_b.append(b)
+        covs.append(cov)
+        corrs.append(cov / math.sqrt(var[a] * var[b]))
+    return pa.table(
+        {
+            "ch_a": pa.array(rows_a, pa.string()),
+            "ch_b": pa.array(rows_b, pa.string()),
+            "cov": pa.array(covs, pa.float64()),
+            "corr": pa.array(corrs, pa.float64()),
+        }
+    )
+
+
+def crawl_snapshot(sf_dir: str):
+    """Time-travel read off the checkpoint lineage: run the flagship
+    crawl with per-wave checkpoints, then reconstruct the audit AS OF
+    wave 1 via `pipelines.report.audit_snapshot` (only committed waves
+    — state.json is the atomic marker).  Because visit_seq is assigned
+    at wave take, the snapshot must be a contiguous visit-order PREFIX
+    of the final audit — the property the rows-only test asserts, and
+    the property that makes mid-frontier resume deterministic."""
+    import shutil
+    import tempfile
+
+    from .oracle import CrawlSpec
+    from .pipelines.crawl import EngineConfig, run_crawl
+    from .pipelines.report import audit_snapshot
+
+    spec = CrawlSpec(
+        n_pages=CORPUS_N, seeds=[datagen.url(1)], max_urls=120, batch_size=25,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+    )
+    ckpt = tempfile.mkdtemp(prefix="snap_ckpt_")
+    try:
+        run_crawl(
+            spec, corpus_dir(),
+            EngineConfig(num_workers=_safe_workers(), checkpoint_dir=ckpt),
+        )
+        snap = audit_snapshot(
+            ckpt, upto_wave=1, columns=["visit_seq", "url", "wave", "status_code"]
+        )
+        t = snap.to_pandas()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    t = t.sort_values("visit_seq").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 _NEG_K = 4  # negatives per anchor
 
 
@@ -7817,6 +7900,8 @@ QUERIES = {
     "customer_rfm": customer_rfm,
     "crawl_hits": crawl_hits,
     "corpus_negative_samples": corpus_negative_samples,
+    "corpus_channel_covariance": corpus_channel_covariance,
+    "crawl_snapshot": crawl_snapshot,
     "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
     "embeddings_pca_top": embeddings_pca_top,
     "corpus_quality_flags": corpus_quality_flags,

@@ -54,6 +54,42 @@ class ChannelMomentPartials:
         )
 
 
+class ChannelCovariancePartials:
+    """Actor stage: decode → ONE row of exact integer cross-channel
+    pixel moments per input block (n, Σx per channel, and all six
+    Σx·y second moments) — the map side of the corpus COLOR COVARIANCE
+    matrix, the statistic behind ZCA/whitening transforms and the
+    PCA-based color augmentation of Krizhevsky et al. 2012.  Same
+    exactness argument as ChannelMomentPartials (255²·n per block is
+    far inside int64); pixels never leave the stage and the driver
+    folds blocks-many 10-int rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = 0
+        s = np.zeros(3, dtype=np.int64)
+        xx = np.zeros((3, 3), dtype=np.int64)
+        for r in batch.select(["bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"]).astype(np.int64)
+            flat = px.reshape(-1, 3)
+            n += flat.shape[0]
+            s += flat.sum(axis=0)
+            xx += flat.T @ flat
+        return pa.table(
+            {
+                "n_px": pa.array([n], pa.int64()),
+                "sum_r": pa.array([int(s[0])], pa.int64()),
+                "sum_g": pa.array([int(s[1])], pa.int64()),
+                "sum_b": pa.array([int(s[2])], pa.int64()),
+                "s_rr": pa.array([int(xx[0, 0])], pa.int64()),
+                "s_gg": pa.array([int(xx[1, 1])], pa.int64()),
+                "s_bb": pa.array([int(xx[2, 2])], pa.int64()),
+                "s_rg": pa.array([int(xx[0, 1])], pa.int64()),
+                "s_rb": pa.array([int(xx[0, 2])], pa.int64()),
+                "s_gb": pa.array([int(xx[1, 2])], pa.int64()),
+            }
+        )
+
+
 class LumaHistogramPartials:
     """Actor stage: decode → one ≤256-row integer luminance-bincount
     partial per block. Luma is INTEGER ITU-601

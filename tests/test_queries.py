@@ -120,6 +120,13 @@ def test_rows_only_queries_run(registry):
         and abs((df["loading"] ** 2).sum() - 1.0) < 1e-9
         and df["eigenvalue"].nunique() == 1
         and df["eigenvalue"].iloc[0] > 0,
+        "corpus_channel_covariance": lambda df: len(df) == 6
+        and (df.set_index(["ch_a", "ch_b"])["cov"].loc[("r", "r")] > 0)
+        and df["corr"].between(-1, 1).all(),
+        "crawl_snapshot": lambda df: len(df) > 0
+        and sorted(df["visit_seq"]) == list(range(len(df)))
+        and df["wave"].max() <= 1
+        and len(df) < 120,
         "crawl_hits": lambda df: len(df) == 120
         and abs(df["hub"].sum() - 1.0) < 1e-9
         and abs(df["authority"].sum() - 1.0) < 1e-9

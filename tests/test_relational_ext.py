@@ -1034,3 +1034,72 @@ def test_negative_samples_exclude_anchor():
     assert out.groupby("image_id")["slot"].count().eq(4).all()
     # shifted-draw uniformity smoke: negatives cover most of the corpus
     assert out["neg_image_id"].nunique() > 250
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_channel_covariance_matches_numpy():
+    """Cross-channel covariance/correlation must equal the whole-corpus
+    numpy reference bit-for-bit (exact integer moments, documented
+    float op order)."""
+    import math
+
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+    from crawler_seo_ray.functions.imagecodec import decode_image
+
+    out = q.corpus_channel_covariance("unused").to_pandas().set_index(["ch_a", "ch_b"])
+    rows = duckdb.sql(
+        f"SELECT bytes, fmt FROM read_parquet('{q._CORPUS_GLOB}')"
+    ).fetchall()
+    n = 0
+    s = np.zeros(3, dtype=object)
+    xx = np.zeros((3, 3), dtype=object)
+    for data, fmt in rows:
+        px = decode_image(bytes(data), fmt).astype(np.int64).reshape(-1, 3)
+        n += px.shape[0]
+        s = s + px.sum(axis=0)
+        xx = xx + px.T @ px
+    mean = [int(s[c]) / n for c in range(3)]
+    var = [int(xx[c, c]) / n - mean[c] * mean[c] for c in range(3)]
+    ix = {"r": 0, "g": 1, "b": 2}
+    for (a, b), row in out.iterrows():
+        ca, cb = ix[a], ix[b]
+        cov = int(xx[min(ca, cb), max(ca, cb)]) / n - mean[ca] * mean[cb]
+        assert row["cov"] == cov
+        assert row["corr"] == cov / math.sqrt(var[ca] * var[cb])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_is_prefix_of_full_audit():
+    """audit_snapshot(k) must equal the final audit restricted to
+    waves ≤ k, and be a contiguous visit_seq prefix."""
+    import tempfile
+
+    from crawler_seo_ray import datagen
+    from crawler_seo_ray.canon import Scope
+    from crawler_seo_ray.oracle import CrawlSpec
+    from crawler_seo_ray.pipelines.crawl import EngineConfig, run_crawl
+    from crawler_seo_ray.pipelines.report import audit_snapshot
+    from crawler_seo_ray.queries import CORPUS_N, corpus_dir
+
+    spec = CrawlSpec(
+        n_pages=CORPUS_N, seeds=[datagen.url(1)], max_urls=100, batch_size=25,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+    )
+    ckpt = tempfile.mkdtemp(prefix="snaptest_")
+    res = run_crawl(
+        spec, corpus_dir(), EngineConfig(num_workers=2, checkpoint_dir=ckpt)
+    )
+    full = res.audit.to_pandas().sort_values("visit_seq").reset_index(drop=True)
+    for k in (0, 1):
+        snap = (
+            audit_snapshot(ckpt, k, columns=["visit_seq", "url", "wave"])
+            .to_pandas()
+            .sort_values("visit_seq")
+            .reset_index(drop=True)
+        )
+        want = full[full["wave"] <= k]
+        assert list(snap["visit_seq"]) == list(range(len(snap)))
+        assert list(snap["url"]) == list(want["url"])
+    assert len(full) == 100
