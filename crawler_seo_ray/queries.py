@@ -1669,6 +1669,77 @@ def events_approx_users(sf_dir: str):
     return grouped_hll(ds, "event_type", "user_id", p=12)
 
 
+def events_type_overlap(sf_dir: str):
+    """HLL set algebra — approximate audience OVERLAP between two event
+    types ('click' ∩ 'view' users) from one pass: union by register
+    max (the HLL-native merge), intersection by inclusion–exclusion
+    (stages/sketch.hll_set_algebra).  The cross-segment overlap
+    question every analytics store answers without a distinct-pair
+    shuffle; error bound vs exact counts asserted in tests."""
+    from .stages.sketch import hll_set_algebra
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"], blocks=8)
+    return hll_set_algebra(ds, "event_type", "user_id", "click", "view", p=12)
+
+
+def events_max_value_rows(sf_dir: str):
+    """Grouped max-semi-join — ALL rows at their group's maximum
+    (argmax with ties, the 'best row(s) per key' selector): block-local
+    per-user max partials → one groupby(user) max → inner join back →
+    equality filter.  Unlike argmin/argmax attribution (one row per
+    group), ties survive — the semantics of `WHERE (k, v) IN (SELECT
+    k, max(v) ...)`."""
+    from .util import drop_empty_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "value"], blocks=16)
+
+    def local_max(b: pa.Table) -> pa.Table:
+        return b.select(["user_id", "value"]).group_by("user_id").aggregate(
+            [("value", "max")]
+        ).rename_columns(["user_id", "mx"])
+
+    mx = drop_empty_blocks(
+        ds.map_batches(local_max, batch_format="pyarrow").groupby("user_id").max("mx")
+    )
+
+    joined = ds.join(mx, "inner", _join_partitions(), on=("user_id",))
+
+    def keep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("value"), b.column("max(mx)")))
+        return t.select(["user_id", "event_id", "value"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def crawl_wave_phases(sf_dir: str):
+    """Engine observability — the per-wave phase breakdown
+    (take / issue / workers / admit wall-clock plus issued count) the
+    scaling analysis in BASELINE.md is built from, exposed as a query
+    over the flagship crawl.  Rows-only (timings are measurements, not
+    derivable data); the registry test asserts structural invariants."""
+    from .oracle import CrawlSpec
+    from .pipelines.crawl import EngineConfig, run_crawl
+
+    spec = CrawlSpec(
+        n_pages=CORPUS_N, seeds=[datagen.url(1)], max_urls=120, batch_size=25,
+        scope=Scope("suffix", datagen.HOST_SUFFIX),
+    )
+    res = run_crawl(spec, corpus_dir(), EngineConfig(num_workers=_safe_workers()))
+    rows = [m for m in res.wave_metrics if "t_workers" in m]
+    return pa.table(
+        {
+            "wave": pa.array([int(m["wave"]) for m in rows], pa.int64()),
+            "issued": pa.array([int(m["issued"]) for m in rows], pa.int64()),
+            "t_take": pa.array([float(m["t_take"]) for m in rows], pa.float64()),
+            "t_issue": pa.array([float(m["t_issue"]) for m in rows], pa.float64()),
+            "t_workers": pa.array(
+                [float(m["t_workers"]) for m in rows], pa.float64()
+            ),
+            "t_admit": pa.array([float(m["t_admit"]) for m in rows], pa.float64()),
+        }
+    )
+
+
 def crawl_visit_order(sf_dir: str):
     """The flagship crawl's deterministic visit order (north_rule)."""
     from .oracle import CrawlSpec
@@ -7902,6 +7973,9 @@ QUERIES = {
     "corpus_negative_samples": corpus_negative_samples,
     "corpus_channel_covariance": corpus_channel_covariance,
     "crawl_snapshot": crawl_snapshot,
+    "events_type_overlap": events_type_overlap,
+    "events_max_value_rows": events_max_value_rows,
+    "crawl_wave_phases": crawl_wave_phases,
     "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
     "embeddings_pca_top": embeddings_pca_top,
     "corpus_quality_flags": corpus_quality_flags,
@@ -8549,6 +8623,14 @@ ORACLE_SQL["events_flipflop"] = """
       FROM events
     )
     GROUP BY user_id
+"""
+
+# grouped max-semi-join: all rows at their group's max (ties survive)
+ORACLE_SQL["events_max_value_rows"] = """
+    SELECT e.user_id, e.event_id, e.value
+    FROM events e
+    JOIN (SELECT user_id, max(value) AS mx FROM events GROUP BY user_id) m
+      ON e.user_id = m.user_id AND e.value = m.mx
 """
 
 # Poisson bootstrap: same FNV-1a HUGEINT chain as docs_split, replicate

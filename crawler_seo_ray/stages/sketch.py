@@ -78,9 +78,10 @@ def _hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def grouped_hll(ds: Dataset, key: str, value: str, p: int = 12) -> pa.Table:
-    """Approximate distinct ``value`` (int64) per ``key``. Returns a
-    small driver table (key, approx_distinct:int64) sorted by key."""
+def _grouped_registers(ds: Dataset, key: str, value: str, p: int) -> dict:
+    """Map-side HLL register partials per key, max-merged on the driver
+    (registers are 2^p bytes per key — sketch-sized, never row-sized).
+    Shared by grouped_hll and hll_set_algebra."""
 
     def partial(b: pa.Table) -> pa.Table:
         gcol = b.column(key)
@@ -105,16 +106,59 @@ def grouped_hll(ds: Dataset, key: str, value: str, p: int = 12) -> pa.Table:
             merged[g] = np.maximum(merged[g], regs)
         else:
             merged[g] = regs.copy()
+    ktype = parts.column(key).type if parts.num_rows else pa.string()
+    return merged, ktype
+
+
+def grouped_hll(ds: Dataset, key: str, value: str, p: int = 12) -> pa.Table:
+    """Approximate distinct ``value`` (int64) per ``key``. Returns a
+    small driver table (key, approx_distinct:int64) sorted by key."""
+    merged, ktype = _grouped_registers(ds, key, value, p)
     ks = sorted(merged)
     out = pa.table(
         {
-            key: pa.array(ks, parts.column(key).type if parts.num_rows else pa.string()),
+            key: pa.array(ks, ktype),
             "approx_distinct": pa.array(
                 [int(round(_hll_estimate(merged[k]))) for k in ks], pa.int64()
             ),
         }
     )
     return out
+
+
+def hll_set_algebra(
+    ds: Dataset, key: str, value: str, key_a, key_b, p: int = 12
+) -> pa.Table:
+    """HLL SET ALGEBRA between two key groups — union by register max
+    (the HLL-native merge, same error as a single sketch) and
+    intersection by inclusion–exclusion (|A|+|B|−|A∪B|, the standard
+    HLL intersection estimator; its relative error grows as the true
+    intersection shrinks — callers needing tight small-intersection
+    bounds should switch to theta/KMV sketches).  One pass over the
+    data, three estimates, register-sized driver state."""
+    merged, _ = _grouped_registers(ds, key, value, p)
+    ra = merged.get(key_a)
+    rb = merged.get(key_b)
+    m = 1 << p
+    if ra is None:
+        ra = np.zeros(m, dtype=np.uint8)
+    if rb is None:
+        rb = np.zeros(m, dtype=np.uint8)
+    na = _hll_estimate(ra)
+    nb = _hll_estimate(rb)
+    nu = _hll_estimate(np.maximum(ra, rb))
+    return pa.table(
+        {
+            "key_a": pa.array([str(key_a)], pa.string()),
+            "key_b": pa.array([str(key_b)], pa.string()),
+            "approx_a": pa.array([int(round(na))], pa.int64()),
+            "approx_b": pa.array([int(round(nb))], pa.int64()),
+            "approx_union": pa.array([int(round(nu))], pa.int64()),
+            "approx_intersection": pa.array(
+                [max(0, int(round(na + nb - nu)))], pa.int64()
+            ),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -120,6 +120,17 @@ def test_rows_only_queries_run(registry):
         and abs((df["loading"] ** 2).sum() - 1.0) < 1e-9
         and df["eigenvalue"].nunique() == 1
         and df["eigenvalue"].iloc[0] > 0,
+        "events_type_overlap": lambda df: len(df) == 1
+        and df["approx_union"].iloc[0]
+        <= df["approx_a"].iloc[0] + df["approx_b"].iloc[0]
+        and df["approx_intersection"].iloc[0] >= 0
+        and max(df["approx_a"].iloc[0], df["approx_b"].iloc[0])
+        <= df["approx_union"].iloc[0] * 1.05,
+        "crawl_wave_phases": lambda df: len(df) >= 2
+        and (df["issued"] > 0).all()
+        and df["issued"].sum() == 120
+        and (df[["t_take", "t_issue", "t_workers", "t_admit"]] >= 0).all().all()
+        and (df["t_workers"] > 0).all(),
         "corpus_channel_covariance": lambda df: len(df) == 6
         and (df.set_index(["ch_a", "ch_b"])["cov"].loc[("r", "r")] > 0)
         and df["corr"].between(-1, 1).all(),

@@ -1103,3 +1103,33 @@ def test_snapshot_is_prefix_of_full_audit():
         assert list(snap["visit_seq"]) == list(range(len(snap)))
         assert list(snap["url"]) == list(want["url"])
     assert len(full) == 100
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_set_algebra_error_bound():
+    """Union and intersection estimates must land within HLL error of
+    the exact set sizes (p=12 → ~1.6 % standard error; assert 6 σ plus
+    the inclusion-exclusion slack on the small intersection)."""
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+
+    sf = "/root/testdata/sf0.01"
+    out = q.events_type_overlap(sf).to_pandas().iloc[0]
+    ex = duckdb.query(f"""
+        SELECT
+          (SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet') WHERE event_type='click') AS a,
+          (SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet') WHERE event_type='view') AS b,
+          (SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet') WHERE event_type IN ('click','view')) AS u,
+          (SELECT count(*) FROM (
+             SELECT user_id FROM read_parquet('{sf}/events.parquet') WHERE event_type='click'
+             INTERSECT
+             SELECT user_id FROM read_parquet('{sf}/events.parquet') WHERE event_type='view')) AS i
+    """).df().iloc[0]
+    for est, true in ((out["approx_a"], ex["a"]), (out["approx_b"], ex["b"]),
+                      (out["approx_union"], ex["u"])):
+        assert abs(est - true) <= max(10, 0.10 * true), (est, true)
+    # intersection inherits three sketches' errors — wider bound
+    assert abs(out["approx_intersection"] - ex["i"]) <= max(
+        20, 0.25 * max(ex["a"], ex["b"])
+    )
