@@ -1740,6 +1740,105 @@ def crawl_wave_phases(sf_dir: str):
     )
 
 
+def embeddings_quantize(sf_dir: str):
+    """int8 EMBEDDING QUANTIZATION — the storage/serving feature-prep
+    step (4× smaller vectors for ANN serving): per vector, symmetric
+    max-abs scale and ``q = floor(x/scale·127 + 0.5)``, emitted in
+    LONG form (vec_id, pos, q, scale) so the oracle compare is over
+    plain integer rows.  Fully vectorized: one flat-buffer reshape per
+    block (`similarity._vec_matrix`), one row-max, one broadcasted
+    quantize — no per-row Python.  float32 → float64 casts are exact,
+    and the float op order matches the SQL, so q is hash-exact."""
+    from .stages.similarity import _vec_matrix
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8)
+
+    def quant(b: pa.Table) -> pa.Table:
+        m = _vec_matrix(b.column("embedding"))
+        n, d = m.shape
+        scale = np.abs(m).max(axis=1)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.floor(m / safe[:, None] * 127.0 + 0.5).astype(np.int64)
+        q[scale == 0.0] = 0
+        ids = b.column("vec_id").to_numpy()
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d)),
+                "pos": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "q": pa.array(q.ravel()),
+                "scale": pa.array(np.repeat(scale, d), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+_CURATE_MIN_TOK = 20
+_CURATE_MAX_TOK = 80
+
+
+def docs_curate(sf_dir: str):
+    """END-TO-END curation pass — the composition a training-data user
+    actually runs, chained from this registry's own stages: exact
+    dedup (min doc_id per text), the quality gate (exact composite
+    score ≥ 0.75), a token-count band (20–80), and the
+    deterministic FNV train/val/test split — one streaming pipeline,
+    each stage the same distributed shape as its standalone query
+    (dedup: text-keyed groupby-min; quality: vectorized block kernel;
+    split: hash arithmetic; no driver rows anywhere).  The SQL oracle
+    chains the same four stages as CTEs, so the WHOLE pipeline is
+    hash-checked, not just its pieces."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def keep_min(b: pa.Table) -> pa.Table:
+        return b.group_by("text").aggregate([("doc_id", "min")]).rename_columns(
+            ["text", "doc_id"]
+        )
+
+    keepers = (
+        ds.map_batches(keep_min, batch_format="pyarrow")
+        .groupby("text")
+        .min("doc_id")
+        .map_batches(
+            lambda b: pa.table({"doc_id": b.column("min(doc_id)")}),
+            batch_format="pyarrow",
+        )
+    )
+
+    def qualify(b: pa.Table) -> pa.Table:
+        feats = [quality_features(t) for t in b.column("text").to_pylist()]
+        score = np.array([f["quality_score"] for f in feats])
+        ntok = np.array([f["n_tokens"] for f in feats], dtype=np.int64)
+        keep = (score >= 0.75) & (ntok >= _CURATE_MIN_TOK) & (ntok <= _CURATE_MAX_TOK)
+        t = pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(ntok),
+                "quality_score": pa.array(score, pa.float64()),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    qualified = ds.map_batches(qualify, batch_format="pyarrow")
+    curated = qualified.join(keepers, "inner", _join_partitions(), on=("doc_id",))
+
+    def split(b: pa.Table) -> pa.Table:
+        bucket = _fnv64(b.column("doc_id").to_numpy()) % np.uint64(10)
+        names = np.where(
+            bucket < 8, "train", np.where(bucket == 8, "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": b.column("n_tokens"),
+                "quality_score": b.column("quality_score"),
+                "split": pa.array(names.astype(str)),
+            }
+        )
+
+    return curated.map_batches(split, batch_format="pyarrow")
+
+
 def crawl_visit_order(sf_dir: str):
     """The flagship crawl's deterministic visit order (north_rule)."""
     from .oracle import CrawlSpec
@@ -7976,6 +8075,8 @@ QUERIES = {
     "events_type_overlap": events_type_overlap,
     "events_max_value_rows": events_max_value_rows,
     "crawl_wave_phases": crawl_wave_phases,
+    "embeddings_quantize": embeddings_quantize,
+    "docs_curate": docs_curate,
     "docs_dup_cluster_sizes": docs_dup_cluster_sizes,
     "embeddings_pca_top": embeddings_pca_top,
     "corpus_quality_flags": corpus_quality_flags,
@@ -8623,6 +8724,78 @@ ORACLE_SQL["events_flipflop"] = """
       FROM events
     )
     GROUP BY user_id
+"""
+
+# int8 symmetric quantization in long form: exact float32→double casts,
+# identical op order (x/scale*127, floor(+0.5)), zero-vector guard
+ORACLE_SQL["embeddings_quantize"] = """
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, e -> abs(e))) AS scale
+      FROM x
+    )
+    SELECT vec_id, i - 1 AS pos,
+           CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE floor(v[i] / scale * 127.0 + 0.5) END AS BIGINT) AS q,
+           scale
+    FROM (SELECT vec_id, v, scale,
+                 unnest(generate_series(1, len(v))) AS i
+          FROM s)
+"""
+
+# the whole curation pipeline as chained CTEs: exact dedup keepers,
+# quality gate, token band, FNV split — the composition is hash-checked
+ORACLE_SQL["docs_curate"] = f"""
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ), f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CASE WHEN trim(text)='' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END::BIGINT AS n_tokens,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_tokens,
+             greatest(0.0,
+               1.0
+               - CASE WHEN n_chars < 50 THEN 0.5 ELSE 0.0 END
+               - CASE WHEN n_tokens > 0 AND NOT
+                      ((CASE WHEN n_tokens = 0 THEN 0.0
+                             ELSE n_nonspace::DOUBLE / n_tokens END)
+                       BETWEEN 3.0 AND 12.0) THEN 0.2 ELSE 0.0 END
+               - CASE WHEN n_chars > 0 AND n_digits::DOUBLE / n_chars > 0.2
+                      THEN 0.2 ELSE 0.0 END
+               - CASE WHEN n_chars > 0 AND n_punct::DOUBLE / n_chars > 0.2
+                      THEN 0.1 ELSE 0.0 END
+             ) AS quality_score
+      FROM f
+    ), kept AS (
+      SELECT g.doc_id, g.n_tokens, g.quality_score
+      FROM g JOIN keepers USING (doc_id)
+      WHERE g.quality_score >= 0.75
+        AND g.n_tokens BETWEEN {_CURATE_MIN_TOK} AND {_CURATE_MAX_TOK}
+    )
+    SELECT doc_id, n_tokens, quality_score,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test'
+           END AS split
+    FROM (
+      SELECT *, list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(0, 8), k ->
+                   (doc_id::HUGEINT // CAST(power(2, 8*k) AS HUGEINT)) % 256)),
+               (acc, byte) -> (xor(acc::HUGEINT, byte::HUGEINT)
+                               * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT
+             ) % 10 AS b
+      FROM kept)
 """
 
 # grouped max-semi-join: all rows at their group's max (ties survive)
