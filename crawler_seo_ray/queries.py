@@ -7946,10 +7946,389 @@ def docs_weighted_sample(sf_dir: str, k: int = 128):
     return parts.take(idx.slice(0, k))
 
 
+def orders_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped join + grouped top-k — segment-filtered customer
+    ⋈ date-sliced orders ⋈ shipdate-sliced lineitem, revenue per order,
+    top 10. Distributed plan: every scan prunes its predicate and
+    projects only join columns; lineitem pre-aggregates rev_cents by
+    orderkey INSIDE each block before the exchange (the classic
+    join-key combine — at 100 TB the per-order partials are ~4×
+    smaller than the line rows); the final per-order groupby keys on
+    (orderkey, orderdate, priority) since both ride functionally on
+    orderkey; top-10 is a per-block local top-k merged driver-side —
+    only 10 rows per block ever reach the driver."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    nparts = _join_partitions()
+    cutoff = pa.scalar(np.datetime64("1998-06-01", "us"), pa.timestamp("us"))
+
+    def cust_scan(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
+        return pa.table({"_ck": t.column("c_custkey")})
+
+    cust = drop_empty_blocks(
+        _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"], blocks=4).map_batches(
+            cust_scan, batch_format="pyarrow"
+        )
+    )
+
+    def ord_scan(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        t = b.filter(pc.less(d, cutoff))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "_ck2": t.column("o_custkey"),
+                "o_orderdate": pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    ords = _pq(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        blocks=8,
+    ).map_batches(ord_scan, batch_format="pyarrow")
+    j1 = ords.join(cust, "inner", nparts, on=("_ck2",), right_on=("_ck",))
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+        t = b.filter(pc.greater(d, cutoff))
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        part = pa.table({"_ok": t.column("l_orderkey"), "rev_cents": _cents(rev)})
+        return (
+            part.group_by("_ok")
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["_ok", "rev_cents"])
+        )
+
+    li = _pq(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        blocks=16,
+    ).map_batches(li_scan, batch_format="pyarrow")
+    j2 = li.join(j1, "inner", nparts, on=("_ok",), right_on=("o_orderkey",))
+
+    per_order = drop_empty_blocks(
+        j2.groupby(["_ok", "o_orderdate", "o_orderpriority"]).aggregate(
+            Sum("rev_cents", alias_name="rev_cents")
+        )
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("rev_cents", "descending"), ("_ok", "ascending")]
+        )
+        return b.take(idx.slice(0, 10))
+
+    parts = collect_arrow(per_order.map_batches(local_topk, batch_format="pyarrow"))
+    idx = pc.sort_indices(
+        parts, sort_keys=[("rev_cents", "descending"), ("_ok", "ascending")]
+    )
+    top = parts.take(idx.slice(0, 10))
+    return _cents_to_dollars(
+        pa.table(
+            {
+                "l_orderkey": top.column("_ok"),
+                "o_orderdate": top.column("o_orderdate"),
+                "o_orderpriority": top.column("o_orderpriority"),
+                "rev_cents": top.column("rev_cents"),
+            }
+        ),
+        "rev_cents",
+        "revenue",
+    )
+
+
+_Q18_MIN_QTY_CENTS = 14000  # sum(l_quantity) > 140
+
+
+def orders_large_qty(sf_dir: str):
+    """TPC-H Q18-shaped HAVING-gated join chain — orders whose total
+    line quantity exceeds a threshold, joined back to orders+customer,
+    top 100 by order value. Distributed plan: quantity sums as exact
+    integer centi-units with a block-level combine before the orderkey
+    groupby; the HAVING gate runs where the aggregate lands (the
+    surviving set is tiny — at TPC-H SF100k only ~1e-5 of orders
+    clear 140 units), so both downstream joins are semi-join-sized;
+    customer joins last against the already-filtered order set."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    nparts = _join_partitions()
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        part = pa.table(
+            {"_ok": b.column("l_orderkey"), "qty_c": _cents(b.column("l_quantity"))}
+        )
+        return (
+            part.group_by("_ok")
+            .aggregate([("qty_c", "sum")])
+            .rename_columns(["_ok", "qty_c"])
+        )
+
+    big = drop_empty_blocks(
+        _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"], blocks=16)
+        .map_batches(li_scan, batch_format="pyarrow")
+        .groupby("_ok")
+        .aggregate(Sum("qty_c", alias_name="qty_c"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("qty_c"), _Q18_MIN_QTY_CENTS)),
+            batch_format="pyarrow",
+        )
+    )
+
+    def ord_scan(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "_ck": b.column("o_custkey"),
+                "o_orderdate": pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                "total_cents": _cents(b.column("o_totalprice")),
+            }
+        )
+
+    ords = _pq(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        blocks=8,
+    ).map_batches(ord_scan, batch_format="pyarrow")
+    j1 = big.join(ords, "inner", nparts, on=("_ok",), right_on=("o_orderkey",))
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"], blocks=4)
+    j2 = j1.join(cust, "inner", nparts, on=("_ck",), right_on=("c_custkey",))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("total_cents", "descending"), ("_ok", "ascending")]
+        )
+        return b.take(idx.slice(0, 100))
+
+    parts = collect_arrow(
+        drop_empty_blocks(j2.map_batches(local_topk, batch_format="pyarrow"))
+    )
+    idx = pc.sort_indices(
+        parts, sort_keys=[("total_cents", "descending"), ("_ok", "ascending")]
+    )
+    top = parts.take(idx.slice(0, 100))
+    qty = pc.divide(pc.cast(top.column("qty_c"), pa.float64()), 100.0)
+    return _cents_to_dollars(
+        pa.table(
+            {
+                "c_custkey": top.column("_ck"),
+                "c_name": top.column("c_name"),
+                "o_orderkey": top.column("_ok"),
+                "o_orderdate": top.column("o_orderdate"),
+                "total_cents": top.column("total_cents"),
+                "sum_qty": qty,
+            }
+        ),
+        "total_cents",
+        "o_totalprice",
+    )
+
+
+def orders_returned_customers(sf_dir: str):
+    """TPC-H Q10-shaped returned-revenue ranking — lost revenue per
+    customer from RETURNED lines in a one-quarter order window, with
+    nation names, top 20. Distributed plan: lineitem prunes to
+    returnflag='R' and combines rev_cents by orderkey in-block; orders
+    prunes the quarter at the scan; after the orderkey join the rows
+    collapse to custkey grain BEFORE the customer join (the exchange
+    carries ≤ |customers| rows); the 25-row nation map is a closure
+    broadcast, never a shuffle."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    nparts = _join_partitions()
+    nat = collect_arrow(_pq(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nat_names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    lo = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-04-01", "us"), pa.timestamp("us"))
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        part = pa.table({"_ok": t.column("l_orderkey"), "rev_cents": _cents(rev)})
+        return (
+            part.group_by("_ok")
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["_ok", "rev_cents"])
+        )
+
+    li = drop_empty_blocks(
+        _pq(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+            blocks=16,
+        ).map_batches(li_scan, batch_format="pyarrow")
+    )
+
+    def ord_scan(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        t = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "_ck": t.column("o_custkey")}
+        )
+
+    ords = drop_empty_blocks(
+        _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"], blocks=8)
+        .map_batches(ord_scan, batch_format="pyarrow")
+    )
+    j1 = li.join(ords, "inner", nparts, on=("_ok",), right_on=("o_orderkey",))
+
+    per_cust = drop_empty_blocks(
+        j1.map_batches(
+            lambda b: b.select(["_ck", "rev_cents"])
+            .group_by("_ck")
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["_ck", "rev_cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("_ck")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    )
+
+    cust = _pq(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        blocks=4,
+    )
+    j2 = per_cust.join(cust, "inner", nparts, on=("_ck",), right_on=("c_custkey",))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("rev_cents", "descending"), ("_ck", "ascending")]
+        )
+        return b.take(idx.slice(0, 20))
+
+    parts = collect_arrow(
+        drop_empty_blocks(j2.map_batches(local_topk, batch_format="pyarrow"))
+    )
+    idx = pc.sort_indices(
+        parts, sort_keys=[("rev_cents", "descending"), ("_ck", "ascending")]
+    )
+    top = parts.take(idx.slice(0, 20))
+    names = pa.array(
+        [nat_names[k] for k in top.column("c_nationkey").to_pylist()], pa.string()
+    )
+    return _cents_to_dollars(
+        pa.table(
+            {
+                "c_custkey": top.column("_ck"),
+                "c_name": top.column("c_name"),
+                "c_acctbal": top.column("c_acctbal"),
+                "n_name": names,
+                "rev_cents": top.column("rev_cents"),
+            }
+        ),
+        "rev_cents",
+        "revenue",
+    )
+
+
+def part_promo_share(sf_dir: str):
+    """TPC-H Q14-shaped conditional revenue share, grouped monthly —
+    PROMO-part revenue as a fraction of all revenue per ship month.
+    Distributed plan: lineitem pre-aggregates rev_cents by (partkey,
+    month) inside each block (the join-key combine compresses the
+    exchange ~|lines per part·month|×); part ships only (partkey,
+    is_promo bool) into the hash join — at 100 TB both sides stay
+    fact-sized so this is a true distributed join, not a broadcast;
+    the month-grain finish is a tiny conditional-sum groupby. The one
+    float division (promo/total) happens once per month row,
+    identically ordered in SQL."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    nparts = _join_partitions()
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+        month = pc.floor_temporal(d, unit="month")
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        part = pa.table(
+            {
+                "_pk": b.column("l_partkey"),
+                "month": month,
+                "rev_cents": _cents(rev),
+            }
+        )
+        return (
+            part.group_by(["_pk", "month"])
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["_pk", "month", "rev_cents"])
+        )
+
+    li = _pq(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        blocks=16,
+    ).map_batches(li_scan, batch_format="pyarrow")
+
+    def part_scan(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "is_promo": pc.equal(b.column("p_type"), "PROMO"),
+            }
+        )
+
+    parts_ds = _pq(sf_dir, "part", ["p_partkey", "p_type"], blocks=4).map_batches(
+        part_scan, batch_format="pyarrow"
+    )
+    j = li.join(parts_ds, "inner", nparts, on=("_pk",), right_on=("p_partkey",))
+
+    def combine(b: pa.Table) -> pa.Table:
+        promo = pc.if_else(
+            b.column("is_promo"), b.column("rev_cents"), pa.scalar(0, pa.int64())
+        )
+        t = pa.table(
+            {
+                "month": b.column("month"),
+                "promo_cents": promo,
+                "total_cents": b.column("rev_cents"),
+            }
+        )
+        return (
+            t.group_by("month")
+            .aggregate([("promo_cents", "sum"), ("total_cents", "sum")])
+            .rename_columns(["month", "promo_cents", "total_cents"])
+        )
+
+    monthly = collect_arrow(
+        drop_empty_blocks(
+            j.map_batches(combine, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(
+                Sum("promo_cents", alias_name="promo_cents"),
+                Sum("total_cents", alias_name="total_cents"),
+            )
+        )
+    )
+    share = pc.divide(
+        pc.cast(monthly.column("promo_cents"), pa.float64()),
+        pc.cast(monthly.column("total_cents"), pa.float64()),
+    )
+    out = monthly.append_column("promo_share", share)
+    return out.take(pc.sort_indices(out, sort_keys=[("month", "ascending")]))
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "orders_shipping_priority": orders_shipping_priority,
+    "orders_large_qty": orders_large_qty,
+    "orders_returned_customers": orders_returned_customers,
+    "part_promo_share": part_promo_share,
     "lineitem_agg": lineitem_agg,
     "orders_topk": orders_topk,
     "docs_dedup_exact": docs_dedup_exact,
@@ -10565,4 +10944,80 @@ ORACLE_SQL["docs_weighted_sample"] = """
                ) AS h
         FROM documents) t
     ) ORDER BY rank_key, doc_id LIMIT 128
+"""
+
+# Q3-shaped: segment × date-sliced join, exact-cents revenue, top 10
+# (ties broken by orderkey, mirrored in the engine's sort keys)
+ORACLE_SQL["orders_shipping_priority"] = """
+    SELECT l.l_orderkey,
+           o.o_orderdate, o.o_orderpriority,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                    AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                 AS BIGINT)) DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+# Q18-shaped: HAVING-gated quantity sum (exact centi-units) joined back
+ORACLE_SQL["orders_large_qty"] = """
+    WITH big AS (
+      SELECT l_orderkey,
+             sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))::BIGINT AS qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 14000
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           big.qty_c::DOUBLE / 100.0 AS sum_qty,
+           CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)::DOUBLE / 100.0
+             AS o_totalprice
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+# Q10-shaped: returned-line revenue per customer over one quarter, top 20
+ORACLE_SQL["orders_returned_customers"] = """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                    AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-04-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                 AS BIGINT)) DESC, c.c_custkey
+    LIMIT 20
+"""
+
+# Q14-shaped: monthly PROMO revenue share; the single float division is
+# int64/int64 → double on both sides, so the share is bit-deterministic
+ORACLE_SQL["part_promo_share"] = """
+    SELECT date_trunc('month', l.l_shipdate)::TIMESTAMP AS month,
+           sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END)::BIGINT AS promo_cents,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                    AS BIGINT))::BIGINT AS total_cents,
+           sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END)::BIGINT::DOUBLE
+             / sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                        AS BIGINT))::BIGINT::DOUBLE AS promo_share
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1 ORDER BY 1
 """
