@@ -8321,10 +8321,165 @@ def part_promo_share(sf_dir: str):
     return out.take(pc.sort_indices(out, sort_keys=[("month", "ascending")]))
 
 
+def orders_priority_late(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join, decorrelated — orders in a
+    one-year window having ANY line shipped >90 days after the order
+    date, counted per priority. Distributed plan: the correlated
+    EXISTS becomes a per-orderkey MAX(l_shipdate) aggregate (block
+    combine → groupby max — the max is the only fact the predicate
+    needs, so the exchange carries one row per order, not per line);
+    the window prune runs at the orders scan; an inner join + integer
+    timestamp comparison replaces the subquery; the finish is a
+    5-row priority count."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    nparts = _join_partitions()
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+    late_us = 90 * 86_400_000_000  # 90 days in microseconds
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "_ok": b.column("l_orderkey"),
+                "ship_us": pc.cast(
+                    pc.cast(b.column("l_shipdate"), pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+        return (
+            part.group_by("_ok")
+            .aggregate([("ship_us", "max")])
+            .rename_columns(["_ok", "ship_us"])
+        )
+
+    li = drop_empty_blocks(
+        _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"], blocks=16)
+        .map_batches(li_scan, batch_format="pyarrow")
+        .groupby("_ok")
+        .aggregate(Max("ship_us", alias_name="ship_us"))
+    )
+
+    def ord_scan(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        t = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "ord_us": pc.cast(
+                    pc.cast(t.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+                ),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    ords = drop_empty_blocks(
+        _pq(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"],
+            blocks=8,
+        ).map_batches(ord_scan, batch_format="pyarrow")
+    )
+    j = li.join(ords, "inner", nparts, on=("_ok",), right_on=("o_orderkey",))
+
+    def late_count(b: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            b.column("ship_us"), pc.add(b.column("ord_us"), pa.scalar(late_us))
+        )
+        t = b.filter(keep)
+        return (
+            pa.table({"o_orderpriority": t.column("o_orderpriority")})
+            .group_by("o_orderpriority")
+            .aggregate([([], "count_all")])
+            .rename_columns(["o_orderpriority", "n_late"])
+        )
+
+    out = collect_arrow(
+        drop_empty_blocks(
+            j.map_batches(late_count, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_late", alias_name="n_late"))
+        )
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("o_orderpriority", "ascending")])
+    )
+
+
+def events_cumulative_distinct(sf_dir: str):
+    """Running COUNT(DISTINCT) window — per user, the number of
+    distinct event types seen up to and including each event (ordered
+    by ts, event_id). The classic streaming-dashboard window that SQL
+    needs a two-window trick for (first-occurrence flag → running
+    sum). Distributed: one groupby(user).map_groups; inside the group
+    a numpy lexsort orders events, np.unique codes the types, and a
+    minimum.at scatter finds each code's first position — the running
+    sum of first-occurrence flags is a cumsum. No driver rows, no
+    per-row Python."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"], blocks=8)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts))
+        types = g.column("event_type").to_numpy(zero_copy_only=False)[order]
+        codes = np.unique(types, return_inverse=True)[1]
+        first_pos = np.full(codes.max() + 1, len(codes), dtype=np.int64)
+        np.minimum.at(first_pos, codes, np.arange(len(codes)))
+        flags = (np.arange(len(codes)) == first_pos[codes]).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": g.column("user_id").take(pa.array(order)),
+                "event_id": pa.array(eid[order]),
+                "distinct_types": pa.array(np.cumsum(flags)),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+_SPLIT_TRAIN, _SPLIT_VAL = 0.8, 0.9
+
+
+def docs_proportional_split(sf_dir: str):
+    """Per-source EXACT-proportion train/val/test split — unlike the
+    hash-bucket split (`docs_split`, proportions only in expectation),
+    every source contributes exactly floor(0.8·n) train and
+    floor(0.9·n)−floor(0.8·n) val rows: docs are ranked inside their
+    source by (FNV-1a(doc_id), doc_id) — a deterministic shuffle — and
+    ranks are cut at the exact boundaries. Distributed: one
+    groupby(source).map_groups, vectorized hash + argsort per group;
+    group count = source count, so skew is bounded by the biggest
+    source (salt by hash prefix if one source dominates at scale)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"], blocks=8)
+
+    def per_source(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        h = _fnv64(ids)
+        order = np.lexsort((ids, h))
+        n = len(ids)
+        n_train = int(np.floor(_SPLIT_TRAIN * n))
+        n_val = int(np.floor(_SPLIT_VAL * n))
+        split = np.full(n, "test", dtype=object)
+        split[:n_train] = "train"
+        split[n_train:n_val] = "val"
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "source": g.column("source").take(pa.array(order)),
+                "split": pa.array(split.astype(str)),
+            }
+        )
+
+    return ds.groupby("source").map_groups(per_source, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "orders_priority_late": orders_priority_late,
+    "events_cumulative_distinct": events_cumulative_distinct,
+    "docs_proportional_split": docs_proportional_split,
     "orders_shipping_priority": orders_shipping_priority,
     "orders_large_qty": orders_large_qty,
     "orders_returned_customers": orders_returned_customers,
@@ -11020,4 +11175,58 @@ ORACLE_SQL["part_promo_share"] = """
                         AS BIGINT))::BIGINT::DOUBLE AS promo_share
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY 1 ORDER BY 1
+"""
+
+# Q4-shaped EXISTS decorrelation: max shipdate per order replaces the
+# correlated subquery; engine compares int64 microseconds identically
+ORACLE_SQL["orders_priority_late"] = """
+    SELECT o.o_orderpriority, count(*)::BIGINT AS n_late
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+# running COUNT(DISTINCT) via first-occurrence flag + running sum —
+# the two-window decomposition the engine mirrors with cumsum(flags)
+ORACLE_SQL["events_cumulative_distinct"] = """
+    SELECT user_id, event_id,
+           sum(first_flag) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT
+             AS distinct_types
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_flag
+      FROM events)
+"""
+
+# exact-proportion per-source split: rank by (FNV-1a(doc_id), doc_id)
+# inside the source, cut at floor(0.8n)/floor(0.9n)
+ORACLE_SQL["docs_proportional_split"] = """
+    SELECT doc_id, source,
+           CASE WHEN rn <= CAST(floor(0.8 * n) AS BIGINT) THEN 'train'
+                WHEN rn <= CAST(floor(0.9 * n) AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM (
+        SELECT doc_id, source,
+               list_reduce(
+                 list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(range(0, 8), k ->
+                     (doc_id::HUGEINT // CAST(power(2, 8*k) AS HUGEINT)) % 256)),
+                 (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                              * 1099511628211::HUGEINT)
+                             % 18446744073709551616::HUGEINT
+               ) AS h
+        FROM documents) t)
 """
