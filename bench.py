@@ -377,6 +377,10 @@ def run_components(num_cpus: int) -> dict:
         "docs_dup_span_census",
         "events_scd2",
         "customer_order_histogram",
+        "orders_shipping_priority",
+        "orders_returned_customers",
+        "part_promo_share",
+        "events_cumulative_distinct",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -8473,10 +8473,125 @@ def docs_proportional_split(sf_dir: str):
     return ds.groupby("source").map_groups(per_source, batch_format="pyarrow")
 
 
+def docs_prefix_dups(sf_dir: str):
+    """PREFIX-containment dedup — docs whose full text is a prefix of
+    some other doc's text (the truncation-artifact near-dup class:
+    partial fetches, cut-off mirrors; subsumes exact dups). Uses the
+    lexicographic sandwich property: if A ≤ C ≤ B and A is a prefix of
+    B then A is a prefix of C — so A is a prefix of SOME other doc iff
+    A is a prefix of its immediate sorted successor (equal-text runs
+    flag their last member via predecessor equality). Distributed
+    shape: ONE groupby on the text's first character (any non-empty
+    prefix pair shares it, so no cross-group pairs exist) →
+    in-group numpy argsort + one vectorized shifted `startswith` —
+    O(n log n) per group, no pair loop anywhere. First-char groups are
+    Zipf-skewed on open-web text; the documented refinement
+    sub-buckets by (first char, length band) exactly like the PPJoin
+    degenerate-bucket split in stages/dedup. Empty-text docs (prefix
+    of everything) are flagged by a tiny driver-side count check."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def key_batch(b: pa.Table) -> pa.Table:
+        first = pc.utf8_slice_codeunits(b.column("text"), 0, 1)
+        return b.append_column("_k", first)
+
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow")
+
+    def per_group(g: pa.Table) -> pa.Table:
+        texts = g.column("text").to_numpy(zero_copy_only=False).astype(str)
+        ids = g.column("doc_id").to_numpy()
+        order = np.lexsort((ids, texts))
+        t_s, id_s = texts[order], ids[order]
+        flag = np.zeros(len(t_s), dtype=bool)
+        if len(t_s) > 1:
+            flag[:-1] = np.char.startswith(t_s[1:], t_s[:-1])
+            flag[1:] |= t_s[1:] == t_s[:-1]
+        return pa.table({"doc_id": pa.array(id_s[flag])})
+
+    out = collect_arrow(keyed.groupby("_k").map_groups(per_group, batch_format="pyarrow"))
+    # empty text: prefix of every other doc — flagged iff any other doc
+    # exists; the group pass can't see beyond its first-char group.
+    n_total = ds.count()
+    empty_ids = collect_arrow(
+        ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column("text"), "")).select(["doc_id"]),
+            batch_format="pyarrow",
+        )
+    )
+    if empty_ids.num_rows and n_total > 1:
+        out = pa.concat_tables(
+            [out, empty_ids.filter(
+                pc.invert(pc.is_in(empty_ids.column("doc_id"), value_set=out.column("doc_id").combine_chunks()))
+            )]
+        )
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+_BOOL_AND_TERMS = ("vector", "hash", "stream")
+
+
+def docs_boolean_and(sf_dir: str):
+    """Boolean AND search over the corpus — docs containing ALL query
+    terms (the postings-intersection read path of the inverted index
+    `docs_postings` builds). Distributed shape: the scan explodes each
+    block to (term, doc) pairs, prunes to the |Q| query terms and
+    dedups in-block (the combiner — only matching pairs leave the
+    scan), then one groupby(doc) keeps docs whose distinct-term count
+    equals |Q|. At index-serving scale you'd read the Q postings
+    segments instead of scanning the corpus; this is the scan-side
+    expression of the same algebra."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    terms = pa.array(list(_BOOL_AND_TERMS), pa.string())
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def explode_prune(b: pa.Table) -> pa.Table:
+        t = b.combine_chunks()
+        words = pc.split_pattern(t.column("text"), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        counts = np.diff(la.offsets.to_numpy())
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        pairs = pa.table(
+            {
+                "term": la.flatten(),
+                "doc_id": t.column("doc_id").take(pa.array(parent)),
+            }
+        )
+        pairs = pairs.filter(pc.is_in(pairs.column("term"), value_set=terms))
+        return (
+            pairs.group_by(["doc_id", "term"])
+            .aggregate([])
+        )
+
+    hits = drop_empty_blocks(
+        ds.map_batches(explode_prune, batch_format="pyarrow")
+        # block-level dedup above may still leave cross-block repeats of
+        # the same (doc, term): exact distinct before counting
+        .groupby(["doc_id", "term"])
+        .aggregate(Count("term", alias_name="_c"))
+        .map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count("doc_id", alias_name="n_terms"))
+    )
+    out = collect_arrow(
+        hits.map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("n_terms"), len(_BOOL_AND_TERMS))
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        )
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "docs_prefix_dups": docs_prefix_dups,
+    "docs_boolean_and": docs_boolean_and,
     "orders_priority_late": orders_priority_late,
     "events_cumulative_distinct": events_cumulative_distinct,
     "docs_proportional_split": docs_proportional_split,
@@ -11229,4 +11344,24 @@ ORACLE_SQL["docs_proportional_split"] = """
                              % 18446744073709551616::HUGEINT
                ) AS h
         FROM documents) t)
+"""
+
+# prefix-containment dedup: EXISTS other doc whose text starts with mine
+ORACLE_SQL["docs_prefix_dups"] = """
+    SELECT d.doc_id FROM documents d
+    WHERE EXISTS (SELECT 1 FROM documents o
+                  WHERE o.doc_id <> d.doc_id AND starts_with(o.text, d.text))
+    ORDER BY d.doc_id
+"""
+
+# boolean AND search: docs containing every query term
+ORACLE_SQL["docs_boolean_and"] = """
+    SELECT doc_id FROM (
+      SELECT doc_id, count(DISTINCT term) AS k
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN ('vector', 'hash', 'stream')
+      GROUP BY doc_id)
+    WHERE k = 3
+    ORDER BY doc_id
 """

@@ -688,3 +688,33 @@ def test_regression_matches_numpy_polyfit():
         assert abs(out.loc[f, "slope_cents_per_qty"] - slope) < 1e-6 * max(1, abs(slope))
         assert abs(out.loc[f, "intercept_cents"] - icept) < 1e-6 * max(1, abs(icept))
         assert out.loc[f, "n"] == len(g)
+
+
+def test_prefix_dups_planted_truncations(ray_session, tmp_path):
+    """Proper prefixes (truncation artifacts), equal-text runs, and the
+    empty-text doc must all be flagged; unique non-prefix docs must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_seo_ray.queries import docs_prefix_dups
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta"),            # proper prefix of 1 → flagged
+        (3, "alpha beta gamma delta"),  # exact dup of 1 → both flagged
+        (4, "zulu yankee"),            # unique → not flagged
+        (5, ""),                       # empty → prefix of everything
+        (6, "zulu"),                   # proper prefix of 4 → flagged
+        (7, "mike november"),          # unique → not flagged
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = docs_prefix_dups(str(tmp_path))
+    assert out.column("doc_id").to_pylist() == [1, 2, 3, 5, 6]
