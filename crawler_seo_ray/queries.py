@@ -5698,31 +5698,78 @@ def _basket_pair_counts(sf_dir: str, nparts: int):
     pair_parts = drop_empty_blocks(mixed.filter(expr="kind == 0"))
     if side_rows.num_rows:
         pair_parts = pair_parts.union(rd.from_arrow(side_rows))
-    # the pair table is the largest exchange here (≈2× input rows even
-    # pre-combined) — give its hash aggregate real parallelism; the
-    # generic _join_partitions() default starves it (measured)
-    gparts = max(nparts, min(16, _join_partitions() * 4))
-    counts = drop_empty_blocks(
-        pair_parts.map_batches(
-            lambda t: pa.table(
-                {"ant": t.column("a"), "cons": t.column("b"), "c": t.column("c")}
+    # the blocks are already pair-combined, so the cross-block merge is
+    # nearly a distinct-sum (~0.3 % dups at sf0.1) — Ray's hash-shuffle
+    # aggregator costs ~13 s of fixed actor/exchange overhead on it
+    # (measured at sf0.1/32cpu) while one driver-side Arrow group_by
+    # costs ~0.3 s. Below the size gate, take the dense path (the
+    # kcore/pagerank/triangle selection pattern: the SAME gate that
+    # keeps output-sized folds off the driver keeps subgraph-sized ones
+    # off the 16-actor exchange); above it, the distributed hash
+    # aggregate with real parallelism.
+    pair_rows = pair_parts.count()
+    if pair_rows <= 8_000_000:
+        t = collect_arrow(
+            pair_parts,
+            schema=pa.schema(
+                [
+                    ("kind", pa.int8()),
+                    ("a", pa.int64()),
+                    ("b", pa.int64()),
+                    ("c", pa.int64()),
+                ]
             ),
-            batch_format="pyarrow",
         )
-        .groupby(["ant", "cons"], num_partitions=gparts)
-        .aggregate(Sum("c", alias_name="sup"))
-    )
+        merged = (
+            pa.table({"ant": t.column("a"), "cons": t.column("b"), "c": t.column("c")})
+            .group_by(["ant", "cons"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["ant", "cons", "sup"])
+        )
+        counts = rd.from_arrow(merged).repartition(max(2, nparts))
+    else:
+        gparts = max(nparts, min(16, _join_partitions() * 4))
+        counts = drop_empty_blocks(
+            pair_parts.map_batches(
+                lambda t: pa.table(
+                    {"ant": t.column("a"), "cons": t.column("b"), "c": t.column("c")}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby(["ant", "cons"], num_partitions=gparts)
+            .aggregate(Sum("c", alias_name="sup"))
+        )
     item_parts = drop_empty_blocks(mixed.filter(expr="kind == 2"))
     if side_items is not None:
         item_parts = item_parts.union(rd.from_arrow(side_items))
-    items = drop_empty_blocks(
-        item_parts.map_batches(
-            lambda t: pa.table({"p": t.column("a"), "c": t.column("c")}),
-            batch_format="pyarrow",
+    # item partials are blocks×vertices-sized — same dense-path gate
+    if pair_rows <= 8_000_000:
+        ti = collect_arrow(
+            item_parts,
+            schema=pa.schema(
+                [
+                    ("kind", pa.int8()),
+                    ("a", pa.int64()),
+                    ("b", pa.int64()),
+                    ("c", pa.int64()),
+                ]
+            ),
         )
-        .groupby("p")
-        .aggregate(Sum("c", alias_name="sup"))
-    )
+        items = rd.from_arrow(
+            pa.table({"p": ti.column("a"), "c": ti.column("c")})
+            .group_by("p")
+            .aggregate([("c", "sum")])
+            .rename_columns(["p", "sup"])
+        )
+    else:
+        items = drop_empty_blocks(
+            item_parts.map_batches(
+                lambda t: pa.table({"p": t.column("a"), "c": t.column("c")}),
+                batch_format="pyarrow",
+            )
+            .groupby("p")
+            .aggregate(Sum("c", alias_name="sup"))
+        )
     return ds, counts, items, n_orders
 
 
