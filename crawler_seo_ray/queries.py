@@ -3812,12 +3812,57 @@ def docs_dup_span_census(sf_dir: str):
         t = pa.table({"doc_id": pa.array(pair_doc), "gram": gram})
         return t.group_by(["doc_id", "gram"]).aggregate([])
 
-    from .util import drop_empty_blocks
+    from .util import collect_arrow, drop_empty_blocks
 
     # the pair set feeds BOTH the DF aggregate and the dup join — one
     # materialization (object-store resident, spillable) instead of two
     # full gram-construction passes
     pair_ds = ds.map_batches(pairs, batch_format="pyarrow").materialize()
+
+    # below the gate the three string-keyed exchanges (gram groupby,
+    # gram join, doc left_outer) cost ~5 s of fixed shuffle overhead on
+    # a corpus whose whole distinct-pair table is a few hundred k rows
+    # — the basket/kcore dense-path gate applies: fold pairs once on
+    # the driver with Arrow kernels, identical algebra. Above it, the
+    # distributed plan below runs unchanged.
+    if pair_ds.count() <= 4_000_000:
+        pt = collect_arrow(
+            pair_ds,
+            schema=pa.schema([("doc_id", pa.int64()), ("gram", pa.string())]),
+        )
+        dfc = pt.group_by("gram").aggregate([([], "count_all")])
+        dup_grams = dfc.filter(
+            pc.greater_equal(dfc.column("count_all"), 2)
+        ).column("gram")
+        hit = pt.filter(
+            pc.is_in(pt.column("gram"), value_set=dup_grams.combine_chunks())
+        )
+        dupc = hit.group_by("doc_id").aggregate([([], "count_all")])
+        dk = dupc.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = dupc.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(dk)
+        dup_ref = ray.put((dk[o], dv[o]))
+
+        def finish_dense(b: pa.Table) -> pa.Table:
+            kk, vv = ray.get(dup_ref)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(kk, ids)
+            pos_c = np.minimum(pos, max(len(kk) - 1, 0))
+            nd = np.where(
+                (len(kk) > 0) & (kk[pos_c] == ids), vv[pos_c], 0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_kgrams": b.column("n_kgrams"),
+                    "n_distinct": b.column("n_distinct"),
+                    "n_dup": pa.array(nd),
+                }
+            )
+
+        return ds.map_batches(totals, batch_format="pyarrow").map_batches(
+            finish_dense, batch_format="pyarrow"
+        )
 
     def df_partial(b: pa.Table) -> pa.Table:
         g = b.group_by("gram").aggregate([([], "count_all")])
