@@ -8696,10 +8696,203 @@ def docs_boolean_and(sf_dir: str):
     return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
 
 
+def events_dau_wau(sf_dir: str):
+    """DAU / trailing-7-day WAU stickiness — the product-analytics
+    staple whose SQL form needs a sliding COUNT(DISTINCT) no window
+    frame supports. Distributed shape: distinct (user, day) pairs
+    (block dedup combiner → one pair-keyed groupby), then the sliding
+    distinct becomes a bounded EXPANSION — each pair contributes to the
+    7 days [day, day+6] — re-deduped per (user, window-day) and counted
+    (the exact-grouped-distinct-count pattern). The observed-day set is
+    day-grain (tiny) and broadcast to prune phantom window days. Every
+    exchange is pair- or day-sized; the ×7 fan-out is the price of
+    exactness and is the standard trade against a t-digest/HLL sliding
+    sketch (events_approx_users) when the window is short."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        # day rides the exchanges as int64 µs (timestamp units drift
+        # through shuffle reducers — r01's ns/us hash lesson); cast to
+        # timestamp[us] only at the output edge
+        day = pc.cast(
+            pc.floor_temporal(pc.cast(b.column("ts"), pa.timestamp("us")), unit="day"),
+            pa.int64(),
+        )
+        return (
+            pa.table({"user_id": b.column("user_id"), "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    pairs = drop_empty_blocks(
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count("user_id", alias_name="_c"))
+    ).map_batches(lambda b: b.drop_columns(["_c"]), batch_format="pyarrow")
+    pairs = pairs.materialize()  # feeds DAU and the window expansion
+
+    dau = drop_empty_blocks(
+        pairs.map_batches(
+            lambda b: b.select(["day"])
+            .group_by("day")
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "dau"]),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Sum("dau", alias_name="dau"))
+    )
+    days_t = collect_arrow(
+        dau.map_batches(lambda b: b.select(["day"]), batch_format="pyarrow")
+    )
+    days_us = np.sort(days_t.column("day").to_numpy(zero_copy_only=False))
+    days_ref = ray.put(days_us)
+    DAY_US = 86_400_000_000
+
+    def expand(b: pa.Table) -> pa.Table:
+        observed = ray.get(days_ref)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        tday = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64) * DAY_US, n)
+        urep = np.repeat(uid, 7)
+        pos = np.searchsorted(observed, tday)
+        pos_c = np.minimum(pos, max(len(observed) - 1, 0))
+        keep = (len(observed) > 0) & (observed[pos_c] == tday)
+        t = pa.table(
+            {
+                "user_id": pa.array(urep[keep]),
+                "wday": pa.array(tday[keep]),
+            }
+        )
+        return t.group_by(["user_id", "wday"]).aggregate([])
+
+    wau = drop_empty_blocks(
+        drop_empty_blocks(
+            pairs.map_batches(expand, batch_format="pyarrow")
+            .groupby(["user_id", "wday"])
+            .aggregate(Count("user_id", alias_name="_c"))
+        )
+        .map_batches(
+            lambda b: b.select(["wday"])
+            .group_by("wday")
+            .aggregate([([], "count_all")])
+            .rename_columns(["wday", "wau"]),
+            batch_format="pyarrow",
+        )
+        .groupby("wday")
+        .aggregate(Sum("wau", alias_name="wau"))
+    )
+    j = dau.join(
+        wau.map_batches(
+            lambda b: pa.table({"day2": b.column("wday"), "wau": b.column("wau")}),
+            batch_format="pyarrow",
+        ),
+        "inner",
+        _join_partitions(),
+        on=("day",),
+        right_on=("day2",),
+    )
+    out = collect_arrow(
+        drop_empty_blocks(
+            j.map_batches(
+                lambda b: pa.table(
+                    {
+                        "day": pc.cast(b.column("day"), pa.timestamp("us")),
+                        "dau": b.column("dau"),
+                        "wau": b.column("wau"),
+                        "stickiness": pc.divide(
+                            pc.cast(b.column("dau"), pa.float64()),
+                            pc.cast(b.column("wau"), pa.float64()),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("day", "ascending")]))
+
+
+def events_session_conversion(sf_dir: str):
+    """Sessionized funnel CONVERSION RATE — per session-start day, what
+    share of 30-min-gap sessions contain both a view AND a purchase.
+    The composition a growth team actually runs: gap-and-island
+    sessionization (events_sessionize's verified kernel) chained into
+    per-session flags and a day-grain conditional aggregate — ONE
+    groupby(user).map_groups emits per-session rows pre-reduced to
+    (day, n_sessions, n_converted) partials, one tiny day groupby
+    finishes. Sessions never leave their group; the exchange is
+    day-sized."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    GAP_US = 30 * 60 * 1_000_000
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"], blocks=16)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        order = np.argsort(ts, kind="stable")
+        t = ts[order]
+        et = g.column("event_type").to_numpy(zero_copy_only=False)[order]
+        new_s = np.ones(len(t), dtype=np.int64)
+        new_s[1:] = (t[1:] - t[:-1] > GAP_US).astype(np.int64)
+        sid = np.cumsum(new_s) - 1
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], len(t))
+        s_start = t[starts]
+        is_view = (et == "view").astype(np.int64)
+        is_buy = (et == "purchase").astype(np.int64)
+        cv = np.concatenate(([0], np.cumsum(is_view)))
+        cb = np.concatenate(([0], np.cumsum(is_buy)))
+        has_both = ((cv[ends] - cv[starts]) > 0) & ((cb[ends] - cb[starts]) > 0)
+        day = (s_start // 86_400_000_000) * 86_400_000_000
+        t_out = pa.table(
+            {
+                "day": pa.array(day),
+                "n_sessions": pa.array(np.ones(len(day), dtype=np.int64)),
+                "n_converted": pa.array(has_both.astype(np.int64)),
+            }
+        )
+        return (
+            t_out.group_by("day")
+            .aggregate([("n_sessions", "sum"), ("n_converted", "sum")])
+            .rename_columns(["day", "n_sessions", "n_converted"])
+        )
+
+    agg = drop_empty_blocks(
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("n_sessions", alias_name="n_sessions"),
+            Sum("n_converted", alias_name="n_converted"),
+        )
+    )
+    out = collect_arrow(agg)
+    day_ts = pc.cast(pc.cast(out.column("day"), pa.int64()), pa.timestamp("us"))
+    conv = pc.divide(
+        pc.cast(out.column("n_converted"), pa.float64()),
+        pc.cast(out.column("n_sessions"), pa.float64()),
+    )
+    res = pa.table(
+        {
+            "day": day_ts,
+            "n_sessions": out.column("n_sessions"),
+            "n_converted": out.column("n_converted"),
+            "conversion": conv,
+        }
+    )
+    return res.take(pc.sort_indices(res, sort_keys=[("day", "ascending")]))
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "events_dau_wau": events_dau_wau,
+    "events_session_conversion": events_session_conversion,
     "docs_prefix_dups": docs_prefix_dups,
     "docs_boolean_and": docs_boolean_and,
     "orders_priority_late": orders_priority_late,
@@ -11474,4 +11667,52 @@ ORACLE_SQL["docs_boolean_and"] = """
       GROUP BY doc_id)
     WHERE k = 3
     ORDER BY doc_id
+"""
+
+# DAU / trailing-7-day WAU: the sliding COUNT(DISTINCT) as a correlated
+# window count over distinct (user, day) pairs
+ORACLE_SQL["events_dau_wau"] = """
+    WITH p AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS day
+      FROM events
+    ), d AS (
+      SELECT day, count(*)::BIGINT AS dau FROM p GROUP BY day
+    )
+    SELECT d.day, d.dau,
+           (SELECT count(DISTINCT p2.user_id) FROM p p2
+            WHERE p2.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)::BIGINT AS wau,
+           d.dau::DOUBLE /
+           (SELECT count(DISTINCT p2.user_id) FROM p p2
+            WHERE p2.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)::DOUBLE
+             AS stickiness
+    FROM d ORDER BY d.day
+"""
+
+# sessionized view→purchase conversion per session-start day — the
+# events_sessionize gap-and-island CTE chained into conditional flags
+ORACLE_SQL["events_session_conversion"] = """
+    WITH gaps AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), per_session AS (
+      SELECT user_id, session_id,
+             date_trunc('day', min(ts))::TIMESTAMP AS day,
+             CASE WHEN max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1
+                   AND max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+                  THEN 1 ELSE 0 END AS converted
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT day, count(*)::BIGINT AS n_sessions,
+           sum(converted)::BIGINT AS n_converted,
+           sum(converted)::DOUBLE / count(*)::DOUBLE AS conversion
+    FROM per_session GROUP BY day ORDER BY day
 """
