@@ -7595,14 +7595,20 @@ def events_value_percentile(sf_dir: str):
         g = t.group_by(["event_type", "c"]).aggregate([("n", "sum")])
         return g.rename_columns(["event_type", "c", "n"])
 
-    dist = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "c"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
     from .util import collect_arrow
 
-    cdf_tbl = collect_arrow(dist)
+    # the (type, cents) partials are collected for the CDF broadcast
+    # anyway — fold them on the driver (one Arrow group_by) instead of
+    # paying the hash-shuffle aggregator's fixed overhead first
+    # (measured ~2 s of the 3.9 s total at sf0.1/32cpu); above the
+    # TF-IDF broadcast seam this whole stage flips to the
+    # range-partitioned join form, distributed aggregate included
+    cdf_tbl = (
+        collect_arrow(ev.map_batches(partial, batch_format="pyarrow"))
+        .group_by(["event_type", "c"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["event_type", "c", "n"])
+    )
     cdf = {}
     for typ in pc.unique(cdf_tbl.column("event_type")).to_pylist():
         sub = cdf_tbl.filter(pc.equal(cdf_tbl.column("event_type"), typ))
