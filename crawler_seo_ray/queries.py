@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from . import datagen
 from .canon import Scope
@@ -8893,10 +8893,152 @@ def events_session_conversion(sf_dir: str):
     return res.take(pc.sort_indices(res, sort_keys=[("day", "ascending")]))
 
 
+def events_pattern_chain(sf_dir: str):
+    """Sequence-pattern match (MATCH_RECOGNIZE's greedy first-match
+    semantics): per user, the FIRST completed view → click → purchase
+    chain — first view, then the first click strictly after it, then
+    the first purchase strictly after that; users who never complete
+    the chain are absent. Distributed shape: ONE groupby(user)
+    .map_groups; inside the group each step is a vectorized
+    searchsorted over the per-type sorted timestamp arrays — no scan
+    re-reads, no joins, the exchange is user-keyed events once. The
+    SQL form needs three nested correlated mins; the engine form is
+    three array lookups."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"], blocks=16)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "view_ts": pa.array([], pa.timestamp("us")),
+                "click_ts": pa.array([], pa.timestamp("us")),
+                "purchase_ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        v = np.sort(ts[et == "view"])
+        c = np.sort(ts[et == "click"])
+        p = np.sort(ts[et == "purchase"])
+        if not (len(v) and len(c) and len(p)):
+            return empty
+        v0 = v[0]
+        ci = np.searchsorted(c, v0, side="right")
+        if ci >= len(c):
+            return empty
+        c0 = c[ci]
+        pi = np.searchsorted(p, c0, side="right")
+        if pi >= len(p):
+            return empty
+        p0 = p[pi]
+        return pa.table(
+            {
+                "user_id": pa.array([g.column("user_id")[0].as_py()], pa.int64()),
+                "view_ts": pa.array([v0], pa.int64()).cast(pa.timestamp("us")),
+                "click_ts": pa.array([c0], pa.int64()).cast(pa.timestamp("us")),
+                "purchase_ts": pa.array([p0], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def orders_cohort_ltv(sf_dir: str):
+    """Customer-cohort LTV triangle — revenue by (first-order month,
+    months since first order): the lifetime-value matrix every
+    subscription/commerce analyst maintains. Distributed shape: the
+    first-touch min is a custkey-grain groupby(min) with block-local
+    combine; it joins back to the order stream (fact×customer-grain
+    hash join) and the month-pair groupby lands on cohort×age cells
+    (tiny). Month arithmetic is integer (year·12+month), exact cents
+    throughout."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    nparts = _join_partitions()
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"], blocks=8)
+
+    def scan(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        mkey = pc.add(
+            pc.multiply(pc.cast(pc.year(d), pa.int64()), 12),
+            pc.cast(pc.subtract(pc.month(d), 1), pa.int64()),
+        )
+        return pa.table(
+            {
+                "_ck": b.column("o_custkey"),
+                "mkey": mkey,
+                "cents": _cents(b.column("o_totalprice")),
+            }
+        )
+
+    fact = ds.map_batches(scan, batch_format="pyarrow").materialize()
+
+    first = drop_empty_blocks(
+        fact.map_batches(
+            lambda b: b.select(["_ck", "mkey"])
+            .group_by("_ck")
+            .aggregate([("mkey", "min")])
+            .rename_columns(["_ck2", "cohort"]),
+            batch_format="pyarrow",
+        )
+        .groupby("_ck2")
+        .aggregate(Min("cohort", alias_name="cohort"))
+    )
+    j = fact.join(first, "inner", nparts, on=("_ck",), right_on=("_ck2",))
+
+    def cells(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cohort": b.column("cohort"),
+                "age_months": pc.subtract(b.column("mkey"), b.column("cohort")),
+                "cents": b.column("cents"),
+                "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["cohort", "age_months"])
+            .aggregate([("cents", "sum"), ("n_orders", "sum")])
+            .rename_columns(["cohort", "age_months", "cents", "n_orders"])
+        )
+
+    out = collect_arrow(
+        drop_empty_blocks(
+            j.map_batches(cells, batch_format="pyarrow")
+            .groupby(["cohort", "age_months"])
+            .aggregate(
+                Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders")
+            )
+        )
+    )
+    y = pc.cast(pc.divide(out.column("cohort"), 12), pa.int64())
+    m = pc.add(pc.subtract(out.column("cohort"), pc.multiply(y, 12)), 1)
+    res = pa.table(
+        {
+            "cohort_year": y,
+            "cohort_month": m,
+            "age_months": out.column("age_months"),
+            "n_orders": out.column("n_orders"),
+            "revenue": pc.divide(pc.cast(out.column("cents"), pa.float64()), 100.0),
+        }
+    )
+    return res.take(
+        pc.sort_indices(
+            res,
+            sort_keys=[
+                ("cohort_year", "ascending"),
+                ("cohort_month", "ascending"),
+                ("age_months", "ascending"),
+            ],
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "events_pattern_chain": events_pattern_chain,
+    "orders_cohort_ltv": orders_cohort_ltv,
     "events_dau_wau": events_dau_wau,
     "events_session_conversion": events_session_conversion,
     "docs_prefix_dups": docs_prefix_dups,
@@ -11721,4 +11863,49 @@ ORACLE_SQL["events_session_conversion"] = """
            sum(converted)::BIGINT AS n_converted,
            sum(converted)::DOUBLE / count(*)::DOUBLE AS conversion
     FROM per_session GROUP BY day ORDER BY day
+"""
+
+# MATCH_RECOGNIZE greedy first-match: first view, first click after it,
+# first purchase after that — three nested correlated mins
+ORACLE_SQL["events_pattern_chain"] = """
+    WITH v AS (
+      SELECT user_id, min(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT v.user_id, v.view_ts,
+             (SELECT min(e.ts) FROM events e
+              WHERE e.user_id = v.user_id AND e.event_type = 'click'
+                AND e.ts > v.view_ts) AS click_ts
+      FROM v
+    ), p AS (
+      SELECT c.user_id, c.view_ts, c.click_ts,
+             (SELECT min(e.ts) FROM events e
+              WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+                AND e.ts > c.click_ts) AS purchase_ts
+      FROM c WHERE c.click_ts IS NOT NULL
+    )
+    SELECT user_id, view_ts, click_ts, purchase_ts
+    FROM p WHERE purchase_ts IS NOT NULL
+"""
+
+# cohort LTV triangle: first-order month × months-since, exact cents
+ORACLE_SQL["orders_cohort_ltv"] = """
+    WITH f AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), j AS (
+      SELECT f.cohort,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) - f.cohort
+               AS age_months,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+    )
+    SELECT (cohort // 12)::BIGINT AS cohort_year,
+           (cohort % 12 + 1)::BIGINT AS cohort_month,
+           age_months::BIGINT AS age_months,
+           count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT::DOUBLE / 100.0 AS revenue
+    FROM j GROUP BY cohort, age_months
+    ORDER BY cohort, age_months
 """
