@@ -9033,10 +9033,149 @@ def orders_cohort_ltv(sf_dir: str):
     )
 
 
+def nation_trade_matrix(sf_dir: str):
+    """TPC-H Q7-shaped bilateral trade matrix — revenue between every
+    (supplier nation, customer nation) pair per ship year, full
+    cross-nation matrix (n1 ≠ n2; Q7 additionally pins two nations —
+    the synthetic nation keys carry no suppliers below sf0.01, so the
+    matrix form keeps the query scale-independent). Distributed plan:
+    the 25-row nation map broadcasts by closure; supplier and customer
+    ship only (key → nationkey); lineitem joins supplier
+    first (the smaller build side), pre-aggregates rev_cents by
+    (orderkey, supp-nation, year) in-block, joins the
+    orders⋈customer chain on orderkey, prunes the cross-pair
+    (n1 ≠ n2) and finishes on a 2×years-cell groupby. Exact cents,
+    the year from l_shipdate as in Q7."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    nparts = _join_partitions()
+    nat = collect_arrow(_pq(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nat_names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    def supp_scan(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_sk": b.column("s_suppkey"),
+                "supp_nation": pc.cast(b.column("s_nationkey"), pa.int64()),
+            }
+        )
+
+    supp = drop_empty_blocks(
+        _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"], blocks=2).map_batches(
+            supp_scan, batch_format="pyarrow"
+        )
+    )
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "_ok": b.column("l_orderkey"),
+                "_lsk": b.column("l_suppkey"),
+                "ship_year": pc.cast(pc.year(d), pa.int64()),
+                "rev_cents": _cents(rev),
+            }
+        )
+
+    li = _pq(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        blocks=16,
+    ).map_batches(li_scan, batch_format="pyarrow")
+    j1 = li.join(supp, "inner", nparts, on=("_lsk",), right_on=("_sk",))
+
+    def combine1(b: pa.Table) -> pa.Table:
+        t = b.select(["_ok", "supp_nation", "ship_year", "rev_cents"])
+        return (
+            t.group_by(["_ok", "supp_nation", "ship_year"])
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["_ok", "supp_nation", "ship_year", "rev_cents"])
+        )
+
+    j1c = drop_empty_blocks(j1.map_batches(combine1, batch_format="pyarrow"))
+
+    def cust_scan(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_ck": b.column("c_custkey"),
+                "cust_nation": pc.cast(b.column("c_nationkey"), pa.int64()),
+            }
+        )
+
+    cust = drop_empty_blocks(
+        _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"], blocks=4).map_batches(
+            cust_scan, batch_format="pyarrow"
+        )
+    )
+    ords = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"], blocks=8).map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b.column("o_orderkey"), "_ck2": b.column("o_custkey")}
+        ),
+        batch_format="pyarrow",
+    )
+    oc = drop_empty_blocks(
+        ords.join(cust, "inner", nparts, on=("_ck2",), right_on=("_ck",))
+    )
+    j2 = j1c.join(oc, "inner", nparts, on=("_ok",), right_on=("o_orderkey",))
+
+    def finishcells(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.not_equal(b.column("supp_nation"), b.column("cust_nation"))
+        ).select(["supp_nation", "cust_nation", "ship_year", "rev_cents"])
+        return (
+            t.group_by(["supp_nation", "cust_nation", "ship_year"])
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["supp_nation", "cust_nation", "ship_year", "rev_cents"])
+        )
+
+    out = collect_arrow(
+        drop_empty_blocks(
+            j2.map_batches(finishcells, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "ship_year"])
+            .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+        )
+    )
+    sn = pa.array(
+        [nat_names[k] for k in out.column("supp_nation").to_pylist()], pa.string()
+    )
+    cn = pa.array(
+        [nat_names[k] for k in out.column("cust_nation").to_pylist()], pa.string()
+    )
+    res = _cents_to_dollars(
+        pa.table(
+            {
+                "supp_nation": sn,
+                "cust_nation": cn,
+                "ship_year": out.column("ship_year"),
+                "rev_cents": out.column("rev_cents"),
+            }
+        ),
+        "rev_cents",
+        "revenue",
+    )
+    return res.take(
+        pc.sort_indices(
+            res,
+            sort_keys=[
+                ("supp_nation", "ascending"),
+                ("cust_nation", "ascending"),
+                ("ship_year", "ascending"),
+            ],
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "nation_trade_matrix": nation_trade_matrix,
     "events_pattern_chain": events_pattern_chain,
     "orders_cohort_ltv": orders_cohort_ltv,
     "events_dau_wau": events_dau_wau,
@@ -11908,4 +12047,21 @@ ORACLE_SQL["orders_cohort_ltv"] = """
            sum(cents)::BIGINT::DOUBLE / 100.0 AS revenue
     FROM j GROUP BY cohort, age_months
     ORDER BY cohort, age_months
+"""
+
+# Q7-shaped bilateral trade matrix between nation keys 0 and 1
+ORACLE_SQL["nation_trade_matrix"] = """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l.l_shipdate)::BIGINT AS ship_year,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                    AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE s.s_nationkey <> c.c_nationkey
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, ship_year
 """
