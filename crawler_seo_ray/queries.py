@@ -9171,10 +9171,79 @@ def nation_trade_matrix(sf_dir: str):
     )
 
 
+def corpus_embed_knn(sf_dir: str, k: int = 3):
+    """END-TO-END multimodal retrieval: decode → feature-extract →
+    cosine kNN, the decode→embed→ANN chain a contrastive-training or
+    near-dup curation pipeline runs over an image corpus. Stage 1 is
+    the `ImageFeatureVectors` actor pool (pixels never leave the
+    stage; a real vision encoder drops into the same signature);
+    stage 2 broadcasts the corpus-sized feature matrix (`ray.put`
+    once) and each block computes its rows' top-k neighbors with one
+    matmul — the embeddings_knn brute pattern; past broadcast scale
+    the IVF index path (stages/similarity.build_ivf_index) takes over.
+    Ties break by neighbor id. Rows-only (pixel decode isn't SQL);
+    pinned to a driver-side numpy replay in tests."""
+    from .stages.multimodal import FEATURE_DIM, ImageFeatureVectors
+    from .util import collect_arrow
+
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    feats = ds.map_batches(
+        ImageFeatureVectors,
+        concurrency=_safe_workers(2),
+        batch_size=64,
+        batch_format="pyarrow",
+    ).materialize()
+
+    ft = collect_arrow(feats)
+    ids_all = np.asarray(ft.column("image_id").to_pylist(), dtype=object)
+    M = np.asarray(ft.column("feat").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids_all)
+    ids_all, M = ids_all[order], M[order]
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0.0] = 1.0
+    Mn = M / norms[:, None]
+    mat_ref = ray.put((ids_all, Mn))
+
+    def topk(b: pa.Table) -> pa.Table:
+        ids_b, base = ray.get(mat_ref)
+        bid = np.asarray(b.column("image_id").to_pylist(), dtype=object)
+        X = np.asarray(b.column("feat").to_pylist(), dtype=np.float64)
+        nx = np.linalg.norm(X, axis=1)
+        nx[nx == 0.0] = 1.0
+        sims = (X / nx[:, None]) @ base.T
+        qpos = np.searchsorted(ids_b, bid)
+        sims[np.arange(len(bid)), qpos] = -np.inf  # exclude self
+        out_q, out_n, out_r, out_s = [], [], [], []
+        for i in range(len(bid)):
+            row = sims[i]
+            cand = np.argsort(-row, kind="stable")[:k]  # stable ⇒ id tiebreak
+            for rank, j in enumerate(cand, start=1):
+                out_q.append(bid[i])
+                out_n.append(ids_b[j])
+                out_r.append(rank)
+                out_s.append(float(row[j]))
+        return pa.table(
+            {
+                "image_id": pa.array(out_q, pa.string()),
+                "neighbor_id": pa.array(out_n, pa.string()),
+                "rank": pa.array(out_r, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    out = collect_arrow(feats.map_batches(topk, batch_format="pyarrow"))
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("image_id", "ascending"), ("rank", "ascending")]
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "corpus_embed_knn": corpus_embed_knn,
     "nation_trade_matrix": nation_trade_matrix,
     "events_pattern_chain": events_pattern_chain,
     "orders_cohort_ltv": orders_cohort_ltv,

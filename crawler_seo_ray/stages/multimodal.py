@@ -323,6 +323,55 @@ class DominantPalette:
         return pa.table(cols)
 
 
+FEATURE_DIM = 14
+
+
+def image_feature_vector(px: np.ndarray) -> np.ndarray:
+    """Deterministic 14-dim visual descriptor from decoded pixels —
+    per-channel mean/std (exact int64 moments → one float expression
+    each), ITU-601 integer luma 8-bin histogram shares (coarse layout
+    signature), and log2 aspect ratio. A stand-in for a real vision
+    embedder with the same plumbing: per-image, layout-independent,
+    fixed dimension."""
+    h, w = px.shape[0], px.shape[1]
+    n = h * w
+    p = px.astype(np.int64)
+    feats = np.empty(FEATURE_DIM, dtype=np.float64)
+    for c in range(3):
+        s = int(p[..., c].sum())
+        s2 = int((p[..., c] * p[..., c]).sum())
+        mean = s / n
+        feats[c] = mean / 255.0
+        feats[3 + c] = np.sqrt(max(s2 / n - mean * mean, 0.0)) / 255.0
+    luma = (77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2]) >> 8
+    hist = np.bincount((luma >> 5).ravel(), minlength=8)
+    feats[6:13] = hist[:7] / n
+    feats[13] = np.log2(w / h)
+    return feats
+
+
+class ImageFeatureVectors:
+    """Actor stage: decode → fixed-dim feature vector per image (the
+    embed step of a decode→embed→ANN multimodal pipeline). Pixels
+    never leave the stage; output is (image_id, FEATURE_DIM float64
+    list)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, vecs = [], []
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"])
+            ids.append(r["image_id"])
+            vecs.append(image_feature_vector(px))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "feat": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float64(), FEATURE_DIM)
+                ),
+            }
+        )
+
+
 class DecodeAudio:
     """STUB: audio codec libraries are not present in this container.
 

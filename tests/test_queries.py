@@ -718,3 +718,49 @@ def test_prefix_dups_planted_truncations(ray_session, tmp_path):
     )
     out = docs_prefix_dups(str(tmp_path))
     assert out.column("doc_id").to_pylist() == [1, 2, 3, 5, 6]
+
+
+def test_corpus_embed_knn_matches_numpy_replay(ray_session):
+    """End-to-end decode→embed→kNN: neighbors must equal a driver-side
+    numpy replay of the identical feature + cosine + stable-tiebreak
+    math, and satisfy the structural invariants."""
+    import numpy as np
+
+    from crawler_seo_ray import datagen
+    from crawler_seo_ray.functions.imagecodec import decode_image
+    from crawler_seo_ray.queries import corpus_embed_knn, corpus_dir, corpus_parquet
+    from crawler_seo_ray.stages.multimodal import image_feature_vector
+
+    out = corpus_embed_knn("unused")
+    ids = out.column("image_id").to_pylist()
+    nbrs = out.column("neighbor_id").to_pylist()
+    ranks = out.column("rank").to_pylist()
+    assert all(i != n for i, n in zip(ids, nbrs)), "self must be excluded"
+    per = {}
+    for i, r in zip(ids, ranks):
+        per.setdefault(i, []).append(r)
+    assert all(v == [1, 2, 3] for v in per.values())
+
+    # numpy replay over the same cached corpus
+    t = corpus_parquet(columns=["image_id", "bytes", "fmt"]).to_pandas()
+    t = t.sort_values("image_id").reset_index(drop=True)
+    M = np.stack(
+        [
+            image_feature_vector(decode_image(b, f))
+            for b, f in zip(t["bytes"], t["fmt"])
+        ]
+    )
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mn = M / norms[:, None]
+    sims = Mn @ Mn.T
+    np.fill_diagonal(sims, -np.inf)
+    id_arr = t["image_id"].to_numpy()
+    expect = {}
+    for i in range(len(id_arr)):
+        cand = np.argsort(-sims[i], kind="stable")[:3]
+        expect[id_arr[i]] = [id_arr[j] for j in cand]
+    got = {}
+    for i, n, r in zip(ids, nbrs, ranks):
+        got.setdefault(i, [None] * 3)[r - 1] = n
+    assert got == expect
