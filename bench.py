@@ -381,6 +381,10 @@ def run_components(num_cpus: int) -> dict:
         "orders_returned_customers",
         "part_promo_share",
         "events_cumulative_distinct",
+        "nation_trade_matrix",
+        "orders_cohort_ltv",
+        "events_dau_wau",
+        "corpus_embed_knn",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

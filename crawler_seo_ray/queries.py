@@ -9239,10 +9239,92 @@ def corpus_embed_knn(sf_dir: str, k: int = 3):
     )
 
 
+_ATTR_WINDOW_US = 7 * 86_400_000_000
+
+
+def events_linear_attribution(sf_dir: str):
+    """Multi-touch LINEAR ATTRIBUTION, integer-exact — each purchase's
+    value (cents) splits across the user's view/click touches in the
+    preceding 7 days; with no touches the credit goes to 'direct'.
+    Exactness is the point: credit_i = cents//n + (rank_i ≤ cents%n) —
+    the remainder goes to the EARLIEST touches, so the per-channel
+    sums are integers and hash-stable (a float 1/n split would
+    accumulate in block order). Distributed shape: ONE
+    groupby(user).map_groups; inside the group searchsorted windows
+    per purchase, np.repeat fan-out of per-purchase touch slices,
+    vectorized remainder assignment, and a group-local channel
+    pre-sum — the exchange after the group pass is channel-sized."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"], blocks=16)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        cents_all = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        touch = (et == "view") | (et == "click")
+        t_ts, t_eid, t_et = ts[touch], eid[touch], et[touch]
+        t_order = np.lexsort((t_eid, t_ts))
+        t_ts, t_eid, t_et = t_ts[t_order], t_eid[t_order], t_et[t_order]
+        buy = et == "purchase"
+        b_ts, b_cents = ts[buy], cents_all[buy]
+        b_order = np.lexsort((eid[buy], b_ts))
+        b_ts, b_cents = b_ts[b_order], b_cents[b_order]
+        lo = np.searchsorted(t_ts, b_ts - _ATTR_WINDOW_US, side="left")
+        hi = np.searchsorted(t_ts, b_ts, side="left")  # strictly before
+        n = hi - lo
+        out: dict[str, int] = {}
+        # purchases with no touches → 'direct'
+        none = n == 0
+        if none.any():
+            out["direct"] = int(b_cents[none].sum())
+        sel = ~none
+        if sel.any():
+            nn, ll = n[sel], lo[sel]
+            cc = b_cents[sel]
+            total = int(nn.sum())
+            base = np.repeat(ll, nn)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(nn) - nn, nn
+            )
+            pos = base + within
+            per = np.repeat(cc // nn, nn)
+            rem = np.repeat(cc % nn, nn)
+            credit = per + (within < rem)
+            ch = t_et[pos]
+            for c in np.unique(ch):
+                out[str(c)] = out.get(str(c), 0) + int(credit[ch == c].sum())
+        return pa.table(
+            {
+                "channel": pa.array(list(out.keys()), pa.string()),
+                "cents": pa.array(list(out.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("channel")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    from .util import collect_arrow, drop_empty_blocks
+
+    out = collect_arrow(drop_empty_blocks(agg))
+    # integer cents and the one mirrored ÷100, names matched in SQL
+    res = pa.table(
+        {
+            "channel": out.column("channel"),
+            "attributed_cents": out.column("cents"),
+            "attributed": pc.divide(pc.cast(out.column("cents"), pa.float64()), 100.0),
+        }
+    )
+    return res.take(pc.sort_indices(res, sort_keys=[("channel", "ascending")]))
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "events_linear_attribution": events_linear_attribution,
     "corpus_embed_knn": corpus_embed_knn,
     "nation_trade_matrix": nation_trade_matrix,
     "events_pattern_chain": events_pattern_chain,
@@ -12133,4 +12215,36 @@ ORACLE_SQL["nation_trade_matrix"] = """
     WHERE s.s_nationkey <> c.c_nationkey
     GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
     ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+# integer-exact linear attribution: cents//n + (rank <= cents%n),
+# remainder to the earliest touches; untouched purchases → 'direct'
+ORACLE_SQL["events_linear_attribution"] = """
+    WITH b AS (
+      SELECT user_id, ts AS bts, event_id AS bid,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT b.user_id, b.bid, b.cents, t.event_type,
+             row_number() OVER (PARTITION BY b.user_id, b.bid
+                                ORDER BY t.ts, t.event_id) AS rnk,
+             count(*) OVER (PARTITION BY b.user_id, b.bid) AS n
+      FROM b JOIN t ON t.user_id = b.user_id
+                   AND t.ts >= b.bts - INTERVAL 7 DAY AND t.ts < b.bts
+    ), credits AS (
+      SELECT event_type AS channel,
+             cents // n + CASE WHEN rnk <= cents % n THEN 1 ELSE 0 END AS credit
+      FROM j
+      UNION ALL
+      SELECT 'direct', cents FROM b
+      WHERE NOT EXISTS (SELECT 1 FROM t
+                        WHERE t.user_id = b.user_id
+                          AND t.ts >= b.bts - INTERVAL 7 DAY AND t.ts < b.bts)
+    )
+    SELECT channel, sum(credit)::BIGINT AS attributed_cents,
+           sum(credit)::BIGINT::DOUBLE / 100.0 AS attributed
+    FROM credits GROUP BY channel ORDER BY channel
 """
