@@ -9320,10 +9320,59 @@ def events_linear_attribution(sf_dir: str):
     return res.take(pc.sort_indices(res, sort_keys=[("channel", "ascending")]))
 
 
+def events_hourly_ohlc(sf_dir: str):
+    """Timeseries OHLC downsample — per (user, hour): the first event's
+    value (open), max (high), min (low), last (close), and the event
+    count — the classic resample a metrics store runs before plotting.
+    First/last are argmin/argmax by (ts, event_id) so ties are pinned.
+    Distributed shape: ONE groupby(user).map_groups; in-group lexsort
+    by (ts, event_id), hour boundaries by np.unique on the hour key,
+    O/C by slice endpoints, H/L via np.minimum/maximum.reduceat — no
+    per-row Python, exchange is the user-keyed events once, output is
+    (user × active hours)-sized. Exact int64 cents; the mirrored ÷100
+    at the edge."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "value"], blocks=16)
+    HOUR_US = 3_600_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, cents = ts[order], cents[order]
+        hour = (ts // HOUR_US) * HOUR_US
+        starts = np.flatnonzero(np.concatenate(([True], hour[1:] != hour[:-1])))
+        ends = np.append(starts[1:], len(hour))
+        uid = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(starts), uid, dtype=np.int64)),
+                "hour": pa.array(hour[starts], pa.int64()).cast(pa.timestamp("us")),
+                "open": pa.array(cents[starts]),
+                "high": pa.array(np.maximum.reduceat(cents, starts)),
+                "low": pa.array(np.minimum.reduceat(cents, starts)),
+                "close": pa.array(cents[ends - 1]),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+    def dollars(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b.column("user_id"), "hour": b.column("hour")}
+        for c in ("open", "high", "low", "close"):
+            cols[c] = pc.divide(pc.cast(b.column(c), pa.float64()), 100.0)
+        cols["n_events"] = b.column("n_events")
+        return pa.table(cols)
+
+    return out.map_batches(dollars, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "events_hourly_ohlc": events_hourly_ohlc,
     "events_linear_attribution": events_linear_attribution,
     "corpus_embed_knn": corpus_embed_knn,
     "nation_trade_matrix": nation_trade_matrix,
@@ -12247,4 +12296,24 @@ ORACLE_SQL["events_linear_attribution"] = """
     SELECT channel, sum(credit)::BIGINT AS attributed_cents,
            sum(credit)::BIGINT::DOUBLE / 100.0 AS attributed
     FROM credits GROUP BY channel ORDER BY channel
+"""
+
+# OHLC resample: first/last by (ts, event_id), min/max, exact cents
+ORACLE_SQL["events_hourly_ohlc"] = """
+    WITH x AS (
+      SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS hour,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    )
+    SELECT user_id, hour,
+           max(CASE WHEN rn_a = 1 THEN cents END)::BIGINT::DOUBLE / 100.0 AS open,
+           max(cents)::BIGINT::DOUBLE / 100.0 AS high,
+           min(cents)::BIGINT::DOUBLE / 100.0 AS low,
+           max(CASE WHEN rn_z = 1 THEN cents END)::BIGINT::DOUBLE / 100.0 AS close,
+           count(*)::BIGINT AS n_events
+    FROM x GROUP BY user_id, hour
 """

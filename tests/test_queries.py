@@ -152,6 +152,11 @@ def test_rows_only_queries_run(registry):
         and df["cdf"].is_monotonic_increasing
         and df["lut"].is_monotonic_increasing
         and df["lut"].between(0, 255).all(),
+        # deep pin in test_corpus_embed_knn_matches_numpy_replay
+        "corpus_embed_knn": lambda df: len(df) == 900
+        and (df["image_id"] != df["neighbor_id"]).all()
+        and df["cosine"].between(-1.0, 1.0 + 1e-12).all()
+        and sorted(df[df["image_id"] == df["image_id"].iloc[0]]["rank"]) == [1, 2, 3],
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
