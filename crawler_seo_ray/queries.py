@@ -8705,119 +8705,66 @@ def docs_boolean_and(sf_dir: str):
 def events_dau_wau(sf_dir: str):
     """DAU / trailing-7-day WAU stickiness — the product-analytics
     staple whose SQL form needs a sliding COUNT(DISTINCT) no window
-    frame supports. Distributed shape: distinct (user, day) pairs
-    (block dedup combiner → one pair-keyed groupby), then the sliding
-    distinct becomes a bounded EXPANSION — each pair contributes to the
-    7 days [day, day+6] — re-deduped per (user, window-day) and counted
-    (the exact-grouped-distinct-count pattern). The observed-day set is
-    day-grain (tiny) and broadcast to prune phantom window days. Every
-    exchange is pair- or day-sized; the ×7 fan-out is the price of
-    exactness and is the standard trade against a t-digest/HLL sliding
-    sketch (events_approx_users) when the window is short."""
-    from .util import collect_arrow, drop_empty_blocks
+    frame supports. Distributed shape: ONE user-keyed exchange
+    (groupby(user).map_groups); inside each group the user's distinct
+    active days come from np.unique, the sliding distinct becomes a
+    bounded ×7 window expansion deduped IN THE GROUP (all of a user's
+    days are co-located, so the group-local unique IS the global
+    dedup), and the group emits pre-counted (day, dau_flag, wau_flag)
+    rows — day-sized partials folded once at the edge. Window days no
+    user was actually active on are pruned against the observed-day
+    set during the fold. The ×7 fan-out is the price of exactness and
+    is the standard trade against a sliding HLL sketch
+    (events_approx_users) when the window is short."""
+    from .util import collect_arrow
 
     ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
-
-    def day_pairs(b: pa.Table) -> pa.Table:
-        # day rides the exchanges as int64 µs (timestamp units drift
-        # through shuffle reducers — r01's ns/us hash lesson); cast to
-        # timestamp[us] only at the output edge
-        day = pc.cast(
-            pc.floor_temporal(pc.cast(b.column("ts"), pa.timestamp("us")), unit="day"),
-            pa.int64(),
-        )
-        return (
-            pa.table({"user_id": b.column("user_id"), "day": day})
-            .group_by(["user_id", "day"])
-            .aggregate([])
-        )
-
-    pairs = drop_empty_blocks(
-        ds.map_batches(day_pairs, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Count("user_id", alias_name="_c"))
-    ).map_batches(lambda b: b.drop_columns(["_c"]), batch_format="pyarrow")
-    pairs = pairs.materialize()  # feeds DAU and the window expansion
-
-    dau = drop_empty_blocks(
-        pairs.map_batches(
-            lambda b: b.select(["day"])
-            .group_by("day")
-            .aggregate([([], "count_all")])
-            .rename_columns(["day", "dau"]),
-            batch_format="pyarrow",
-        )
-        .groupby("day")
-        .aggregate(Sum("dau", alias_name="dau"))
-    )
-    days_t = collect_arrow(
-        dau.map_batches(lambda b: b.select(["day"]), batch_format="pyarrow")
-    )
-    days_us = np.sort(days_t.column("day").to_numpy(zero_copy_only=False))
-    days_ref = ray.put(days_us)
     DAY_US = 86_400_000_000
 
-    def expand(b: pa.Table) -> pa.Table:
-        observed = ray.get(days_ref)
-        uid = b.column("user_id").to_numpy(zero_copy_only=False)
-        d = b.column("day").to_numpy(zero_copy_only=False)
-        n = len(uid)
-        tday = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64) * DAY_US, n)
-        urep = np.repeat(uid, 7)
-        pos = np.searchsorted(observed, tday)
-        pos_c = np.minimum(pos, max(len(observed) - 1, 0))
-        keep = (len(observed) > 0) & (observed[pos_c] == tday)
-        t = pa.table(
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        days = np.unique((ts // DAY_US) * DAY_US)
+        wdays = np.unique(
+            (days[:, None] + np.arange(7, dtype=np.int64) * DAY_US).ravel()
+        )
+        day_all = np.concatenate([days, wdays])
+        return pa.table(
             {
-                "user_id": pa.array(urep[keep]),
-                "wday": pa.array(tday[keep]),
+                "day": pa.array(day_all),
+                "dau": pa.array(
+                    np.concatenate(
+                        [np.ones(len(days), dtype=np.int64),
+                         np.zeros(len(wdays), dtype=np.int64)]
+                    )
+                ),
+                "wau": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(days), dtype=np.int64),
+                         np.ones(len(wdays), dtype=np.int64)]
+                    )
+                ),
             }
         )
-        return t.group_by(["user_id", "wday"]).aggregate([])
 
-    wau = drop_empty_blocks(
-        drop_empty_blocks(
-            pairs.map_batches(expand, batch_format="pyarrow")
-            .groupby(["user_id", "wday"])
-            .aggregate(Count("user_id", alias_name="_c"))
-        )
-        .map_batches(
-            lambda b: b.select(["wday"])
-            .group_by("wday")
-            .aggregate([([], "count_all")])
-            .rename_columns(["wday", "wau"]),
-            batch_format="pyarrow",
-        )
-        .groupby("wday")
-        .aggregate(Sum("wau", alias_name="wau"))
+    parts = collect_arrow(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
     )
-    j = dau.join(
-        wau.map_batches(
-            lambda b: pa.table({"day2": b.column("wday"), "wau": b.column("wau")}),
-            batch_format="pyarrow",
-        ),
-        "inner",
-        _join_partitions(),
-        on=("day",),
-        right_on=("day2",),
+    folded = (
+        parts.group_by("day")
+        .aggregate([("dau", "sum"), ("wau", "sum")])
+        .rename_columns(["day", "dau", "wau"])
     )
-    out = collect_arrow(
-        drop_empty_blocks(
-            j.map_batches(
-                lambda b: pa.table(
-                    {
-                        "day": pc.cast(b.column("day"), pa.timestamp("us")),
-                        "dau": b.column("dau"),
-                        "wau": b.column("wau"),
-                        "stickiness": pc.divide(
-                            pc.cast(b.column("dau"), pa.float64()),
-                            pc.cast(b.column("wau"), pa.float64()),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-        )
+    observed = folded.filter(pc.greater(folded.column("dau"), 0))
+    out = pa.table(
+        {
+            "day": pc.cast(observed.column("day"), pa.timestamp("us")),
+            "dau": observed.column("dau"),
+            "wau": observed.column("wau"),
+            "stickiness": pc.divide(
+                pc.cast(observed.column("dau"), pa.float64()),
+                pc.cast(observed.column("wau"), pa.float64()),
+            ),
+        }
     )
     return out.take(pc.sort_indices(out, sort_keys=[("day", "ascending")]))
 
@@ -8973,24 +8920,37 @@ def orders_cohort_ltv(sf_dir: str):
 
     fact = ds.map_batches(scan, batch_format="pyarrow").materialize()
 
-    first = drop_empty_blocks(
+    # first-touch is customer-grain — fold the ≤ blocks×customers
+    # block partials driver-side and broadcast sorted (custkey, cohort)
+    # arrays instead of a fact-sized hash join (the Q17 broadcast
+    # seam); cell partials are (cohort × age)-tiny, folded at the edge
+    fp = collect_arrow(
         fact.map_batches(
             lambda b: b.select(["_ck", "mkey"])
             .group_by("_ck")
             .aggregate([("mkey", "min")])
-            .rename_columns(["_ck2", "cohort"]),
+            .rename_columns(["_ck", "cohort"]),
             batch_format="pyarrow",
         )
-        .groupby("_ck2")
-        .aggregate(Min("cohort", alias_name="cohort"))
     )
-    j = fact.join(first, "inner", nparts, on=("_ck",), right_on=("_ck2",))
+    fmin = (
+        fp.group_by("_ck").aggregate([("cohort", "min")]).rename_columns(["_ck", "cohort"])
+    )
+    ck = fmin.column("_ck").to_numpy(zero_copy_only=False).astype(np.int64)
+    co = fmin.column("cohort").to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(ck)
+    first_ref = ray.put((ck[o], co[o]))
 
     def cells(b: pa.Table) -> pa.Table:
+        kk, cc = ray.get(first_ref)
+        cust = b.column("_ck").to_numpy(zero_copy_only=False).astype(np.int64)
+        cohort = cc[np.searchsorted(kk, cust)]
         t = pa.table(
             {
-                "cohort": b.column("cohort"),
-                "age_months": pc.subtract(b.column("mkey"), b.column("cohort")),
+                "cohort": pa.array(cohort),
+                "age_months": pc.subtract(
+                    b.column("mkey"), pa.array(cohort)
+                ),
                 "cents": b.column("cents"),
                 "n_orders": pa.array(np.ones(b.num_rows, dtype=np.int64)),
             }
@@ -9001,14 +8961,11 @@ def orders_cohort_ltv(sf_dir: str):
             .rename_columns(["cohort", "age_months", "cents", "n_orders"])
         )
 
-    out = collect_arrow(
-        drop_empty_blocks(
-            j.map_batches(cells, batch_format="pyarrow")
-            .groupby(["cohort", "age_months"])
-            .aggregate(
-                Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders")
-            )
-        )
+    out = (
+        collect_arrow(fact.map_batches(cells, batch_format="pyarrow"))
+        .group_by(["cohort", "age_months"])
+        .aggregate([("cents", "sum"), ("n_orders", "sum")])
+        .rename_columns(["cohort", "age_months", "cents", "n_orders"])
     )
     y = pc.cast(pc.divide(out.column("cohort"), 12), pa.int64())
     m = pc.add(pc.subtract(out.column("cohort"), pc.multiply(y, 12)), 1)
