@@ -6139,6 +6139,54 @@ def orders_chi2(sf_dir: str):
     )
 
 
+def orders_mutual_info(sf_dir: str):
+    """Mutual information I(status; priority) in bits — the
+    information-theoretic dependence measure (chi-square's sibling;
+    what a feature-selection pass ranks candidate columns by). Same
+    distributed shape as orders_chi2: exact int64 contingency cells
+    from block partials, then the driver accumulates
+    (obs/n)·log2(obs·n / (rs·cs)) STRICTLY in (s, p) order — obs·n and
+    rs·cs stay < 2^53 so the ratio is an exact-integer quotient and
+    the double is bit-equal to the oracle's ordered aggregate."""
+    import math
+
+    ds = _pq(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"], blocks=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["s", "p", "obs"])
+
+    from .util import collect_arrow, drop_empty_blocks
+
+    cells = collect_arrow(
+        drop_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["s", "p"])
+            .aggregate(Sum("obs", alias_name="obs"))
+        ),
+        schema=pa.schema(
+            [("s", pa.string()), ("p", pa.string()), ("obs", pa.int64())]
+        ),
+    ).to_pandas()
+    n = int(cells["obs"].sum())
+    rs = cells.groupby("s")["obs"].sum().to_dict()
+    cs = cells.groupby("p")["obs"].sum().to_dict()
+    mi = 0.0
+    for _, row in cells.sort_values(["s", "p"]).iterrows():
+        obs = int(row["obs"])
+        mi += (obs / n) * math.log2(
+            float(obs * n) / float(int(rs[row["s"]]) * int(cs[row["p"]]))
+        )
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "mi_bits": pa.array([mi], pa.float64()),
+        }
+    )
+
+
 def orders_time_decay(sf_dir: str, half_life_days: int = 30):
     """Exponential time-decay revenue per customer — the recency-
     weighted LTV feature (weight halves every ``half_life_days``).
@@ -9478,6 +9526,7 @@ QUERIES = {
     "corpus_quality_flags": corpus_quality_flags,
     "events_markov_stationary": events_markov_stationary,
     "orders_chi2": orders_chi2,
+    "orders_mutual_info": orders_mutual_info,
     "orders_time_decay": orders_time_decay,
     "supplier_part_coverage": supplier_part_coverage,
     "corpus_mip_levels": corpus_mip_levels,
@@ -12273,4 +12322,21 @@ ORACLE_SQL["events_hourly_ohlc"] = """
            max(CASE WHEN rn_z = 1 THEN cents END)::BIGINT::DOUBLE / 100.0 AS close,
            count(*)::BIGINT AS n_events
     FROM x GROUP BY user_id, hour
+"""
+
+# mutual information in bits: (obs/n)·log2(obs·n/(rs·cs)), ordered fold
+ORACLE_SQL["orders_mutual_info"] = """
+    WITH cells AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, count(*)::BIGINT AS obs
+      FROM orders GROUP BY 1, 2
+    ), rt AS (SELECT s, sum(obs)::BIGINT AS rs FROM cells GROUP BY s),
+    ct AS (SELECT p, sum(obs)::BIGINT AS cs FROM cells GROUP BY p),
+    tot AS (SELECT sum(obs)::BIGINT AS n FROM cells)
+    SELECT (SELECT n FROM tot) AS n,
+           sum((CAST(obs AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               * log2(CAST(obs * tot.n AS DOUBLE)
+                      / CAST(rt.rs * ct.cs AS DOUBLE))
+               ORDER BY c.s, c.p) AS mi_bits
+    FROM cells c JOIN rt USING (s) JOIN ct USING (p) CROSS JOIN tot
+    GROUP BY tot.n
 """
