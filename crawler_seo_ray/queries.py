@@ -7550,20 +7550,15 @@ def customer_fuzzy_pairs(sf_dir: str, bucket_cap: int = 2000):
             }
         )
 
-    var_ds = names.map_batches(variants, batch_format="pyarrow")
-    caps = var_ds.groupby("key").aggregate(Count(alias_name="n"))
+    var_ds = names.map_batches(variants, batch_format="pyarrow").materialize()
 
-    def check_cap(b: pa.Table) -> pa.Table:
-        over = pc.greater(b.column("n"), bucket_cap)
-        if pc.any(over).as_py():
-            hot = b.filter(over).column("key")[0].as_py()
-            raise RuntimeError(
-                f"fuzzy-join bucket {hot} exceeds cap {bucket_cap}; "
-                "split the bucket"
-            )
-        return b.slice(0, 0)
-
-    caps.map_batches(check_cap, batch_format="pyarrow").materialize()
+    # subcorpus-sized variant table (~13·N rows): the int-key hash
+    # self-join pays ~5 s of fixed exchange overhead at sf0.1/32cpu —
+    # the basket/Q17 dense-path gate applies: sort the collected keys,
+    # emit in-bucket index pairs with the shared _emit_run_pairs
+    # fan-out, verify with the SAME kernel driver-side. Above the gate
+    # the distributed join plan below runs unchanged.
+    dense = var_ds.count() <= 4_000_000
 
     def ed_le_1_slow(x: str, y: str) -> bool:
         s, l = (x, y) if len(x) < len(y) else (y, x)
@@ -7601,6 +7596,60 @@ def customer_fuzzy_pairs(sf_dir: str, bucket_cap: int = 2000):
         b = b.filter(pa.array(keep))
         # block-local dedup; the global distinct runs at output size
         return b.group_by(["tok_a", "tok_b"]).aggregate([]) if b.num_rows else b
+
+    if dense:
+        vt = collect_arrow(var_ds)
+        keys_np = vt.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks_np = np.asarray(
+            vt.column("tok").to_numpy(zero_copy_only=False), dtype=object
+        )
+        order = np.argsort(keys_np, kind="stable")
+        k_s, t_s = keys_np[order], toks_np[order]
+        run_len = np.diff(
+            np.append(np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1]))),
+                      len(k_s))
+        )
+        if run_len.size and int(run_len.max()) > bucket_cap:
+            raise RuntimeError(
+                f"fuzzy-join bucket exceeds cap {bucket_cap}; split the bucket"
+            )
+        ia, ib = _emit_run_pairs(k_s, np.arange(len(k_s), dtype=np.int64))
+        # index pairs carry arbitrary token order — canonicalize so the
+        # verify kernel's tok_a < tok_b mask keeps every unordered pair
+        a_t, b_t = t_s[ia], t_s[ib]
+        swap = a_t > b_t
+        a_t[swap], b_t[swap] = b_t[swap], a_t[swap]
+        cand_t = pa.table(
+            {
+                "tok_a": pa.array(a_t, pa.string()),
+                "tok_b": pa.array(b_t, pa.string()),
+            }
+        )
+        out = verify(cand_t)
+        if out.num_rows == 0:
+            out = pa.table(
+                {"tok_a": pa.array([], pa.string()), "tok_b": pa.array([], pa.string())}
+            )
+        out = out.group_by(["tok_a", "tok_b"]).aggregate([])
+        return out.take(
+            pc.sort_indices(
+                out, sort_keys=[("tok_a", "ascending"), ("tok_b", "ascending")]
+            )
+        )
+
+    caps = var_ds.groupby("key").aggregate(Count(alias_name="n"))
+
+    def check_cap(b: pa.Table) -> pa.Table:
+        over = pc.greater(b.column("n"), bucket_cap)
+        if pc.any(over).as_py():
+            hot = b.filter(over).column("key")[0].as_py()
+            raise RuntimeError(
+                f"fuzzy-join bucket {hot} exceeds cap {bucket_cap}; "
+                "split the bucket"
+            )
+        return b.slice(0, 0)
+
+    caps.map_batches(check_cap, batch_format="pyarrow").materialize()
 
     cand = var_ds.join(
         var_ds,
