@@ -1682,6 +1682,20 @@ def events_type_overlap(sf_dir: str):
     return hll_set_algebra(ds, "event_type", "user_id", "click", "view", p=12)
 
 
+def events_type_overlap_kmv(sf_dir: str):
+    """Theta/KMV set algebra — the tight-small-intersection companion
+    to `events_type_overlap` (closing the seam its HLL docstring
+    names): bottom-k hash samples per event type, θ = min of the two
+    saturation thresholds, and the intersection estimated from the
+    DIRECT sample overlap below θ — error scales with Jaccard
+    similarity, not union size (stages/sketch.kmv_set_algebra).
+    Exact whenever a group's distinct count ≤ k."""
+    from .stages.sketch import kmv_set_algebra
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"], blocks=8)
+    return kmv_set_algebra(ds, "event_type", "user_id", "click", "view", k=1024)
+
+
 def events_max_value_rows(sf_dir: str):
     """Grouped max-semi-join — ALL rows at their group's maximum
     (argmax with ties, the 'best row(s) per key' selector): block-local
@@ -9566,6 +9580,7 @@ QUERIES = {
     "corpus_channel_covariance": corpus_channel_covariance,
     "crawl_snapshot": crawl_snapshot,
     "events_type_overlap": events_type_overlap,
+    "events_type_overlap_kmv": events_type_overlap_kmv,
     "events_max_value_rows": events_max_value_rows,
     "crawl_wave_phases": crawl_wave_phases,
     "embeddings_quantize": embeddings_quantize,

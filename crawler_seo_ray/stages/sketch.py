@@ -161,6 +161,87 @@ def hll_set_algebra(
     )
 
 
+def _kmv_partial(keys: np.ndarray, k: int) -> np.ndarray:
+    """k minimum splitmix64 hash values of ``keys`` (ascending,
+    ≤ k entries, deduped) — the KMV/bottom-k sketch partial. Merge =
+    k smallest of the union; mergeable and exact-dedup within."""
+    h = np.unique(splitmix64(keys.astype(np.uint64)))
+    return h[:k]
+
+
+def kmv_set_algebra(
+    ds: Dataset, key: str, value: str, key_a, key_b, k: int = 1024
+) -> pa.Table:
+    """KMV (bottom-k / theta-sketch) SET ALGEBRA between two key
+    groups — the tight-small-intersection alternative the
+    `hll_set_algebra` docstring defers to. Each block emits its
+    bottom-k hash values per key (k·8 bytes — sketch-sized); the
+    driver k-merges, then estimates via the standard theta estimators:
+    with θ = (k-th smallest of the union sample), every group's
+    distinct count is |{h ∈ sketch : h < θ}| / θ (unbiased under the
+    uniform-hash model), and the INTERSECTION is estimated from the
+    DIRECT overlap of the two bottom-k samples below θ — not
+    inclusion–exclusion — so its error scales with the Jaccard
+    similarity rather than the union size (the reason theta beats HLL
+    exactly when the intersection is small). Exact when a group's
+    distinct count ≤ k (θ clamps to 1)."""
+    FULL = np.float64(2.0**64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        gcol = b.column(key)
+        v = b.column(value).to_numpy(zero_copy_only=False).astype(np.int64)
+        garr = gcol.to_numpy(zero_copy_only=False)
+        keys_out, blobs = [], []
+        for g in np.unique(garr):
+            keys_out.append(g)
+            blobs.append(_kmv_partial(v[garr == g], k).tobytes())
+        return pa.table(
+            {key: pa.array(keys_out, gcol.type), "mins": pa.array(blobs, pa.binary())}
+        )
+
+    parts = collect_arrow(
+        ds.select_columns([key, value]).map_batches(partial, batch_format="pyarrow")
+    )
+    merged: dict = {}
+    for g, blob in zip(parts.column(key).to_pylist(), parts.column("mins").to_pylist()):
+        h = np.frombuffer(blob, dtype=np.uint64)
+        if g in merged:
+            merged[g] = np.unique(np.concatenate([merged[g], h]))[:k]
+        else:
+            merged[g] = h.copy()
+    sa = merged.get(key_a, np.array([], dtype=np.uint64))
+    sb = merged.get(key_b, np.array([], dtype=np.uint64))
+    # standard theta set-operation estimator: θ = min(θ_A, θ_B) where
+    # θ_X is the k-th smallest hash of a SATURATED sketch (1.0 when the
+    # group's full distinct sample fits); retain strictly-below-θ
+    # entries of both (complete samples below θ), scale counts by 1/θ
+    th_a = sa[k - 1] if len(sa) >= k else None
+    th_b = sb[k - 1] if len(sb) >= k else None
+    if th_a is None and th_b is None:
+        theta = 1.0
+        sa_t, sb_t = sa, sb
+    else:
+        theta_h = min(x for x in (th_a, th_b) if x is not None)
+        theta = float(theta_h) / FULL
+        sa_t = sa[sa < theta_h]
+        sb_t = sb[sb < theta_h]
+    n_a = len(sa_t) / theta
+    n_b = len(sb_t) / theta
+    inter = len(np.intersect1d(sa_t, sb_t)) / theta
+    n_u = len(np.union1d(sa_t, sb_t)) / theta
+    return pa.table(
+        {
+            "key_a": pa.array([str(key_a)], pa.string()),
+            "key_b": pa.array([str(key_b)], pa.string()),
+            "approx_a": pa.array([int(round(n_a))], pa.int64()),
+            "approx_b": pa.array([int(round(n_b))], pa.int64()),
+            "approx_union": pa.array([int(round(n_u))], pa.int64()),
+            "approx_intersection": pa.array([int(round(inter))], pa.int64()),
+            "theta": pa.array([theta], pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mergeable quantile summary
 # ---------------------------------------------------------------------------

@@ -152,6 +152,11 @@ def test_rows_only_queries_run(registry):
         and df["cdf"].is_monotonic_increasing
         and df["lut"].is_monotonic_increasing
         and df["lut"].between(0, 255).all(),
+        "events_type_overlap_kmv": lambda df: len(df) == 1
+        and 0 < df["theta"].iloc[0] <= 1.0
+        and df["approx_intersection"].iloc[0] >= 0
+        and df["approx_union"].iloc[0]
+        <= df["approx_a"].iloc[0] + df["approx_b"].iloc[0],
         # deep pin in test_corpus_embed_knn_matches_numpy_replay
         "corpus_embed_knn": lambda df: len(df) == 900
         and (df["image_id"] != df["neighbor_id"]).all()

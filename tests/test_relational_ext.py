@@ -1133,3 +1133,59 @@ def test_hll_set_algebra_error_bound():
     assert abs(out["approx_intersection"] - ex["i"]) <= max(
         20, 0.25 * max(ex["a"], ex["b"])
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_set_algebra_tight_small_intersection():
+    """The theta/KMV estimator must match exact counts tightly — with
+    k=1024 ≥ each group's distinct count the sketch is EXACT (θ=1),
+    and on a planted small-intersection dataset (where HLL's
+    inclusion–exclusion is loose) the direct-overlap estimate must
+    recover the true intersection exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_seo_ray import queries as q
+    from crawler_seo_ray.stages.sketch import kmv_set_algebra
+
+    sf = "/root/testdata/sf0.01"
+    out = q.events_type_overlap_kmv(sf).to_pandas().iloc[0]
+    ex = duckdb.query(f"""
+        SELECT
+          (SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet') WHERE event_type='click') AS a,
+          (SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet') WHERE event_type='view') AS b,
+          (SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet') WHERE event_type IN ('click','view')) AS u,
+          (SELECT count(*) FROM (
+             SELECT user_id FROM read_parquet('{sf}/events.parquet') WHERE event_type='click'
+             INTERSECT
+             SELECT user_id FROM read_parquet('{sf}/events.parquet') WHERE event_type='view')) AS i
+    """).df().iloc[0]
+    if out["theta"] == 1.0:  # unsaturated ⇒ exact by construction
+        assert out["approx_a"] == ex["a"] and out["approx_b"] == ex["b"]
+        assert out["approx_union"] == ex["u"]
+        assert out["approx_intersection"] == ex["i"]
+    else:  # saturated ⇒ theta bounds (std err ~1/sqrt(k) ≈ 3.1 %; 6σ)
+        for est, true in ((out["approx_a"], ex["a"]), (out["approx_b"], ex["b"]),
+                          (out["approx_union"], ex["u"])):
+            assert abs(est - true) <= max(10, 0.20 * true), (est, true)
+        assert abs(out["approx_intersection"] - ex["i"]) <= max(10, 0.20 * ex["u"])
+
+    # planted small intersection over big disjoint sets: 3 shared users
+    # among 6000 distinct per side — saturates k=64 sketches
+    a_users = list(range(0, 6000))
+    b_users = list(range(10_000, 16_000)) + [1, 2, 3]
+    tbl = pa.table(
+        {
+            "grp": pa.array(["a"] * len(a_users) + ["b"] * len(b_users)),
+            "uid": pa.array(a_users + b_users, pa.int64()),
+        }
+    )
+    est = kmv_set_algebra(rd.from_arrow(tbl), "grp", "uid", "a", "b", k=4096).to_pandas().iloc[0]
+    # k=4096 < 12003 distinct in the union but > each side: theta from
+    # saturation or not — either way the tiny intersection must not be
+    # wildly off (HLL incl-excl at this shape errs by hundreds)
+    assert est["approx_intersection"] <= 50, est["approx_intersection"]
+    assert abs(est["approx_a"] - 6000) <= 300
+    assert abs(est["approx_b"] - 6003) <= 300
