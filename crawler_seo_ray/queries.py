@@ -1696,6 +1696,88 @@ def events_type_overlap_kmv(sf_dir: str):
     return kmv_set_algebra(ds, "event_type", "user_id", "click", "view", k=1024)
 
 
+def events_ab_test(sf_dir: str):
+    """A/B EXPERIMENT READOUT — deterministic hash assignment of users
+    to two arms (FNV-1a(user_id) % 2, restart-stable like docs_split),
+    per-arm user counts and conversion rates (converted = any purchase
+    of ≥ $150, exact cents), and the pooled two-proportion z
+    statistic. Distributed shape: per-user (arm, converted) facts from
+    block-level partials (user grain — the block groupby is the
+    combiner) → one user-keyed groupby-max → arm-grain counts folded
+    at the edge (2 rows). All counts exact int64; the rate and z
+    divisions are single ordered float expressions mirrored in SQL
+    (z pinned to 0 when the pooled variance degenerates)."""
+    import math
+
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "value"], blocks=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        is_buy = pc.equal(b.column("event_type"), "purchase")
+        big = pc.and_(
+            is_buy, pc.greater_equal(_cents(b.column("value")), 15_000)
+        )
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "conv": pc.cast(big, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("user_id")
+            .aggregate([("conv", "max")])
+            .rename_columns(["user_id", "conv"])
+        )
+
+    per_user = drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("conv", alias_name="conv"))
+    )
+
+    def arm_counts(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        arm = (_fnv64(uid) % np.uint64(2)).astype(np.int64)
+        t = pa.table(
+            {
+                "arm": pa.array(arm),
+                "n_users": pa.array(np.ones(len(uid), dtype=np.int64)),
+                "n_converted": pa.array(
+                    b.column("conv").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+        return (
+            t.group_by("arm")
+            .aggregate([("n_users", "sum"), ("n_converted", "sum")])
+            .rename_columns(["arm", "n_users", "n_converted"])
+        )
+
+    folded = (
+        collect_arrow(per_user.map_batches(arm_counts, batch_format="pyarrow"))
+        .group_by("arm")
+        .aggregate([("n_users", "sum"), ("n_converted", "sum")])
+        .rename_columns(["arm", "n_users", "n_converted"])
+    )
+    folded = folded.take(pc.sort_indices(folded, sort_keys=[("arm", "ascending")]))
+    n = folded.column("n_users").to_pylist()
+    c = folded.column("n_converted").to_pylist()
+    rate = [ci / ni for ci, ni in zip(c, n)]
+    p_pool = (c[0] + c[1]) / (n[0] + n[1])
+    se = math.sqrt(p_pool * (1.0 - p_pool) * (1.0 / n[0] + 1.0 / n[1]))
+    z = (rate[1] - rate[0]) / se if se > 0.0 else 0.0
+    return pa.table(
+        {
+            "arm": folded.column("arm"),
+            "n_users": folded.column("n_users"),
+            "n_converted": folded.column("n_converted"),
+            "rate": pa.array(rate, pa.float64()),
+            "z_stat": pa.array([z, z], pa.float64()),
+        }
+    )
+
+
 def events_max_value_rows(sf_dir: str):
     """Grouped max-semi-join — ALL rows at their group's maximum
     (argmax with ties, the 'best row(s) per key' selector): block-local
@@ -9581,6 +9663,7 @@ QUERIES = {
     "crawl_snapshot": crawl_snapshot,
     "events_type_overlap": events_type_overlap,
     "events_type_overlap_kmv": events_type_overlap_kmv,
+    "events_ab_test": events_ab_test,
     "events_max_value_rows": events_max_value_rows,
     "crawl_wave_phases": crawl_wave_phases,
     "embeddings_quantize": embeddings_quantize,
@@ -12403,4 +12486,47 @@ ORACLE_SQL["orders_mutual_info"] = """
                ORDER BY c.s, c.p) AS mi_bits
     FROM cells c JOIN rt USING (s) JOIN ct USING (p) CROSS JOIN tot
     GROUP BY tot.n
+"""
+
+# A/B readout: FNV arm assignment, per-user any-purchase conversion,
+# pooled two-proportion z — float expressions in the engine's op order
+ORACLE_SQL["events_ab_test"] = """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase'
+                       AND CAST(floor(value * 100.0 + 0.5) AS BIGINT) >= 15000
+                      THEN 1 ELSE 0 END) AS conv,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(0, 8), k ->
+                   (user_id::HUGEINT // CAST(power(2, 8*k) AS HUGEINT)) % 256)),
+               (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                            * 1099511628211::HUGEINT)
+                           % 18446744073709551616::HUGEINT
+             ) % 2 AS arm
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT arm::BIGINT AS arm, count(*)::BIGINT AS n_users,
+             sum(conv)::BIGINT AS n_converted
+      FROM u GROUP BY arm
+    ), s AS (
+      SELECT (SELECT n_converted FROM arms WHERE arm = 0)::DOUBLE
+               / (SELECT n_users FROM arms WHERE arm = 0)::DOUBLE AS r0,
+             (SELECT n_converted FROM arms WHERE arm = 1)::DOUBLE
+               / (SELECT n_users FROM arms WHERE arm = 1)::DOUBLE AS r1,
+             ((SELECT n_converted FROM arms WHERE arm = 0)
+              + (SELECT n_converted FROM arms WHERE arm = 1))::DOUBLE
+               / ((SELECT n_users FROM arms WHERE arm = 0)
+                  + (SELECT n_users FROM arms WHERE arm = 1))::DOUBLE AS pp,
+             (SELECT n_users FROM arms WHERE arm = 0)::BIGINT AS na,
+             (SELECT n_users FROM arms WHERE arm = 1)::BIGINT AS nb
+    )
+    SELECT a.arm, a.n_users, a.n_converted,
+           a.n_converted::DOUBLE / a.n_users::DOUBLE AS rate,
+           CASE WHEN s.pp IN (0.0, 1.0) THEN 0.0
+                ELSE (s.r1 - s.r0) / sqrt(s.pp * (1.0 - s.pp)
+                       * (1.0 / s.na::DOUBLE + 1.0 / s.nb::DOUBLE))
+           END AS z_stat
+    FROM arms a CROSS JOIN s
+    ORDER BY a.arm
 """
