@@ -2150,6 +2150,41 @@ def corpus_crop_plan(sf_dir: str, crop: int = 16):
     return ds.map_batches(plan, batch_format="pyarrow")
 
 
+def corpus_augment(sf_dir: str, crop: int = 16):
+    """APPLY the deterministic crop+flip augmentation to real pixels —
+    the execution of corpus_crop_plan's geometry (decode → cut → flip →
+    lossless re-encode in the multimodal actor pool;
+    stages/multimodal.AugmentImages). Offsets reproduce the plan's FNV
+    math exactly, flip = parity of fnv^'f'; output rows carry the
+    augmented PNG bytes, dims, flip flag and the augmented phash —
+    pixels never leave the stage. Rows-only (pixel transform isn't
+    SQL); pinned by a decode-back equality test against a numpy
+    replay."""
+    from .stages.multimodal import AugmentImages
+    from .util import collect_arrow
+
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    out = collect_arrow(
+        ds.map_batches(
+            AugmentImages(crop),
+            concurrency=_safe_workers(2),
+            batch_size=64,
+            batch_format="pyarrow",
+        )
+    )
+    keep = pa.table(
+        {
+            "image_id": out.column("image_id"),
+            "w": out.column("w"),
+            "h": out.column("h"),
+            "flipped": out.column("flipped"),
+            "phash": out.column("phash"),
+            "n_bytes": pc.binary_length(out.column("bytes")),
+        }
+    )
+    return keep.take(pc.sort_indices(keep, sort_keys=[("image_id", "ascending")]))
+
+
 def corpus_luma_histogram(sf_dir: str):
     """Corpus-wide 256-bin luminance histogram with its equalization
     LUT — the global histogram-equalization table (level → stretched
@@ -9636,6 +9671,7 @@ QUERIES = {
     "corpus_channel_norm": corpus_channel_norm,
     "basket_rules": basket_rules,
     "corpus_crop_plan": corpus_crop_plan,
+    "corpus_augment": corpus_augment,
     "corpus_luma_histogram": corpus_luma_histogram,
     "events_trailing_hour_sum": events_trailing_hour_sum,
     "events_active_time": events_active_time,

@@ -372,6 +372,61 @@ class ImageFeatureVectors:
         )
 
 
+class AugmentImages:
+    """Actor stage: decode → deterministic crop + flip ON REAL PIXELS →
+    re-encode (the apply step of corpus_crop_plan's geometry; training
+    pipelines re-run it identically because offsets are pure functions
+    of the id). Crop window per the plan's FNV math; horizontal flip
+    iff fnv ^ 'f' is odd. Output carries the re-encoded bytes plus the
+    augmented phash — pixels stay inside the stage."""
+
+    def __init__(self, crop: int = 16):
+        self.crop = crop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.imagecodec import encode_image, phash64
+
+        ids, out_bytes, out_w, out_h, flips, phashes = [], [], [], [], [], []
+        prime = np.uint64(1099511628211)
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"])
+            h, w = px.shape[0], px.shape[1]
+            if w < self.crop or h < self.crop:
+                continue  # plan semantics: only fitting images augment
+            base = np.uint64(14695981039346656037)
+            with np.errstate(over="ignore"):
+                for ch in r["image_id"].encode():
+                    base = (base ^ np.uint64(ch)) * prime
+                hx = (base ^ np.uint64(ord("x"))) * prime
+                hy = (base ^ np.uint64(ord("y"))) * prime
+                hf = (base ^ np.uint64(ord("f"))) * prime
+            x0 = int(hx % np.uint64(w - self.crop + 1))
+            y0 = int(hy % np.uint64(h - self.crop + 1))
+            flip = bool(int(hf) & 1)
+            cut = px[y0 : y0 + self.crop, x0 : x0 + self.crop]
+            if flip:
+                cut = cut[:, ::-1]
+            cut = np.ascontiguousarray(cut)
+            ids.append(r["image_id"])
+            out_bytes.append(encode_image(cut, "png"))  # lossless out
+            out_w.append(self.crop)
+            out_h.append(self.crop)
+            flips.append(flip)
+            phashes.append(phash64(cut))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(out_bytes, pa.binary()),
+                "w": pa.array(out_w, pa.int32()),
+                "h": pa.array(out_h, pa.int32()),
+                "flipped": pa.array(flips, pa.bool_()),
+                "phash": pa.array(phashes, pa.int64()),
+            }
+        )
+
+
 class DecodeAudio:
     """STUB: audio codec libraries are not present in this container.
 

@@ -157,6 +157,11 @@ def test_rows_only_queries_run(registry):
         and df["approx_intersection"].iloc[0] >= 0
         and df["approx_union"].iloc[0]
         <= df["approx_a"].iloc[0] + df["approx_b"].iloc[0],
+        # deep pin in test_corpus_augment_decode_back_equality
+        "corpus_augment": lambda df: len(df) > 250
+        and df["image_id"].is_unique
+        and (df["w"] == 16).all() and (df["h"] == 16).all()
+        and (df["n_bytes"] > 0).all(),
         # deep pin in test_corpus_embed_knn_matches_numpy_replay
         "corpus_embed_knn": lambda df: len(df) == 900
         and (df["image_id"] != df["neighbor_id"]).all()
@@ -774,3 +779,36 @@ def test_corpus_embed_knn_matches_numpy_replay(ray_session):
     for i, n, r in zip(ids, nbrs, ranks):
         got.setdefault(i, [None] * 3)[r - 1] = n
     assert got == expect
+
+
+def test_corpus_augment_decode_back_equality(ray_session):
+    """Augmented bytes must decode to exactly the numpy replay of
+    crop+flip on the original pixels (lossless PNG out), and the
+    offsets must match corpus_crop_plan's geometry."""
+    import numpy as np
+
+    from crawler_seo_ray.functions.imagecodec import decode_image
+    from crawler_seo_ray.queries import corpus_parquet, corpus_crop_plan
+    from crawler_seo_ray.stages.multimodal import AugmentImages
+
+    src = corpus_parquet(columns=["image_id", "bytes", "fmt"]).to_pandas()
+    src = src.sort_values("image_id").reset_index(drop=True).head(20)
+    import pyarrow as pa
+
+    batch = pa.Table.from_pandas(src)
+    out = AugmentImages(16)(batch).to_pandas().set_index("image_id")
+    plan = corpus_crop_plan("unused").to_pandas().set_index("image_id")
+    checked = 0
+    for _, r in src.iterrows():
+        if r["image_id"] not in out.index:
+            continue
+        o = out.loc[r["image_id"]]
+        px = decode_image(r["bytes"], r["fmt"])
+        p = plan.loc[r["image_id"]]
+        cut = px[p["y0"] : p["y1"], p["x0"] : p["x1"]]
+        if o["flipped"]:
+            cut = cut[:, ::-1]
+        back = decode_image(o["bytes"], "png")
+        assert np.array_equal(back, cut), r["image_id"]
+        checked += 1
+    assert checked >= 10
