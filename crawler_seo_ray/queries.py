@@ -9553,10 +9553,556 @@ def events_hourly_ohlc(sf_dir: str):
     return out.map_batches(dollars, batch_format="pyarrow")
 
 
+def top_window_supplier(sf_dir: str):
+    """TPC-H Q15-shaped scalar-max semi-join over an aggregate: revenue
+    per supplier within one ship-date quarter, keeping every supplier
+    whose revenue EQUALS the global max (ties survive — Q15's
+    revenue-view + scalar-subquery semantics). Distributed plan: the
+    quarter filter and per-supplier cents partials fold inside each
+    block, one supplier-grain merge on the driver (the aggregate is
+    dimension-sized), max + equality filter are driver scalars, names
+    annotate from the supplier dimension (reference parity: the
+    reference has no relational layer; this extends its report
+    aggregates per SURVEY §2.4)."""
+    from .util import collect_arrow
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"), pa.timestamp("us"))
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+        t = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        t2 = pa.table({"s_suppkey": t.column("l_suppkey"), "rev_cents": _cents(rev)})
+        return (
+            t2.group_by("s_suppkey").aggregate([("rev_cents", "sum")])
+            .rename_columns(["s_suppkey", "rev_cents"])
+        )
+
+    li = _pq(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"], blocks=16,
+    )
+    parts = collect_arrow(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        schema=pa.schema([("s_suppkey", pa.int64()), ("rev_cents", pa.int64())]),
+    )
+    merged = (
+        parts.group_by("s_suppkey").aggregate([("rev_cents", "sum")])
+        .rename_columns(["s_suppkey", "rev_cents"])
+    )
+    if merged.num_rows == 0:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue": pa.array([], pa.float64()),
+            }
+        )
+    mx = pc.max(merged.column("rev_cents"))
+    best = merged.filter(pc.equal(merged.column("rev_cents"), mx))
+    names = {
+        r["s_suppkey"]: r["s_name"]
+        for r in _pq(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()
+    }
+    out = pa.table(
+        {
+            "s_suppkey": best.column("s_suppkey"),
+            "s_name": pa.array(
+                [names[k] for k in best.column("s_suppkey").to_pylist()], pa.string()
+            ),
+            "total_revenue": pc.divide(
+                pc.cast(best.column("rev_cents"), pa.float64()), 100.0
+            ),
+        }
+    )
+    return out.sort_by("s_suppkey")
+
+
+def part_supplier_census(sf_dir: str):
+    """TPC-H Q16-shaped supplier census: COUNT(DISTINCT supplier) per
+    (p_brand, p_type, p_size), suppliers with negative account balance
+    excluded (Q16's complaints NOT IN). Distributed plan: blocks emit
+    DISTINCT (partkey, suppkey) pairs with the bad-supplier set already
+    filtered (broadcast sorted array — complaint sets are tiny by
+    construction), ONE pair-keyed groupby makes the pairs globally
+    distinct, part attributes arrive via a distributed hash join (part
+    scales with SF in TPC-H, so no dimension broadcast here), a second
+    block-local + grouped distinct over (brand, type, size, suppkey)
+    collapses same-attribute multi-part duplicates, and the final count
+    per attribute triple folds as block partials + a driver merge
+    (≤ |brand|·|type|·|size| rows)."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    sup = collect_arrow(_pq(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]))
+    bad = np.sort(
+        sup.filter(pc.less(sup.column("s_acctbal"), 0.0))
+        .column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    bad_ref = ray.put(bad)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isin(sk, ray.get(bad_ref))
+        t = pa.table(
+            {"_pk": b.column("l_partkey").filter(pa.array(keep)),
+             "suppkey": b.column("l_suppkey").filter(pa.array(keep))}
+        )
+        return (
+            t.group_by(["_pk", "suppkey"]).aggregate([([], "count_all")])
+            .select(["_pk", "suppkey"])
+        )
+
+    pairs_partial = _pq(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey"], blocks=16
+    ).map_batches(pair_partial, batch_format="pyarrow")
+
+    # Size-gated dense path: block-local distinct pairs are bounded by
+    # |part|·|suppliers-per-part|; when the partial set is driver-sized
+    # the three exchanges (pair dedup, part join, quad dedup) cost ~3×
+    # the hash-shuffle fixed overhead for no gain — fold with pyarrow
+    # group_by + searchsorted attr annotation instead. Above the gate
+    # the distributed plan runs unchanged (the 100 TB shape).
+    if pairs_partial.count() <= 5_000_000:
+        t = collect_arrow(
+            pairs_partial,
+            schema=pa.schema([("_pk", pa.int64()), ("suppkey", pa.int64())]),
+        )
+        t = (
+            t.group_by(["_pk", "suppkey"]).aggregate([([], "count_all")])
+            .select(["_pk", "suppkey"])
+        )
+        part = collect_arrow(
+            _pq(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+        )
+        order = pc.sort_indices(part.column("p_partkey"))
+        part = part.take(order)
+        pk_sorted = part.column("p_partkey").to_numpy(zero_copy_only=False)
+        probe = t.column("_pk").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(pk_sorted, probe)
+        # inner-join semantics: drop pairs whose partkey has no part row
+        idx_c = np.minimum(idx, max(len(pk_sorted) - 1, 0))
+        hit = (len(pk_sorted) > 0) & (idx < len(pk_sorted)) & (pk_sorted[idx_c] == probe)
+        t = t.filter(pa.array(hit))
+        idx = idx_c[hit]
+        quads = pa.table(
+            {
+                "p_brand": part.column("p_brand").take(pa.array(idx)),
+                "p_type": part.column("p_type").take(pa.array(idx)),
+                "p_size": pc.cast(
+                    part.column("p_size").take(pa.array(idx)), pa.int64()
+                ),
+                "suppkey": t.column("suppkey"),
+            }
+        )
+        quads = (
+            quads.group_by(["p_brand", "p_type", "p_size", "suppkey"])
+            .aggregate([([], "count_all")])
+            .select(["p_brand", "p_type", "p_size", "suppkey"])
+        )
+        return (
+            quads.group_by(["p_brand", "p_type", "p_size"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+        )
+
+    pairs = (
+        pairs_partial.groupby(["_pk", "suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    part = _pq(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    joined = drop_empty_blocks(pairs).join(
+        part, "inner", _join_partitions(), on=("_pk",), right_on=("p_partkey",)
+    )
+
+    def quad_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "p_type": b.column("p_type"),
+                "p_size": pc.cast(b.column("p_size"), pa.int64()),
+                "suppkey": b.column("suppkey"),
+            }
+        )
+        return (
+            t.group_by(["p_brand", "p_type", "p_size", "suppkey"])
+            .aggregate([([], "count_all")])
+            .select(["p_brand", "p_type", "p_size", "suppkey"])
+        )
+
+    quads = (
+        joined.map_batches(quad_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        return (
+            b.select(["p_brand", "p_type", "p_size"])
+            .group_by(["p_brand", "p_type", "p_size"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+        )
+
+    parts = collect_arrow(
+        quads.map_batches(count_partial, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("p_brand", pa.string()), ("p_type", pa.string()),
+             ("p_size", pa.int64()), ("supplier_cnt", pa.int64())]
+        ),
+    )
+    return (
+        parts.group_by(["p_brand", "p_type", "p_size"])
+        .aggregate([("supplier_cnt", "sum")])
+        .rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+    )
+
+
+def region_best_supplier(sf_dir: str):
+    """TPC-H Q2-shaped correlated max: for every part, the ASIA-region
+    supplier(s) with the highest account balance among the suppliers
+    that shipped it (ties survive — the correlated scalar-subquery
+    keeps every row equal to the per-part max). Distributed plan: the
+    eligible-supplier attributes broadcast once (region⋈nation⋈supplier
+    is dimension-sized; sorted arrays probed with searchsorted), blocks
+    emit distinct (partkey, suppkey, bal_cents) candidate rows, ONE
+    groupby(partkey).map_groups keeps the in-group max with ties, and
+    names annotate from the same broadcast."""
+    from .util import collect_arrow
+
+    nat = collect_arrow(_pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
+    reg = collect_arrow(_pq(sf_dir, "region", ["r_regionkey", "r_name"]))
+    asia_rk = {
+        k for k, n in zip(
+            reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()
+        ) if n == "ASIA"
+    }
+    asia_nk = {
+        k for k, rk in zip(
+            nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()
+        ) if rk in asia_rk
+    }
+    sup = collect_arrow(
+        _pq(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    )
+    keep = pa.array([k in asia_nk for k in sup.column("s_nationkey").to_pylist()])
+    sup = sup.filter(keep)
+    order = pc.sort_indices(sup.column("s_suppkey"))
+    sup = sup.take(order)
+    lut_ref = ray.put(
+        {
+            "sk": sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            "bal": _cents(sup.column("s_acctbal")).to_numpy(zero_copy_only=False),
+            "name": np.asarray(sup.column("s_name").to_pylist(), dtype=object),
+        }
+    )
+
+    def candidates(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(lut["sk"], sk)
+        idx_c = np.minimum(idx, max(len(lut["sk"]) - 1, 0))
+        ok = (len(lut["sk"]) > 0) & (idx < len(lut["sk"])) & (lut["sk"][idx_c] == sk)
+        t = pa.table(
+            {
+                "p_partkey": b.column("l_partkey").filter(pa.array(ok)),
+                "s_suppkey": pa.array(sk[ok]),
+                "bal_cents": pa.array(lut["bal"][idx_c[ok]]),
+            }
+        )
+        return (
+            t.group_by(["p_partkey", "s_suppkey", "bal_cents"])
+            .aggregate([([], "count_all")])
+            .select(["p_partkey", "s_suppkey", "bal_cents"])
+        )
+
+    def keep_max(g: pa.Table) -> pa.Table:
+        bal = g.column("bal_cents").to_numpy(zero_copy_only=False)
+        mx = bal.max()
+        at = g.filter(pa.array(bal == mx))
+        sk = np.unique(at.column("s_suppkey").to_numpy(zero_copy_only=False))
+        n = len(sk)
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    np.full(n, g.column("p_partkey")[0].as_py(), dtype=np.int64)
+                ),
+                "s_suppkey": pa.array(sk),
+                "bal_cents": pa.array(np.full(n, mx, dtype=np.int64)),
+            }
+        )
+
+    cand = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"], blocks=16).map_batches(
+        candidates, batch_format="pyarrow"
+    )
+
+    # Size-gated dense path: the candidate partials are bounded by the
+    # distinct (part, eligible-supplier) pairs; when driver-sized, one
+    # pyarrow group_by-max + equality filter replaces the exchange.
+    if cand.count() <= 5_000_000:
+        t = collect_arrow(
+            cand,
+            schema=pa.schema(
+                [("p_partkey", pa.int64()), ("s_suppkey", pa.int64()),
+                 ("bal_cents", pa.int64())]
+            ),
+        )
+        t = (
+            t.group_by(["p_partkey", "s_suppkey", "bal_cents"])
+            .aggregate([([], "count_all")])
+            .select(["p_partkey", "s_suppkey", "bal_cents"])
+        )
+        grp = (
+            t.group_by("p_partkey").aggregate([("bal_cents", "max")])
+            .rename_columns(["p_partkey", "bal_max"])
+        )
+        gsort = pc.sort_indices(grp.column("p_partkey"))
+        grp = grp.take(gsort)
+        gk = grp.column("p_partkey").to_numpy(zero_copy_only=False)
+        gmax = grp.column("bal_max").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(gk, t.column("p_partkey").to_numpy(zero_copy_only=False))
+        best_t = t.filter(
+            pa.array(t.column("bal_cents").to_numpy(zero_copy_only=False) == gmax[idx])
+        )
+        lut = ray.get(lut_ref)
+        sidx = np.searchsorted(
+            lut["sk"], best_t.column("s_suppkey").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "p_partkey": best_t.column("p_partkey"),
+                "s_suppkey": best_t.column("s_suppkey"),
+                "s_name": pa.array(list(lut["name"][sidx]), pa.string()),
+                "s_acctbal": pc.divide(
+                    pc.cast(best_t.column("bal_cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    best = cand.groupby("p_partkey").map_groups(keep_max, batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        sk = b.column("s_suppkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lut["sk"], sk)
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "s_suppkey": b.column("s_suppkey"),
+                "s_name": pa.array(list(lut["name"][idx]), pa.string()),
+                "s_acctbal": pc.divide(
+                    pc.cast(b.column("bal_cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return best.map_batches(finish, batch_format="pyarrow")
+
+
+def nation_market_share(sf_dir: str):
+    """TPC-H Q8-shaped market share: of all ECONOMY-part revenue sold
+    into AMERICA-region customers' orders during 1996–1997, the
+    fraction supplied by NATION_3, per order year. Distributed plan:
+    the ECONOMY partkey set and the NATION_3 suppkey set broadcast as
+    sorted arrays (part-type and nation slices are small; the fact scan
+    turns both gates into vectorized membership probes), blocks
+    pre-aggregate (orderkey → total cents, nation cents) so the join
+    exchange ships order-grain partials, the AMERICA/1996–97 order side
+    reduces to (orderkey, year) before the hash join, and the final
+    year-grain share is two exact int64 sums + one float division
+    (mirrored in SQL)."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    part = collect_arrow(_pq(sf_dir, "part", ["p_partkey", "p_type"]))
+    pkeys = np.sort(
+        part.filter(pc.equal(part.column("p_type"), "ECONOMY"))
+        .column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    nat = collect_arrow(_pq(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]))
+    reg = collect_arrow(_pq(sf_dir, "region", ["r_regionkey", "r_name"]))
+    nat3 = {
+        k for k, n in zip(
+            nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()
+        ) if n == "NATION_3"
+    }
+    am_rk = {
+        k for k, n in zip(
+            reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()
+        ) if n == "AMERICA"
+    }
+    am_nk = {
+        k for k, rk in zip(
+            nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()
+        ) if rk in am_rk
+    }
+    sup = collect_arrow(_pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    skeys = np.sort(
+        np.asarray(
+            [
+                k for k, nk in zip(
+                    sup.column("s_suppkey").to_pylist(),
+                    sup.column("s_nationkey").to_pylist(),
+                ) if nk in nat3
+            ],
+            dtype=np.int64,
+        )
+    )
+    cust = collect_arrow(_pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+    ckeys = np.sort(
+        np.asarray(
+            [
+                k for k, nk in zip(
+                    cust.column("c_custkey").to_pylist(),
+                    cust.column("c_nationkey").to_pylist(),
+                ) if nk in am_nk
+            ],
+            dtype=np.int64,
+        )
+    )
+    pk_ref, sk_ref, ck_ref = ray.put(pkeys), ray.put(skeys), ray.put(ckeys)
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(np.isin(pk, ray.get(pk_ref))))
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = _cents(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        ).to_numpy(zero_copy_only=False)
+        flag = np.isin(sk, ray.get(sk_ref)).astype(np.int64)
+        t2 = pa.table(
+            {
+                "_ok": t.column("l_orderkey"),
+                "total_cents": pa.array(rev),
+                "nation_cents": pa.array(rev * flag),
+            }
+        )
+        return (
+            t2.group_by("_ok")
+            .aggregate([("total_cents", "sum"), ("nation_cents", "sum")])
+            .rename_columns(["_ok", "total_cents", "nation_cents"])
+        )
+
+    li = drop_empty_blocks(
+        _pq(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+            blocks=16,
+        ).map_batches(li_partial, batch_format="pyarrow")
+    )
+
+    def ord_scan(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        t = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(np.isin(ck, ray.get(ck_ref))))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_year": pc.cast(
+                    pc.year(pc.cast(t.column("o_orderdate"), pa.timestamp("us"))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ords = drop_empty_blocks(
+        _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"], blocks=8)
+        .map_batches(ord_scan, batch_format="pyarrow")
+    )
+
+    # Size-gated dense path: both join sides are already filtered to
+    # (order-grain partials) × (qualifying orders) — when driver-sized,
+    # one searchsorted probe replaces the hash-join exchange. The
+    # distributed join below is the 100 TB shape.
+    n_small = li.count() + ords.count()
+    if n_small <= 5_000_000:
+        lt = collect_arrow(
+            li,
+            schema=pa.schema(
+                [("_ok", pa.int64()), ("total_cents", pa.int64()),
+                 ("nation_cents", pa.int64())]
+            ),
+        )
+        ot = collect_arrow(
+            ords,
+            schema=pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
+        )
+        osort = pc.sort_indices(ot.column("o_orderkey"))
+        ot = ot.take(osort)
+        ok_sorted = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+        probe = lt.column("_ok").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ok_sorted, probe)
+        idx_c = np.minimum(idx, max(len(ok_sorted) - 1, 0))
+        hit = (len(ok_sorted) > 0) & (idx < len(ok_sorted)) & (ok_sorted[idx_c] == probe)
+        lt = lt.filter(pa.array(hit))
+        years = ot.column("o_year").take(pa.array(idx_c[hit]))
+        merged = (
+            pa.table(
+                {
+                    "o_year": years,
+                    "nation_cents": lt.column("nation_cents"),
+                    "total_cents": lt.column("total_cents"),
+                }
+            )
+            .group_by("o_year")
+            .aggregate([("nation_cents", "sum"), ("total_cents", "sum")])
+            .rename_columns(["o_year", "nation_cents", "total_cents"])
+        )
+    else:
+        joined = li.join(
+            ords, "inner", _join_partitions(), on=("_ok",), right_on=("o_orderkey",)
+        )
+
+        def year_partial(b: pa.Table) -> pa.Table:
+            return (
+                b.select(["o_year", "nation_cents", "total_cents"])
+                .group_by("o_year")
+                .aggregate([("nation_cents", "sum"), ("total_cents", "sum")])
+                .rename_columns(["o_year", "nation_cents", "total_cents"])
+            )
+
+        parts = collect_arrow(
+            joined.map_batches(year_partial, batch_format="pyarrow"),
+            schema=pa.schema(
+                [("o_year", pa.int64()), ("nation_cents", pa.int64()),
+                 ("total_cents", pa.int64())]
+            ),
+        )
+        merged = (
+            parts.group_by("o_year")
+            .aggregate([("nation_cents", "sum"), ("total_cents", "sum")])
+            .rename_columns(["o_year", "nation_cents", "total_cents"])
+        )
+    return pa.table(
+        {
+            "o_year": merged.column("o_year"),
+            "nation_cents": merged.column("nation_cents"),
+            "total_cents": merged.column("total_cents"),
+            "mkt_share": pc.divide(
+                pc.cast(merged.column("nation_cents"), pa.float64()),
+                pc.cast(merged.column("total_cents"), pa.float64()),
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "top_window_supplier": top_window_supplier,
+    "part_supplier_census": part_supplier_census,
+    "region_best_supplier": region_best_supplier,
+    "nation_market_share": nation_market_share,
     "events_hourly_ohlc": events_hourly_ohlc,
     "events_linear_attribution": events_linear_attribution,
     "corpus_embed_knn": corpus_embed_knn,
@@ -12565,4 +13111,73 @@ ORACLE_SQL["events_ab_test"] = """
            END AS z_stat
     FROM arms a CROSS JOIN s
     ORDER BY a.arm
+"""
+
+ORACLE_SQL["top_window_supplier"] = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                      AS BIGINT)) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.rev_cents::DOUBLE / 100.0 AS total_revenue
+    FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.rev_cents = (SELECT max(rev_cents) FROM rev)
+    ORDER BY s.s_suppkey
+"""
+
+ORACLE_SQL["part_supplier_census"] = """
+    SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+           count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["region_best_supplier"] = """
+    WITH elig AS (
+      SELECT DISTINCT l.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+             CAST(floor(s.s_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT e.p_partkey, e.s_suppkey, e.s_name, e.bal_cents::DOUBLE / 100.0 AS s_acctbal
+    FROM elig e
+    WHERE e.bal_cents = (SELECT max(bal_cents) FROM elig e2
+                         WHERE e2.p_partkey = e.p_partkey)
+"""
+
+ORACLE_SQL["nation_market_share"] = """
+    WITH li AS (
+      SELECT l.l_orderkey,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS rev_cents,
+             CASE WHEN n2.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_nat
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    ),
+    o AS (
+      SELECT o.o_orderkey, year(o.o_orderdate) AS o_year
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o.o_year::BIGINT AS o_year,
+           sum(li.rev_cents * li.is_nat)::BIGINT AS nation_cents,
+           sum(li.rev_cents)::BIGINT AS total_cents,
+           sum(li.rev_cents * li.is_nat)::DOUBLE / sum(li.rev_cents)::DOUBLE AS mkt_share
+    FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+    GROUP BY o.o_year
 """
