@@ -10095,10 +10095,107 @@ def nation_market_share(sf_dir: str):
     )
 
 
+def docs_bm25_search(sf_dir: str, k: int = 10):
+    """BM25 ranked retrieval (query = "hash merge window", k1=1.2,
+    b=0.75, Lucene idf) — the scoring layer the inverted-index /
+    boolean-search entries stop short of. Distributed plan: pass 1
+    streams ONE scalar-partial row per block (n_docs, Σdl, per-term
+    df); pass 2 re-streams the corpus with the five global scalars
+    broadcast by closure, scores fully vectorized (flatten + bincount
+    per block, fixed term order so the float sum is partition-
+    independent), keeps candidates only, and block-local (score desc,
+    doc_id) top-k partials merge on the driver (≤ blocks·k rows). The
+    float expression is written operation-for-operation as in the
+    oracle, so the result is hash-exact."""
+    from .util import collect_arrow
+
+    TERMS = ("hash", "merge", "window")
+    K1, B = 1.2, 0.75
+
+    def tf_matrix(b: pa.Table):
+        words = pc.split_pattern(pc.utf8_lower(b.column("text")), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        lens = la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = la.flatten()
+        docidx = np.repeat(np.arange(len(lens)), lens)
+        tfs = []
+        for t in TERMS:
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tfs.append(np.bincount(docidx[m], minlength=len(lens)).astype(np.int64))
+        return lens, tfs
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        lens, tfs = tf_matrix(b)
+        row = {"n_docs": [np.int64(len(lens))], "sum_dl": [lens.sum()]}
+        for i in range(len(TERMS)):
+            row[f"df{i}"] = [np.int64((tfs[i] > 0).sum())]
+        return pa.table(row)
+
+    docs = lambda: _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)  # noqa: E731
+    st = collect_arrow(
+        docs().map_batches(stats_partial, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("n_docs", pa.int64()), ("sum_dl", pa.int64())]
+            + [(f"df{i}", pa.int64()) for i in range(len(TERMS))]
+        ),
+    )
+    n = float(pc.sum(st.column("n_docs")).as_py() or 0)
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+    avgdl = float(pc.sum(st.column("sum_dl")).as_py()) / n
+    import math
+
+    # math.log (system libm, matching DuckDB's ln) — numpy's SIMD log
+    # is 1 ulp off for some inputs and flips the value hash
+    idf = [
+        math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for df in (
+            float(pc.sum(st.column(f"df{i}")).as_py()) for i in range(len(TERMS))
+        )
+    ]
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        lens, tfs = tf_matrix(b)
+        dl = lens.astype(np.float64)
+        score = np.zeros(len(lens), dtype=np.float64)
+        any_tf = np.zeros(len(lens), dtype=np.int64)
+        for i in range(len(TERMS)):
+            tf = tfs[i].astype(np.float64)
+            # literals written exactly as in the oracle (2.2 is NOT
+            # bit-equal to runtime 1.2+1.0 — halfway-rounding hazard)
+            score = score + idf[i] * (
+                (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+            )
+            any_tf += tfs[i]
+        keep = any_tf > 0
+        t = pa.table(
+            {
+                "doc_id": b.column("doc_id").filter(pa.array(keep)),
+                "score": pa.array(score[keep]),
+            }
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        return t.take(order[:k])
+
+    parts = collect_arrow(
+        docs().map_batches(score_partial, batch_format="pyarrow"),
+        schema=pa.schema([("doc_id", pa.int64()), ("score", pa.float64())]),
+    )
+    order = pc.sort_indices(
+        parts, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )
+    return parts.take(order[:k])
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "docs_bm25_search": docs_bm25_search,
     "top_window_supplier": top_window_supplier,
     "part_supplier_census": part_supplier_census,
     "region_best_supplier": region_best_supplier,
@@ -13180,4 +13277,41 @@ ORACLE_SQL["nation_market_share"] = """
            sum(li.rev_cents * li.is_nat)::DOUBLE / sum(li.rev_cents)::DOUBLE AS mkt_share
     FROM li JOIN o ON o.o_orderkey = li.l_orderkey
     GROUP BY o.o_year
+"""
+
+ORACLE_SQL["docs_bm25_search"] = """
+    WITH base AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(text), ' '))::BIGINT AS dl,
+             len(list_filter(regexp_split_to_array(lower(text), ' '),
+                             x -> x = 'hash'))::BIGINT AS tf0,
+             len(list_filter(regexp_split_to_array(lower(text), ' '),
+                             x -> x = 'merge'))::BIGINT AS tf1,
+             len(list_filter(regexp_split_to_array(lower(text), ' '),
+                             x -> x = 'window'))::BIGINT AS tf2
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
+             ln((count(*)::DOUBLE - sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE + 0.5)
+                / (sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE + 0.5) + 1.0) AS idf0,
+             ln((count(*)::DOUBLE - sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE + 0.5)
+                / (sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE + 0.5) + 1.0) AS idf1,
+             ln((count(*)::DOUBLE - sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE + 0.5)
+                / (sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE + 0.5) + 1.0) AS idf2
+      FROM base
+    )
+    SELECT b.doc_id,
+           s.idf0 * ((b.tf0::DOUBLE * 2.2)
+                     / (b.tf0::DOUBLE + 1.2 * (0.25 + 0.75 * (b.dl::DOUBLE / s.avgdl))))
+         + s.idf1 * ((b.tf1::DOUBLE * 2.2)
+                     / (b.tf1::DOUBLE + 1.2 * (0.25 + 0.75 * (b.dl::DOUBLE / s.avgdl))))
+         + s.idf2 * ((b.tf2::DOUBLE * 2.2)
+                     / (b.tf2::DOUBLE + 1.2 * (0.25 + 0.75 * (b.dl::DOUBLE / s.avgdl))))
+           AS score
+    FROM base b CROSS JOIN stats s
+    WHERE b.tf0 + b.tf1 + b.tf2 > 0
+    ORDER BY score DESC, b.doc_id
+    LIMIT 10
 """
