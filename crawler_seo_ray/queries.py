@@ -10095,6 +10095,143 @@ def nation_market_share(sf_dir: str):
     )
 
 
+def corpus_grayworld_gains(sf_dir: str):
+    """Per-image gray-world white-balance gains (color-constancy
+    correction before embedding/training) — decode actor pool emits
+    (image_id, n_px, gain_r/g/b) from exact int64 channel sums with
+    ONE float division per channel (`stages/multimodal.GrayWorldGains`
+    documents the op order), so the output is bit-reproducible under
+    any block layout. Rows-only (an oracle would need SQL pixel
+    decode); pinned to a whole-corpus numpy reference in tests."""
+    from .stages.multimodal import GrayWorldGains
+
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(
+        GrayWorldGains,
+        concurrency=_safe_workers(2),
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+
+
+def corpus_tile_phash_dups(sf_dir: str, bucket_cap: int = 2000):
+    """PARTIAL-duplicate image pairs by quadrant perceptual hashing —
+    a crop, collage, or watermarked re-post shares exact tile hashes
+    with its source even when the whole-frame phash diverges (the
+    whole-frame entry is corpus_phash_dups). Distributed plan: the
+    decode actor pool emits (image_id, tile_idx, tile_phash) long-form
+    rows (`stages/multimodal.TilePhashes`); bucketing by tile_phash +
+    in-bucket distinct-image pair emission + a pair-keyed count give
+    (id_a, id_b, n_shared_tiles). Size-gated dense path (the tile
+    table is 4 narrow rows per image): below 5M rows ONE driver-side
+    lexsort + run-pair emission replaces the two exchanges; above it,
+    groupby(tile_phash).map_groups pair emission + pair groupby — both
+    branches raise loudly past ``bucket_cap`` distinct images in one
+    bucket (flat-color tiles are the degenerate-bucket hazard; split
+    by a second tile statistic before raising the cap)."""
+    from .stages.multimodal import TilePhashes
+
+    tiles = corpus_parquet(columns=["image_id", "bytes", "fmt"]).map_batches(
+        TilePhashes,
+        concurrency=_safe_workers(2),
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+    return _tile_pairs(tiles, bucket_cap)
+
+
+def _tile_pairs(tiles, bucket_cap: int = 2000):
+    """Shared-tile pair counting over (image_id, tile_idx, tile_phash)
+    rows — the exchange/dense-path body of corpus_tile_phash_dups,
+    factored out so tests can drive it with planted tile sets."""
+    from .util import collect_arrow
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        """Distinct-image pair emission within one tile_phash bucket."""
+        ids = np.unique(np.asarray(t.column("image_id").to_pylist(), dtype=object))
+        if len(ids) > bucket_cap:
+            raise RuntimeError(
+                f"degenerate tile-phash bucket: {len(ids)} images share one "
+                f"tile hash (cap {bucket_cap}) — split by a secondary tile "
+                "statistic before raising the cap"
+            )
+        if len(ids) < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {"id_a": pa.array(list(ids[ia]), pa.string()),
+             "id_b": pa.array(list(ids[ib]), pa.string())}
+        )
+
+    if tiles.count() <= 5_000_000:
+        t = collect_arrow(
+            tiles,
+            schema=pa.schema(
+                [("image_id", pa.string()), ("tile_idx", pa.int64()),
+                 ("tile_phash", pa.int64())]
+            ),
+        )
+        # one distinct over (hash, image), then run-pair emission per hash
+        t = (
+            t.group_by(["tile_phash", "image_id"]).aggregate([([], "count_all")])
+            .select(["tile_phash", "image_id"])
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("tile_phash", "ascending"), ("image_id", "ascending")]
+        )
+        t = t.take(order)
+        hashes = t.column("tile_phash").to_numpy(zero_copy_only=False)
+        imgs = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.r_[True, hashes[1:] != hashes[:-1]])
+        ends = np.r_[starts[1:], len(hashes)]
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                raise RuntimeError(
+                    f"degenerate tile-phash bucket: {m} images share one tile "
+                    f"hash (cap {bucket_cap})"
+                )
+            ia, ib = np.triu_indices(m, k=1)
+            a_out.append(imgs[s + ia])
+            b_out.append(imgs[s + ib])
+        if not a_out:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "n_shared_tiles": pa.array([], pa.int64()),
+                }
+            )
+        pairs = pa.table(
+            {
+                "id_a": pa.array(list(np.concatenate(a_out)), pa.string()),
+                "id_b": pa.array(list(np.concatenate(b_out)), pa.string()),
+            }
+        )
+        out = (
+            pairs.group_by(["id_a", "id_b"]).aggregate([([], "count_all")])
+            .rename_columns(["id_a", "id_b", "n_shared_tiles"])
+        )
+        order = pc.sort_indices(
+            out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
+        )
+        return out.take(order)
+
+    pairs = tiles.groupby("tile_phash").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_shared_tiles"))
+        .sort(["id_a", "id_b"])
+    )
+
+
 def docs_bm25_search(sf_dir: str, k: int = 10):
     """BM25 ranked retrieval (query = "hash merge window", k1=1.2,
     b=0.75, Lucene idf) — the scoring layer the inverted-index /
@@ -10195,6 +10332,8 @@ def docs_bm25_search(sf_dir: str, k: int = 10):
 
 
 QUERIES = {
+    "corpus_grayworld_gains": corpus_grayworld_gains,
+    "corpus_tile_phash_dups": corpus_tile_phash_dups,
     "docs_bm25_search": docs_bm25_search,
     "top_window_supplier": top_window_supplier,
     "part_supplier_census": part_supplier_census,

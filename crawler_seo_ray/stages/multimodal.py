@@ -161,6 +161,75 @@ class ExposureBlurStats:
         )
 
 
+class GrayWorldGains:
+    """Actor stage: decode → per-IMAGE gray-world white-balance gains.
+    Gray-world assumes the average scene is achromatic, so
+    gain_c = (Σr+Σg+Σb) / (3·Σc) rescales each channel until the
+    channel means equalize — the classic color-constancy correction a
+    crawl-scale image pipeline applies before embedding or training.
+    Channel sums are exact int64 per image; the single float division
+    per channel is the documented final op (gain = 1.0 for an all-zero
+    channel, where gray-world is undefined), so the output is
+    bit-reproducible under any block layout. Pixels never leave the
+    stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, npx = [], []
+        gains = ([], [], [])
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"]).astype(np.int64)
+            s = px.sum(axis=(0, 1))
+            tot = int(s[0]) + int(s[1]) + int(s[2])
+            ids.append(r["image_id"])
+            npx.append(px.shape[0] * px.shape[1])
+            for c in range(3):
+                gains[c].append(tot / (3 * int(s[c])) if int(s[c]) else 1.0)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(npx, pa.int64()),
+                "gain_r": pa.array(gains[0], pa.float64()),
+                "gain_g": pa.array(gains[1], pa.float64()),
+                "gain_b": pa.array(gains[2], pa.float64()),
+            }
+        )
+
+
+class TilePhashes:
+    """Actor stage: decode → one 64-bit perceptual hash PER QUADRANT
+    (2×2 tile grid) — the signature layer of partial-duplicate image
+    detection: a crop, collage, or watermarked re-post shares exact
+    tile hashes with its source even when the whole-frame phash
+    diverges. Emits (image_id, tile_idx, tile_phash) long-form rows;
+    images whose quadrants would fall under the 8×8 phash-grid floor
+    emit nothing. Pixels never leave the
+    stage; downstream bucketing groups by tile_phash, so the exchange
+    carries three narrow columns."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, tidx, th = [], [], []
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"])
+            h, w = px.shape[0], px.shape[1]
+            if h < 16 or w < 16:  # quadrant must satisfy phash64's 8×8 floor
+                continue
+            hh, hw = h // 2, w // 2
+            quads = (
+                px[:hh, :hw], px[:hh, hw:], px[hh:, :hw], px[hh:, hw:],
+            )
+            for i, q in enumerate(quads):
+                ids.append(r["image_id"])
+                tidx.append(i)
+                th.append(phash64(q))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "tile_idx": pa.array(tidx, pa.int64()),
+                "tile_phash": pa.array(th, pa.int64()),
+            }
+        )
+
+
 class DecodeImageStats:
     """Actor stage: decode → per-image stats (no pixels in the output)."""
 

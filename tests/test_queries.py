@@ -167,6 +167,14 @@ def test_rows_only_queries_run(registry):
         and (df["image_id"] != df["neighbor_id"]).all()
         and df["cosine"].between(-1.0, 1.0 + 1e-12).all()
         and sorted(df[df["image_id"] == df["image_id"].iloc[0]]["rank"]) == [1, 2, 3],
+        # deep pin in test_grayworld_gains_match_whole_corpus_numpy
+        "corpus_grayworld_gains": lambda df: len(df) == 300
+        and df["image_id"].is_unique
+        and (df[["gain_r", "gain_g", "gain_b"]] > 0).all().all(),
+        # deep pin in test_tile_phash_dups_planted_quadrant
+        "corpus_tile_phash_dups": lambda df: (df["id_a"] < df["id_b"]).all()
+        and df["n_shared_tiles"].between(1, 4).all()
+        and df.set_index(["id_a", "id_b"]).index.is_unique,
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))

@@ -1189,3 +1189,102 @@ def test_kmv_set_algebra_tight_small_intersection():
     assert est["approx_intersection"] <= 50, est["approx_intersection"]
     assert abs(est["approx_a"] - 6000) <= 300
     assert abs(est["approx_b"] - 6003) <= 300
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grayworld_gains_match_whole_corpus_numpy():
+    """Per-image gray-world gains must be bit-equal to a driver-side
+    numpy reference over every decoded corpus image (exact int sums,
+    one float division per channel in the documented order)."""
+    import duckdb
+
+    from crawler_seo_ray import queries as q
+    from crawler_seo_ray.functions.imagecodec import decode_image
+
+    out = (
+        q.corpus_grayworld_gains("unused")
+        .to_pandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    rows = duckdb.sql(
+        f"SELECT image_id, bytes, fmt FROM read_parquet('{q._CORPUS_GLOB}')"
+    ).fetchall()
+    assert len(out) == len(rows)
+    for image_id, data, fmt in rows:
+        px = decode_image(bytes(data), fmt).astype(np.int64)
+        s = px.sum(axis=(0, 1))
+        tot = int(s[0]) + int(s[1]) + int(s[2])
+        row = out.loc[image_id]
+        assert int(row["n_px"]) == px.shape[0] * px.shape[1]
+        for i, ch in enumerate(("r", "g", "b")):
+            ref = tot / (3 * int(s[i])) if int(s[i]) else 1.0
+            assert row[f"gain_{ch}"] == ref, (image_id, ch)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tile_phash_dups_planted_quadrant():
+    """An image that shares EXACTLY one quadrant with another (a crop
+    re-post) must surface as a partial-dup pair with n_shared_tiles=1;
+    an exact duplicate must score 4; unrelated noise images must not
+    pair. Also pins the full corpus output against a brute-force
+    driver-side reference."""
+    import ray.data as rd
+
+    from crawler_seo_ray import queries as q
+    from crawler_seo_ray.functions.imagecodec import encode_image, phash64
+    from crawler_seo_ray.stages.multimodal import TilePhashes
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    crop = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    crop[:16, :16] = base[:16, :16]  # shared top-left quadrant
+    dup = base.copy()
+    noise = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    imgs = {"img_base": base, "img_crop": crop, "img_dup": dup, "img_noise": noise}
+    t = pa.table(
+        {
+            "image_id": pa.array(list(imgs), pa.string()),
+            "bytes": pa.array([encode_image(v, "png") for v in imgs.values()], pa.binary()),
+            "fmt": pa.array(["png"] * len(imgs), pa.string()),
+        }
+    )
+    tiles = rd.from_arrow(t).map_batches(
+        TilePhashes, concurrency=1, batch_format="pyarrow"
+    )
+    pairs = q._tile_pairs(tiles).to_pandas().set_index(["id_a", "id_b"])
+    assert pairs.loc[("img_base", "img_dup"), "n_shared_tiles"] == 4
+    assert pairs.loc[("img_base", "img_crop"), "n_shared_tiles"] == 1
+    assert pairs.loc[("img_crop", "img_dup"), "n_shared_tiles"] == 1
+    assert ("img_base", "img_noise") not in pairs.index
+
+    # full-corpus brute-force pin
+    import duckdb
+    from collections import defaultdict
+
+    from crawler_seo_ray.functions.imagecodec import decode_image
+
+    rows = duckdb.sql(
+        f"SELECT image_id, bytes, fmt FROM read_parquet('{q._CORPUS_GLOB}')"
+    ).fetchall()
+    buckets = defaultdict(set)
+    for image_id, data, fmt in rows:
+        px = decode_image(bytes(data), fmt)
+        h, w = px.shape[0], px.shape[1]
+        if h < 16 or w < 16:
+            continue
+        hh, hw = h // 2, w // 2
+        for quad in (px[:hh, :hw], px[:hh, hw:], px[hh:, :hw], px[hh:, hw:]):
+            buckets[phash64(quad)].add(image_id)
+    ref = defaultdict(int)
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ref[(ids[i], ids[j])] += 1
+    got = q.corpus_tile_phash_dups("unused").to_pandas()
+    got_map = {
+        (a, b): int(n)
+        for a, b, n in zip(got["id_a"], got["id_b"], got["n_shared_tiles"])
+    }
+    assert got_map == dict(ref)
