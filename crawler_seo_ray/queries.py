@@ -10232,6 +10232,28 @@ def _tile_pairs(tiles, bucket_cap: int = 2000):
     )
 
 
+def docs_kwic(sf_dir: str):
+    """Keyword-in-context snippet extraction (search-result rendering /
+    corpus inspection): for every document containing "hash", the first
+    ±20-char window around an occurrence, via ONE vectorized RE2
+    `extract_regex` per block — both engines run the same RE2
+    leftmost-greedy semantics, so the snippets are byte-identical to
+    the DuckDB `regexp_extract` oracle. Streaming, no exchange; output
+    is matching-docs-sized."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def kwic(b: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(b.column("text"))
+        m = pc.extract_regex(txt, r"(?P<snippet>.{0,20}hash.{0,20})")
+        keep = pc.is_valid(m)
+        snip = pc.struct_field(m.filter(keep), "snippet")
+        return pa.table(
+            {"doc_id": b.column("doc_id").filter(keep), "snippet": snip}
+        )
+
+    return ds.map_batches(kwic, batch_format="pyarrow")
+
+
 def docs_bm25_search(sf_dir: str, k: int = 10):
     """BM25 ranked retrieval (query = "hash merge window", k1=1.2,
     b=0.75, Lucene idf) — the scoring layer the inverted-index /
@@ -10332,6 +10354,7 @@ def docs_bm25_search(sf_dir: str, k: int = 10):
 
 
 QUERIES = {
+    "docs_kwic": docs_kwic,
     "corpus_grayworld_gains": corpus_grayworld_gains,
     "corpus_tile_phash_dups": corpus_tile_phash_dups,
     "docs_bm25_search": docs_bm25_search,
@@ -13453,4 +13476,11 @@ ORACLE_SQL["docs_bm25_search"] = """
     WHERE b.tf0 + b.tf1 + b.tf2 > 0
     ORDER BY score DESC, b.doc_id
     LIMIT 10
+"""
+
+ORACLE_SQL["docs_kwic"] = """
+    SELECT doc_id,
+           regexp_extract(lower(text), '(.{0,20}hash.{0,20})', 1) AS snippet
+    FROM documents
+    WHERE regexp_matches(lower(text), 'hash')
 """
