@@ -472,10 +472,58 @@ def docs_split(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+_BCAST_KEYS_GATE = 4_000_000
+
+
+def _building_keys(sf_dir: str):
+    """Sorted BUILDING-segment custkeys as ONE int64 array when the
+    customer dimension is below the broadcast gate (~32 MB of keys),
+    else None — callers fall back to the distributed hash join. The
+    gate reads the parquet row count only (no scan)."""
+    from .util import collect_arrow
+
+    if _pq(sf_dir, "customer", ["c_custkey"]).count() > _BCAST_KEYS_GATE:
+        return None
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    t = collect_arrow(cust, schema=pa.schema([("c_custkey", pa.int64())]))
+    return np.sort(t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64))
+
+
+def _sorted_member_mask(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``vals`` in the sorted ``keys`` array —
+    the probe side of a broadcast semi/anti join (binary search beats a
+    dense bool table at these cardinalities; see BASELINE.md)."""
+    if keys.size == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.minimum(np.searchsorted(keys, vals), keys.size - 1)
+    return keys[pos] == vals
+
+
 def events_anti_join(sf_dir: str):
     """Anti-join (SURVEY §2.4): events from users outside the BUILDING
-    customer segment (non-trivial at every sf)."""
+    customer segment (non-trivial at every sf). Size-gated broadcast
+    plan: below the gate the filtered dimension ships once as a sorted
+    key array (`ray.put`) and the anti-join is a per-block searchsorted
+    membership filter — the fact side never shuffles. Above the gate
+    the Dataset.join left_anti exchange runs unchanged."""
     ev = _pq(sf_dir, "events", ["event_id", "user_id"])
+    keys = _building_keys(sf_dir)
+    if keys is not None:
+        keys_ref = ray.put(keys)
+
+        def keep_outside(b: pa.Table) -> pa.Table:
+            kk = ray.get(keys_ref)
+            u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(~_sorted_member_mask(kk, u)))
+
+        return ev.map_batches(keep_outside, batch_format="pyarrow").select_columns(
+            ["event_id", "user_id"]
+        )
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).select(
             ["c_custkey"]
@@ -490,8 +538,22 @@ def events_anti_join(sf_dir: str):
 def events_semi_join(sf_dir: str):
     """Semi-join (left_semi — the anti-join's complement): events from
     users INSIDE the BUILDING customer segment; completes the Dataset
-    join-type family (inner / anti / semi / broadcast / as-of / range)."""
+    join-type family (inner / anti / semi / broadcast / as-of / range).
+    Same size-gated broadcast plan as the anti-join (membership mask
+    un-negated); Dataset.join left_semi above the gate."""
     ev = _pq(sf_dir, "events", ["event_id", "user_id"])
+    keys = _building_keys(sf_dir)
+    if keys is not None:
+        keys_ref = ray.put(keys)
+
+        def keep_inside(b: pa.Table) -> pa.Table:
+            kk = ray.get(keys_ref)
+            u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(_sorted_member_mask(kk, u)))
+
+        return ev.map_batches(keep_inside, batch_format="pyarrow").select_columns(
+            ["event_id", "user_id"]
+        )
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).select(
             ["c_custkey"]
@@ -507,7 +569,70 @@ def revenue_by_part_type(sf_dir: str):
     """Large-side hash join (Dataset.join inner, SURVEY §2.4): lineitem ⋈
     part on partkey, revenue = extendedprice·(1−discount), grouped by
     p_type. The fact table streams; only the join keys + needed measures
-    ride the exchange."""
+    ride the exchange. Size-gated broadcast plan: below the gate the
+    part dimension ships once as (sorted partkey array, type-code
+    array) and the join becomes a per-block searchsorted lookup feeding
+    ≤|types| integer partials — the fact side never shuffles; above the
+    gate the hash-join exchange below runs unchanged."""
+    from .util import collect_arrow
+
+    if _pq(sf_dir, "part", ["p_partkey"]).count() <= _BCAST_KEYS_GATE:
+        pt = collect_arrow(_pq(sf_dir, "part", ["p_partkey", "p_type"]))
+        keys = pt.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        types = np.asarray(pt.column("p_type").to_numpy(zero_copy_only=False), dtype=object)
+        order = np.argsort(keys, kind="stable")
+        keys, types = keys[order], types[order]
+        uniq = np.unique(types)
+        codes = np.searchsorted(uniq, types).astype(np.int64)
+        n_types = len(uniq)
+        dim_ref = ray.put((keys, codes))
+
+        def type_partial_bcast(batch: pa.Table) -> pa.Table:
+            kk, cc = ray.get(dim_ref)
+            rev = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            cents = _cents(rev).to_numpy(zero_copy_only=False)
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _sorted_member_mask(kk, pk)  # inner-join semantics
+            code = cc[np.minimum(np.searchsorted(kk, pk[m]), kk.size - 1)]
+            sums = np.zeros(n_types, dtype=np.int64)
+            np.add.at(sums, code, cents[m])
+            counts = np.bincount(code, minlength=n_types)
+            present = counts > 0
+            return pa.table(
+                {
+                    "code": pa.array(np.flatnonzero(present), pa.int64()),
+                    "rev_cents": pa.array(sums[present], pa.int64()),
+                    "n": pa.array(counts[present], pa.int64()),
+                }
+            )
+
+        parts = collect_arrow(
+            _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"], blocks=16)
+            .map_batches(type_partial_bcast, batch_format="pyarrow"),
+            schema=pa.schema(
+                [("code", pa.int64()), ("rev_cents", pa.int64()), ("n", pa.int64())]
+            ),
+        )
+        merged = (
+            parts.group_by("code")
+            .aggregate([("rev_cents", "sum"), ("n", "sum")])
+            .rename_columns(["code", "rev_cents", "n"])
+        )
+        return pa.table(
+            {
+                "p_type": pa.array(
+                    uniq[merged.column("code").to_numpy()].tolist(), pa.string()
+                ),
+                "revenue": pc.divide(
+                    pc.cast(merged.column("rev_cents"), pa.float64()), 100.0
+                ),
+                "n_items": merged.column("n"),
+            }
+        )
+
     li = _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"], blocks=16)
 
     def rev_partial(batch: pa.Table) -> pa.Table:
@@ -854,6 +979,126 @@ def revenue_by_nation(sf_dir: str):
         zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
     )
     nat_set = pa.array(nat_ids, pa.int64())
+
+    # Size-gated broadcast plan: supplier and customer resolve to
+    # (sorted key → nation) arrays, the date-sliced orders resolve to a
+    # (sorted orderkey → cust-nation) array (slice-sized), and the whole
+    # five-table join collapses to ONE streaming lineitem pass with two
+    # searchsorted lookups per block feeding ≤|nations| integer
+    # partials — zero exchanges. Above the gate the three-exchange
+    # hash-join plan below runs unchanged (orders no longer fits one
+    # broadcast array).
+    if _pq(sf_dir, "orders", ["o_orderkey"]).count() <= 2 * _BCAST_KEYS_GATE:
+        sup_t = collect_arrow(
+            _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+                lambda b: b.filter(
+                    pc.is_in(b.column("s_nationkey"), value_set=nat_set)
+                ),
+                batch_format="pyarrow",
+            ),
+            schema=pa.schema(
+                [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]
+            ),
+        )
+        sk = sup_t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = sup_t.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        so = np.argsort(sk, kind="stable")
+        sk, snat = sk[so], snat[so]
+
+        cust_t = collect_arrow(
+            _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+                lambda b: b.filter(
+                    pc.is_in(b.column("c_nationkey"), value_set=nat_set)
+                ),
+                batch_format="pyarrow",
+            ),
+            schema=pa.schema(
+                [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+            ),
+        )
+        ck = cust_t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnat = cust_t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        co = np.argsort(ck, kind="stable")
+        ck, cnat = ck[co], cnat[co]
+
+        lo_ = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+        hi_ = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+        def ord_slice(b: pa.Table) -> pa.Table:
+            d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+            keep = pc.and_(pc.greater_equal(d, lo_), pc.less(d, hi_))
+            t = b.filter(keep)
+            return pa.table(
+                {"o_orderkey": t.column("o_orderkey"), "o_custkey": t.column("o_custkey")}
+            )
+
+        ord_t = collect_arrow(
+            _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"], blocks=8)
+            .map_batches(ord_slice, batch_format="pyarrow"),
+            schema=pa.schema(
+                [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+            ),
+        )
+        okeys = ord_t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ocust = ord_t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cm = _sorted_member_mask(ck, ocust)
+        okeys = okeys[cm]
+        onat = cnat[np.minimum(np.searchsorted(ck, ocust[cm]), max(ck.size - 1, 0))]
+        oo = np.argsort(okeys, kind="stable")
+        okeys, onat = okeys[oo], onat[oo]
+        max_nat = int(max(nat_ids)) + 1 if nat_ids else 1
+        dim_ref = ray.put((sk, snat, okeys, onat))
+
+        def li_pass(b: pa.Table) -> pa.Table:
+            kk_s, nn_s, kk_o, nn_o = ray.get(dim_ref)
+            rev = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            cents = _cents(rev).to_numpy(zero_copy_only=False)
+            lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            lok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _sorted_member_mask(kk_s, lsk) & _sorted_member_mask(kk_o, lok)
+            s_nat = nn_s[np.minimum(np.searchsorted(kk_s, lsk[m]), max(kk_s.size - 1, 0))]
+            o_nat = nn_o[np.minimum(np.searchsorted(kk_o, lok[m]), max(kk_o.size - 1, 0))]
+            same = s_nat == o_nat
+            sums = np.zeros(max_nat, dtype=np.int64)
+            np.add.at(sums, s_nat[same], cents[m][same])
+            present = np.flatnonzero(np.bincount(s_nat[same], minlength=max_nat) > 0)
+            return pa.table(
+                {
+                    "c_nationkey": pa.array(present, pa.int64()),
+                    "rev_cents": pa.array(sums[present], pa.int64()),
+                }
+            )
+
+        parts = collect_arrow(
+            _pq(
+                sf_dir,
+                "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+                blocks=16,
+            ).map_batches(li_pass, batch_format="pyarrow"),
+            schema=pa.schema([("c_nationkey", pa.int64()), ("rev_cents", pa.int64())]),
+        )
+        final = (
+            parts.group_by("c_nationkey")
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["c_nationkey", "rev_cents"])
+        )
+        names = pa.array(
+            [nat_names[k] for k in final.column("c_nationkey").to_pylist()], pa.string()
+        )
+        out = pa.table(
+            {
+                "n_name": names,
+                "rev_cents": final.column("rev_cents"),
+                "revenue": pc.divide(
+                    pc.cast(final.column("rev_cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+        return out.take(pc.sort_indices(out, sort_keys=[("n_name", "ascending")]))
 
     def cust_scan(b: pa.Table) -> pa.Table:
         keep = pc.is_in(b.column("c_nationkey"), value_set=nat_set)
@@ -9238,6 +9483,114 @@ def nation_trade_matrix(sf_dir: str):
     nat_names = dict(
         zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
     )
+
+    # Size-gated broadcast plan (the Q5 pattern): supplier and customer
+    # resolve to (sorted key → nation) arrays, orders to a (sorted
+    # orderkey → cust-nation) array, and the whole Q7 join collapses to
+    # ONE streaming lineitem pass — two searchsorted lookups + an
+    # in-block group_by on the ≤|nations|²×years cells. Above the gate
+    # the three-exchange hash-join plan below runs unchanged.
+    if _pq(sf_dir, "orders", ["o_orderkey"]).count() <= 2 * _BCAST_KEYS_GATE:
+        sup_t = collect_arrow(_pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+        sk = sup_t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = sup_t.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        so = np.argsort(sk, kind="stable")
+        sk, snat = sk[so], snat[so]
+
+        cust_t = collect_arrow(_pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+        ck = cust_t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnat = cust_t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        co = np.argsort(ck, kind="stable")
+        ck, cnat = ck[co], cnat[co]
+
+        ord_t = collect_arrow(_pq(sf_dir, "orders", ["o_orderkey", "o_custkey"], blocks=8))
+        okeys = ord_t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ocust = ord_t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cm = _sorted_member_mask(ck, ocust)
+        okeys = okeys[cm]
+        onat = cnat[np.minimum(np.searchsorted(ck, ocust[cm]), max(ck.size - 1, 0))]
+        oo = np.argsort(okeys, kind="stable")
+        okeys, onat = okeys[oo], onat[oo]
+        dim_ref = ray.put((sk, snat, okeys, onat))
+
+        def li_pass(b: pa.Table) -> pa.Table:
+            kk_s, nn_s, kk_o, nn_o = ray.get(dim_ref)
+            d = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+            rev = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            cents = _cents(rev).to_numpy(zero_copy_only=False)
+            year = pc.cast(pc.year(d), pa.int64()).to_numpy(zero_copy_only=False)
+            lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            lok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _sorted_member_mask(kk_s, lsk) & _sorted_member_mask(kk_o, lok)
+            s_nat = nn_s[np.minimum(np.searchsorted(kk_s, lsk[m]), max(kk_s.size - 1, 0))]
+            o_nat = nn_o[np.minimum(np.searchsorted(kk_o, lok[m]), max(kk_o.size - 1, 0))]
+            cross = s_nat != o_nat
+            return (
+                pa.table(
+                    {
+                        "supp_nation": pa.array(s_nat[cross], pa.int64()),
+                        "cust_nation": pa.array(o_nat[cross], pa.int64()),
+                        "ship_year": pa.array(year[m][cross], pa.int64()),
+                        "rev_cents": pa.array(cents[m][cross], pa.int64()),
+                    }
+                )
+                .group_by(["supp_nation", "cust_nation", "ship_year"])
+                .aggregate([("rev_cents", "sum")])
+                .rename_columns(["supp_nation", "cust_nation", "ship_year", "rev_cents"])
+            )
+
+        parts = collect_arrow(
+            _pq(
+                sf_dir,
+                "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+                blocks=16,
+            ).map_batches(li_pass, batch_format="pyarrow"),
+            schema=pa.schema(
+                [
+                    ("supp_nation", pa.int64()),
+                    ("cust_nation", pa.int64()),
+                    ("ship_year", pa.int64()),
+                    ("rev_cents", pa.int64()),
+                ]
+            ),
+        )
+        out = (
+            parts.group_by(["supp_nation", "cust_nation", "ship_year"])
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["supp_nation", "cust_nation", "ship_year", "rev_cents"])
+        )
+        sn = pa.array(
+            [nat_names[k] for k in out.column("supp_nation").to_pylist()], pa.string()
+        )
+        cn = pa.array(
+            [nat_names[k] for k in out.column("cust_nation").to_pylist()], pa.string()
+        )
+        res = _cents_to_dollars(
+            pa.table(
+                {
+                    "supp_nation": sn,
+                    "cust_nation": cn,
+                    "ship_year": out.column("ship_year"),
+                    "rev_cents": out.column("rev_cents"),
+                }
+            ),
+            "rev_cents",
+            "revenue",
+        )
+        return res.take(
+            pc.sort_indices(
+                res,
+                sort_keys=[
+                    ("supp_nation", "ascending"),
+                    ("cust_nation", "ascending"),
+                    ("ship_year", "ascending"),
+                ],
+            )
+        )
 
     def supp_scan(b: pa.Table) -> pa.Table:
         return pa.table(
