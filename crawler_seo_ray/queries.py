@@ -238,7 +238,16 @@ def docs_dup_texts(sf_dir: str):
 
 
 def events_hourly(sf_dir: str):
-    """Streaming-table windowed aggregate: tumbling 1h count+sum per user."""
+    """Streaming-table windowed aggregate: tumbling 1h count+sum per user.
+
+    Size-gated dense plan (BASELINE.md): the result is (user, hour)
+    cells — the query's own output grain — so below the gate each
+    block emits cell partials (block-local Arrow hash aggregate) and
+    the driver folds them with one group_by instead of paying the
+    all-to-all exchange; above the gate the distributed groupby runs
+    unchanged."""
+    from .util import collect_arrow
+
     ds = _pq(sf_dir, "events", ["user_id", "ts", "value"], blocks=16)
 
     def add_hour(batch: pa.Table) -> pa.Table:
@@ -252,10 +261,38 @@ def events_hourly(sf_dir: str):
             }
         )
 
-    agg = (
-        ds.map_batches(add_hour, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    mapped = ds.map_batches(add_hour, batch_format="pyarrow")
+
+    if ds.count() <= _BCAST_KEYS_GATE:
+        parts = collect_arrow(
+            mapped.map_batches(
+                lambda b: b.group_by(["user_id", "hour"])
+                .aggregate([("value_cents", "sum"), ([], "count_all")])
+                .rename_columns(["user_id", "hour", "value_cents", "n"]),
+                batch_format="pyarrow",
+            ),
+            schema=pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("hour", pa.timestamp("us")),
+                    ("value_cents", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            ),
+        )
+        cells = (
+            parts.group_by(["user_id", "hour"])
+            .aggregate([("value_cents", "sum"), ("n", "sum")])
+            .rename_columns(["user_id", "hour", "value_cents", "n"])
+        )
+        cells = cells.set_column(
+            cells.schema.get_field_index("hour"), "hour",
+            pc.cast(cells.column("hour"), pa.timestamp("us")),
+        )
+        return _cents_to_dollars(cells, "value_cents", "sum_value")
+
+    agg = mapped.groupby(["user_id", "hour"]).aggregate(
+        Count(alias_name="n"), Sum("value_cents", alias_name="value_cents")
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -3960,7 +3997,7 @@ def events_scd2(sf_dir: str):
 _BLAME_CUTOFF = "2001-06-01"
 
 
-def supplier_blame(sf_dir: str):
+def supplier_blame(sf_dir: str, dense_row_limit: int = 8_000_000):
     """TPC-H Q21 shape — the multi-predicate EXISTS / NOT-EXISTS
     self-join: suppliers who were the ONLY late shipper on a
     multi-supplier order.  The two correlated subqueries never run:
@@ -3968,10 +4005,20 @@ def supplier_blame(sf_dir: str):
     exchange to distinct pairs, then ONE groupby(orderkey) evaluates
     both quantifiers together inside the group (n distinct suppliers
     > 1 ∧ exactly one late supplier), emitting at most one blame row
-    per order.  A supplier-keyed count and a broadcast 100-row name
-    lookup finish — three small shuffles total, no join of the fact
-    table against itself."""
-    from .util import collect_arrow
+    per order.  The late-supplier identity needs no join-back either:
+    after the pair dedup each order has at most one late supplier in
+    the blame set, so Σ(late·suppkey) IS that suppkey whenever
+    Σlate = 1 — both quantifiers and the culprit fall out of ONE
+    Arrow-native groupby(orderkey) with three integer sums (no
+    per-group Python).  A supplier-keyed count and a broadcast 100-row
+    name lookup finish.
+
+    Size-gated dense plan (BASELINE.md): below the gate the distinct
+    (orderkey, suppkey, late) pair partials — already block-deduped,
+    ~|orders|·suppliers-per-order rows — fold driver-side with one
+    Arrow group_by + a reduceat sweep; above it the pair exchange +
+    aggregate groupby run distributed."""
+    from .util import collect_arrow, drop_empty_blocks
 
     cutoff = np.datetime64(_BLAME_CUTOFF + "T00:00:00", "us").astype(np.int64)
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"], blocks=16)
@@ -3989,27 +4036,99 @@ def supplier_blame(sf_dir: str):
             [("late", "max")]
         ).rename_columns(["l_orderkey", "l_suppkey", "late"])
 
-    def blame(g: pa.Table) -> pa.Table:
-        supp = g.column("l_suppkey").to_numpy()
-        late = g.column("late").to_numpy()
-        # pairs may repeat across blocks — fold max(late) per supplier
-        uniq, inv = np.unique(supp, return_inverse=True)
-        late_by = np.zeros(len(uniq), dtype=np.int64)
-        np.maximum.at(late_by, inv, late)
-        lates = np.flatnonzero(late_by)
-        if len(uniq) > 1 and len(lates) == 1:
-            return pa.table(
-                {"l_suppkey": pa.array([int(uniq[lates[0]])], pa.int64())}
-            )
-        return pa.table({"l_suppkey": pa.array([], pa.int64())})
+    pair_ds = li.map_batches(pair_partial, batch_format="pyarrow")
 
-    blamed = (
-        li.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .map_groups(blame, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .count()
-    )
+    if li.count() <= dense_row_limit:
+        pairs = collect_arrow(
+            pair_ds,
+            schema=pa.schema(
+                [
+                    ("l_orderkey", pa.int64()),
+                    ("l_suppkey", pa.int64()),
+                    ("late", pa.int64()),
+                ]
+            ),
+        )
+        pairs = (
+            pairs.group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("late", "max")])
+            .rename_columns(["l_orderkey", "l_suppkey", "late"])
+        )
+        ok = pairs.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = pairs.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = pairs.column("late").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ok, kind="stable")
+        ok, sk, lt = ok[o], sk[o], lt[o]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        n_supp = np.diff(np.r_[starts, ok.size])
+        late_sum = np.add.reduceat(lt, starts) if ok.size else np.array([], np.int64)
+        lsk_sum = (
+            np.add.reduceat(lt * sk, starts) if ok.size else np.array([], np.int64)
+        )
+        blame_sk = lsk_sum[(n_supp > 1) & (late_sum == 1)]
+        supp_ids, numwait = np.unique(blame_sk, return_counts=True)
+        blamed_tbl = pa.table(
+            {
+                "l_suppkey": pa.array(supp_ids, pa.int64()),
+                "count()": pa.array(numwait, pa.int64()),
+            }
+        )
+        blamed = rd.from_arrow(blamed_tbl)
+    else:
+        # Two exchanges: pair dedup (the exact-distinct requirement), then
+        # an order-keyed sum — each preceded by a block-local combine so
+        # the exchanges carry pair- and order-grain partials only. At
+        # sf0.1 this costs more fixed shuffle overhead than the old
+        # one-exchange groupby(ok).map_groups, but map_groups invokes
+        # Python once per ORDER (billions of calls at the target scale)
+        # while this shape stays Arrow-native end to end.
+        def ord_partial(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                    "late": pc.cast(b.column("late"), pa.int64()),
+                    "lsk": pc.multiply(
+                        pc.cast(b.column("late"), pa.int64()),
+                        pc.cast(b.column("l_suppkey"), pa.int64()),
+                    ),
+                }
+            )
+            return (
+                t.group_by("l_orderkey")
+                .aggregate([("one", "sum"), ("late", "sum"), ("lsk", "sum")])
+                .rename_columns(["l_orderkey", "one", "late", "lsk"])
+            )
+
+        pair_tagged = (
+            pair_ds.groupby(["l_orderkey", "l_suppkey"])
+            .aggregate(Max("late", alias_name="late"))
+            .map_batches(ord_partial, batch_format="pyarrow")
+        )
+        blamed = (
+            pair_tagged.groupby("l_orderkey")
+            .aggregate(
+                Sum("one", alias_name="n_supp"),
+                Sum("late", alias_name="late_sum"),
+                Sum("lsk", alias_name="lsk_sum"),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "l_suppkey": b.filter(
+                            pc.and_(
+                                pc.greater(b.column("n_supp"), 1),
+                                pc.equal(b.column("late_sum"), 1),
+                            )
+                        ).column("lsk_sum"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("l_suppkey")
+            .count()
+        )
+        blamed = drop_empty_blocks(blamed)
 
     names = collect_arrow(_pq(sf_dir, "supplier", ["s_suppkey", "s_name"]))
     order = pc.sort_indices(names.column("s_suppkey"))
@@ -8369,7 +8488,12 @@ def events_max_concurrency(sf_dir: str):
     prefix trick: one int per block flows through the driver, each
     block's max + earliest argmax computed in parallel, a block-count-
     sized reduce at the end. No global sort-into-one-worker, no
-    O(marks) driver state."""
+    O(marks) driver state.
+
+    Size-gated dense plan (BASELINE.md): marks are session-grain (two
+    per session, block-combined by timestamp before collection), so
+    below the gate they fold driver-side with one argsort + reduceat
+    sweep instead of paying the groupby(ts) + range-sort exchanges."""
     GAP_US = 30 * 60 * 1_000_000
 
     ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
@@ -8394,14 +8518,37 @@ def events_max_concurrency(sf_dir: str):
             }
         )
 
-    from .util import drop_empty_blocks
+    from .util import collect_arrow, drop_empty_blocks
 
-    levels = (
-        ds.groupby("user_id")
-        .map_groups(marks, batch_format="pyarrow")
-        .groupby("ts")
-        .aggregate(Sum("d", alias_name="d"))
-    )
+    marks_ds = ds.groupby("user_id").map_groups(marks, batch_format="pyarrow")
+
+    if ds.count() <= _BCAST_KEYS_GATE:
+        t = collect_arrow(
+            marks_ds.map_batches(
+                lambda b: b.group_by("ts")
+                .aggregate([("d", "sum")])
+                .rename_columns(["ts", "d"]),
+                batch_format="pyarrow",
+            ),
+            schema=pa.schema([("ts", pa.int64()), ("d", pa.int64())]),
+        )
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ts, kind="stable")
+        ts, d = ts[o], d[o]
+        starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]])
+        run = np.cumsum(np.add.reduceat(d, starts))
+        i = int(np.argmax(run))  # first occurrence = earliest ts
+        return pa.table(
+            {
+                "max_concurrent": pa.array([int(run[i])], pa.int64()),
+                "at_ts": pa.array([int(ts[starts[i]])], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    levels = marks_ds.groupby("ts").aggregate(Sum("d", alias_name="d"))
     mat = drop_empty_blocks(levels.sort("ts")).materialize()
 
     @ray.remote
@@ -8545,11 +8692,107 @@ def orders_shipping_priority(sf_dir: str):
     smaller than the line rows); the final per-order groupby keys on
     (orderkey, orderdate, priority) since both ride functionally on
     orderkey; top-10 is a per-block local top-k merged driver-side —
-    only 10 rows per block ever reach the driver."""
+    only 10 rows per block ever reach the driver.
+
+    Size-gated dense plan (BASELINE.md "broadcast-plan join deltas"):
+    below the gate the BUILDING custkeys and the date-sliced order
+    slice ship once as sorted arrays, lineitem streams ONCE emitting
+    block-local per-order rev partials for surviving orderkeys only,
+    and the driver folds the partials into the top-10 — zero
+    exchanges. Above the gate the two-join plan below runs unchanged."""
     from .util import collect_arrow, drop_empty_blocks
 
     nparts = _join_partitions()
     cutoff = pa.scalar(np.datetime64("1998-06-01", "us"), pa.timestamp("us"))
+
+    bkeys = _building_keys(sf_dir)
+    if (
+        bkeys is not None
+        and _pq(sf_dir, "orders", ["o_orderkey"]).count() <= 2 * _BCAST_KEYS_GATE
+    ):
+        def ord_slice(b: pa.Table) -> pa.Table:
+            d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+            t = b.filter(pc.less(d, cutoff))
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.filter(pa.array(_sorted_member_mask(bkeys, ck)))
+            return pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey"),
+                    "o_orderdate": pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                }
+            )
+
+        ord_t = collect_arrow(
+            _pq(
+                sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+                blocks=8,
+            ).map_batches(ord_slice, batch_format="pyarrow"),
+            schema=pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_orderdate", pa.timestamp("us")),
+                    ("o_orderpriority", pa.string()),
+                ]
+            ),
+        )
+        okeys = ord_t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        oo = np.argsort(okeys, kind="stable")
+        okeys = okeys[oo]
+        ord_t = ord_t.take(pa.array(oo, pa.int64()))
+        keys_ref = ray.put(okeys)
+
+        def li_pass(b: pa.Table) -> pa.Table:
+            kk = ray.get(keys_ref)
+            d = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+            t = b.filter(pc.greater(d, cutoff))
+            ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.filter(pa.array(_sorted_member_mask(kk, ok)))
+            rev = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+            part = pa.table({"_ok": t.column("l_orderkey"), "rev_cents": _cents(rev)})
+            return (
+                part.group_by("_ok")
+                .aggregate([("rev_cents", "sum")])
+                .rename_columns(["_ok", "rev_cents"])
+            )
+
+        parts = collect_arrow(
+            _pq(
+                sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+                blocks=16,
+            ).map_batches(li_pass, batch_format="pyarrow"),
+            schema=pa.schema([("_ok", pa.int64()), ("rev_cents", pa.int64())]),
+        )
+        per = (
+            parts.group_by("_ok")
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["_ok", "rev_cents"])
+        )
+        idx = pc.sort_indices(
+            per, sort_keys=[("rev_cents", "descending"), ("_ok", "ascending")]
+        )
+        top = per.take(idx.slice(0, 10))
+        pos = np.searchsorted(
+            okeys, top.column("_ok").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        meta = ord_t.take(pa.array(pos, pa.int64()))
+        return _cents_to_dollars(
+            pa.table(
+                {
+                    "l_orderkey": top.column("_ok"),
+                    "o_orderdate": meta.column("o_orderdate"),
+                    "o_orderpriority": meta.column("o_orderpriority"),
+                    "rev_cents": top.column("rev_cents"),
+                }
+            ),
+            "rev_cents",
+            "revenue",
+        )
 
     def cust_scan(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
@@ -8727,7 +8970,15 @@ def orders_returned_customers(sf_dir: str):
     prunes the quarter at the scan; after the orderkey join the rows
     collapse to custkey grain BEFORE the customer join (the exchange
     carries ≤ |customers| rows); the 25-row nation map is a closure
-    broadcast, never a shuffle."""
+    broadcast, never a shuffle.
+
+    Size-gated dense plan (BASELINE.md "broadcast-plan join deltas"):
+    below the gate the quarter-sliced (orderkey → custkey) map ships
+    once as sorted arrays, lineitem streams ONCE emitting block-local
+    per-custkey rev partials for surviving orderkeys only, the driver
+    folds the partials and takes the top-20, and the 20 customers'
+    attributes come from one `is_in`-pruned customer scan — zero
+    exchanges. Above the gate the join plan below runs unchanged."""
     from .util import collect_arrow, drop_empty_blocks
 
     nparts = _join_partitions()
@@ -8737,6 +8988,101 @@ def orders_returned_customers(sf_dir: str):
     )
     lo = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64("1998-04-01", "us"), pa.timestamp("us"))
+
+    if _pq(sf_dir, "orders", ["o_orderkey"]).count() <= 2 * _BCAST_KEYS_GATE:
+        def ord_slice(b: pa.Table) -> pa.Table:
+            d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+            t = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+            return pa.table(
+                {"o_orderkey": t.column("o_orderkey"), "_ck": t.column("o_custkey")}
+            )
+
+        ord_t = collect_arrow(
+            _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"], blocks=8)
+            .map_batches(ord_slice, batch_format="pyarrow"),
+            schema=pa.schema([("o_orderkey", pa.int64()), ("_ck", pa.int64())]),
+        )
+        okeys = ord_t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ocust = ord_t.column("_ck").to_numpy(zero_copy_only=False).astype(np.int64)
+        oo = np.argsort(okeys, kind="stable")
+        okeys, ocust = okeys[oo], ocust[oo]
+        dim_ref = ray.put((okeys, ocust))
+
+        def li_pass(b: pa.Table) -> pa.Table:
+            kk, cc = ray.get(dim_ref)
+            t = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+            ok = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _sorted_member_mask(kk, ok)
+            t = t.filter(pa.array(m))
+            rev = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+            ck = cc[np.minimum(np.searchsorted(kk, ok[m]), max(kk.size - 1, 0))]
+            part = pa.table(
+                {"_ck": pa.array(ck, pa.int64()), "rev_cents": _cents(rev)}
+            )
+            return (
+                part.group_by("_ck")
+                .aggregate([("rev_cents", "sum")])
+                .rename_columns(["_ck", "rev_cents"])
+            )
+
+        parts = collect_arrow(
+            _pq(
+                sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+                blocks=16,
+            ).map_batches(li_pass, batch_format="pyarrow"),
+            schema=pa.schema([("_ck", pa.int64()), ("rev_cents", pa.int64())]),
+        )
+        per = (
+            parts.group_by("_ck")
+            .aggregate([("rev_cents", "sum")])
+            .rename_columns(["_ck", "rev_cents"])
+        )
+        idx = pc.sort_indices(
+            per, sort_keys=[("rev_cents", "descending"), ("_ck", "ascending")]
+        )
+        top = per.take(idx.slice(0, 20))
+        want = pa.array(
+            top.column("_ck").to_numpy(zero_copy_only=False).astype(np.int64),
+            pa.int64(),
+        )
+        cust_t = collect_arrow(
+            _pq(
+                sf_dir, "customer",
+                ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+                blocks=4,
+            ).map_batches(
+                lambda b: b.filter(pc.is_in(b.column("c_custkey"), value_set=want)),
+                batch_format="pyarrow",
+            ),
+        )
+        ckeys = cust_t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        co = np.argsort(ckeys, kind="stable")
+        ckeys = ckeys[co]
+        cust_t = cust_t.take(pa.array(co, pa.int64()))
+        pos = np.searchsorted(
+            ckeys, top.column("_ck").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        meta = cust_t.take(pa.array(pos, pa.int64()))
+        names = pa.array(
+            [nat_names[k] for k in meta.column("c_nationkey").to_pylist()], pa.string()
+        )
+        return _cents_to_dollars(
+            pa.table(
+                {
+                    "c_custkey": top.column("_ck"),
+                    "c_name": meta.column("c_name"),
+                    "c_acctbal": meta.column("c_acctbal"),
+                    "n_name": names,
+                    "rev_cents": top.column("rev_cents"),
+                }
+            ),
+            "rev_cents",
+            "revenue",
+        )
 
     def li_scan(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b.column("l_returnflag"), "R"))

@@ -194,6 +194,34 @@ def test_tfidf_join_path_equals_broadcast_path():
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_dense_gate_queries_match_distributed_path(monkeypatch):
+    """Zeroing the broadcast gate forces the distributed hash-join /
+    shuffle plans in every size-gated query; output must equal the
+    default dense-path result (BASELINE.md broadcast-plan deltas)."""
+    from crawler_seo_ray import queries as Q
+
+    names = [
+        "events_anti_join",
+        "events_semi_join",
+        "revenue_by_part_type",
+        "revenue_by_nation",
+        "nation_trade_matrix",
+        "orders_shipping_priority",
+        "orders_returned_customers",
+        "events_hourly",
+        "events_max_concurrency",
+    ]
+    dense = {n: _canon(_to_pandas(getattr(Q, n)(SF))) for n in names}
+    dense["supplier_blame"] = _canon(_to_pandas(Q.supplier_blame(SF)))
+    monkeypatch.setattr(Q, "_BCAST_KEYS_GATE", 0)
+    for n in names:
+        dist = _canon(_to_pandas(getattr(Q, n)(SF)))
+        pd.testing.assert_frame_equal(dense[n], dist, check_dtype=False), n
+    dist = _canon(_to_pandas(Q.supplier_blame(SF, dense_row_limit=0)))
+    pd.testing.assert_frame_equal(dense["supplier_blame"], dist, check_dtype=False)
+
+
 def test_langid_on_natural_samples():
     """The testdata 'lang' column is a random label over English word-soup,
     so heuristic accuracy is only meaningful on real language samples."""
