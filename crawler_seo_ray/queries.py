@@ -8596,39 +8596,45 @@ def embeddings_reciprocal_nn(sf_dir: str, k: int = 3):
     broadcasts — the scan becomes the IVF-bucketed path
     (stages/similarity.build_ivf_index), same downstream edge
     intersection."""
-    from .stages.similarity import knn_brute
+    from .stages.similarity import _vec_matrix, knn_brute
+    from .util import collect_arrow
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    rows = sorted(ds.take_all(), key=lambda r: r["vec_id"])
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    queries = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    t0 = collect_arrow(ds)
+    ids = t0.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(ids, kind="stable")
+    ids = ids[o]
+    queries = _vec_matrix(t0.column("embedding"))[o]
     out = knn_brute(ds, "embedding", "vec_id", queries, k=k + 1)
 
     src = ids[out.column("query_idx").to_numpy(zero_copy_only=False)]
     dst = out.column("neighbor_id").to_numpy(zero_copy_only=False)
     keep = src != dst  # leave-one-out, order preserved
     src, dst = src[keep], dst[keep]
-    # re-rank within each query after self-removal, then cut to k
-    rnk = np.ones(len(src), dtype=np.int64)
+    # re-rank within each query after self-removal, then cut to k —
+    # vectorized segment ranks (position within the per-query run)
     bounds = np.flatnonzero(np.diff(src)) + 1
-    segs = np.split(np.arange(len(src)), bounds)
-    for seg in segs:
-        rnk[seg] = np.arange(1, len(seg) + 1)
+    starts = np.r_[0, bounds]
+    idx = np.arange(len(src))
+    rnk = idx - starts[np.searchsorted(bounds, idx, side="right")] + 1
     cut = rnk <= k
     src, dst, rnk = src[cut], dst[cut], rnk[cut]
 
-    # mutual intersection on the N·k edge list: hash directed edges,
-    # look up the swapped key
-    fwd = {}
-    for a, b, r in zip(src.tolist(), dst.tolist(), rnk.tolist()):
-        fwd[(a, b)] = r
-    ia, ib, rab, rba = [], [], [], []
-    for (a, b), r in fwd.items():
-        if a < b and (b, a) in fwd:
-            ia.append(a)
-            ib.append(b)
-            rab.append(r)
-            rba.append(fwd[(b, a)])
+    # mutual intersection on the N·k edge list: encode directed edges
+    # as a single int64 key, binary-search the swapped key
+    base = int(ids.max()) + 1 if ids.size else 1
+    key = src * base + dst
+    ko = np.argsort(key, kind="stable")
+    key_sorted, rnk_sorted = key[ko], rnk[ko]
+    swapped = dst * base + src
+    if key_sorted.size:
+        pos = np.minimum(np.searchsorted(key_sorted, swapped), len(key_sorted) - 1)
+        mutual = (key_sorted[pos] == swapped) & (src < dst)
+    else:
+        pos = np.zeros(0, np.int64)
+        mutual = np.zeros(0, bool)
+    ia, ib, rab = src[mutual], dst[mutual], rnk[mutual]
+    rba = rnk_sorted[pos[mutual]]
     t = pa.table(
         {
             "id_a": pa.array(ia, pa.int64()),

@@ -563,6 +563,7 @@ def knn_pq_rerank(
     ksub: int = 256,
     shortlist: int | None = None,
     codebooks: np.ndarray | None = None,
+    dense_row_limit: int = 500_000,
 ) -> pa.Table:
     """The production PQ shape: compressed-code scan for a per-query
     SHORTLIST (default 10·k), then one exact cosine pass restricted to
@@ -570,10 +571,47 @@ def knn_pq_rerank(
     at 10·k on the driver tables) at the memory cost of the code scan
     plus an O(shortlist) exact re-rank. Returns (query_idx,
     neighbor_id, rank), ties by id ascending — same contract as
-    knn_brute."""
+    knn_brute.
+
+    Size-gated dense plan (BASELINE.md): below ``dense_row_limit`` rows
+    the (id, vec) matrix collects ONCE and encode → LUT scan → exact
+    re-rank run in numpy on the driver — one dataset execution instead
+    of three (every kernel is the same math, so output is identical;
+    equality asserted in tests). Above the gate the streamed
+    encode/scan/re-rank passes below run unchanged."""
     short = shortlist or 10 * k
     q = _normalize(np.asarray(queries, dtype=np.float64))
     books = codebooks if codebooks is not None else train_pq(ds, vec_col, m=m, ksub=ksub)
+
+    if ds.count() <= dense_row_limit:
+        t = collect_arrow(ds)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _normalize(_vec_matrix(t.column(vec_col)))
+        mm, ksub_b, dsub = books.shape
+        dcodes = np.empty((len(vecs), mm), dtype=np.uint8)
+        lut = np.empty((mm, ksub_b, q.shape[0]), dtype=np.float64)
+        for s in range(mm):
+            xs = vecs[:, s * dsub : (s + 1) * dsub]
+            d2 = -2.0 * xs @ books[s].T + (books[s] ** 2).sum(axis=1)[None, :]
+            dcodes[:, s] = d2.argmin(axis=1)
+            lut[s] = books[s] @ q[:, s * dsub : (s + 1) * dsub].T
+        sims_pq = lut[np.arange(mm)[None, :], dcodes, :].sum(axis=1)
+        out_q, out_id, out_rk = [], [], []
+        for qi in range(q.shape[0]):
+            sl = np.lexsort((ids, -sims_pq[:, qi]))[: min(short, len(ids))]
+            cand_ids = ids[sl]
+            s = vecs[sl] @ q[qi]
+            order = np.lexsort((cand_ids, -s))[: min(k, len(cand_ids))]
+            out_q.extend([qi] * len(order))
+            out_id.extend(cand_ids[order].tolist())
+            out_rk.extend(range(1, len(order) + 1))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "rank": pa.array(out_rk, pa.int64()),
+            }
+        )
     codes = pq_encode(ds, vec_col, id_col, books)
     sl = knn_pq(codes, books, q, k=short, id_col=id_col)
     sl_q = sl.column("query_idx").to_numpy(zero_copy_only=False)

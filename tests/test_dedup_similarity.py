@@ -594,3 +594,8 @@ def test_pq_lut_scores_equal_reconstruction_and_rerank_equals_brute(tmp_path):
     rr = knn_pq_rerank(table_ds, "embedding", "vec_id", q, k=k, m=m, ksub=ksub)
     bt = knn_brute(table_ds, "embedding", "vec_id", q, k=k)
     assert rr.equals(bt), (rr.to_pydict(), bt.to_pydict())
+    # forced-distributed path (dense gate off) must match the dense path
+    rd_dist = knn_pq_rerank(
+        table_ds, "embedding", "vec_id", q, k=k, m=m, ksub=ksub, dense_row_limit=0
+    )
+    assert rd_dist.equals(rr), (rd_dist.to_pydict(), rr.to_pydict())
