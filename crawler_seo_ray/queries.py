@@ -6095,10 +6095,60 @@ def _basket_pair_counts(sf_dir: str, nparts: int):
     supports and the distinct-order count ride the SAME pass (kinds 2
     and 3 of the mixed output), so association rules need no further
     fact-sized shuffles. Returns
-    (lineitem ds, pair-count Dataset, item-support Dataset, n_orders)."""
+    (lineitem ds, pair-count Dataset, item-support Dataset, n_orders).
+
+    Full-dense gate (BASELINE.md): below 8 M rows the narrow
+    (order, part) table collects in ONE pass — 16 bytes/row — and the
+    lexsort + run-pair emission run driver-side, skipping the range
+    sort AND the pair exchange entirely; above it the sort +
+    boundary-side-channel plan below runs unchanged."""
     from .util import collect_arrow, drop_empty_blocks
 
     ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=32)
+
+    if ds.count() <= 8_000_000:
+        t = collect_arrow(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {"ok": b.column("l_orderkey"), "p": b.column("l_partkey")}
+                ),
+                batch_format="pyarrow",
+            ),
+            schema=pa.schema([("ok", pa.int64()), ("p", pa.int64())]),
+        )
+        ok = t.column("ok").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        ant, cons = _emit_run_pairs(ok, p)
+        pairs = (
+            pa.table({"ant": pa.array(ant), "cons": pa.array(cons)})
+            .group_by(["ant", "cons"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["ant", "cons", "sup"])
+        )
+        pairs = pairs.set_column(
+            pairs.schema.get_field_index("sup"), "sup",
+            pc.cast(pairs.column("sup"), pa.int64()),
+        )
+        counts = rd.from_arrow(pairs).repartition(max(2, nparts))
+        # distinct (order, part) rows → per-part distinct-order support
+        oidx = np.lexsort((p, ok))
+        ok_s, p_s = ok[oidx], p[oidx]
+        if len(ok_s):
+            keep = np.empty(len(ok_s), dtype=bool)
+            keep[0] = True
+            keep[1:] = (ok_s[1:] != ok_s[:-1]) | (p_s[1:] != p_s[:-1])
+            ok_u, p_u = ok_s[keep], p_s[keep]
+        else:
+            ok_u, p_u = ok_s, p_s
+        up, uc = np.unique(p_u, return_counts=True)
+        items = rd.from_arrow(
+            pa.table(
+                {"p": pa.array(up, pa.int64()), "sup": pa.array(uc.astype(np.int64))}
+            )
+        )
+        n_orders = int(1 + (ok_u[1:] != ok_u[:-1]).sum()) if ok_u.size else 0
+        return ds, counts, items, n_orders
+
     nrw = ds.map_batches(
         lambda b: pa.table(
             {"ok": b.column("l_orderkey"), "p": b.column("l_partkey")}
