@@ -1363,15 +1363,32 @@ def dedup_against_minhash_index(
                 "jaccard": pa.array([], pa.float64()),
             }
         )
-    hist = rd.read_parquet(files)
-    cand = hist.join(
-        rd.from_arrow(new_rows),
-        "inner",
-        4,
-        on=("band", "band_hash"),
-        right_on=("band", "band_hash"),
-    ).materialize()
-    n_cand = cand.count()
+    # Size-gated dense join (BASELINE.md): the touched partitions and
+    # the new-wave band rows are both probe-sized, so below the gate
+    # read them with pyarrow and hash-join driver-side (Acero) — the
+    # distributed Dataset.join's fixed exchange overhead dominates at
+    # this size. Above the gate the distributed join runs unchanged.
+    import pyarrow.parquet as _pqt
+
+    hist_rows = sum(_pqt.read_metadata(f).num_rows for f in files)
+    if hist_rows + new_rows.num_rows <= 4_000_000:
+        hist_t = pa.concat_tables([_pqt.read_table(f) for f in files])
+        cand = rd.from_arrow(
+            hist_t.join(
+                new_rows, keys=["band", "band_hash"], join_type="inner"
+            )
+        )
+        n_cand = cand.count()
+    else:
+        hist = rd.read_parquet(files)
+        cand = hist.join(
+            rd.from_arrow(new_rows),
+            "inner",
+            4,
+            on=("band", "band_hash"),
+            right_on=("band", "band_hash"),
+        ).materialize()
+        n_cand = cand.count()
     if n_cand > max_candidates:
         raise ValueError(
             f"incremental dedup candidate explosion: {n_cand} > {max_candidates} "
