@@ -3774,7 +3774,14 @@ def customer_order_histogram(sf_dir: str):
     exchange) → the count-of-counts histogram is a second, tiny
     groupby.  The 0 bucket is arithmetic — total customers (metadata
     count of the dimension) minus customers seen in the aggregate —
-    never a join."""
+    never a join.
+
+    Size-gated dense plan (BASELINE.md): the block-local per-custkey
+    partials are customer-grain, so below the gate the driver folds
+    them with one Arrow group_by + np.unique histogram instead of two
+    exchanges; above the gate the plan below runs unchanged."""
+    from .util import collect_arrow
+
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"], blocks=8)
 
     def local_cnt(b: pa.Table) -> pa.Table:
@@ -3783,6 +3790,29 @@ def customer_order_histogram(sf_dir: str):
             [([], "count_all")]
         )
         return g.rename_columns(["o_custkey", "n"])
+
+    if orders.count() <= 2 * _BCAST_KEYS_GATE:
+        parts = collect_arrow(
+            orders.map_batches(local_cnt, batch_format="pyarrow"),
+            schema=pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())]),
+        )
+        per = (
+            parts.group_by("o_custkey")
+            .aggregate([("n", "sum")])
+            .rename_columns(["o_custkey", "n"])
+        )
+        counts = per.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        uq, uc = np.unique(counts, return_counts=True)
+        n_zero = _pq(sf_dir, "customer", ["c_custkey"]).count() - per.num_rows
+        if n_zero > 0:
+            uq = np.r_[np.int64(0), uq]
+            uc = np.r_[np.int64(n_zero), uc]
+        return pa.table(
+            {
+                "c_count": pa.array(uq.astype(np.int64)),
+                "custdist": pa.array(uc.astype(np.int64)),
+            }
+        )
 
     per_cust = (
         orders.map_batches(local_cnt, batch_format="pyarrow")

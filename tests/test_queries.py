@@ -211,6 +211,7 @@ def test_dense_gate_queries_match_distributed_path(monkeypatch):
         "orders_returned_customers",
         "events_hourly",
         "events_max_concurrency",
+        "customer_order_histogram",
     ]
     dense = {n: _canon(_to_pandas(getattr(Q, n)(SF))) for n in names}
     dense["supplier_blame"] = _canon(_to_pandas(Q.supplier_blame(SF)))
