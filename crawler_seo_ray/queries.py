@@ -5301,19 +5301,51 @@ def orders_customer_full_join(sf_dir: str):
             .rename_columns(["o_custkey", "spent_cents", "n"])
         )
 
-    from .util import drop_empty_blocks
+    from .util import collect_arrow, drop_empty_blocks
 
-    agg = drop_empty_blocks(
-        orders.map_batches(f_partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("spent_cents", alias_name="spent_cents"), Sum("n", alias_name="n")
+    # Size-gated dense plan (BASELINE.md): both join inputs are
+    # custkey-grain (order partials; the acctbal slice), so below the
+    # gate they collect and full-outer join driver-side via Acero with
+    # the same key-coalescing semantics; above it the distributed
+    # groupby + full_outer exchange runs unchanged.
+    if orders.count() <= 2 * _BCAST_KEYS_GATE:
+        parts = collect_arrow(
+            orders.map_batches(f_partial, batch_format="pyarrow"),
+            schema=pa.schema(
+                [("o_custkey", pa.int64()), ("spent_cents", pa.int64()), ("n", pa.int64())]
+            ),
         )
-    )
-    rich = cust.filter(expr="c_acctbal > 8000")
-    joined = agg.join(
-        rich, "full_outer", _join_partitions(), on=("o_custkey",), right_on=("c_custkey",)
-    )
+        agg_t = (
+            parts.group_by("o_custkey")
+            .aggregate([("spent_cents", "sum"), ("n", "sum")])
+            .rename_columns(["o_custkey", "spent_cents", "n"])
+        )
+        rich_t = collect_arrow(
+            cust.map_batches(
+                lambda b: b.filter(pc.greater(b.column("c_acctbal"), 8000.0)),
+                batch_format="pyarrow",
+            ),
+            schema=pa.schema([("c_custkey", pa.int64()), ("c_acctbal", pa.float64())]),
+        )
+        joined_t = agg_t.join(
+            rich_t,
+            keys=["o_custkey"],
+            right_keys=["c_custkey"],
+            join_type="full outer",
+        )
+    else:
+        agg = drop_empty_blocks(
+            orders.map_batches(f_partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(
+                Sum("spent_cents", alias_name="spent_cents"), Sum("n", alias_name="n")
+            )
+        )
+        rich = cust.filter(expr="c_acctbal > 8000")
+        joined = agg.join(
+            rich, "full_outer", _join_partitions(), on=("o_custkey",), right_on=("c_custkey",)
+        )
+        joined_t = None
 
     def finish(b: pa.Table) -> pa.Table:
         # Ray's full_outer coalesces the join key into the left key
@@ -5344,6 +5376,8 @@ def orders_customer_full_join(sf_dir: str):
             }
         )
 
+    if joined_t is not None:
+        return finish(joined_t)
     return joined.map_batches(finish, batch_format="pyarrow")
 
 

@@ -212,6 +212,7 @@ def test_dense_gate_queries_match_distributed_path(monkeypatch):
         "events_hourly",
         "events_max_concurrency",
         "customer_order_histogram",
+        "orders_customer_full_join",
     ]
     dense = {n: _canon(_to_pandas(getattr(Q, n)(SF))) for n in names}
     dense["supplier_blame"] = _canon(_to_pandas(Q.supplier_blame(SF)))
