@@ -385,6 +385,10 @@ def run_components(num_cpus: int) -> dict:
         "orders_cohort_ltv",
         "events_dau_wau",
         "corpus_embed_knn",
+        "lineitem_forecast_revenue",
+        "nation_year_profit",
+        "orders_urgent_by_status",
+        "corpus_pair_ssim",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -151,3 +151,24 @@ def phash64(pixels: np.ndarray) -> int:
     for k, b in enumerate(bits):
         val |= b << np.uint64(63 - k)
     return int(val.astype(np.int64))
+
+
+def ssim_global(a: np.ndarray, b: np.ndarray) -> float:
+    """Single-window global SSIM (Wang et al. 2004 with the window equal
+    to the whole image) on the mean-channel luma — the structural-verify
+    metric for near-dup image pairs. Population moments in float64
+    throughout, so the score is bit-reproducible for a given pixel pair
+    (pinned by the numpy-replay test). Inputs must share dims — callers
+    resize first (see stages.multimodal.PairSSIM)."""
+    ga = a.astype(np.float64).mean(axis=2)
+    gb = b.astype(np.float64).mean(axis=2)
+    mu_a = float(ga.mean())
+    mu_b = float(gb.mean())
+    va = float(ga.var())
+    vb = float(gb.var())
+    cov = float(((ga - mu_a) * (gb - mu_b)).mean())
+    c1 = (0.01 * 255.0) ** 2
+    c2 = (0.03 * 255.0) ** 2
+    return ((2.0 * mu_a * mu_b + c1) * (2.0 * cov + c2)) / (
+        (mu_a * mu_a + mu_b * mu_b + c1) * (va + vb + c2)
+    )

@@ -11169,10 +11169,506 @@ def docs_bm25_search(sf_dir: str, k: int = 10):
     return parts.take(order[:k])
 
 
+def corpus_pair_ssim(sf_dir: str):
+    """SSIM-verified image near-dup pairs: the phash Hamming banding
+    (corpus_phash_dups) proposes candidates, then a structural
+    similarity score is computed on REAL decoded pixels per pair
+    (stages/multimodal.PairSSIM actor pool) — the image-axis analogue
+    of the text pipelines' exact-verify step, and the quality gate a
+    training pipeline applies before dropping near-dups. Plan: the
+    pair list is output-sized, so its id set prunes ONE corpus scan
+    (is_in filter — only candidate images' bytes leave the scan), the
+    candidate-sized lookup ships once via ray.put, and the pair stream
+    maps through the actor pool with per-actor decode caching. Pixel
+    math isn't SQL → rows-only; pinned by a numpy-replay equality test
+    (tests/test_queries.py)."""
+    from .stages.dedup import phash_pairs
+    from .stages.multimodal import PairSSIM
+    from .util import collect_arrow
+
+    pairs = phash_pairs(
+        corpus_parquet(columns=["image_id", "phash"]), hamming_threshold=4
+    )
+    ids = sorted(
+        set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+    )
+    if not ids:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.string()),
+                "id_b": pa.array([], pa.string()),
+                "hamming": pa.array([], pa.int32()),
+                "ssim": pa.array([], pa.float64()),
+            }
+        )
+    need = pa.array(ids, pa.string())
+    lk = collect_arrow(
+        corpus_parquet(columns=["image_id", "bytes", "fmt"]).map_batches(
+            lambda b: b.filter(pc.is_in(b.column("image_id"), value_set=need)),
+            batch_format="pyarrow",
+        )
+    )
+    lookup = {
+        i.as_py(): (d.as_py(), f.as_py())
+        for i, d, f in zip(
+            lk.column("image_id"), lk.column("bytes"), lk.column("fmt")
+        )
+    }
+    ref = ray.put(lookup)
+    out = collect_arrow(
+        rd.from_arrow(pairs).map_batches(
+            PairSSIM(ref),
+            concurrency=_safe_workers(2),
+            batch_size=256,
+            batch_format="pyarrow",
+        )
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
+        )
+    )
+
+
+def lineitem_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue filter-aggregate — the
+    canonical zero-shuffle scan: a one-year ship-date slice, a
+    discount band and a quantity cap feed ONE global sum of
+    extendedprice·discount. Exact integer plan: both factors become
+    int64 (cents × discount-percent), each block emits a single int64
+    partial, the driver adds Python ints (unbounded) and performs the
+    one division back to dollars — bit-equal to the SQL at any block
+    layout. At 100 TB this is a pure streaming pass: the filter and
+    multiply prune inside each scan task and only ONE row per block
+    leaves it."""
+    from .util import collect_arrow
+
+    lo_ = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi_ = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+        disc = _cents(b.column("l_discount"))  # discount in percent points
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(d, lo_), pc.less(d, hi_)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc, pa.scalar(4, pa.int64())),
+                    pc.less_equal(disc, pa.scalar(6, pa.int64())),
+                ),
+                pc.less(b.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        t = b.filter(keep)
+        prod = pc.multiply(
+            _cents(t.column("l_extendedprice")), _cents(t.column("l_discount"))
+        )
+        s = pc.sum(prod).as_py() or 0
+        return pa.table({"part_sum": pa.array([s], pa.int64())})
+
+    parts = collect_arrow(
+        _pq(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+            blocks=16,
+        ).map_batches(partial, batch_format="pyarrow"),
+        schema=pa.schema([("part_sum", pa.int64())]),
+    )
+    total = sum(parts.column("part_sum").to_pylist())  # Python-int exact
+    return pa.table({"forecast_revenue": pa.array([total / 10000.0], pa.float64())})
+
+
+def nation_year_profit(sf_dir: str):
+    """TPC-H Q9-shaped profit by (supplier nation, ship year) for a
+    part-name slice ('%red%'), adapted to the driver schema (no
+    partsupp: unit cost = p_retailprice — documented deviation, the
+    join/aggregate shape is Q9's). Exact integer amount per line:
+    ext_cents·(100−disc_pct) − retail_cents·qty·100, both in
+    1/10000-dollar units, divided back once.
+
+    Size-gated plan (kcore/pagerank dense-path pattern, BASELINE.md):
+    below the gate the filtered part dimension resolves to a sorted
+    (partkey → retail_cents) array and supplier to a sorted
+    (suppkey → nationkey) array, broadcast once via closure capture of
+    ``ray.put`` refs; ONE streaming lineitem pass does two searchsorted
+    lookups and folds (nation, year) int partials per block — zero
+    exchanges. Above the gate: lineitem pre-aggregates by (partkey,
+    suppkey, year) inside blocks, hash-joins the filtered part, then
+    supplier, and a tiny (nation, year) groupby finishes."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    nat = collect_arrow(_pq(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nat_names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    def part_scan(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.match_substring(b.column("p_name"), "red"))
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "retail_cents": _cents(t.column("p_retailprice")),
+            }
+        )
+
+    parts_ds = _pq(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        part_scan, batch_format="pyarrow"
+    )
+
+    small = (
+        _pq(sf_dir, "part", ["p_partkey"]).count() <= _BCAST_KEYS_GATE
+        and _pq(sf_dir, "supplier", ["s_suppkey"]).count() <= _BCAST_KEYS_GATE
+    )
+    if small:
+        pt = collect_arrow(
+            parts_ds,
+            schema=pa.schema([("p_partkey", pa.int64()), ("retail_cents", pa.int64())]),
+        )
+        pk = pt.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = pt.column("retail_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        po = np.argsort(pk, kind="stable")
+        pk, pr = pk[po], pr[po]
+        st = collect_arrow(_pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+        sk = st.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = st.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        so = np.argsort(sk, kind="stable")
+        sk, sn = sk[so], sn[so]
+        refs = (ray.put((pk, pr)), ray.put((sk, sn)))
+
+        def fold(b: pa.Table) -> pa.Table:
+            pkk, prr = ray.get(refs[0])
+            skk, snn = ray.get(refs[1])
+            lp = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _sorted_member_mask(pkk, lp)
+            t = b.filter(pa.array(m))
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "nationkey": pa.array([], pa.int64()),
+                        "o_year": pa.array([], pa.int64()),
+                        "profit_u": pa.array([], pa.int64()),
+                    }
+                )
+            lp = lp[m]
+            retail = prr[np.searchsorted(pkk, lp)]
+            ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            nation = snn[np.minimum(np.searchsorted(skk, ls), skk.size - 1)]
+            ext = _cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+            disc = _cents(t.column("l_discount")).to_numpy(zero_copy_only=False)
+            qty = (
+                pc.cast(
+                    pc.floor(pc.add(t.column("l_quantity"), 0.5)), pa.int64()
+                ).to_numpy(zero_copy_only=False)
+            )
+            amount = ext * (100 - disc) - retail * qty * 100
+            year = (
+                pc.cast(
+                    pc.year(pc.cast(t.column("l_shipdate"), pa.timestamp("us"))),
+                    pa.int64(),
+                ).to_numpy(zero_copy_only=False)
+            )
+            g = pa.table(
+                {
+                    "nationkey": pa.array(nation),
+                    "o_year": pa.array(year),
+                    "profit_u": pa.array(amount),
+                }
+            )
+            return (
+                g.group_by(["nationkey", "o_year"])
+                .aggregate([("profit_u", "sum")])
+                .rename_columns(["nationkey", "o_year", "profit_u"])
+            )
+
+        folded = collect_arrow(
+            _pq(
+                sf_dir,
+                "lineitem",
+                [
+                    "l_partkey",
+                    "l_suppkey",
+                    "l_extendedprice",
+                    "l_discount",
+                    "l_quantity",
+                    "l_shipdate",
+                ],
+                blocks=16,
+            ).map_batches(fold, batch_format="pyarrow"),
+            schema=pa.schema(
+                [
+                    ("nationkey", pa.int64()),
+                    ("o_year", pa.int64()),
+                    ("profit_u", pa.int64()),
+                ]
+            ),
+        )
+        agg = (
+            folded.group_by(["nationkey", "o_year"])
+            .aggregate([("profit_u", "sum")])
+            .rename_columns(["nationkey", "o_year", "profit_u"])
+        )
+    else:
+        nparts = _join_partitions()
+
+        def li_scan(b: pa.Table) -> pa.Table:
+            year = pc.cast(
+                pc.year(pc.cast(b.column("l_shipdate"), pa.timestamp("us"))),
+                pa.int64(),
+            )
+            s1 = pc.multiply(
+                _cents(b.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100, pa.int64()), _cents(b.column("l_discount"))),
+            )
+            qty = pc.cast(pc.floor(pc.add(b.column("l_quantity"), 0.5)), pa.int64())
+            t = pa.table(
+                {
+                    "_pk": b.column("l_partkey"),
+                    "_sk": b.column("l_suppkey"),
+                    "o_year": year,
+                    "s1": s1,
+                    "sq": qty,
+                }
+            )
+            return (
+                t.group_by(["_pk", "_sk", "o_year"])
+                .aggregate([("s1", "sum"), ("sq", "sum")])
+                .rename_columns(["_pk", "_sk", "o_year", "s1", "sq"])
+            )
+
+        li = _pq(
+            sf_dir,
+            "lineitem",
+            [
+                "l_partkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_quantity",
+                "l_shipdate",
+            ],
+            blocks=16,
+        ).map_batches(li_scan, batch_format="pyarrow")
+        j = drop_empty_blocks(li).join(
+            drop_empty_blocks(parts_ds),
+            "inner",
+            nparts,
+            on=("_pk",),
+            right_on=("p_partkey",),
+        )
+
+        def amount_partial(b: pa.Table) -> pa.Table:
+            amount = pc.subtract(
+                b.column("s1"),
+                pc.multiply(
+                    pc.multiply(b.column("retail_cents"), b.column("sq")),
+                    pa.scalar(100, pa.int64()),
+                ),
+            )
+            t = pa.table(
+                {
+                    "_sk": b.column("_sk"),
+                    "o_year": b.column("o_year"),
+                    "profit_u": amount,
+                }
+            )
+            return (
+                t.group_by(["_sk", "o_year"])
+                .aggregate([("profit_u", "sum")])
+                .rename_columns(["_sk", "o_year", "profit_u"])
+            )
+
+        sup_ds = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        j2 = drop_empty_blocks(
+            j.map_batches(amount_partial, batch_format="pyarrow")
+        ).join(
+            drop_empty_blocks(sup_ds),
+            "inner",
+            nparts,
+            on=("_sk",),
+            right_on=("s_suppkey",),
+        )
+        agg = collect_arrow(
+            drop_empty_blocks(
+                j2.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "nationkey": b.column("s_nationkey"),
+                            "o_year": b.column("o_year"),
+                            "profit_u": b.column("profit_u"),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby(["nationkey", "o_year"])
+                .aggregate(Sum("profit_u", alias_name="profit_u"))
+            )
+        )
+
+    names = pa.array(
+        [nat_names[k] for k in agg.column("nationkey").to_pylist()], pa.string()
+    )
+    out = pa.table(
+        {
+            "nation": names,
+            "o_year": agg.column("o_year"),
+            "profit": pc.divide(
+                pc.cast(agg.column("profit_u"), pa.float64()), 10000.0
+            ),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("nation", "ascending"), ("o_year", "ascending")]
+        )
+    )
+
+
+def orders_urgent_by_status(sf_dir: str):
+    """TPC-H Q12-shaped priority split, adapted to the driver schema
+    (no l_shipmode: grouped by l_linestatus over a one-year ship-date
+    slice — the orders⋈lineitem join + dual conditional count is Q12's
+    shape). high = orders with 1-URGENT/2-HIGH priority.
+
+    Size-gated plan: below the gate orders resolve to a sorted
+    (orderkey → is_high) pair of arrays shipped once via ``ray.put``;
+    ONE lineitem pass looks priorities up with searchsorted and folds
+    per-linestatus high/low int partials — the fact side never
+    shuffles. Above: lineitem pre-aggregates count by (orderkey,
+    linestatus) inside blocks, hash-joins orders, and a ≤|statuses|
+    conditional-sum groupby finishes."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    lo_ = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    hi_ = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    def ord_scan(b: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            b.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "is_high": pc.cast(hi, pa.int64()),
+            }
+        )
+
+    ords = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"], blocks=8).map_batches(
+        ord_scan, batch_format="pyarrow"
+    )
+
+    if _pq(sf_dir, "orders", ["o_orderkey"]).count() <= 2 * _BCAST_KEYS_GATE:
+        ot = collect_arrow(
+            ords, schema=pa.schema([("o_orderkey", pa.int64()), ("is_high", pa.int64())])
+        )
+        ok = ot.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        oh = ot.column("is_high").to_numpy(zero_copy_only=False).astype(np.int64)
+        oo = np.argsort(ok, kind="stable")
+        ok, oh = ok[oo], oh[oo]
+        ref = ray.put((ok, oh))
+
+        def fold(b: pa.Table) -> pa.Table:
+            okk, ohh = ray.get(ref)
+            d = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+            t = b.filter(pc.and_(pc.greater_equal(d, lo_), pc.less(d, hi_)))
+            lk = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = ohh[np.minimum(np.searchsorted(okk, lk), max(okk.size - 1, 0))]
+            g = pa.table(
+                {
+                    "l_linestatus": t.column("l_linestatus"),
+                    "high_line_count": pa.array(hi),
+                    "low_line_count": pa.array(1 - hi),
+                }
+            )
+            return (
+                g.group_by("l_linestatus")
+                .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+                .rename_columns(["l_linestatus", "high_line_count", "low_line_count"])
+            )
+
+        folded = collect_arrow(
+            _pq(
+                sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"], blocks=16
+            ).map_batches(fold, batch_format="pyarrow"),
+            schema=pa.schema(
+                [
+                    ("l_linestatus", pa.string()),
+                    ("high_line_count", pa.int64()),
+                    ("low_line_count", pa.int64()),
+                ]
+            ),
+        )
+        out = (
+            folded.group_by("l_linestatus")
+            .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+            .rename_columns(["l_linestatus", "high_line_count", "low_line_count"])
+        )
+    else:
+        nparts = _join_partitions()
+
+        def li_scan(b: pa.Table) -> pa.Table:
+            d = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+            t = b.filter(pc.and_(pc.greater_equal(d, lo_), pc.less(d, hi_)))
+            g = pa.table(
+                {
+                    "_ok": t.column("l_orderkey"),
+                    "l_linestatus": t.column("l_linestatus"),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            return (
+                g.group_by(["_ok", "l_linestatus"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["_ok", "l_linestatus", "n"])
+            )
+
+        li = _pq(
+            sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"], blocks=16
+        ).map_batches(li_scan, batch_format="pyarrow")
+        j = drop_empty_blocks(li).join(
+            drop_empty_blocks(ords), "inner", nparts, on=("_ok",), right_on=("o_orderkey",)
+        )
+
+        def combine(b: pa.Table) -> pa.Table:
+            hi = pc.multiply(b.column("n"), b.column("is_high"))
+            t = pa.table(
+                {
+                    "l_linestatus": b.column("l_linestatus"),
+                    "high_line_count": hi,
+                    "low_line_count": pc.subtract(b.column("n"), hi),
+                }
+            )
+            return (
+                t.group_by("l_linestatus")
+                .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+                .rename_columns(["l_linestatus", "high_line_count", "low_line_count"])
+            )
+
+        out = collect_arrow(
+            drop_empty_blocks(
+                j.map_batches(combine, batch_format="pyarrow")
+                .groupby("l_linestatus")
+                .aggregate(
+                    Sum("high_line_count", alias_name="high_line_count"),
+                    Sum("low_line_count", alias_name="low_line_count"),
+                )
+            )
+        )
+
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("l_linestatus", "ascending")])
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "corpus_pair_ssim": corpus_pair_ssim,
+    "lineitem_forecast_revenue": lineitem_forecast_revenue,
+    "nation_year_profit": nation_year_profit,
+    "orders_urgent_by_status": orders_urgent_by_status,
     "docs_kwic": docs_kwic,
     "corpus_grayworld_gains": corpus_grayworld_gains,
     "corpus_tile_phash_dups": corpus_tile_phash_dups,
@@ -11370,6 +11866,44 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "lineitem_forecast_revenue": """
+        SELECT sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))::DOUBLE
+                 / 10000.0 AS forecast_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) BETWEEN 4 AND 6
+          AND l_quantity < 24
+    """,
+    "nation_year_profit": """
+        SELECT n_name AS nation,
+               CAST(year(l_shipdate) AS BIGINT) AS o_year,
+               sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+                   - CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+                     * CAST(floor(l_quantity + 0.5) AS BIGINT) * 100)::DOUBLE
+                 / 10000.0 AS profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year
+    """,
+    "orders_urgent_by_status": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,

@@ -521,3 +521,51 @@ class SampleVideoFrames:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         raise NotImplementedError("video decode requires ffmpeg (absent)")
+
+
+class PairSSIM:
+    """Actor stage: structural-similarity verification of near-dup IMAGE
+    pairs. Input batches are (id_a, id_b) candidate pairs; the stage
+    holds a ``ray.put`` ref of {image_id: (bytes, fmt)} covering ONLY
+    ids that appear in a pair (candidate-sized — the corpus never
+    broadcasts), decodes each image once per actor (LRU-less dict cache
+    is fine: the working set IS the candidate set), nearest-resizes a
+    mismatched pair to the elementwise-min dims, and appends a float64
+    ``ssim`` column (functions.imagecodec.ssim_global). Pixels never
+    leave the stage. At 100 TB the pair list and its image payload are
+    output-sized (dedup candidates), so the lookup ships once per actor
+    while the pair stream maps in parallel."""
+
+    def __init__(self, lookup_ref):
+        self._ref = lookup_ref
+        self._lookup = None
+        self._px = {}
+
+    def _pixels(self, image_id: str) -> np.ndarray:
+        got = self._px.get(image_id)
+        if got is None:
+            data, fmt = self._lookup[image_id]
+            got = decode_image(data, fmt)
+            self._px[image_id] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..functions.imagecodec import ssim_global
+
+        if self._lookup is None:
+            self._lookup = ray.get(self._ref)
+        scores = []
+        for a, b in zip(
+            batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()
+        ):
+            pxa = self._pixels(a)
+            pxb = self._pixels(b)
+            if pxa.shape[:2] != pxb.shape[:2]:
+                h = min(pxa.shape[0], pxb.shape[0])
+                w = min(pxa.shape[1], pxb.shape[1])
+                pxa = resize_nearest(pxa, h, w)
+                pxb = resize_nearest(pxb, h, w)
+            scores.append(ssim_global(pxa, pxb))
+        return batch.append_column("ssim", pa.array(scores, pa.float64()))

@@ -175,6 +175,11 @@ def test_rows_only_queries_run(registry):
         "corpus_tile_phash_dups": lambda df: (df["id_a"] < df["id_b"]).all()
         and df["n_shared_tiles"].between(1, 4).all()
         and df.set_index(["id_a", "id_b"]).index.is_unique,
+        # deep pin in test_pair_ssim_matches_numpy_replay
+        "corpus_pair_ssim": lambda df: (df["id_a"] < df["id_b"]).all()
+        and df.set_index(["id_a", "id_b"]).index.is_unique
+        and df["ssim"].between(-1.0, 1.0 + 1e-12).all()
+        and df["hamming"].between(0, 4).all(),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
@@ -213,6 +218,8 @@ def test_dense_gate_queries_match_distributed_path(monkeypatch):
         "events_max_concurrency",
         "customer_order_histogram",
         "orders_customer_full_join",
+        "nation_year_profit",
+        "orders_urgent_by_status",
     ]
     dense = {n: _canon(_to_pandas(getattr(Q, n)(SF))) for n in names}
     dense["supplier_blame"] = _canon(_to_pandas(Q.supplier_blame(SF)))
@@ -850,3 +857,39 @@ def test_corpus_augment_decode_back_equality(ray_session):
         assert np.array_equal(back, cut), r["image_id"]
         checked += 1
     assert checked >= 10
+
+
+def test_pair_ssim_matches_numpy_replay(ray_session):
+    """corpus_pair_ssim scores must equal a driver-side numpy replay of
+    the identical decode → (resize) → global-SSIM math on a sample of
+    pairs, bit-for-bit (the stage and the replay share float64 kernels),
+    and the pair set must equal corpus_phash_dups exactly."""
+    import numpy as np
+
+    from crawler_seo_ray.functions.imagecodec import decode_image, ssim_global
+    from crawler_seo_ray.queries import (
+        corpus_pair_ssim,
+        corpus_parquet,
+        corpus_phash_dups,
+    )
+    from crawler_seo_ray.stages.multimodal import resize_nearest
+
+    out = corpus_pair_ssim("unused").to_pandas()
+    pairs = corpus_phash_dups("unused").to_pandas()
+    assert set(zip(out["id_a"], out["id_b"])) == set(
+        zip(pairs["id_a"], pairs["id_b"])
+    ), "SSIM stage must score exactly the phash candidate set"
+
+    t = corpus_parquet(columns=["image_id", "bytes", "fmt"]).to_pandas()
+    raw = {r.image_id: (r.bytes, r.fmt) for r in t.itertuples()}
+    sample = out.sort_values(["id_a", "id_b"]).iloc[:: max(1, len(out) // 25)]
+    for r in sample.itertuples():
+        pxa = decode_image(*raw[r.id_a])
+        pxb = decode_image(*raw[r.id_b])
+        if pxa.shape[:2] != pxb.shape[:2]:
+            h = min(pxa.shape[0], pxb.shape[0])
+            w = min(pxa.shape[1], pxb.shape[1])
+            pxa = resize_nearest(pxa, h, w)
+            pxb = resize_nearest(pxb, h, w)
+        assert r.ssim == ssim_global(pxa, pxb), (r.id_a, r.id_b)
+        assert -1.0 <= r.ssim <= 1.0 + 1e-12
