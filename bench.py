@@ -389,6 +389,8 @@ def run_components(num_cpus: int) -> dict:
         "nation_year_profit",
         "orders_urgent_by_status",
         "corpus_pair_ssim",
+        "supplier_excess_share",
+        "docs_unigram_logprob",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -11661,10 +11661,340 @@ def orders_urgent_by_status(sf_dir: str):
     )
 
 
+def supplier_excess_share(sf_dir: str):
+    """TPC-H Q20 shape — the doubly-nested semi-join with a correlated
+    share threshold (reference shape: suppliers whose availqty exceeds
+    half a part's year shipments; `/root/reference` has no partsupp
+    analog, so the correlation maps onto this schema as a
+    per-(part, supplier) quantity share against the per-part total over
+    the same date-sliced fact): suppliers in the even-keyed nation
+    slice that shipped MORE THAN 25 % of some 'small%'-named part's
+    1996 total quantity, with how many such parts each covers.
+
+    Decorrelated plan: the prefix part-key set folds driver-side
+    (dimension-sized) and broadcasts sorted for a searchsorted
+    membership mask; ONE date-sliced lineitem pass emits
+    (partkey, suppkey, qty) block partials — pair-grain, the query's
+    own candidate cardinality. Below the gate the partials fold
+    driver-side in one Arrow group_by, per-part totals derive from the
+    folded pairs with np.add.at over part codes, and the share
+    predicate is the exact integer cross-multiplication 4·q > tq (no
+    float share, both engines pick identical rows). Above the gate the
+    same partials flow through a distributed groupby(part, supp), a
+    part-keyed total groupby, and a Dataset hash join back — the
+    fact-sized path with no driver table. Supplier name/nation
+    decoration is dimension-sized on either path."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    # nested IN #1: prefix-named parts (dimension-sized → broadcast)
+    def prefix_parts(b: pa.Table) -> pa.Table:
+        return b.filter(pc.starts_with(b.column("p_name"), "small"))
+
+    pt = collect_arrow(
+        _pq(sf_dir, "part", ["p_partkey", "p_name"], blocks=4).map_batches(
+            prefix_parts, batch_format="pyarrow"
+        ),
+        schema=pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string())]),
+    )
+    part_keys = np.sort(
+        pt.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    part_ref = ray.put(part_keys)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("l_shipdate"), pa.timestamp("us"))
+        mask = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        b = b.filter(mask)
+        keys = ray.get(part_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = b.filter(pa.array(_sorted_member_mask(keys, pk)))
+        t = pa.table(
+            {
+                "p": b.column("l_partkey"),
+                "s": b.column("l_suppkey"),
+                "q": pc.cast(b.column("l_quantity"), pa.int64()),
+            }
+        )
+        return t.group_by(["p", "s"]).aggregate([("q", "sum")]).rename_columns(
+            ["p", "s", "q"]
+        )
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        blocks=16,
+    ).map_batches(pair_partial, batch_format="pyarrow")
+
+    sup = collect_arrow(
+        _pq(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"], blocks=2)
+    )
+    s_keys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    s_nat = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    s_order = np.argsort(s_keys)
+    s_keys, s_nat = s_keys[s_order], s_nat[s_order]
+    s_names = np.asarray(sup.column("s_name").to_pylist(), dtype=object)[s_order]
+
+    if _pq(sf_dir, "lineitem", ["l_partkey"]).count() <= 2 * _BCAST_KEYS_GATE:
+        # dense path: pair partials are ≤ blocks × |pairs| rows — fold once
+        pairs = (
+            collect_arrow(
+                drop_empty_blocks(li),
+                schema=pa.schema(
+                    [("p", pa.int64()), ("s", pa.int64()), ("q", pa.int64())]
+                ),
+            )
+            .group_by(["p", "s"])
+            .aggregate([("q", "sum")])
+            .rename_columns(["p", "s", "q"])
+        )
+        p_arr = pairs.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        s_arr = pairs.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        q_arr = pairs.column("q").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_p, codes = np.unique(p_arr, return_inverse=True)
+        tot = np.zeros(len(uniq_p), dtype=np.int64)
+        np.add.at(tot, codes, q_arr)
+        excess = 4 * q_arr > tot[codes]
+    else:
+        agg = drop_empty_blocks(
+            li.groupby(["p", "s"]).aggregate(Sum("q", alias_name="q"))
+        )
+        tot_ds = drop_empty_blocks(
+            agg.groupby("p").aggregate(Sum("q", alias_name="tq"))
+        )
+        j = collect_arrow(
+            agg.join(tot_ds, "inner", _join_partitions(), on=("p",))
+        )
+        p_arr = j.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        s_arr = j.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        q_arr = j.column("q").to_numpy(zero_copy_only=False).astype(np.int64)
+        excess = 4 * q_arr > j.column("tq").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+
+    # nested IN #2 + nation slice: decorate qualifying suppliers
+    s_q = s_arr[excess]
+    pos = np.searchsorted(s_keys, s_q)
+    keep = s_nat[pos] % 2 == 0
+    s_q = s_q[keep]
+    if len(s_q) == 0:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "n_parts": pa.array([], pa.int64()),
+            }
+        )
+    uniq_s, counts = np.unique(s_q, return_counts=True)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(uniq_s),
+            "s_name": pa.array(
+                s_names[np.searchsorted(s_keys, uniq_s)].tolist(), pa.string()
+            ),
+            "n_parts": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def embeddings_kcenter(sf_dir: str, k: int = 12):
+    """Greedy k-center / farthest-point core-set selection (Gonzalez's
+    2-approximation) — the diversity-sampling curation primitive: pick
+    ``k`` vectors so every vector is near some pick, the opposite of
+    near-dup removal (keep the SPREAD, not the dense mass). Each of
+    the k−1 greedy rounds is ONE streaming pass over the (materialized
+    — the iterative working set, the k-means/pagerank rule) embedding
+    blocks: centers-so-far broadcast via ``ray.put`` (k×d, tiny), each
+    block computes min squared-L2 to the centers with one matmul and
+    emits only its block-argmax (vec_id, dist, vector) partial, and
+    the driver folds ≤ blocks partials with the (dist desc, vec_id
+    asc) tie-break. O(k) passes of O(n·r) flops — the exact greedy;
+    at larger k switch the inner min to the IVF cells. Rows-only
+    (iterative greedy argmax is not ANSI-SQL); pinned bit-exact by a
+    numpy replay test. Output: (round, vec_id, dist) — dist is each
+    pick's distance to the previously-picked set (0 for the seed,
+    non-increasing thereafter, the k-center radius curve)."""
+    from .stages.similarity import _vec_matrix
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8).materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        i = int(np.argmin(b.column("vec_id").to_numpy(zero_copy_only=False)))
+        return b.take(pa.array([i]))
+
+    seeds = collect_arrow(ds.map_batches(seed_partial, batch_format="pyarrow"))
+    s_ids = seeds.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    j = int(np.argmin(s_ids))
+    d_dim = _vec_matrix(seeds.column("embedding")).shape[1]
+    centers = [_vec_matrix(seeds.column("embedding"))[j]]
+    picked_ids = [int(s_ids[j])]
+    picked_dist = [0.0]
+
+    for _ in range(1, k):
+        cref = ray.put(np.stack(centers))
+
+        def far_partial(b: pa.Table, _cref=cref) -> pa.Table:
+            C = ray.get(_cref)
+            X = _vec_matrix(b.column("embedding"))
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            ).min(axis=1)
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            i = int(np.lexsort((vid, -d2))[0])
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(vid[i])], pa.int64()),
+                    "dist": pa.array([float(d2[i])], pa.float64()),
+                    "vec": pa.array([X[i]], pa.list_(pa.float64(), d_dim)),
+                }
+            )
+
+        parts = collect_arrow(ds.map_batches(far_partial, batch_format="pyarrow"))
+        pv = parts.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pd_ = parts.column("dist").to_numpy(zero_copy_only=False)
+        w = int(np.lexsort((pv, -pd_))[0])
+        picked_ids.append(int(pv[w]))
+        picked_dist.append(float(pd_[w]))
+        centers.append(np.asarray(parts.column("vec")[w].as_py(), dtype=np.float64))
+
+    return pa.table(
+        {
+            "round": pa.array(np.arange(k, dtype=np.int64)),
+            "vec_id": pa.array(np.asarray(picked_ids, dtype=np.int64)),
+            "dist": pa.array(np.asarray(picked_dist, dtype=np.float64)),
+        }
+    )
+
+
+def docs_unigram_logprob(sf_dir: str):
+    """Unigram-LM document scoring — the CCNet-style quality signal: a
+    document's mean token log-probability under the corpus's own
+    unigram distribution (low = rare-token soup / gibberish, high =
+    stereotyped boilerplate; curation pipelines threshold both tails).
+    Reference parity: the reference scores pages with hand rules
+    (`analise_*` modules); this is the statistical sibling an LLM-data
+    pipeline adds on top.
+
+    Two streaming passes: (1) global token counts — per-block Arrow
+    split+group_by partials folded to the vocabulary grain (the
+    documented TF-IDF vocabulary seam: below web-vocab scale the fold
+    is driver-side and the sorted (token, count) arrays broadcast via
+    ``ray.put``; above it the same partials feed a term-keyed groupby
+    + join); (2) per-block scoring — tokens code via ``searchsorted``
+    on the sorted vocab (binary/codepoint order on both engines), tf
+    per (doc, token) from one lexsort run-length, each doc's
+    Σ tf·ln(c/T) accumulated with ``np.add.accumulate`` STRICTLY in
+    token order — a sequential left fold, bit-equal to the oracle's
+    ``sum(... ORDER BY tok)`` ordered aggregate (ln is the same libm
+    call on the same double on both sides — the BM25 idf precedent)."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_lower(b.column("text").combine_chunks()), " "
+        )
+        t = pa.table({"tok": pc.list_flatten(toks)})
+        return (
+            t.group_by("tok").aggregate([([], "count_all")]).rename_columns(
+                ["tok", "c"]
+            )
+        )
+
+    vocab = (
+        collect_arrow(
+            drop_empty_blocks(ds.map_batches(tok_counts, batch_format="pyarrow")),
+            schema=pa.schema([("tok", pa.string()), ("c", pa.int64())]),
+        )
+        .group_by("tok")
+        .aggregate([("c", "sum")])
+        .rename_columns(["tok", "c"])
+    )
+    vt = np.asarray(vocab.column("tok").to_pylist(), dtype=str)
+    vc = vocab.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vt, kind="stable")
+    vt, vc = vt[order], vc[order]
+    total = int(vc.sum())
+    # ln once per vocab entry with math.log (glibc libm — the SAME
+    # correctly-rounded call DuckDB's ln makes; numpy's SIMD np.log
+    # drifts 1 ulp on ~25 % of inputs) and broadcast the values
+    import math
+
+    lnp_vocab = np.fromiter(
+        (math.log(int(c) / float(total)) for c in vc),
+        dtype=np.float64,
+        count=len(vc),
+    )
+    vocab_ref = ray.put((vt, lnp_vocab))
+
+    def score(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "avg_logprob": pa.array([], pa.float64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        vt_, lnp_ = ray.get(vocab_ref)
+        toks = pc.split_pattern(
+            pc.utf8_lower(b.column("text").combine_chunks()), " "
+        )
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        parent = np.repeat(np.arange(b.num_rows, dtype=np.int64), n_tok)
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=str)
+        codes = np.searchsorted(vt_, flat)
+        # tf per (doc, token): lexsort then run-length over the pair key
+        srt = np.lexsort((codes, parent))
+        p_s, c_s = parent[srt], codes[srt]
+        new = np.empty(len(srt), dtype=bool)
+        new[:1] = True
+        new[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(srt))).astype(np.int64)
+        pair_doc, pair_code = p_s[starts], c_s[starts]
+        vals = tf.astype(np.float64) * lnp_[pair_code]
+        # per-doc sequential left fold in token order (oracle's ordered sum)
+        doc_new = np.empty(len(pair_doc), dtype=bool)
+        doc_new[:1] = True
+        doc_new[1:] = pair_doc[1:] != pair_doc[:-1]
+        seg = np.flatnonzero(doc_new)
+        ends = np.append(seg[1:], len(pair_doc))
+        sums = np.empty(len(seg), dtype=np.float64)
+        for i, (s, e) in enumerate(zip(seg, ends)):
+            sums[i] = np.add.accumulate(vals[s:e])[-1]
+        doc_ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rows = pair_doc[seg]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[rows]),
+                "n_tokens": pa.array(n_tok[rows]),
+                "avg_logprob": pa.array(sums / n_tok[rows].astype(np.float64)),
+            }
+        )
+
+    return drop_empty_blocks(ds.map_batches(score, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
+    "supplier_excess_share": supplier_excess_share,
+    "docs_unigram_logprob": docs_unigram_logprob,
+    "embeddings_kcenter": embeddings_kcenter,
     "corpus_pair_ssim": corpus_pair_ssim,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "nation_year_profit": nation_year_profit,
@@ -14836,4 +15166,45 @@ ORACLE_SQL["docs_kwic"] = """
            regexp_extract(lower(text), '(.{0,20}hash.{0,20})', 1) AS snippet
     FROM documents
     WHERE regexp_matches(lower(text), 'hash')
+"""
+
+ORACLE_SQL["supplier_excess_share"] = """
+    WITH pref AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    pairs AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem JOIN pref ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, SUM(q) AS tq FROM pairs GROUP BY 1)
+    SELECT s_suppkey,
+           any_value(s_name) AS s_name,
+           COUNT(*)::BIGINT AS n_parts
+    FROM pairs
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE s_nationkey % 2 = 0 AND 4 * q > tq
+    GROUP BY 1
+    ORDER BY s_suppkey
+"""
+
+ORACLE_SQL["docs_unigram_logprob"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+    ),
+    vocab AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS t FROM toks)
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_tokens,
+           sum(CAST(tf AS DOUBLE)
+               * ln(CAST(c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+               ORDER BY tok)
+             / CAST(sum(tf) AS DOUBLE) AS avg_logprob
+    FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id, tot.t
 """

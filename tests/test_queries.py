@@ -220,6 +220,7 @@ def test_dense_gate_queries_match_distributed_path(monkeypatch):
         "orders_customer_full_join",
         "nation_year_profit",
         "orders_urgent_by_status",
+        "supplier_excess_share",
     ]
     dense = {n: _canon(_to_pandas(getattr(Q, n)(SF))) for n in names}
     dense["supplier_blame"] = _canon(_to_pandas(Q.supplier_blame(SF)))
@@ -893,3 +894,34 @@ def test_pair_ssim_matches_numpy_replay(ray_session):
             pxb = resize_nearest(pxb, h, w)
         assert r.ssim == ssim_global(pxa, pxb), (r.id_a, r.id_b)
         assert -1.0 <= r.ssim <= 1.0 + 1e-12
+
+
+def test_kcenter_matches_numpy_replay(ray_session):
+    """Greedy farthest-point picks must equal the single-process numpy
+    replay bit-exactly (same ops, same tie-break), and the radius curve
+    must be non-increasing — the k-center invariant."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_seo_ray.queries import embeddings_kcenter
+
+    t = embeddings_kcenter(SF, k=8).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    X = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    picked, dist, C = [int(ids[0])], [0.0], X[[0]]
+    for _ in range(1, 8):
+        d2 = (
+            (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        ).min(axis=1)
+        i = int(np.lexsort((ids, -d2))[0])
+        picked.append(int(ids[i]))
+        dist.append(float(d2[i]))
+        C = np.vstack([C, X[i]])
+    assert t["vec_id"].tolist() == picked
+    assert np.array_equal(t["dist"].values, np.array(dist))
+    radii = t["dist"].values[1:]
+    assert (np.diff(radii) <= 1e-12).all(), "k-center radius curve must not increase"
+    assert len(set(t["vec_id"])) == 8
