@@ -11800,6 +11800,97 @@ def supplier_excess_share(sf_dir: str):
     )
 
 
+def customer_fuzzy_groups(sf_dir: str):
+    """Entity-resolution GROUPING — the step after the fuzzy match:
+    transitive closure over the edit-distance≤1 pair set, labeling
+    every matched name with its group representative (lexicographic
+    min, the same convention as docs_minhash_groups). The pair set
+    comes from the SAME distributed FastSS deletion-neighborhood join
+    as customer_fuzzy_pairs; the closure runs as a driver union-find
+    on the OUTPUT-SIZED pair table (house rule — the distributed
+    min-label-propagation path in stages/dedup is the above-output-size
+    alternative and is exercised by docs_minhash_groups). SQL oracle:
+    recursive-CTE reachability with the same min-rep convention."""
+    pairs = customer_fuzzy_pairs(sf_dir)
+    a = pairs.column("tok_a").to_pylist()
+    b = pairs.column("tok_b").to_pylist()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    nodes = sorted(set(a) | set(b))
+    return pa.table(
+        {
+            "tok": pa.array(nodes, pa.string()),
+            "rep": pa.array([find(n) for n in nodes], pa.string()),
+        }
+    )
+
+
+def docs_dup_source_matrix(sf_dir: str):
+    """Cross-source duplication matrix — which sources copy from which:
+    per unordered source pair, how many verified near-duplicate
+    document pairs straddle them (diagonal = within-source dups). The
+    provenance census a curation pipeline runs before deciding which
+    feed to drop; reference parity: the reference's duplicate report
+    groups by page only (`reports/`), this adds the source axis an
+    open-web corpus needs. Plan: the verified pair set comes from the
+    SAME distributed minhash band-groupby + verify stage as
+    docs_minhash_dups (pairs are output-sized); each end decorates with
+    its source via one narrow (doc_id, source) scan folded driver-side
+    and searchsorted — the documented corpus-map broadcast seam (at
+    open-web doc counts decorate by joining the pair Dataset on doc_id
+    instead); the (src_a, src_b) census is one output-grain Arrow
+    group_by."""
+    from .stages.dedup import minhash_pipeline
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+    pairs = minhash_pipeline(ds, "text", "doc_id", jaccard_threshold=0.5)["pairs"]
+
+    src = collect_arrow(
+        _pq(sf_dir, "documents", ["doc_id", "source"], blocks=8),
+        schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+    )
+    d_ids = src.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(d_ids)
+    d_ids = d_ids[order]
+    d_src = np.asarray(src.column("source").to_pylist(), dtype=object)[order]
+
+    a = pairs.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    sa = d_src[np.searchsorted(d_ids, a)]
+    sb = d_src[np.searchsorted(d_ids, b)]
+    sa, sb = sa.astype(str), sb.astype(str)
+    a_low = sa <= sb
+    lo = np.where(a_low, sa, sb)
+    hi = np.where(a_low, sb, sa)
+    t = pa.table(
+        {"src_a": pa.array(lo, pa.string()), "src_b": pa.array(hi, pa.string())}
+    )
+    out = (
+        t.group_by(["src_a", "src_b"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["src_a", "src_b", "n_pairs"])
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("src_a", "ascending"), ("src_b", "ascending")]
+        )
+    )
+
+
 def embeddings_kcenter(sf_dir: str, k: int = 12):
     """Greedy k-center / farthest-point core-set selection (Gonzalez's
     2-approximation) — the diversity-sampling curation primitive: pick
@@ -11995,6 +12086,8 @@ QUERIES = {
     "supplier_excess_share": supplier_excess_share,
     "docs_unigram_logprob": docs_unigram_logprob,
     "embeddings_kcenter": embeddings_kcenter,
+    "docs_dup_source_matrix": docs_dup_source_matrix,
+    "customer_fuzzy_groups": customer_fuzzy_groups,
     "corpus_pair_ssim": corpus_pair_ssim,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "nation_year_profit": nation_year_profit,
@@ -15208,3 +15301,34 @@ ORACLE_SQL["docs_unigram_logprob"] = """
     FROM tf JOIN vocab USING (tok) CROSS JOIN tot
     GROUP BY doc_id, tot.t
 """
+
+
+ORACLE_SQL["docs_dup_source_matrix"] = (
+    "WITH pairs AS MATERIALIZED (" + ORACLE_SQL["docs_minhash_dups"] + """)
+    SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           count(*)::BIGINT AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.id_a
+    JOIN documents db ON db.doc_id = pairs.id_b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+)
+
+
+ORACLE_SQL["customer_fuzzy_groups"] = (
+    "WITH RECURSIVE pairs AS MATERIALIZED ("
+    + ORACLE_SQL["customer_fuzzy_pairs"]
+    + """),
+    edges AS MATERIALIZED (
+      SELECT tok_a AS a, tok_b AS b FROM pairs
+      UNION ALL SELECT tok_b, tok_a FROM pairs),
+    reach(tok, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.tok, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT tok, least(tok, min(r)) AS rep FROM reach GROUP BY tok ORDER BY tok
+"""
+)
