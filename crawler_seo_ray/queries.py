@@ -11800,6 +11800,177 @@ def supplier_excess_share(sf_dir: str):
     )
 
 
+def docs_heavy_hitters(sf_dir: str, k: int = 30):
+    """EXACT frequent-items via the two-pass Misra–Gries protocol —
+    the bounded-memory heavy-hitter operator (what replaces a full
+    vocabulary groupby when the term universe doesn't fit anywhere):
+    terms whose corpus frequency strictly exceeds n/(k+1) of the n
+    total tokens. Pass 1: each block folds its exact token counts
+    (block-local Arrow group_by) and COMPRESSES them to ≤ k weighted
+    Misra–Gries counters (subtract the (k+1)-th largest, drop ≤ 0);
+    the ≤ blocks×k counter rows merge driver-side by summation plus
+    one final compress. Mergeability bound (Agarwal et al., mergeable
+    summaries): total undercount per term ≤ n/(k+1), so every TRUE
+    heavy hitter provably survives with a positive counter — the
+    candidate set is a superset. Pass 2: the ≤ k candidates broadcast
+    and ONE streaming re-count gives exact counts; the final filter is
+    the integer cross-multiplication count·(k+1) > n (no float ratio).
+    Output is exactly SQL's HAVING count(*)·(k+1) > total — but no
+    stage ever holds more than k counters per block, versus
+    docs_heavy_terms' full-vocabulary exchange."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = _pq(sf_dir, "documents", ["text"], blocks=8)
+
+    # "\\x00" is a reserved sentinel row carrying the block's exact token
+    # total (a space-split token can never contain NUL) — it survives
+    # folds with counter 0 and is dropped by the exact-count threshold
+    _SENT = "\x00"
+
+    def mg_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_lower(b.column("text").combine_chunks()), " "
+        )
+        t = pa.table({"term": pc.list_flatten(toks)})
+        g = t.group_by("term").aggregate([([], "count_all")])
+        terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+        cnt = g.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_block = int(cnt.sum())
+        if len(cnt) > k:
+            order = np.argsort(-cnt, kind="stable")
+            sub = cnt[order[k]]
+            kept = cnt[order[:k]] - sub
+            pos = kept > 0
+            terms, cnt = terms[order[:k]][pos], kept[pos]
+        return pa.table(
+            {
+                "term": pa.array(list(terms) + [_SENT], pa.string()),
+                "counter": pa.array(np.append(cnt, 0)),
+                "_n": pa.array(
+                    np.append(np.zeros(len(cnt), dtype=np.int64), n_block)
+                ),
+            }
+        )
+
+    parts = collect_arrow(
+        drop_empty_blocks(ds.map_batches(mg_partial, batch_format="pyarrow")),
+        schema=pa.schema(
+            [("term", pa.string()), ("counter", pa.int64()), ("_n", pa.int64())]
+        ),
+    )
+    n_total = int(pc.sum(parts.column("_n")).as_py() or 0)
+    merged = (
+        parts.select(["term", "counter"])
+        .group_by("term")
+        .aggregate([("counter", "sum")])
+        .rename_columns(["term", "counter"])
+    )
+    terms = np.asarray(merged.column("term").to_pylist(), dtype=object)
+    cnt = merged.column("counter").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(cnt) > k:
+        order = np.argsort(-cnt, kind="stable")
+        sub = cnt[order[k]]
+        kept = cnt[order[:k]] - sub
+        pos = kept > 0
+        terms = terms[order[:k]][pos]
+    cand = np.sort(terms.astype(str))
+    cand_ref = ray.put(cand)
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        toks = pc.split_pattern(
+            pc.utf8_lower(b.column("text").combine_chunks()), " "
+        )
+        t = pa.table({"term": pc.list_flatten(toks)})
+        g = t.group_by("term").aggregate([([], "count_all")])
+        tt = np.asarray(g.column("term").to_pylist(), dtype=str)
+        pos = np.searchsorted(c, tt)
+        pos_c = np.clip(pos, 0, len(c) - 1)
+        hit = c[pos_c] == tt
+        return pa.table(
+            {
+                "term": pa.array(tt[hit].tolist(), pa.string()),
+                "n": g.column("count_all").take(pa.array(np.flatnonzero(hit))),
+            }
+        )
+
+    exact = (
+        collect_arrow(
+            drop_empty_blocks(ds.map_batches(exact_partial, batch_format="pyarrow")),
+            schema=pa.schema([("term", pa.string()), ("n", pa.int64())]),
+        )
+        .group_by("term")
+        .aggregate([("n", "sum")])
+        .rename_columns(["term", "n"])
+    )
+    nn = exact.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = nn * (k + 1) > n_total
+    out = exact.filter(pa.array(keep))
+    return out.take(pc.sort_indices(out, sort_keys=[("term", "ascending")]))
+
+
+def corpus_caption_conflicts(sf_dir: str, bucket_cap: int = 10_000):
+    """Caption↔image consistency census over the (image, caption)
+    corpus (input_hint schema): pairs of images sharing an IDENTICAL
+    caption whose pixels are NOT near-duplicates (phash Hamming > 4,
+    the complement of corpus_phash_dups' near-dup criterion) — the
+    mislabel / templated-alt-text signal a paired multimodal corpus is
+    screened for before training: same text over visually different
+    images is either boilerplate or a labeling error. Distributed
+    shape: exact caption grouping is ONE caption-keyed groupby
+    exchange (the exact-dedup shape — pixels/bytes never read, only
+    the three narrow metadata columns); in-group pair emission is
+    vectorized (triu index fan-out + xor-popcount via the _POP8 byte
+    LUT) with the dedup.py bucket_cap convention guarding degenerate
+    caption groups (a stock caption shared by s images costs s²/2
+    candidate rows — raise loudly, never a silent quadratic)."""
+    from .stages.similarity import _POP8
+
+    ds = corpus_parquet(columns=["image_id", "caption", "phash"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.string()),
+                "id_b": pa.array([], pa.string()),
+                "caption": pa.array([], pa.string()),
+                "hamming": pa.array([], pa.int32()),
+            }
+        )
+        n = g.num_rows
+        if n < 2:
+            return empty
+        if n > bucket_cap:
+            raise ValueError(
+                f"caption group over cap={bucket_cap} ({n} ids): raise the "
+                "cap or pre-split the degenerate caption"
+            )
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
+        order = np.argsort(ids.astype(str), kind="stable")
+        ids = ids[order]
+        hp = (
+            pc.cast(g.column("phash"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .view(np.uint64)[order]
+        )
+        ia, ib = np.triu_indices(n, 1)
+        x = hp[ia] ^ hp[ib]
+        d = _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1, dtype=np.int32)
+        keep = d > 4
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia[keep]].tolist(), pa.string()),
+                "id_b": pa.array(ids[ib[keep]].tolist(), pa.string()),
+                "caption": pa.array(
+                    [g.column("caption")[0].as_py()] * int(keep.sum()), pa.string()
+                ),
+                "hamming": pa.array(d[keep], pa.int32()),
+            }
+        )
+
+    return ds.groupby("caption").map_groups(pairs, batch_format="pyarrow")
+
+
 def customer_fuzzy_groups(sf_dir: str):
     """Entity-resolution GROUPING — the step after the fuzzy match:
     transitive closure over the edit-distance≤1 pair set, labeling
@@ -12088,6 +12259,8 @@ QUERIES = {
     "embeddings_kcenter": embeddings_kcenter,
     "docs_dup_source_matrix": docs_dup_source_matrix,
     "customer_fuzzy_groups": customer_fuzzy_groups,
+    "corpus_caption_conflicts": corpus_caption_conflicts,
+    "docs_heavy_hitters": docs_heavy_hitters,
     "corpus_pair_ssim": corpus_pair_ssim,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "nation_year_profit": nation_year_profit,
@@ -15332,3 +15505,24 @@ ORACLE_SQL["customer_fuzzy_groups"] = (
     SELECT tok, least(tok, min(r)) AS rep FROM reach GROUP BY tok ORDER BY tok
 """
 )
+
+
+ORACLE_SQL["corpus_caption_conflicts"] = f"""
+    WITH c AS (SELECT image_id, caption, phash FROM read_parquet('{_CORPUS_GLOB}'))
+    SELECT a.image_id AS id_a, b.image_id AS id_b, a.caption AS caption,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM c a JOIN c b ON a.caption = b.caption AND a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) > 4
+"""
+
+
+ORACLE_SQL["docs_heavy_hitters"] = """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    )
+    SELECT term, count(*)::BIGINT AS n
+    FROM toks
+    GROUP BY term
+    HAVING count(*) * 31 > (SELECT count(*) FROM toks)
+    ORDER BY term
+"""
