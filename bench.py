@@ -391,6 +391,9 @@ def run_components(num_cpus: int) -> dict:
         "corpus_pair_ssim",
         "supplier_excess_share",
         "docs_unigram_logprob",
+        "corpus_mip_build",
+        "docs_dup_source_matrix",
+        "docs_heavy_hitters",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

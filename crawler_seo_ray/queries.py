@@ -11800,6 +11800,22 @@ def supplier_excess_share(sf_dir: str):
     )
 
 
+def corpus_mip_build(sf_dir: str):
+    """Build the actual mip/thumbnail pyramid (levels 1–3) over the
+    image corpus — the APPLY step of corpus_mip_levels' integer plan:
+    decode in an actor pool, halve with an exact 2×2 integer box
+    filter per level, re-encode losslessly (stages/multimodal.
+    MipPyramid; pixels never leave the stage). Rows-only (pixel
+    transforms aren't SQL); the decode-back test pins level-1 bytes to
+    the numpy box-filter of the decoded originals bit-exactly."""
+    from .stages.multimodal import MipPyramid
+
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(
+        MipPyramid, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).select_columns(["image_id", "level", "w_l", "h_l", "mean_luma"])
+
+
 def docs_heavy_hitters(sf_dir: str, k: int = 30):
     """EXACT frequent-items via the two-pass Misra–Gries protocol —
     the bounded-memory heavy-hitter operator (what replaces a full
@@ -12261,6 +12277,7 @@ QUERIES = {
     "customer_fuzzy_groups": customer_fuzzy_groups,
     "corpus_caption_conflicts": corpus_caption_conflicts,
     "docs_heavy_hitters": docs_heavy_hitters,
+    "corpus_mip_build": corpus_mip_build,
     "corpus_pair_ssim": corpus_pair_ssim,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "nation_year_profit": nation_year_profit,

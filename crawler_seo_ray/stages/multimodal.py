@@ -496,6 +496,62 @@ class AugmentImages:
         )
 
 
+class MipPyramid:
+    """Actor stage: decode → build the mip/thumbnail pyramid ON REAL
+    PIXELS (corpus_mip_levels is the integer geometry PLAN; this is
+    the apply step a thumbnail/LOD sink runs): each level halves both
+    dimensions with an exact 2×2 integer box filter
+    ((a+b+c+d)//4 per channel — pure integer floor mean, bit-stable
+    across platforms; an odd trailing row/col is edge-dropped, the
+    floor convention). Levels 1..max_level (or until a dimension
+    would fall below 1). Output carries the losslessly re-encoded
+    level bytes + dims + mean luma — source pixels never leave the
+    stage; a downstream sink writes one partition per level."""
+
+    def __init__(self, max_level: int = 3):
+        self.max_level = max_level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.imagecodec import encode_image
+
+        ids, levels, ws, hs, out_bytes, lumas = [], [], [], [], [], []
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"])
+            cur = px
+            for lev in range(1, self.max_level + 1):
+                h, w = cur.shape[0] & ~1, cur.shape[1] & ~1
+                if h < 2 or w < 2:
+                    break
+                c = cur[:h, :w].astype(np.uint16)
+                cur = (
+                    (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
+                    // 4
+                ).astype(np.uint8)
+                ids.append(r["image_id"])
+                levels.append(lev)
+                hs.append(cur.shape[0])
+                ws.append(cur.shape[1])
+                out_bytes.append(encode_image(cur, "png"))
+                # integer-exact mean luma (BT.601 weights over int sums)
+                s = cur.reshape(-1, cur.shape[2]).sum(axis=0, dtype=np.int64)
+                n_px = cur.shape[0] * cur.shape[1]
+                lumas.append(
+                    float(299 * s[0] + 587 * s[1] + 114 * s[2]) / (1000.0 * n_px)
+                )
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "level": pa.array(levels, pa.int32()),
+                "w_l": pa.array(ws, pa.int32()),
+                "h_l": pa.array(hs, pa.int32()),
+                "bytes": pa.array(out_bytes, pa.binary()),
+                "mean_luma": pa.array(lumas, pa.float64()),
+            }
+        )
+
+
 class DecodeAudio:
     """STUB: audio codec libraries are not present in this container.
 

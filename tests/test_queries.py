@@ -180,6 +180,16 @@ def test_rows_only_queries_run(registry):
         and df.set_index(["id_a", "id_b"]).index.is_unique
         and df["ssim"].between(-1.0, 1.0 + 1e-12).all()
         and df["hamming"].between(0, 4).all(),
+        # deep pin in test_kcenter_matches_numpy_replay
+        "embeddings_kcenter": lambda df: len(df) == 12
+        and df["vec_id"].is_unique
+        and df["dist"].iloc[0] == 0.0
+        and (df["dist"].iloc[1:].diff().dropna() <= 1e-12).all(),
+        # deep pin in test_mip_build_decode_back_equality
+        "corpus_mip_build": lambda df: df["image_id"].nunique() == 300
+        and df["level"].between(1, 3).all()
+        and (df["w_l"] > 0).all()
+        and df["mean_luma"].between(0.0, 255.0).all(),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
@@ -925,3 +935,49 @@ def test_kcenter_matches_numpy_replay(ray_session):
     radii = t["dist"].values[1:]
     assert (np.diff(radii) <= 1e-12).all(), "k-center radius curve must not increase"
     assert len(set(t["vec_id"])) == 8
+
+
+def test_mip_build_decode_back_equality(ray_session):
+    """Level-1 mip bytes must decode back to the exact integer 2x2 box
+    filter of the decoded source pixels; level dims must halve with the
+    floor convention; mean_luma must equal the integer-sum BT.601 mean."""
+    import numpy as np
+
+    from crawler_seo_ray.functions.imagecodec import decode_image
+    from crawler_seo_ray.queries import corpus_parquet
+    from crawler_seo_ray.stages.multimodal import MipPyramid
+
+    src = corpus_parquet(columns=["image_id", "bytes", "fmt"]).to_pandas()
+    raw = {r.image_id: (r.bytes, r.fmt) for r in src.itertuples()}
+
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    out = ds.map_batches(
+        MipPyramid, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).to_pandas()
+    assert set(out["level"]) == {1, 2, 3}
+    by_img = out[out["level"] == 1].set_index("image_id")
+    sample = by_img.iloc[:: max(1, len(by_img) // 20)]
+    for image_id, r in sample.iterrows():
+        px = decode_image(*raw[image_id])
+        h, w = px.shape[0] & ~1, px.shape[1] & ~1
+        c = px[:h, :w].astype(np.uint16)
+        exp = (
+            (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]) // 4
+        ).astype(np.uint8)
+        got = decode_image(r["bytes"], "png")
+        assert np.array_equal(got, exp), image_id
+        assert (r["h_l"], r["w_l"]) == exp.shape[:2]
+        s = exp.reshape(-1, exp.shape[2]).sum(axis=0, dtype=np.int64)
+        n_px = exp.shape[0] * exp.shape[1]
+        assert r["mean_luma"] == float(299 * s[0] + 587 * s[1] + 114 * s[2]) / (
+            1000.0 * n_px
+        )
+    # every level halves its parent (floor convention)
+    for image_id, g in out.groupby("image_id"):
+        g = g.sort_values("level")
+        prev = None
+        for _, row in g.iterrows():
+            if prev is not None:
+                assert row["w_l"] == (prev["w_l"] & ~1) // 2
+                assert row["h_l"] == (prev["h_l"] & ~1) // 2
+            prev = row
