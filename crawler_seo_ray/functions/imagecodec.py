@@ -160,13 +160,26 @@ def ssim_global(a: np.ndarray, b: np.ndarray) -> float:
     throughout, so the score is bit-reproducible for a given pixel pair
     (pinned by the numpy-replay test). Inputs must share dims — callers
     resize first (see stages.multimodal.PairSSIM)."""
+    da, mu_a, va = ssim_moments(a)
+    db, mu_b, vb = ssim_moments(b)
+    cov = float((da * db).mean())
+    return ssim_from_moments(mu_a, mu_b, va, vb, cov)
+
+
+def ssim_moments(a: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Per-image SSIM inputs — (centered luma, mean, variance) — split
+    out so a pair-verify stage can compute them ONCE per image and pay
+    only the covariance per pair (bit-identical values: ``ga - mu``
+    elementwise equals the centered factor inside the original cov)."""
     ga = a.astype(np.float64).mean(axis=2)
-    gb = b.astype(np.float64).mean(axis=2)
-    mu_a = float(ga.mean())
-    mu_b = float(gb.mean())
+    mu = float(ga.mean())
     va = float(ga.var())
-    vb = float(gb.var())
-    cov = float(((ga - mu_a) * (gb - mu_b)).mean())
+    return ga - mu, mu, va
+
+
+def ssim_from_moments(
+    mu_a: float, mu_b: float, va: float, vb: float, cov: float
+) -> float:
     c1 = (0.01 * 255.0) ** 2
     c2 = (0.03 * 255.0) ** 2
     return ((2.0 * mu_a * mu_b + c1) * (2.0 * cov + c2)) / (

@@ -726,6 +726,8 @@ def _signature_band_pairs(
     cap: int = 200,
     id_type: pa.DataType = pa.int64(),
     keep_signatures: bool = False,
+    dense_rows: int | None = None,
+    dense_row_limit: int = 4_000_000,
 ) -> tuple[pa.Table, Dataset | None]:
     """Shared distributed Hamming-banding machinery for 64-bit
     signature families (SimHash text, phash images): band the signature
@@ -743,6 +745,8 @@ def _signature_band_pairs(
     band_bits = 64 // bands
     if keep_signatures:
         sigs = sigs.materialize()  # shared: band expansion + returned handle
+        if dense_rows is None:
+            dense_rows = sigs.count()  # metadata read post-materialize
 
     def band_rows(batch: pa.Table) -> pa.Table:
         # fully vectorized expansion: view the (null-filled) int64
@@ -796,14 +800,54 @@ def _signature_band_pairs(
             }
         )
 
-    verified = collect_arrow(
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_verified_pairs, batch_format="pyarrow"),
-        schema=pa.schema(
-            [("id_a", id_type), ("id_b", id_type), ("hamming", pa.int32())]
-        ),
+    pair_schema = pa.schema(
+        [("id_a", id_type), ("id_b", id_type), ("hamming", pa.int32())]
     )
+    band_ds = sigs.map_batches(band_rows, batch_format="pyarrow")
+    if dense_rows is not None and dense_rows * bands <= dense_row_limit:
+        # dense path (bench: phash_pairs over the image corpus paid the
+        # hash-shuffle + per-group-Python overhead on ~2.4k band rows):
+        # collect the narrow band rows in the pipeline's ONE execution,
+        # segment with a driver lexsort, and run the SAME bucket verify
+        # kernel per multi-occupant segment — identical groups,
+        # identical output. Callers pass dense_rows only when counting
+        # is metadata-cheap (parquet read / post-materialize); None
+        # keeps the distributed exchange unconditionally.
+        tbl = collect_arrow(
+            band_ds,
+            schema=pa.schema(
+                [
+                    (id_col, id_type),
+                    ("band", pa.int32()),
+                    ("band_val", pa.int64()),
+                    (sig_col, pa.int64()),
+                ]
+            ),
+        )
+        bd = tbl.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = tbl.column("band_val").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bv, bd))
+        bd_s, bv_s = bd[order], bv[order]
+        new = np.empty(len(order), dtype=bool)
+        new[:1] = True
+        new[1:] = (bd_s[1:] != bd_s[:-1]) | (bv_s[1:] != bv_s[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(order))
+        parts = [
+            bucket_verified_pairs(tbl.take(pa.array(order[s:e])))
+            for s, e in zip(starts, ends)
+            if e - s >= 2
+        ]
+        verified = (
+            pa.concat_tables(parts) if parts else pair_schema.empty_table()
+        )
+    else:
+        verified = collect_arrow(
+            band_ds.groupby(["band", "band_val"]).map_groups(
+                bucket_verified_pairs, batch_format="pyarrow"
+            ),
+            schema=pair_schema,
+        )
     # distinct over verified pairs (a pair may collide in several bands)
     if verified.num_rows:
         verified = verified.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
@@ -1152,6 +1196,8 @@ def phash_pairs(
     pairs, _ = _signature_band_pairs(
         ds.select_columns([id_col, phash_col]),
         id_col, phash_col, hamming_threshold, bands, id_type=pa.string(),
+        # metadata-only count on the parquet-backed corpus read
+        dense_rows=ds.count(),
     )
     return pairs
 

@@ -270,7 +270,11 @@ def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     h, w, _ = px.shape
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-    return px[ys][:, xs]
+    # contiguous output: numpy reductions differ by ulps on strided vs
+    # contiguous input, so downstream bit-pinned moments (PairSSIM
+    # cache vs replay) need one canonical layout — and an identity
+    # resize must equal the original array bit-for-bit
+    return np.ascontiguousarray(px[ys][:, xs])
 
 
 class ResizeImages:
@@ -596,6 +600,7 @@ class PairSSIM:
         self._ref = lookup_ref
         self._lookup = None
         self._px = {}
+        self._mom = {}  # (image_id, h, w) -> (centered luma, mu, var)
 
     def _pixels(self, image_id: str) -> np.ndarray:
         got = self._px.get(image_id)
@@ -605,10 +610,20 @@ class PairSSIM:
             self._px[image_id] = got
         return got
 
+    def _moments(self, image_id: str, px: np.ndarray):
+        from ..functions.imagecodec import ssim_moments
+
+        key = (image_id, px.shape[0], px.shape[1])
+        got = self._mom.get(key)
+        if got is None:
+            got = ssim_moments(px)
+            self._mom[key] = got
+        return got
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
 
-        from ..functions.imagecodec import ssim_global
+        from ..functions.imagecodec import ssim_from_moments
 
         if self._lookup is None:
             self._lookup = ray.get(self._ref)
@@ -623,5 +638,11 @@ class PairSSIM:
                 w = min(pxa.shape[1], pxb.shape[1])
                 pxa = resize_nearest(pxa, h, w)
                 pxb = resize_nearest(pxb, h, w)
-            scores.append(ssim_global(pxa, pxb))
+            # per-image moments computed once per actor (decode-cache
+            # sibling); the pair pays only its covariance — values are
+            # bit-identical to ssim_global on the same pixel pair
+            da, mu_a, va = self._moments(a, pxa)
+            db, mu_b, vb = self._moments(b, pxb)
+            cov = float((da * db).mean())
+            scores.append(ssim_from_moments(mu_a, mu_b, va, vb, cov))
         return batch.append_column("ssim", pa.array(scores, pa.float64()))

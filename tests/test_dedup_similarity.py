@@ -599,3 +599,25 @@ def test_pq_lut_scores_equal_reconstruction_and_rerank_equals_brute(tmp_path):
         table_ds, "embedding", "vec_id", q, k=k, m=m, ksub=ksub, dense_row_limit=0
     )
     assert rd_dist.equals(rr), (rd_dist.to_pydict(), rr.to_pydict())
+
+
+def test_band_pairs_dense_path_equals_distributed(ray_session):
+    """dense_row_limit=0 forces the groupby(band, band_val) exchange;
+    the default dense lexsort-segment path must emit the identical
+    verified pair set (same bucket kernel, same distinct)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from crawler_seo_ray.queries import corpus_parquet
+    from crawler_seo_ray.stages.dedup import _signature_band_pairs
+
+    ds = corpus_parquet(columns=["image_id", "phash"])
+    dense, _ = _signature_band_pairs(
+        ds.select_columns(["image_id", "phash"]), "image_id", "phash", 4, 8,
+        id_type=pa.string(), dense_rows=ds.count(),
+    )
+    dist, _ = _signature_band_pairs(
+        ds.select_columns(["image_id", "phash"]), "image_id", "phash", 4, 8,
+        id_type=pa.string(), dense_rows=ds.count(), dense_row_limit=0,
+    )
+    pd.testing.assert_frame_equal(dense.to_pandas(), dist.to_pandas())
