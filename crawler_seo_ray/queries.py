@@ -1360,6 +1360,202 @@ def docs_langid(sf_dir: str):
     return ds.map_batches(lang, batch_format="pyarrow")
 
 
+def embeddings_ivf_recall(sf_dir: str, k: int = 5):
+    """ANN recall@k evaluation — the eval-harness operator every
+    approximate-similarity deployment runs before trusting the index:
+    for the same query set, compare the IVF probe's top-k against the
+    exact brute-force top-k and report per-query recall plus the
+    pruning fraction's complement (both engines in this repo: the scale
+    path and its ground truth). Reuses knn_brute (broadcast query
+    matrix, streamed local-top-k partials) and knn_ivf (nprobe cell
+    files only); the set intersection is output-sized driver math.
+    Rows-only (the IVF index is iterative/stateful); the invariants —
+    recall ∈ [0, 1], exact self-hit always recalled, determinism —
+    are pinned in tests."""
+    from .stages.similarity import knn_brute, knn_ivf
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        ds.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    exact = knn_brute(ds, "embedding", "vec_id", queries, k=k)
+    approx = knn_ivf(
+        ds, "embedding", "vec_id", queries, k=k, nlist=32, nprobe=3
+    )
+
+    def _sets(tbl: pa.Table, qcol: str, ncol: str) -> dict:
+        out: dict = {}
+        for q, n in zip(
+            tbl.column(qcol).to_pylist(), tbl.column(ncol).to_pylist()
+        ):
+            out.setdefault(int(q), set()).add(int(n))
+        return out
+
+    ex = _sets(exact, "query_idx", "neighbor_id")
+    ap = _sets(approx, "query_idx", "neighbor_id")
+    qids = sorted(ex)
+    hits = [len(ex[q] & ap.get(q, set())) for q in qids]
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "k": pa.array([k] * len(qids), pa.int64()),
+            "n_hit": pa.array(hits, pa.int64()),
+            "recall": pa.array(
+                [h / float(k) for h in hits], pa.float64()
+            ),
+        }
+    )
+
+
+def docs_vocab_growth(sf_dir: str, n_checkpoints: int = 10):
+    """Heaps'-law vocabulary growth curve — cumulative distinct
+    vocabulary vs cumulative token count at doc-id decile checkpoints:
+    the corpus-analysis primitive behind tokenizer sizing and
+    dedup-saturation checks (a flattening curve says new shards add
+    tokens but no new vocabulary). ONE streaming pass emits two
+    union-schema block partials — (token, min doc id) for the vocab
+    axis and (doc id, token count) for the volume axis; the vocab-sized
+    fold is driver-side (the TF-IDF seam) where checkpoint counts are
+    two searchsorteds over sorted first-seen ids and a cumsum. All
+    checkpoint thresholds are the integer deciles of max(doc_id)+1 —
+    pure integer math, identical in the oracle."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def partials(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_lower(b.column("text").combine_chunks()), " "
+        )
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        parent = np.repeat(ids, n_tok)
+        t = pa.table(
+            {"tok": pc.list_flatten(toks), "doc": pa.array(parent)}
+        )
+        g = t.group_by("tok").aggregate([("doc", "min")])
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[
+                        np.zeros(g.num_rows, dtype=np.int8),
+                        np.ones(len(ids), dtype=np.int8),
+                    ]
+                ),
+                "tok": pa.concat_arrays(
+                    [
+                        g.column("tok").combine_chunks().cast(pa.string()),
+                        pa.nulls(len(ids), pa.string()),
+                    ]
+                ),
+                "v1": pa.array(
+                    np.r_[
+                        g.column("doc_min")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64),
+                        ids,
+                    ]
+                ),
+                "v2": pa.array(
+                    np.r_[np.zeros(g.num_rows, dtype=np.int64), n_tok]
+                ),
+            }
+        )
+
+    t = collect_arrow(
+        drop_empty_blocks(ds.map_batches(partials, batch_format="pyarrow")),
+        schema=pa.schema(
+            [
+                ("kind", pa.int8()),
+                ("tok", pa.string()),
+                ("v1", pa.int64()),
+                ("v2", pa.int64()),
+            ]
+        ),
+    )
+    kind = t.column("kind").to_numpy(zero_copy_only=False)
+    vocab_part = t.filter(pa.array(kind == 0))
+    first_seen = (
+        vocab_part.select(["tok", "v1"])
+        .group_by("tok")
+        .aggregate([("v1", "min")])
+        .column("v1_min")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    first_seen.sort()
+    doc_part = t.filter(pa.array(kind == 1))
+    doc_ids = doc_part.column("v1").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_n = doc_part.column("v2").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, doc_n = doc_ids[order], doc_n[order]
+    cum = np.zeros(len(doc_n) + 1, dtype=np.int64)
+    np.cumsum(doc_n, out=cum[1:])
+    m = int(doc_ids[-1]) + 1 if len(doc_ids) else 0
+    deciles = np.arange(1, n_checkpoints + 1, dtype=np.int64)
+    thresholds = deciles * m // n_checkpoints
+    n_tokens = cum[np.searchsorted(doc_ids, thresholds, side="left")]
+    vocab = np.searchsorted(first_seen, thresholds, side="left")
+    return pa.table(
+        {
+            "decile": pa.array(deciles),
+            "threshold": pa.array(thresholds),
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
+            "vocab": pa.array(vocab.astype(np.int64)),
+        }
+    )
+
+
+def docs_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix — predicted (n-gram/stopword
+    heuristic, functions/text.detect_language) vs the labeled ``lang``
+    column, censused per (label, prediction) cell: the eval harness a
+    curation pipeline runs before trusting a classifier to route a
+    multilingual crawl. ONE streaming pass emits block-local cell
+    partials (label rides the same scan as the text); cells are
+    |langs|² — driver fold. Oracle: the docs_langid heuristic CTE
+    joined back to the label."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"], blocks=8)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "lang_pred": pa.array(
+                    [detect_language(t) for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+        return (
+            t.group_by(["lang", "lang_pred"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "lang_pred", "n"])
+        )
+
+    out = (
+        collect_arrow(
+            drop_empty_blocks(ds.map_batches(cells, batch_format="pyarrow")),
+            schema=pa.schema(
+                [("lang", pa.string()), ("lang_pred", pa.string()), ("n", pa.int64())]
+            ),
+        )
+        .group_by(["lang", "lang_pred"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["lang", "lang_pred", "n"])
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("lang", "ascending"), ("lang_pred", "ascending")]
+        )
+    )
+
+
 def docs_quality(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
 
@@ -12278,6 +12474,9 @@ QUERIES = {
     "corpus_caption_conflicts": corpus_caption_conflicts,
     "docs_heavy_hitters": docs_heavy_hitters,
     "corpus_mip_build": corpus_mip_build,
+    "docs_lang_confusion": docs_lang_confusion,
+    "docs_vocab_growth": docs_vocab_growth,
+    "embeddings_ivf_recall": embeddings_ivf_recall,
     "corpus_pair_ssim": corpus_pair_ssim,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "nation_year_profit": nation_year_profit,
@@ -15542,4 +15741,33 @@ ORACLE_SQL["docs_heavy_hitters"] = """
     GROUP BY term
     HAVING count(*) * 31 > (SELECT count(*) FROM toks)
     ORDER BY term
+"""
+
+
+ORACLE_SQL["docs_lang_confusion"] = (
+    "WITH pred AS MATERIALIZED ("
+    + ORACLE_SQL["docs_langid"]
+    + """)
+    SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+)
+
+
+ORACLE_SQL["docs_vocab_growth"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    cp AS (SELECT i AS decile, (i * m) // 10 AS threshold
+           FROM range(1, 11) t(i) CROSS JOIN mx)
+    SELECT decile, threshold,
+           (SELECT count(*)::BIGINT FROM toks WHERE doc_id < threshold)
+             AS n_tokens,
+           (SELECT count(DISTINCT tok)::BIGINT FROM toks
+             WHERE doc_id < threshold) AS vocab
+    FROM cp ORDER BY decile
 """

@@ -185,6 +185,9 @@ def test_rows_only_queries_run(registry):
         and df["vec_id"].is_unique
         and df["dist"].iloc[0] == 0.0
         and (df["dist"].iloc[1:].diff().dropna() <= 1e-12).all(),
+        "embeddings_ivf_recall": lambda df: len(df) == 5
+        and df["recall"].between(0.0, 1.0).all()
+        and (df["n_hit"] == (df["recall"] * df["k"]).round()).all(),
         # deep pin in test_mip_build_decode_back_equality
         "corpus_mip_build": lambda df: df["image_id"].nunique() == 300
         and df["level"].between(1, 3).all()
