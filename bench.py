@@ -497,6 +497,18 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # single-core calibration: this shared VM's per-core speed swings
+    # ~2x between boots/windows (BASELINE.md weather notes); a fixed
+    # numpy workload timed per run lets readers normalize component
+    # timings across runs instead of mistaking weather for regressions
+    import numpy as _np
+
+    _a = _np.random.default_rng(7).random((2000, 2000))
+    _t0 = time.perf_counter()
+    for _ in range(10):
+        _a @ _a
+    calib_sec = time.perf_counter() - _t0
+
     try:
         out = run_components(NUM_CPUS)
     finally:
@@ -519,6 +531,7 @@ def main() -> None:
         ),
         "crawl_setup_sec": out["extras"]["crawl_setup_sec"],
         "crawl_urls": out["extras"]["crawl_urls"],
+        "calib_matmul10_sec": round(calib_sec, 2),
     }
     for k in (
         "crawl_repeats_included",
