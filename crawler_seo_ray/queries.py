@@ -1360,6 +1360,101 @@ def docs_langid(sf_dir: str):
     return ds.map_batches(lang, batch_format="pyarrow")
 
 
+def basket_transitivity(sf_dir: str):
+    """Global clustering coefficient (transitivity) of the basket
+    co-occurrence graph — 3·triangles / wedges, the one-number
+    graph-health metric next to the raw triangle count: how often two
+    parts sharing a neighbor co-occur themselves. Triangles reuse the
+    exact closed-wedge machinery of lineitem_basket_triangles; wedges
+    are Σ d·(d−1)/2 over exact int64 degrees from one block-partial
+    degree fold on the SAME materialized distinct edge set (shared
+    blocks — the edge pipeline executes once). One mirrored float
+    division at the end."""
+    from .stages.graph import triangle_count
+    from .util import collect_arrow, drop_empty_blocks
+
+    nparts = _join_partitions()
+    _, e = _basket_edges(sf_dir, nparts)
+    e = e.materialize()
+    n_tri = triangle_count(e, num_partitions=nparts)
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b.column("p1").to_numpy(zero_copy_only=False),
+                b.column("p2").to_numpy(zero_copy_only=False),
+            ]
+        )
+        t = pa.table({"n": pa.array(nodes.astype(np.int64))})
+        return t.group_by("n").aggregate([([], "count_all")]).rename_columns(
+            ["n", "d"]
+        )
+
+    degs = (
+        collect_arrow(
+            drop_empty_blocks(e.map_batches(deg_partial, batch_format="pyarrow")),
+            schema=pa.schema([("n", pa.int64()), ("d", pa.int64())]),
+        )
+        .group_by("n")
+        .aggregate([("d", "sum")])
+    )
+    d = degs.column("d_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    wedges = int((d * (d - 1) // 2).sum())
+    return pa.table(
+        {
+            "triangles": pa.array([n_tri], pa.int64()),
+            "wedges": pa.array([wedges], pa.int64()),
+            "transitivity": pa.array(
+                [(3.0 * float(n_tri)) / float(wedges)], pa.float64()
+            ),
+        }
+    )
+
+
+def events_point_in_time_join(sf_dir: str):
+    """Feature-store POINT-IN-TIME join (leak-free temporal lookup):
+    each order joins the customer's event-type state VALID AT order
+    time from the SCD-2 interval table — the correctness contract
+    every offline training-set builder enforces (no future state may
+    reach a training row). The intervals come from the same change-log
+    compression as events_scd2 (one groupby exchange); a user's
+    non-empty intervals partition the timeline, so the interval valid
+    at ts is exactly the one with the greatest valid_from ≤ ts — the
+    backward as-of join (stages/joins.asof_join: union-tag + one
+    co-partition + searchsorted; LEFT semantics keep orders with no
+    prior state as nulls). Zero-length intervals (two state changes at
+    one timestamp) are dropped before the join — SQL's [from, to)
+    predicate can never match them, and dropping them makes the as-of
+    tie-break exact."""
+    from .stages.joins import asof_join
+
+    scd = events_scd2(sf_dir)
+
+    def nonempty(b: pa.Table) -> pa.Table:
+        keep = pc.or_kleene(
+            pc.is_null(b.column("valid_to")),
+            pc.greater(b.column("valid_to"), b.column("valid_from")),
+        )
+        return b.filter(keep)
+
+    scd = scd.map_batches(nonempty, batch_format="pyarrow")
+    orders = _pq(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"], blocks=8
+    ).map_batches(
+        lambda b: b.rename_columns(["user_id", "o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    return asof_join(
+        orders,
+        scd,
+        key="user_id",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        left_cols=["o_orderkey"],
+        right_cols=["event_type"],
+    )
+
+
 def embeddings_ivf_recall(sf_dir: str, k: int = 5):
     """ANN recall@k evaluation — the eval-harness operator every
     approximate-similarity deployment runs before trusting the index:
@@ -12477,6 +12572,8 @@ QUERIES = {
     "docs_lang_confusion": docs_lang_confusion,
     "docs_vocab_growth": docs_vocab_growth,
     "embeddings_ivf_recall": embeddings_ivf_recall,
+    "events_point_in_time_join": events_point_in_time_join,
+    "basket_transitivity": basket_transitivity,
     "corpus_pair_ssim": corpus_pair_ssim,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "nation_year_profit": nation_year_profit,
@@ -15770,4 +15867,41 @@ ORACLE_SQL["docs_vocab_growth"] = """
            (SELECT count(DISTINCT tok)::BIGINT FROM toks
              WHERE doc_id < threshold) AS vocab
     FROM cp ORDER BY decile
+"""
+
+
+ORACLE_SQL["events_point_in_time_join"] = (
+    "WITH scd AS MATERIALIZED ("
+    + ORACLE_SQL["events_scd2"]
+    + """)
+    SELECT o.o_custkey AS user_id, o.o_orderdate, o.o_orderkey,
+           s.event_type
+    FROM orders o
+    LEFT JOIN scd s
+      ON s.user_id = o.o_custkey
+     AND s.valid_from <= o.o_orderdate
+     AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+"""
+)
+
+
+ORACLE_SQL["basket_transitivity"] = """
+    WITH e AS (
+      SELECT DISTINCT l1.l_partkey AS p1, l2.l_partkey AS p2
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    nodes AS (SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e),
+    deg AS (SELECT n, count(*)::BIGINT AS d FROM nodes GROUP BY n),
+    w AS (SELECT sum(d * (d - 1) // 2)::BIGINT AS wedges FROM deg),
+    t AS (
+      SELECT count(*)::BIGINT AS triangles
+      FROM e e1
+      JOIN e e2 ON e1.p2 = e2.p1
+      JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    SELECT triangles, wedges,
+           (3.0 * CAST(triangles AS DOUBLE)) / CAST(wedges AS DOUBLE)
+             AS transitivity
+    FROM t CROSS JOIN w
 """
