@@ -1360,6 +1360,31 @@ def docs_langid(sf_dir: str):
     return ds.map_batches(lang, batch_format="pyarrow")
 
 
+def corpus_equalize(sf_dir: str):
+    """Global histogram equalization APPLY over the image corpus — the
+    two-stage broadcast shape: pass 1 derives the corpus-wide integer
+    equalization LUT (corpus_luma_histogram's exact cdf math), the
+    256-entry table broadcasts once via ``ray.put``, and pass 2's
+    decode actor pool maps every channel through it (one uint8 gather
+    per image) and re-encodes losslessly
+    (stages/multimodal.EqualizeImages). Rows-only (pixel transform);
+    the decode-back test pins output pixels to LUT[source] bit-exactly
+    and checks the LUT's monotonicity."""
+    from .stages.multimodal import EqualizeImages
+
+    hist = corpus_luma_histogram(sf_dir)
+    lut = hist.column("lut").to_numpy(zero_copy_only=False)
+    lut_ref = ray.put(lut)
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(
+        EqualizeImages,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        fn_constructor_kwargs={"lut_ref": lut_ref},
+    ).select_columns(["image_id", "w", "h", "mean_before", "mean_after"])
+
+
 def basket_transitivity(sf_dir: str):
     """Global clustering coefficient (transitivity) of the basket
     co-occurrence graph — 3·triangles / wedges, the one-number
@@ -12574,6 +12599,7 @@ QUERIES = {
     "embeddings_ivf_recall": embeddings_ivf_recall,
     "events_point_in_time_join": events_point_in_time_join,
     "basket_transitivity": basket_transitivity,
+    "corpus_equalize": corpus_equalize,
     "corpus_pair_ssim": corpus_pair_ssim,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "nation_year_profit": nation_year_profit,

@@ -556,6 +556,48 @@ class MipPyramid:
         )
 
 
+class EqualizeImages:
+    """Actor stage: decode → apply a BROADCAST global equalization LUT
+    (level → stretched level, from corpus_luma_histogram's integer
+    cdf) to every channel → lossless re-encode. The apply step of
+    global histogram equalization: the LUT ships once via ``ray.put``
+    (256 int64s), each image is one uint8 gather (LUT[px]) — the
+    canonical broadcast-into-actor-pool shape with trivially small
+    state. Pixels never leave the stage."""
+
+    def __init__(self, lut_ref):
+        self._ref = lut_ref
+        self._lut = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..functions.imagecodec import encode_image
+
+        if self._lut is None:
+            self._lut = ray.get(self._ref).astype(np.uint8)
+        ids, out_bytes, ws, hs, mean_b, mean_a = [], [], [], [], [], []
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"])
+            eq = self._lut[px]
+            ids.append(r["image_id"])
+            out_bytes.append(encode_image(eq, "png"))
+            hs.append(eq.shape[0])
+            ws.append(eq.shape[1])
+            mean_b.append(float(px.mean()))
+            mean_a.append(float(eq.mean()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(out_bytes, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "mean_before": pa.array(mean_b, pa.float64()),
+                "mean_after": pa.array(mean_a, pa.float64()),
+            }
+        )
+
+
 class DecodeAudio:
     """STUB: audio codec libraries are not present in this container.
 

@@ -185,6 +185,10 @@ def test_rows_only_queries_run(registry):
         and df["vec_id"].is_unique
         and df["dist"].iloc[0] == 0.0
         and (df["dist"].iloc[1:].diff().dropna() <= 1e-12).all(),
+        # deep pin in test_equalize_decode_back_equality
+        "corpus_equalize": lambda df: len(df) == 300
+        and df["image_id"].is_unique
+        and df["mean_after"].between(0.0, 255.0).all(),
         "embeddings_ivf_recall": lambda df: len(df) == 5
         and df["recall"].between(0.0, 1.0).all()
         and (df["n_hit"] == (df["recall"] * df["k"]).round()).all(),
@@ -984,3 +988,43 @@ def test_mip_build_decode_back_equality(ray_session):
                 assert row["w_l"] == (prev["w_l"] & ~1) // 2
                 assert row["h_l"] == (prev["h_l"] & ~1) // 2
             prev = row
+
+
+def test_equalize_decode_back_equality(ray_session):
+    """Equalized bytes must decode to exactly LUT[source pixels]; the
+    LUT is monotonic with lut[255-bin tail] hitting 255."""
+    import numpy as np
+
+    from crawler_seo_ray.functions.imagecodec import decode_image
+    from crawler_seo_ray.queries import corpus_luma_histogram, corpus_parquet
+    from crawler_seo_ray.stages.multimodal import EqualizeImages
+    import ray as _ray
+
+    hist = corpus_luma_histogram(SF).to_pandas()
+    lut = hist["lut"].values
+    assert (np.diff(lut) >= 0).all() and lut[-1] == 255
+
+    src = corpus_parquet(columns=["image_id", "bytes", "fmt"]).to_pandas()
+    raw = {r.image_id: (r.bytes, r.fmt) for r in src.itertuples()}
+    out = (
+        corpus_parquet(columns=["image_id", "bytes", "fmt"])
+        .map_batches(
+            EqualizeImages,
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=2,
+            fn_constructor_kwargs={"lut_ref": _ray.put(lut)},
+        )
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert len(out) == 300
+    lut8 = lut.astype(np.uint8)
+    sample = out.iloc[:: max(1, len(out) // 20)]
+    for image_id, r in sample.iterrows():
+        px = decode_image(*raw[image_id])
+        exp = lut8[px]
+        got = decode_image(r["bytes"], "png")
+        assert np.array_equal(got, exp), image_id
+        assert r["mean_before"] == float(px.mean())
+        assert r["mean_after"] == float(exp.mean())
