@@ -145,7 +145,12 @@ def test_bench_scale_hang_kill_resume(tmp_path):
             num_seen_shards=4, num_frontier_shards=4, num_workers=n_workers,
             verify_images=verify,
             psnr_every=50,  # sampled PSNR keeps the drill under the CI minute
-            chunk_timeout_sec=3.0, checkpoint_dir=ck,
+            # 8 s cap: far under the 60 s injected hang, but with enough
+            # headroom that an honest chunk on this shared VM's slow
+            # windows (BASELINE.md weather notes: ~2x per-core swings,
+            # worse under full-suite load) can't trip a spurious kill —
+            # 3.0 s flaked exactly that way in a full-suite run
+            chunk_timeout_sec=8.0, checkpoint_dir=ck,
         )
 
     # derive a URL visited mid-crawl (wave 2) from a hangless probe of
