@@ -1360,6 +1360,143 @@ def docs_langid(sf_dir: str):
     return ds.map_batches(lang, batch_format="pyarrow")
 
 
+def corpus_curate(sf_dir: str):
+    """End-to-end IMAGE curation pipeline (the multimodal analogue of
+    docs_curate, composing this repo's image stages into the sequence
+    a LAION-style corpus build runs):
+
+    1. near-dup clustering — phash Hamming banding + exact verify
+       (corpus_phash_dups machinery), clusters closed by union-find at
+       output size; each cluster keeps its highest-resolution member
+       (pixels desc, image_id asc — the keep-best convention);
+    2. quality gate — drop too-dark / blurry survivors
+       (ExposureBlurStats decode actor pool, exact integer flags);
+    3. batch shaping — surviving rows labeled with their integer
+       aspect bucket (w·100 // h) for canvas grouping.
+
+    Output: (image_id, caption, w, h, aspect_bucket) of the curated
+    set. Rows-only (pixel decode + iterative closure); the composition
+    invariants — survivors unique, no near-dup pair fully survives,
+    no flagged image survives — are pinned in tests."""
+    from .stages.dedup import phash_pairs
+    from .util import collect_arrow
+
+    meta = collect_arrow(
+        corpus_parquet(columns=["image_id", "caption", "w", "h"])
+    )
+    ids = np.asarray(meta.column("image_id").to_pylist(), dtype=object)
+    w = pc.cast(meta.column("w"), pa.int64()).to_numpy(zero_copy_only=False)
+    h = pc.cast(meta.column("h"), pa.int64()).to_numpy(zero_copy_only=False)
+    px = w * h
+    order = np.argsort(ids.astype(str), kind="stable")
+    ids_s = ids.astype(str)[order]
+    px_s, w_s, h_s = px[order], w[order], h[order]
+    caps = np.asarray(meta.column("caption").to_pylist(), dtype=object)[order]
+
+    pairs = phash_pairs(
+        corpus_parquet(columns=["image_id", "phash"]), hamming_threshold=4
+    )
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(
+        pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()
+    ):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    clustered = sorted({x for p in parent.items() for x in p} |
+                       set(parent.keys()) | set(parent.values()))
+    best: dict = {}
+    for x in clustered:
+        i = int(np.searchsorted(ids_s, x))
+        rep = find(x)
+        cur = best.get(rep)
+        cand = (-int(px_s[i]), x)
+        if cur is None or cand < cur:
+            best[rep] = cand
+    keep_clustered = {v[1] for v in best.values()}
+    drop = set(clustered) - keep_clustered
+
+    flags = corpus_quality_flags(sf_dir).to_pandas().set_index("image_id")
+    bad = set(flags.index[(flags["too_dark"] == 1) | (flags["blurry"] == 1)])
+
+    keep_mask = np.array(
+        [(x not in drop) and (x not in bad) for x in ids_s], dtype=bool
+    )
+    bucket = (w_s * 100) // np.maximum(h_s, 1)
+    return pa.table(
+        {
+            "image_id": pa.array(ids_s[keep_mask].tolist(), pa.string()),
+            "caption": pa.array(caps[keep_mask].tolist(), pa.string()),
+            "w": pa.array(w_s[keep_mask]),
+            "h": pa.array(h_s[keep_mask]),
+            "aspect_bucket": pa.array(bucket[keep_mask]),
+        }
+    )
+
+
+def lineitem_benford(sf_dir: str):
+    """Benford's-law first-digit census over extended prices — the
+    data-quality / fraud screen an ingest pipeline runs on numeric
+    columns (organic magnitudes follow log10(1+1/d); fabricated or
+    truncated feeds don't). First digit extracted EXACTLY: cents as
+    int64 → Arrow cast to string → first byte (both engines do the
+    same substring, no float log in the digit path); per-block 9-bin
+    count partials fold driver-side. The observed share and Benford
+    expectation are the only float columns, computed in mirrored op
+    order (math.log10 = DuckDB log10, same libm)."""
+    import math
+
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice"], blocks=8)
+
+    def digit_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("l_extendedprice"))
+        first = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        t = pa.table({"digit": pc.cast(first, pa.int64())})
+        return t.group_by("digit").aggregate([([], "count_all")]).rename_columns(
+            ["digit", "n"]
+        )
+
+    parts = (
+        collect_arrow(
+            drop_empty_blocks(ds.map_batches(digit_partial, batch_format="pyarrow")),
+            schema=pa.schema([("digit", pa.int64()), ("n", pa.int64())]),
+        )
+        .group_by("digit")
+        .aggregate([("n", "sum")])
+        .rename_columns(["digit", "n"])
+    )
+    dg = parts.column("digit").to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = parts.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    full = np.zeros(9, dtype=np.int64)
+    full[dg - 1] = nn
+    total = int(full.sum())
+    digits = np.arange(1, 10, dtype=np.int64)
+    share = np.array([float(c) / float(total) for c in full], dtype=np.float64)
+    expected = np.array(
+        [math.log10(1.0 + 1.0 / float(d)) for d in digits], dtype=np.float64
+    )
+    return pa.table(
+        {
+            "digit": pa.array(digits),
+            "n": pa.array(full),
+            "share": pa.array(share),
+            "benford_expected": pa.array(expected),
+        }
+    )
+
+
 def corpus_equalize(sf_dir: str):
     """Global histogram equalization APPLY over the image corpus — the
     two-stage broadcast shape: pass 1 derives the corpus-wide integer
@@ -12600,6 +12737,8 @@ QUERIES = {
     "events_point_in_time_join": events_point_in_time_join,
     "basket_transitivity": basket_transitivity,
     "corpus_equalize": corpus_equalize,
+    "lineitem_benford": lineitem_benford,
+    "corpus_curate": corpus_curate,
     "corpus_pair_ssim": corpus_pair_ssim,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "nation_year_profit": nation_year_profit,
@@ -15930,4 +16069,23 @@ ORACLE_SQL["basket_transitivity"] = """
            (3.0 * CAST(triangles AS DOUBLE)) / CAST(wedges AS DOUBLE)
              AS transitivity
     FROM t CROSS JOIN w
+"""
+
+
+ORACLE_SQL["lineitem_benford"] = """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM lineitem
+    ),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n)::BIGINT AS t FROM c)
+    SELECT g.digit,
+           coalesce(c.n, 0)::BIGINT AS n,
+           CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share,
+           log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) AS benford_expected
+    FROM (SELECT unnest(range(1, 10)) AS digit) g
+    LEFT JOIN c USING (digit) CROSS JOIN tot
+    ORDER BY g.digit
 """

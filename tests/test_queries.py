@@ -197,6 +197,10 @@ def test_rows_only_queries_run(registry):
         and df["level"].between(1, 3).all()
         and (df["w_l"] > 0).all()
         and df["mean_luma"].between(0.0, 255.0).all(),
+        # deep pin in test_corpus_curate_invariants
+        "corpus_curate": lambda df: 0 < len(df) < 300
+        and df["image_id"].is_unique
+        and (df["aspect_bucket"] == (df["w"] * 100) // df["h"]).all(),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
@@ -875,6 +879,75 @@ def test_corpus_augment_decode_back_equality(ray_session):
         assert np.array_equal(back, cut), r["image_id"]
         checked += 1
     assert checked >= 10
+
+
+def test_corpus_curate_invariants(ray_session):
+    """corpus_curate composes phash near-dup clustering (keep the
+    highest-resolution member), the exposure/blur quality gate, and
+    aspect bucketing. Replay each rule driver-side and pin:
+    (1) no quality-flagged image survives;
+    (2) for every verified near-dup pair at most one side survives;
+    (3) the survivor of each cluster is the max-pixels member
+        (image_id asc tiebreak) — unless that member was itself
+        quality-flagged, in which case the whole cluster may shrink;
+    (4) every unclustered, unflagged image survives untouched."""
+    import numpy as np
+
+    from crawler_seo_ray.queries import (
+        corpus_curate,
+        corpus_parquet,
+        corpus_quality_flags,
+    )
+    from crawler_seo_ray.stages.dedup import phash_pairs
+
+    out = corpus_curate(SF).to_pandas()
+    assert out["image_id"].is_unique
+    survivors = set(out["image_id"])
+
+    meta = corpus_parquet(columns=["image_id", "w", "h"]).to_pandas()
+    meta = meta.set_index("image_id")
+    flags = corpus_quality_flags(SF).to_pandas().set_index("image_id")
+    bad = set(flags.index[(flags["too_dark"] == 1) | (flags["blurry"] == 1)])
+    assert not (survivors & bad), "quality-flagged image survived"
+
+    pairs = phash_pairs(
+        corpus_parquet(columns=["image_id", "phash"]), hamming_threshold=4
+    ).to_pandas()
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        assert not (a in survivors and b in survivors), (a, b)
+
+    # union-find replay for keep-best and untouched-rows checks
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    clustered = set(parent) | set(parent.values()) | set(pairs["id_a"]) | set(
+        pairs["id_b"]
+    )
+    clusters = {}
+    for x in clustered:
+        clusters.setdefault(find(x), []).append(x)
+    for members in clusters.values():
+        px = {m: int(meta.loc[m, "w"]) * int(meta.loc[m, "h"]) for m in members}
+        keep = min(members, key=lambda m: (-px[m], m))
+        expected = {keep} - bad
+        assert set(members) & survivors == expected, (members, keep)
+
+    untouched = set(meta.index) - clustered - bad
+    assert untouched <= survivors
+    # geometry passthrough + bucket math for a sample
+    for _, r in out.head(25).iterrows():
+        assert int(r["w"]) == int(meta.loc[r["image_id"], "w"])
+        assert int(r["h"]) == int(meta.loc[r["image_id"], "h"])
+        assert int(r["aspect_bucket"]) == (int(r["w"]) * 100) // int(r["h"])
 
 
 def test_pair_ssim_matches_numpy_replay(ray_session):
