@@ -4890,6 +4890,179 @@ def docs_dup_span_census(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def docs_dedup_spans(sf_dir: str, dense_gate: int = 4_000_000):
+    """Exact duplicated-span REMOVAL — the APPLY counterpart of
+    docs_dup_span_census (ExactSubstr dedup, Lee et al. 2022,
+    arXiv:2107.06499): every token covered by a K-gram whose total
+    occurrence count across the corpus is ≥2 (multiset — within-doc
+    repeats count, faithful to ExactSubstr) is cut; survivors are
+    re-joined in original order. Output: (doc_id, dedup_text,
+    n_tokens, n_removed) for EVERY document (a fully-duplicated doc
+    keeps an empty string).
+
+    Shape: pass 1 streams gram-count partials (block groupby →
+    one global groupby(gram) sum → ≥2 filter). Below ``dense_gate``
+    dup grams, the set broadcasts once (``ray.put``) and pass 2 is
+    ZERO-exchange: per block, grams rebuilt vectorized (K shifted
+    takes off the flat token buffer, as the census does), one
+    ``pc.is_in`` mask, coverage by a ±1 difference array cumsummed
+    over the flat token axis, reassembly as one
+    ``ListArray.from_arrays`` + ``pc.binary_join`` — no Python loop
+    touches a token. Above the gate (open-web spans), the same
+    algebra runs distributed: occurrence rows join the dup-gram table
+    on gram, hit starts co-locate per doc via groupby(doc_id), and a
+    doc-keyed left join feeds the identical rewrite kernel (path
+    equality pinned by a dense_gate=0 test)."""
+    from .util import collect_arrow, drop_empty_blocks
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    K = _SPAN_K
+
+    def occ_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ").combine_chunks()
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        flat = toks.values
+        n_gr = np.maximum(np.diff(offs) - (K - 1), 0)
+        total = int(n_gr.sum())
+        if total == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "start": pa.array([], pa.int64()),
+                 "gram": pa.array([], pa.string())}
+            )
+        base = np.repeat(offs[:-1], n_gr)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_gr)[:-1])), n_gr
+        )
+        starts = base + within
+        cols = [flat.take(pa.array(starts + j)) for j in range(K)]
+        gram = pc.binary_join_element_wise(*cols, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(b.column("doc_id").to_numpy(), n_gr), pa.int64()
+                ),
+                "start": pa.array(within, pa.int64()),
+                "gram": gram,
+            }
+        )
+
+    def _rewrite(b: pa.Table, row_idx: np.ndarray, loc: np.ndarray) -> pa.Table:
+        """Shared rewrite kernel: hit i is a dup gram starting at
+        0-based token ``loc[i]`` of block row ``row_idx[i]`` — flat
+        arrays, so no Python loop touches a row or a token."""
+        toks = pc.split_pattern(b.column("text"), " ").combine_chunks()
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        flat = toks.values
+        n_tok = np.diff(offs)
+        total_tok = int(n_tok.sum())
+        d = np.zeros(total_tok + 1, dtype=np.int32)
+        if len(loc):
+            s = loc.astype(np.int64) + (offs[row_idx] - offs[0])
+            np.add.at(d, s, 1)
+            np.add.at(d, s + K, -1)
+        covered = np.cumsum(d[:-1]) > 0
+        kept = ~covered
+        kp = np.concatenate(([0], np.cumsum(kept)))
+        cp = np.concatenate(([0], np.cumsum(covered)))
+        cuts = offs - offs[0]
+        kept_vals = flat.take(pa.array(np.nonzero(kept)[0] + offs[0]))
+        lists = pa.ListArray.from_arrays(
+            pa.array(kp[cuts], pa.int32()), kept_vals
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "dedup_text": pc.binary_join(lists, " "),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_removed": pa.array(
+                    cp[cuts][1:] - cp[cuts][:-1], pa.int64()
+                ),
+            }
+        )
+
+    occ = ds.map_batches(occ_rows, batch_format="pyarrow").materialize()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["gram"]).group_by("gram").aggregate([([], "count_all")])
+        return g.rename_columns(["gram", "n"])
+
+    dupg = drop_empty_blocks(
+        occ.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("n")
+        .map_batches(
+            lambda b: pa.table({"gram": b.column("gram")}).filter(
+                pc.greater_equal(b.column("sum(n)"), 2)
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    if dupg.count() <= dense_gate:
+        dup_ref = ray.put(
+            collect_arrow(dupg, schema=pa.schema([("gram", pa.string())]))
+            .column("gram")
+            .combine_chunks()
+        )
+
+        def rewrite_dense(b: pa.Table) -> pa.Table:
+            dup_set = ray.get(dup_ref)
+            o = occ_rows(b)
+            row_idx = np.zeros(0, dtype=np.int64)
+            hs = np.zeros(0, dtype=np.int64)
+            if o.num_rows and len(dup_set):
+                hit = o.filter(pc.is_in(o.column("gram"), value_set=dup_set))
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                order = np.argsort(ids, kind="stable")
+                hd = hit.column("doc_id").to_numpy(zero_copy_only=False)
+                hs = hit.column("start").to_numpy(zero_copy_only=False)
+                row_idx = order[np.searchsorted(ids[order], hd)]
+            return _rewrite(b, row_idx, hs)
+
+        return ds.map_batches(rewrite_dense, batch_format="pyarrow")
+
+    hits = drop_empty_blocks(occ).join(
+        dupg, "inner", _join_partitions(), on=("gram",)
+    )
+
+    def starts_group(g: pa.Table) -> pa.Table:
+        # comma-joined string, not list<int64>: Acero hash joins reject
+        # list-typed payload columns, strings ride through fine
+        s = np.sort(g.column("start").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": pa.array([g.column("doc_id")[0].as_py()], pa.int64()),
+                "starts": pa.array([",".join(map(str, s))], pa.string()),
+            }
+        )
+
+    starts_tbl = (
+        hits.select_columns(["doc_id", "start"])
+        .groupby("doc_id")
+        .map_groups(starts_group, batch_format="pyarrow")
+    )
+    joined = ds.join(
+        drop_empty_blocks(starts_tbl),
+        "left_outer",
+        _join_partitions(),
+        on=("doc_id",),
+    )
+
+    def rewrite_joined(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b.column("starts").combine_chunks(), ",")
+        counts = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        loc = pc.cast(pc.list_flatten(lists), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        row_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), counts)
+        return _rewrite(b.select(["doc_id", "text"]), row_idx, loc)
+
+    return joined.map_batches(rewrite_joined, batch_format="pyarrow")
+
+
 def part_value_concentration(sf_dir: str):
     """TPC-H Q11 shape — groups whose share of a GLOBAL total exceeds a
     scale-free threshold (inventory-value concentration; the same
@@ -12739,6 +12912,7 @@ QUERIES = {
     "corpus_equalize": corpus_equalize,
     "lineitem_benford": lineitem_benford,
     "corpus_curate": corpus_curate,
+    "docs_dedup_spans": docs_dedup_spans,
     "corpus_pair_ssim": corpus_pair_ssim,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "nation_year_profit": nation_year_profit,
@@ -16088,4 +16262,45 @@ ORACLE_SQL["lineitem_benford"] = """
     FROM (SELECT unnest(range(1, 10)) AS digit) g
     LEFT JOIN c USING (digit) CROSS JOIN tot
     ORDER BY g.digit
+"""
+
+
+ORACLE_SQL["docs_dedup_spans"] = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    g AS (
+      SELECT doc_id, l,
+             unnest(range(1, greatest(len(l) - {_SPAN_K} + 2, 1))) AS start
+      FROM d
+    ),
+    g2 AS (
+      SELECT doc_id, start,
+             array_to_string(
+               list_slice(l, start, start + {_SPAN_K} - 1), ' ') AS gram
+      FROM g
+    ),
+    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, start FROM g2
+             WHERE gram IN (SELECT gram FROM dup)),
+    cover AS (SELECT DISTINCT doc_id, start + ofs.o AS pos
+              FROM hits,
+                   (SELECT unnest(range(0, {_SPAN_K})) AS o) ofs),
+    tok AS (SELECT doc_id, unnest(l) AS tok,
+                   unnest(range(1, len(l) + 1)) AS pos
+            FROM d),
+    kept AS (
+      SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS dedup_text
+      FROM tok t LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.doc_id IS NULL
+      GROUP BY t.doc_id
+    ),
+    rem AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+            FROM cover GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(k.dedup_text, '') AS dedup_text,
+           len(d.l)::BIGINT AS n_tokens,
+           coalesce(rem.n_removed, 0)::BIGINT AS n_removed
+    FROM d
+    LEFT JOIN kept k USING (doc_id)
+    LEFT JOIN rem USING (doc_id)
+    ORDER BY d.doc_id
 """

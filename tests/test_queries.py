@@ -253,6 +253,19 @@ def test_dense_gate_queries_match_distributed_path(monkeypatch):
     pd.testing.assert_frame_equal(dense["supplier_blame"], dist, check_dtype=False)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_spans_distributed_path_equals_dense():
+    """dense_gate=0 forces the gram-join + per-doc start co-location
+    plan in docs_dedup_spans; its rewrite must equal the broadcast
+    dup-set path byte for byte (the oracle pins the dense path)."""
+    from crawler_seo_ray import queries as Q
+
+    a = _canon(_to_pandas(Q.docs_dedup_spans(SF)))
+    b = _canon(_to_pandas(Q.docs_dedup_spans(SF, dense_gate=0)))
+    assert (a["n_removed"] > 0).any(), "fixture has no duplicated spans"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_langid_on_natural_samples():
     """The testdata 'lang' column is a random label over English word-soup,
     so heuristic accuracy is only meaningful on real language samples."""
