@@ -2242,6 +2242,40 @@ def events_running_total(sf_dir: str):
     return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
 
 
+def events_cusum(sf_dir: str, k_cents: int = 6000, h_cents: int = 5000):
+    """One-sided CUSUM change-point statistic per user (Page 1954 —
+    the drift monitor every streaming ingest runs on a metric):
+    S_t = max(0, S_{t-1} + (x_t − k)), alarm when S_t > h. The
+    recursion is computed in CLOSED FORM so it vectorizes:
+    S_t = P_t − min(0, min_{j≤t} P_j) with P the (ts, event_id)-ordered
+    prefix sum of x−k — one cumsum + one np.minimum.accumulate per
+    group, no Python loop. All arithmetic in int64 cents (window sums
+    are order-independent in integers), one mirrored /100.0 at the
+    edge; the SQL pair is the same identity as two window CTEs, so
+    values hash-exact."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"], blocks=16)
+
+    def cusum(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(idx)
+        x = _cents(g.column("value")).to_numpy() - k_cents
+        p = np.cumsum(x)
+        s = p - np.minimum(0, np.minimum.accumulate(p))
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_id": g.column("event_id"),
+                "ts": pc.cast(g.column("ts"), pa.timestamp("us")),
+                "cusum": pa.array(s.astype(np.float64) / 100.0, pa.float64()),
+                "alarm": pa.array((s > h_cents).astype(np.int32)),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(cusum, batch_format="pyarrow")
+
+
 def docs_stratified_sample(sf_dir: str):
     """Deterministic stratified sample: ~20 % of documents per stratum
     via a multiplicative hash on doc_id (Knuth constant) — a pure
@@ -12913,6 +12947,7 @@ QUERIES = {
     "lineitem_benford": lineitem_benford,
     "corpus_curate": corpus_curate,
     "docs_dedup_spans": docs_dedup_spans,
+    "events_cusum": events_cusum,
     "corpus_pair_ssim": corpus_pair_ssim,
     "lineitem_forecast_revenue": lineitem_forecast_revenue,
     "nation_year_profit": nation_year_profit,
@@ -16303,4 +16338,29 @@ ORACLE_SQL["docs_dedup_spans"] = f"""
     LEFT JOIN kept k USING (doc_id)
     LEFT JOIN rem USING (doc_id)
     ORDER BY d.doc_id
+"""
+
+
+ORACLE_SQL["events_cusum"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) - 6000 AS x
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id, ts,
+             sum(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS pfx
+      FROM e
+    )
+    SELECT user_id, event_id, ts,
+           CAST(pfx - least(0, min(pfx) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)) AS DOUBLE) / 100.0 AS cusum,
+           CAST(CASE WHEN pfx - least(0, min(pfx) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)) > 5000
+                THEN 1 ELSE 0 END AS INTEGER) AS alarm
+    FROM p
+    ORDER BY user_id, event_id
 """
