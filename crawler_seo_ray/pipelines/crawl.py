@@ -71,6 +71,10 @@ ADMITTED_SCHEMA = pa.schema(
 @dataclass
 class EngineConfig:
     num_seen_shards: int = 4
+    # URL-seen prefilter variant (north_rule "Bloom/cuckoo"): "bloom"
+    # (default) or "cuckoo" (state/cuckoo.py — supports deletion for
+    # recrawl-TTL eviction; admission semantics identical either way)
+    seen_prefilter: str = "bloom"
     num_frontier_shards: int = 4
     num_workers: int = 4
     worker_num_cpus: float = 1.0
@@ -123,7 +127,10 @@ class _Engine:
             "synthetic_hang": spec.synthetic_hang,
         }
         self._spec_dict = spec_dict  # kept for straggler worker replacement
-        self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
+        self.seen = [
+            SeenShard.remote(i, prefilter=cfg.seen_prefilter)
+            for i in range(cfg.num_seen_shards)
+        ]
         self.frontier = [FrontierShard.remote(i) for i in range(cfg.num_frontier_shards)]
         self.workers = [
             PageWorker.options(num_cpus=cfg.worker_num_cpus).remote(

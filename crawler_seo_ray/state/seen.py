@@ -12,10 +12,13 @@ Admission is order-aware: candidates arrive with a global order key
 wins — making the frontier insertion order a *data* property, not an
 execution property (SURVEY.md §7.5).
 
-Scale path: a Bloom prefilter (state.bloom) in front of the exact set;
-"definitely new" skips the exact probe, "maybe seen" verifies exactly,
-keeping the final seen set exact while the hot path stays O(k) bit
-lookups. Both structures snapshot/restore for checkpointed resume.
+Scale path: an approximate-membership prefilter in front of the exact
+set — Bloom (state.bloom, default) or cuckoo (state.cuckoo, deletion-
+capable for recrawl-TTL eviction), selected by ``EngineConfig.
+seen_prefilter``. "Definitely new" skips the exact probe, "maybe seen"
+verifies exactly, keeping the final seen set exact while the hot path
+stays O(1) vectorized lookups. Both structures snapshot/restore for
+checkpointed resume.
 """
 
 from __future__ import annotations
@@ -24,13 +27,19 @@ import ray
 
 from ..canon import url_digest
 from .bloom import BloomFilter, digest_halves
+from .cuckoo import CuckooFilter
 
 
 # num_cpus=0: membership bookkeeping is tiny per call; reserving CPU
 # slots here would starve the PageWorker pool on small machines.
 @ray.remote(num_cpus=0)
 class SeenShard:
-    def __init__(self, shard_id: int, bloom_capacity: int = 1_000_000):
+    def __init__(
+        self,
+        shard_id: int,
+        bloom_capacity: int = 1_000_000,
+        prefilter: str = "bloom",
+    ):
         self.shard_id = shard_id
         # url → issued flag (issued = popped from the frontier;
         # distinguishes the reference's silent intake skip from the
@@ -39,7 +48,12 @@ class SeenShard:
         # in-wave candidate slices pushed straight from the workers
         # (P2P shuffle): [(chunk_key, CANDIDATE-schema table)]
         self._wave_buf: list[tuple[int, object]] = []
-        self.bloom = BloomFilter(bloom_capacity)
+        if prefilter == "cuckoo":
+            self.bloom = CuckooFilter(bloom_capacity)
+        elif prefilter == "bloom":
+            self.bloom = BloomFilter(bloom_capacity)
+        else:
+            raise ValueError(f"unknown seen prefilter: {prefilter!r}")
         self.dup_count = 0
 
     def warm(self, tbl) -> int:
