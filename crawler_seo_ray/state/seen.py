@@ -159,6 +159,30 @@ class SeenShard:
         h1, h2 = digest_halves([url_digest(u) for u in urls])
         return self.bloom.contains_many(h1, h2).tolist()
 
+    def evict(self, urls: list[str]) -> int:
+        """Recrawl-TTL eviction: forget URLs so a later admit re-crawls
+        them. Removes from the exact set AND the prefilter — which only
+        the cuckoo variant supports (a Bloom filter cannot delete, so
+        evicting under it would leave the prefilter permanently stale
+        and its load factor monotonically degrading; raise loudly
+        instead of silently diverging). Returns how many were present.
+
+        At a 10^10-URL frontier this is the freshness loop: a TTL sweep
+        streams expired URLs from the audit checkpoint, hash-routes them
+        to their owning shard, and the next discovery of each URL is
+        admitted again as if new."""
+        if not isinstance(self.bloom, CuckooFilter):
+            raise RuntimeError(
+                "evict requires the deletion-capable prefilter: "
+                "EngineConfig(seen_prefilter='cuckoo')"
+            )
+        present = [u for u in urls if u in self.seen]
+        for u in present:
+            del self.seen[u]
+        if present:
+            self.bloom.delete_many(*digest_halves([url_digest(u) for u in present]))
+        return len(present)
+
     def mark_issued(self, urls) -> None:
         """urls: list[str] or a pyarrow string Array — the driver ships
         its Arrow wave column slice directly (pickling 32k Python

@@ -105,3 +105,32 @@ def test_cuckoo_shard_probe_no_false_negatives(small_corpus):
     fp = sum(ray.get(shard.probe_bloom.remote(fresh)))
     assert fp <= 2  # 16-bit fingerprints: fp ≈ 0.01%
     ray.kill(shard)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_evict_enables_recrawl_and_bloom_refuses(small_corpus):
+    import ray
+
+    from crawler_seo_ray.state.seen import SeenShard
+
+    shard = SeenShard.remote(0, bloom_capacity=10_000, prefilter="cuckoo")
+    urls = [datagen.url(i) for i in range(50)]
+    first = ray.get(shard.admit.remote(urls, list(range(50))))
+    assert len(first) == 50
+    # same URLs again: all duplicates
+    assert ray.get(shard.admit.remote(urls, list(range(50)))) == []
+    # TTL sweep evicts half; those (and only those) re-admit
+    n = ray.get(shard.evict.remote(urls[:25]))
+    assert n == 25
+    assert ray.get(shard.count.remote()) == 25
+    readmit = ray.get(shard.admit.remote(urls, list(range(50))))
+    assert sorted(readmit) == list(range(25))
+    # prefilter agrees after the round-trip: everything registered again
+    assert all(ray.get(shard.probe_bloom.remote(urls)))
+    ray.kill(shard)
+
+    bloom_shard = SeenShard.remote(1, prefilter="bloom")
+    ray.get(bloom_shard.admit.remote(urls[:5], list(range(5))))
+    with pytest.raises(ray.exceptions.RayTaskError, match="deletion-capable"):
+        ray.get(bloom_shard.evict.remote(urls[:5]))
+    ray.kill(bloom_shard)
