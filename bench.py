@@ -394,6 +394,7 @@ def run_components(num_cpus: int) -> dict:
         "corpus_mip_build",
         "docs_dup_source_matrix",
         "docs_heavy_hitters",
+        "docs_zipf_census",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

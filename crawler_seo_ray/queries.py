@@ -12926,11 +12926,59 @@ def docs_unigram_logprob(sf_dir: str):
     return drop_empty_blocks(ds.map_batches(score, batch_format="pyarrow"))
 
 
+def docs_zipf_census(sf_dir: str):
+    """Rank-octave frequency census of the corpus vocabulary — the
+    Zipf-law diagnostic a curation pipeline runs to sanity-check a text
+    source (a healthy natural-language corpus halves total frequency
+    roughly per octave; templated/spam sources don't). Distributed
+    per-block term-count partials (Arrow group_by inside the block =
+    map-side combine; only (term, n) rows leave a block), then a
+    vocabulary-sized driver fold — the same documented seam as
+    docs_tfidf_top_terms: above web-vocabulary scale swap the fold for
+    a term-keyed groupby. Terms are ranked by (count desc, term asc)
+    and ranks bucketed into octaves floor(log2(rank)) via integer frexp
+    exponents — never float log — so the output is all-integer and the
+    octave census is invariant to tie order (equal-count terms are
+    interchangeable across a boundary)."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "documents", ["text"], blocks=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(b.column("text")), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        g = pa.table({"term": la.flatten()}).group_by("term").aggregate(
+            [("term", "count")]
+        )
+        return pa.table(
+            {"term": g.column("term"), "n": g.column("term_count").cast(pa.int64())}
+        )
+
+    parts = collect_arrow(ds.map_batches(partial, batch_format="pyarrow"))
+    tot = parts.group_by("term").aggregate([("n", "sum")])
+    n = tot.column("n_sum").to_numpy()
+    terms = tot.column("term").to_numpy(zero_copy_only=False)
+    order = np.lexsort((terms, -n))
+    n_sorted = n[order]
+    rank = np.arange(1, len(n_sorted) + 1, dtype=np.int64)
+    octave = (np.frexp(rank.astype(np.float64))[1] - 1).astype(np.int32)
+    starts = np.r_[0, np.flatnonzero(np.diff(octave)) + 1]
+    return pa.table(
+        {
+            "octave": pa.array(octave[starts], pa.int32()),
+            "n_terms": pa.array(np.diff(np.r_[starts, len(rank)]), pa.int64()),
+            "total_freq": pa.array(np.add.reduceat(n_sorted, starts), pa.int64()),
+            "min_rank": pa.array(rank[starts], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
     "supplier_excess_share": supplier_excess_share,
+    "docs_zipf_census": docs_zipf_census,
     "docs_unigram_logprob": docs_unigram_logprob,
     "embeddings_kcenter": embeddings_kcenter,
     "docs_dup_source_matrix": docs_dup_source_matrix,
@@ -16363,4 +16411,20 @@ ORACLE_SQL["events_cusum"] = """
                 THEN 1 ELSE 0 END AS INTEGER) AS alarm
     FROM p
     ORDER BY user_id, event_id
+"""
+
+ORACLE_SQL["docs_zipf_census"] = """
+    WITH tf AS (
+      SELECT term, count(*)::BIGINT AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY term
+    ), r AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rn FROM tf
+    )
+    SELECT CAST(floor(log2(rn)) AS INTEGER) AS octave,
+           count(*)::BIGINT AS n_terms,
+           sum(n)::BIGINT AS total_freq,
+           min(rn)::BIGINT AS min_rank
+    FROM r GROUP BY octave ORDER BY octave
 """
