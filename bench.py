@@ -395,6 +395,7 @@ def run_components(num_cpus: int) -> dict:
         "docs_dup_source_matrix",
         "docs_heavy_hitters",
         "docs_zipf_census",
+        "docs_cms_counts",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -12973,12 +12973,54 @@ def docs_zipf_census(sf_dir: str):
     )
 
 
+def docs_cms_counts(sf_dir: str, k: int = 16, width: int = 16_384, depth: int = 4):
+    """Count-Min-sketched term frequencies probed at the certified exact
+    top-k terms — the fixed-memory frequency path for open-web token
+    streams where even a (term, n) pair table is too wide to exchange:
+    each block folds into a depth×width counter grid (partial size is
+    independent of block vocabulary), grids merge by elementwise sum.
+    Probes come from the certified heavy-hitter sketch so n_exact is
+    provably exact; n_cms ≥ n_exact always (CMS never undercounts) and
+    the whole estimate — FNV-1a keys, splitmix64-derived second hash,
+    double-hashed buckets, min-over-rows — is re-expressed bit-equal in
+    HUGEINT SQL (same machinery as docs_fingerprint +
+    events_approx_users)."""
+    from .stages.sketch import cms_estimate, count_min, heavy_hitters
+
+    ds = _pq(sf_dir, "documents", ["text"], blocks=8)
+
+    def explode(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(b.column("text")), " ")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = la.flatten()
+        return pa.table({"term": flat.filter(pc.not_equal(flat, ""))})
+
+    terms = ds.map_batches(explode, batch_format="pyarrow")
+    grid = count_min(terms, "term", _fnv64_strings, width=width, depth=depth)
+    hh = heavy_hitters(terms, "term", k=k, capacity=256)
+    if not hh["certified"]:
+        raise RuntimeError(
+            "heavy_hitters could not certify the exact top-k probe set — "
+            "raise capacity"
+        )
+    probe_terms = hh["table"].column("item").combine_chunks()
+    est = cms_estimate(grid, _fnv64_strings(probe_terms))
+    return pa.table(
+        {
+            "term": probe_terms,
+            "n_exact": hh["table"].column("n"),
+            "n_cms": pa.array(est, pa.int64()),
+        }
+    ).sort_by("term")
+
+
 # ---------------------------------------------------------------------------
 
 
 QUERIES = {
     "supplier_excess_share": supplier_excess_share,
     "docs_zipf_census": docs_zipf_census,
+    "docs_cms_counts": docs_cms_counts,
     "docs_unigram_logprob": docs_unigram_logprob,
     "embeddings_kcenter": embeddings_kcenter,
     "docs_dup_source_matrix": docs_dup_source_matrix,
@@ -16428,3 +16470,73 @@ ORACLE_SQL["docs_zipf_census"] = """
            min(rn)::BIGINT AS min_rank
     FROM r GROUP BY octave ORDER BY octave
 """
+
+
+def _cms_oracle_sql(k: int = 16, width: int = 16_384, depth: int = 4) -> str:
+    """Count-Min in HUGEINT SQL, bit-equal to stages.sketch.count_min:
+    FNV-1a term keys (docs_fingerprint's CTE), the splitmix64 finalizer
+    (events_approx_users' mulmod decomposition), odd-ified second hash,
+    double-hashed buckets, min over rows."""
+    m = "18446744073709551616::HUGEINT"  # 2^64
+
+    def mulmod(a: str, c: int) -> str:
+        lo, hi = c & 0xFFFFFFFF, c >> 32
+        return (
+            f"(({a}) * {lo}::HUGEINT"
+            f" + ((({a}) * {hi}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT) % {m}"
+        )
+
+    return f"""
+    WITH tf AS (
+      SELECT term, count(*)::BIGINT AS n
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS term
+            FROM documents)
+      GROUP BY term
+    ), keyed AS (
+      SELECT term, n,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(term)+1), i -> ascii(term[i]))),
+               (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                            * 1099511628211::HUGEINT) % {m}) AS k
+      FROM tf
+    ), z0 AS (
+      SELECT term, n, k, (k + 11400714819323198485::HUGEINT) % {m} AS z
+      FROM keyed
+    ), z1 AS (
+      SELECT term, n, k,
+             {mulmod("xor(z, z // 1073741824::HUGEINT)", 0xBF58476D1CE4E5B9)} AS z
+      FROM z0
+    ), z2 AS (
+      SELECT term, n, k,
+             {mulmod("xor(z, z // 134217728::HUGEINT)", 0x94D049BB133111EB)} AS z
+      FROM z1
+    ), hashed AS (
+      SELECT term, n, k,
+             CASE WHEN xor(z, z // 2147483648::HUGEINT) % 2::HUGEINT
+                       = 0::HUGEINT
+                  THEN xor(z, z // 2147483648::HUGEINT) + 1::HUGEINT
+                  ELSE xor(z, z // 2147483648::HUGEINT) END AS h2
+      FROM z2
+    ), buck AS (
+      SELECT term, n, r.r AS r,
+             ((k + r.r::HUGEINT * h2) % {m}) % {width}::HUGEINT AS b
+      FROM hashed, (SELECT unnest(range({depth})) AS r) r
+    ), cms AS (
+      SELECT r, b, sum(n)::BIGINT AS tot FROM buck GROUP BY r, b
+    ), probes AS (
+      SELECT term, n FROM tf
+      QUALIFY row_number() OVER (ORDER BY n DESC, term) <= {k}
+    )
+    SELECT p.term, p.n AS n_exact, min(c.tot) AS n_cms
+    FROM probes p
+    JOIN buck bk ON bk.term = p.term
+    JOIN cms c ON c.r = bk.r AND c.b = bk.b
+    GROUP BY p.term, p.n
+    ORDER BY p.term
+    """
+
+
+ORACLE_SQL["docs_cms_counts"] = _cms_oracle_sql()

@@ -413,3 +413,73 @@ def heavy_hitters(
         }
     )
     return {"table": table, "certified": certified, "bounds": bounds}
+
+
+def count_min(
+    ds: Dataset,
+    item_col: str,
+    key_fn,
+    width: int = 16_384,
+    depth: int = 4,
+) -> np.ndarray:
+    """Distributed Count-Min sketch (Cormode & Muthukrishnan 2005) over
+    a string item column — the fixed-memory frequency table for key
+    spaces where even the (term, n) pair table is too wide to ship
+    (open-web token streams): every block folds its items into a
+    ``depth × width`` int64 counter grid (map-side combine; the partial
+    is O(depth·width) REGARDLESS of block vocabulary), partials merge
+    by elementwise SUM (associative/commutative, shuffle-free), and a
+    point estimate is the min over rows — an overestimate by at most
+    the colliding mass, never an undercount.
+
+    ``key_fn``: pa.Array → uint64 keys (the caller picks the hash so
+    the sketch is SQL-pairable; queries pass the FNV-1a used by
+    docs_fingerprint). Row r's bucket = ((key + r·h2) mod 2⁶⁴) mod
+    width with h2 = odd(splitmix64(key)) — Kirsch–Mitzenmacher double
+    hashing, exactly reproducible in HUGEINT SQL.
+
+    Returns the merged (depth, width) counter grid; estimate with
+    ``cms_estimate``."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({item_col: b.column(item_col)})
+            .group_by(item_col)
+            .aggregate([(item_col, "count")])
+        )
+        keys = key_fn(g.column(item_col).combine_chunks())
+        cnts = g.column(f"{item_col}_count").to_numpy().astype(np.int64)
+        grid = np.zeros((depth, width), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            z = splitmix64(keys)
+            h2 = np.where(z % np.uint64(2) == 0, z + np.uint64(1), z)
+            for r in range(depth):
+                b_r = ((keys + np.uint64(r) * h2) % np.uint64(width)).astype(np.int64)
+                np.add.at(grid[r], b_r, cnts)
+        return pa.table(
+            {
+                "r": pa.array(np.arange(depth, dtype=np.int32), pa.int32()),
+                "counts": pa.array(list(grid), pa.list_(pa.int64())),
+            }
+        )
+
+    parts = collect_arrow(ds.map_batches(partial, batch_format="pyarrow"))
+    rows = parts.column("r").to_numpy()
+    grids = np.asarray(parts.column("counts").to_pylist(), dtype=np.int64)
+    merged = np.zeros((depth, width), dtype=np.int64)
+    np.add.at(merged, rows, grids)
+    return merged
+
+
+def cms_estimate(grid: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-estimate counts for uint64 ``keys`` against a count_min
+    grid: min over rows of the double-hashed buckets."""
+    depth, width = grid.shape
+    with np.errstate(over="ignore"):
+        z = splitmix64(keys)
+        h2 = np.where(z % np.uint64(2) == 0, z + np.uint64(1), z)
+        est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(depth):
+            b_r = ((keys + np.uint64(r) * h2) % np.uint64(width)).astype(np.int64)
+            est = np.minimum(est, grid[r, b_r])
+    return est

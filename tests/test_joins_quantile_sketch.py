@@ -690,3 +690,46 @@ def test_hits_matches_dense_reference():
                 assert abs(got[u] - ref[idx[u]]) < 1e-9, (u, got[u], ref[idx[u]])
         assert abs(sum(hub.column("score").to_pylist()) - 1.0) < 1e-9
         assert abs(sum(auth.column("score").to_pylist()) - 1.0) < 1e-9
+
+
+def test_count_min_bounds_and_block_invariance():
+    """CMS never undercounts; a too-narrow grid provably collides; the
+    merged grid is invariant to block layout (sum-merge associativity)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_seo_ray.queries import _fnv64_strings
+    from crawler_seo_ray.stages.sketch import cms_estimate, count_min
+
+    rng = np.random.RandomState(7)
+    # Zipfy stream over a 500-term vocabulary
+    vocab = np.array([f"tok{i}" for i in range(500)])
+    freq = (2000 / np.arange(1, 501)).astype(np.int64) + 1
+    items = np.repeat(vocab, freq)
+    rng.shuffle(items)
+    tbl = pa.table({"term": pa.array(items.tolist(), pa.string())})
+
+    exact = {t: int(n) for t, n in zip(vocab, freq)}
+    probes = pa.array(vocab.tolist(), pa.string())
+    keys = _fnv64_strings(probes)
+
+    grids = {}
+    for blocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        grids[blocks] = count_min(ds, "term", _fnv64_strings, width=64, depth=4)
+    assert np.array_equal(grids[1], grids[7])  # layout-invariant merge
+
+    est = cms_estimate(grids[7], keys)
+    truth = np.array([exact[t] for t in vocab], dtype=np.int64)
+    assert (est >= truth).all()  # CMS never undercounts
+    assert (est > truth).any()  # 500 terms into 64 buckets must collide
+    # every row of the grid conserves total mass
+    assert (grids[7].sum(axis=1) == len(items)).all()
+
+    # a full-width grid resolves the heavy head exactly
+    wide = count_min(
+        rd.from_arrow(tbl).repartition(5), "term", _fnv64_strings,
+        width=16_384, depth=4,
+    )
+    est_w = cms_estimate(wide, keys[:20])
+    assert np.array_equal(est_w, truth[:20])
