@@ -396,6 +396,7 @@ def run_components(num_cpus: int) -> dict:
         "docs_heavy_hitters",
         "docs_zipf_census",
         "docs_cms_counts",
+        "corpus_edge_density",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

@@ -13017,10 +13017,34 @@ def docs_cms_counts(sf_dir: str, k: int = 16, width: int = 16_384, depth: int = 
 # ---------------------------------------------------------------------------
 
 
+def corpus_edge_density(sf_dir: str, edge_threshold: int = 128):
+    """Per-image Sobel edge-density census over the image corpus — the
+    texture/structure signal of the curation gate family
+    (corpus_quality_flags covers exposure and blur; this covers
+    flat/synthetic fills vs busy natural scenes). Decode actor pool
+    (`stages/multimodal.SobelEdgeStats`, integer Sobel |Gx|+|Gy| on
+    ITU-601 luma, pixels never leave the stage), narrow int64 output,
+    sorted by image_id. Rows-only (needs pixel decode); pinned
+    bit-exact to a whole-corpus numpy replay in tests."""
+    from .stages.multimodal import SobelEdgeStats
+    from .util import collect_arrow
+
+    ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+    out = ds.map_batches(
+        SobelEdgeStats,
+        fn_constructor_kwargs={"edge_threshold": edge_threshold},
+        concurrency=2,
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+    return collect_arrow(out).sort_by("image_id")
+
+
 QUERIES = {
     "supplier_excess_share": supplier_excess_share,
     "docs_zipf_census": docs_zipf_census,
     "docs_cms_counts": docs_cms_counts,
+    "corpus_edge_density": corpus_edge_density,
     "docs_unigram_logprob": docs_unigram_logprob,
     "embeddings_kcenter": embeddings_kcenter,
     "docs_dup_source_matrix": docs_dup_source_matrix,

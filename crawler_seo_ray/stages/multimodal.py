@@ -161,6 +161,53 @@ class ExposureBlurStats:
         )
 
 
+class SobelEdgeStats:
+    """Actor stage: decode → per-image Sobel edge statistics, exact
+    integer end-to-end — the structure/texture gate a curation pipeline
+    pairs with the exposure/blur filter (flat synthetic fills and
+    over-compressed frames score near zero; busy natural scenes score
+    high). Per image on ITU-601 integer luma: 3×3 Sobel Gx/Gy over the
+    interior via pure array slicing, per-pixel energy |Gx|+|Gy| (the
+    L1 gradient magnitude — no sqrt, stays int64), Σenergy, and the
+    count of pixels at/above ``edge_threshold``. Pixels never leave
+    the stage."""
+
+    def __init__(self, edge_threshold: int = 128):
+        self.edge_threshold = int(edge_threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nint, energy, nedge = [], [], [], []
+        for r in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            px = decode_image(r["bytes"], r["fmt"]).astype(np.int64)
+            luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+            ids.append(r["image_id"])
+            if luma.shape[0] >= 3 and luma.shape[1] >= 3:
+                gx = (
+                    (luma[:-2, 2:] + 2 * luma[1:-1, 2:] + luma[2:, 2:])
+                    - (luma[:-2, :-2] + 2 * luma[1:-1, :-2] + luma[2:, :-2])
+                )
+                gy = (
+                    (luma[2:, :-2] + 2 * luma[2:, 1:-1] + luma[2:, 2:])
+                    - (luma[:-2, :-2] + 2 * luma[:-2, 1:-1] + luma[:-2, 2:])
+                )
+                e = np.abs(gx) + np.abs(gy)
+                nint.append(int(e.size))
+                energy.append(int(e.sum()))
+                nedge.append(int((e >= self.edge_threshold).sum()))
+            else:
+                nint.append(0)
+                energy.append(0)
+                nedge.append(0)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_interior": pa.array(nint, pa.int64()),
+                "edge_energy": pa.array(energy, pa.int64()),
+                "n_edge": pa.array(nedge, pa.int64()),
+            }
+        )
+
+
 class GrayWorldGains:
     """Actor stage: decode → per-IMAGE gray-world white-balance gains.
     Gray-world assumes the average scene is achromatic, so

@@ -116,6 +116,10 @@ def test_rows_only_queries_run(registry):
         and (df["n_dark"] + df["n_bright"] <= df["n_px"]).all()
         and df["too_dark"].isin((0, 1)).all()
         and df["blurry"].isin((0, 1)).all(),
+        "corpus_edge_density": lambda df: len(df) == 300
+        and df["image_id"].is_unique
+        and (df["n_edge"] <= df["n_interior"]).all()
+        and (df["edge_energy"] >= 0).all(),
         "embeddings_pca_top": lambda df: len(df) == 64
         and abs((df["loading"] ** 2).sum() - 1.0) < 1e-9
         and df["eigenvalue"].nunique() == 1
@@ -1114,3 +1118,41 @@ def test_equalize_decode_back_equality(ray_session):
         assert np.array_equal(got, exp), image_id
         assert r["mean_before"] == float(px.mean())
         assert r["mean_after"] == float(exp.mean())
+
+
+def test_edge_density_matches_numpy_replay(ray_session):
+    """corpus_edge_density pins bit-exact to a driver-side numpy Sobel
+    replay over the whole decoded corpus, and flat-fill images score 0
+    interior energy while textured ones score > 0."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_seo_ray.functions.imagecodec import decode_image
+    from crawler_seo_ray.queries import corpus_dir, corpus_edge_density
+
+    out = corpus_edge_density(SF).to_pandas().set_index("image_id")
+    assert out.index.is_unique and len(out) == 300
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(corpus_dir(), "part-*.parquet"))):
+        rows += pq.read_table(f, columns=["image_id", "bytes", "fmt"]).to_pylist()
+    assert len(rows) == len(out)
+    any_energy = False
+    for r in rows:
+        px = decode_image(r["bytes"], r["fmt"]).astype(np.int64)
+        luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+        gx = (luma[:-2, 2:] + 2 * luma[1:-1, 2:] + luma[2:, 2:]) - (
+            luma[:-2, :-2] + 2 * luma[1:-1, :-2] + luma[2:, :-2]
+        )
+        gy = (luma[2:, :-2] + 2 * luma[2:, 1:-1] + luma[2:, 2:]) - (
+            luma[:-2, :-2] + 2 * luma[:-2, 1:-1] + luma[:-2, 2:]
+        )
+        e = np.abs(gx) + np.abs(gy)
+        got = out.loc[r["image_id"]]
+        assert int(got["n_interior"]) == e.size
+        assert int(got["edge_energy"]) == int(e.sum())
+        assert int(got["n_edge"]) == int((e >= 128).sum())
+        any_energy = any_energy or int(e.sum()) > 0
+    assert any_energy
