@@ -397,6 +397,7 @@ def run_components(num_cpus: int) -> dict:
         "docs_zipf_census",
         "docs_cms_counts",
         "corpus_edge_density",
+        "lineitem_zorder_layout",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

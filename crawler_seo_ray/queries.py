@@ -13040,11 +13040,83 @@ def corpus_edge_density(sf_dir: str, edge_threshold: int = 128):
     return collect_arrow(out).sort_by("image_id")
 
 
+def lineitem_zorder_layout(sf_dir: str, bits: int = 20, bucket_bits: int = 6):
+    """Z-order (Morton) data-layout census — the space-filling-curve
+    clustering a 100 TB table uses so ONE sort order serves min-max
+    pruning on TWO filter columns at once (Delta/Iceberg OPTIMIZE
+    ZORDER semantics): zkey interleaves the low ``bits`` bits of
+    (l_partkey, l_suppkey); rows land in 2^``bucket_bits`` layout
+    buckets by zkey prefix; per bucket the census reports count and
+    min/max of BOTH dimensions — the pruning-effectiveness evidence
+    (each bucket spans a bounded rectangle, not a stripe). The bucket
+    shift adapts to the actual key domain (one cheap column-pruned max
+    pass: b = max bit-length of either key; shift = 2b −
+    ``bucket_bits``) so the census is meaningful at every sf.
+    Vectorized bit interleave per block + per-block Arrow group_by
+    partials (map-side combine to ≤2^bucket_bits rows/block), tiny
+    driver fold; bit math mirrored exactly in SQL
+    (power(2,i)/power(4,i) are float-exact through 2^52).
+    All-integer output."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"], blocks=16)
+    mx = ds.max(["l_partkey", "l_suppkey"])
+    bp = int(mx["max(l_partkey)"]).bit_length()
+    bs = int(mx["max(l_suppkey)"]).bit_length()
+    shift = np.uint64(max(2 * bits - bucket_bits, 0))
+
+    def partial(b: pa.Table) -> pa.Table:
+        # left-align each key to ``bits`` bits so BOTH dimensions'
+        # significant bits reach the bucket prefix (unequal key widths
+        # would otherwise leave the narrow dimension unpruned)
+        p = b.column("l_partkey").to_numpy().astype(np.uint64)
+        s = b.column("l_suppkey").to_numpy().astype(np.uint64)
+        pz = p << np.uint64(bits - bp)
+        sz = s << np.uint64(bits - bs)
+        z = np.zeros(len(p), dtype=np.uint64)
+        for i in range(bits):
+            bit = np.uint64(i)
+            z |= ((pz >> bit) & np.uint64(1)) << np.uint64(2 * i)
+            z |= ((sz >> bit) & np.uint64(1)) << np.uint64(2 * i + 1)
+        g = (
+            pa.table(
+                {
+                    "bucket": pa.array((z >> shift).astype(np.int64)),
+                    "p": pa.array(p.astype(np.int64)),
+                    "s": pa.array(s.astype(np.int64)),
+                }
+            )
+            .group_by("bucket")
+            .aggregate(
+                [("p", "count"), ("p", "min"), ("p", "max"),
+                 ("s", "min"), ("s", "max")]
+            )
+        )
+        return g
+
+    parts = collect_arrow(ds.map_batches(partial, batch_format="pyarrow"))
+    fold = parts.group_by("bucket").aggregate(
+        [("p_count", "sum"), ("p_min", "min"), ("p_max", "max"),
+         ("s_min", "min"), ("s_max", "max")]
+    )
+    return pa.table(
+        {
+            "bucket": fold.column("bucket"),
+            "n": fold.column("p_count_sum"),
+            "partkey_min": fold.column("p_min_min"),
+            "partkey_max": fold.column("p_max_max"),
+            "suppkey_min": fold.column("s_min_min"),
+            "suppkey_max": fold.column("s_max_max"),
+        }
+    ).sort_by("bucket")
+
+
 QUERIES = {
     "supplier_excess_share": supplier_excess_share,
     "docs_zipf_census": docs_zipf_census,
     "docs_cms_counts": docs_cms_counts,
     "corpus_edge_density": corpus_edge_density,
+    "lineitem_zorder_layout": lineitem_zorder_layout,
     "docs_unigram_logprob": docs_unigram_logprob,
     "embeddings_kcenter": embeddings_kcenter,
     "docs_dup_source_matrix": docs_dup_source_matrix,
@@ -16564,3 +16636,29 @@ def _cms_oracle_sql(k: int = 16, width: int = 16_384, depth: int = 4) -> str:
 
 
 ORACLE_SQL["docs_cms_counts"] = _cms_oracle_sql()
+
+ORACLE_SQL["lineitem_zorder_layout"] = """
+    WITH mx AS (
+      SELECT length(bin(max(l_partkey))) AS bp,
+             length(bin(max(l_suppkey))) AS bs
+      FROM lineitem
+    ), z AS (
+      SELECT l_partkey, l_suppkey,
+             (SELECT CAST(sum(
+                  (((l_partkey * CAST(power(2, 20 - mx.bp) AS BIGINT))
+                      // CAST(power(2, i) AS BIGINT)) % 2)
+                    * CAST(power(4, i) AS BIGINT)
+                + (((l_suppkey * CAST(power(2, 20 - mx.bs) AS BIGINT))
+                      // CAST(power(2, i) AS BIGINT)) % 2)
+                    * 2 * CAST(power(4, i) AS BIGINT)) AS BIGINT)
+              FROM range(20) t(i)) AS zkey
+      FROM lineitem, mx
+    )
+    SELECT zkey // 17179869184 AS bucket,   -- >> (2*20 - 6) = 2^34
+           count(*)::BIGINT AS n,
+           min(l_partkey) AS partkey_min,
+           max(l_partkey) AS partkey_max,
+           min(l_suppkey) AS suppkey_min,
+           max(l_suppkey) AS suppkey_max
+    FROM z GROUP BY bucket ORDER BY bucket
+"""
