@@ -398,6 +398,7 @@ def run_components(num_cpus: int) -> dict:
         "docs_cms_counts",
         "corpus_edge_density",
         "lineitem_zorder_layout",
+        "events_key_skew",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)

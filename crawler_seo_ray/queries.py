@@ -13111,12 +13111,59 @@ def lineitem_zorder_layout(sf_dir: str, bits: int = 20, bucket_bits: int = 6):
     ).sort_by("bucket")
 
 
+def events_key_skew(sf_dir: str, k: int = 20, parallelism: int = 32):
+    """Hot-key skew diagnosis — the pre-shuffle audit a 100 TB pipeline
+    runs before choosing a partitioning key (the engine's own frontier
+    salting is the consumer of exactly this signal: a key holding p of
+    the mass stalls a P-way exchange to max(1/P, p), so a hot key gets
+    ceil(share·P) salts). Per-block Arrow group_by partials (map-side
+    combine: only (key, n) rows leave a block), key-space-sized driver
+    fold, top-k by (n desc, key asc). share_ppm and the recommended
+    salt count are exact integer cross-multiplications — no float ever
+    reaches the output."""
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "events", ["user_id"], blocks=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"user_id": b.column("user_id")})
+            .group_by("user_id")
+            .aggregate([("user_id", "count")])
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "n": g.column("user_id_count").cast(pa.int64()),
+            }
+        )
+
+    parts = collect_arrow(ds.map_batches(partial, batch_format="pyarrow"))
+    fold = parts.group_by("user_id").aggregate([("n", "sum")])
+    keys = fold.column("user_id").to_numpy(zero_copy_only=False)
+    n = fold.column("n_sum").to_numpy()
+    total = int(n.sum())
+    order = np.lexsort((keys, -n))[:k]
+    top_n = n[order].astype(np.int64)
+    return pa.table(
+        {
+            "user_id": pa.array(keys[order].tolist()),
+            "n": pa.array(top_n, pa.int64()),
+            "share_ppm": pa.array(top_n * 1_000_000 // total, pa.int64()),
+            "salt": pa.array(
+                (top_n * parallelism + total - 1) // total, pa.int64()
+            ),
+        }
+    )
+
+
 QUERIES = {
     "supplier_excess_share": supplier_excess_share,
     "docs_zipf_census": docs_zipf_census,
     "docs_cms_counts": docs_cms_counts,
     "corpus_edge_density": corpus_edge_density,
     "lineitem_zorder_layout": lineitem_zorder_layout,
+    "events_key_skew": events_key_skew,
     "docs_unigram_logprob": docs_unigram_logprob,
     "embeddings_kcenter": embeddings_kcenter,
     "docs_dup_source_matrix": docs_dup_source_matrix,
@@ -16661,4 +16708,16 @@ ORACLE_SQL["lineitem_zorder_layout"] = """
            min(l_suppkey) AS suppkey_min,
            max(l_suppkey) AS suppkey_max
     FROM z GROUP BY bucket ORDER BY bucket
+"""
+
+ORACLE_SQL["events_key_skew"] = """
+    WITH kc AS (
+      SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id
+    ), tot AS (SELECT sum(n)::BIGINT AS total FROM kc)
+    SELECT user_id, n,
+           n * 1000000 // tot.total AS share_ppm,
+           (n * 32 + tot.total - 1) // tot.total AS salt
+    FROM kc, tot
+    QUALIFY row_number() OVER (ORDER BY n DESC, user_id) <= 20
+    ORDER BY n DESC, user_id
 """
