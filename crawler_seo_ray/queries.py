@@ -16721,3 +16721,50 @@ ORACLE_SQL["events_key_skew"] = """
     QUALIFY row_number() OVER (ORDER BY n DESC, user_id) <= 20
     ORDER BY n DESC, user_id
 """
+
+
+# KMV/theta set algebra re-expressed in SQL (same pattern as the HLL
+# oracle): exact splitmix64 over user_id, per-type DISTINCT hash sets,
+# θ = min of the two k-th-smallest saturation thresholds (NULL = the
+# sketch holds the complete sample, θ = 1), counts of the strictly-
+# below-θ samples and their direct overlap, one mirrored double
+# division. Bit-equal to stages.sketch.kmv_set_algebra.
+ORACLE_SQL["events_type_overlap_kmv"] = (
+    "WITH ev AS (SELECT event_type, user_id FROM events"
+    "             WHERE event_type IN ('click', 'view')), "
+    + _splitmix64_sql("ev")
+    + """, ha AS (SELECT DISTINCT h FROM hashed WHERE event_type = 'click'
+    ), hb AS (SELECT DISTINCT h FROM hashed WHERE event_type = 'view'
+    ), th AS (
+      SELECT least(
+               coalesce((SELECT CASE WHEN (SELECT count(*) FROM ha) >= 1024
+                         THEN (SELECT h FROM ha ORDER BY h LIMIT 1 OFFSET 1023)
+                         END),
+                        (SELECT CASE WHEN (SELECT count(*) FROM hb) >= 1024
+                         THEN (SELECT h FROM hb ORDER BY h LIMIT 1 OFFSET 1023)
+                         END)),
+               coalesce((SELECT CASE WHEN (SELECT count(*) FROM hb) >= 1024
+                         THEN (SELECT h FROM hb ORDER BY h LIMIT 1 OFFSET 1023)
+                         END),
+                        (SELECT CASE WHEN (SELECT count(*) FROM ha) >= 1024
+                         THEN (SELECT h FROM ha ORDER BY h LIMIT 1 OFFSET 1023)
+                         END))) AS theta_h
+    ), ta AS (SELECT h FROM ha, th WHERE th.theta_h IS NULL OR h < th.theta_h
+    ), tb AS (SELECT h FROM hb, th WHERE th.theta_h IS NULL OR h < th.theta_h
+    ), stats AS (
+      SELECT (SELECT count(*) FROM ta) AS ca,
+             (SELECT count(*) FROM tb) AS cb,
+             (SELECT count(*) FROM (SELECT h FROM ta INTERSECT SELECT h FROM tb)) AS ci,
+             (SELECT count(*) FROM (SELECT h FROM ta UNION SELECT h FROM tb)) AS cu,
+             (SELECT CASE WHEN theta_h IS NULL THEN 1.0
+                          ELSE CAST(theta_h AS DOUBLE)
+                               / 18446744073709551616.0 END FROM th) AS theta
+    )
+    SELECT 'click' AS key_a, 'view' AS key_b,
+           CAST(round(ca / theta) AS BIGINT) AS approx_a,
+           CAST(round(cb / theta) AS BIGINT) AS approx_b,
+           CAST(round(cu / theta) AS BIGINT) AS approx_union,
+           CAST(round(ci / theta) AS BIGINT) AS approx_intersection,
+           theta
+    FROM stats"""
+)
