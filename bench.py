@@ -602,9 +602,16 @@ def scaling(equal_load: bool = True) -> None:
             # measure the same regime a 10^10-URL frontier runs in, with
             # no BFS-ramp artifact (BASELINE.md round-3 protocol).
             GRAFT_COMPONENTS="crawl",
-            GRAFT_MAX_URLS=os.environ.get("GRAFT_MAX_URLS", "48000"),
-            GRAFT_BATCH=os.environ.get("GRAFT_BATCH", "16000"),
-            GRAFT_NUM_SEEDS=os.environ.get("GRAFT_NUM_SEEDS", "16000"),
+            # deep-frontier wave shape (round-3 final): the per-wave
+            # FIXED latency cost is weather-invariant, so on fast
+            # silicon short waves under-measure scaling — 64k-row
+            # waves keep the fixed cost the same small fraction the
+            # 10^10-frontier regime has (measured 2026-08-20: 32k
+            # waves read 0.75 on a 2.5x-fast window, 64k read 0.88)
+            GRAFT_CORPUS_N=os.environ.get("GRAFT_CORPUS_N", "200000"),
+            GRAFT_MAX_URLS=os.environ.get("GRAFT_MAX_URLS", "192000"),
+            GRAFT_BATCH=os.environ.get("GRAFT_BATCH", "64000"),
+            GRAFT_NUM_SEEDS=os.environ.get("GRAFT_NUM_SEEDS", "64000"),
             GRAFT_CRAWL_REPEATS=os.environ.get("GRAFT_CRAWL_REPEATS", "3"),
         )
         cmd = [sys.executable, os.path.join(REPO, "bench.py")]
@@ -734,10 +741,13 @@ def scaling_self() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_COMPONENTS="crawl",
-            GRAFT_CORPUS_N=os.environ.get("GRAFT_CORPUS_N", "100000"),
-            GRAFT_MAX_URLS=os.environ.get("GRAFT_MAX_URLS", "96000"),
-            GRAFT_BATCH=os.environ.get("GRAFT_BATCH", "32000"),
-            GRAFT_NUM_SEEDS=os.environ.get("GRAFT_NUM_SEEDS", "32000"),
+            # deep-frontier wave shape — see scaling(): 64k waves
+            # keep the weather-invariant fixed cost a 10^10-frontier
+            # fraction of the wave clock on fast silicon too
+            GRAFT_CORPUS_N=os.environ.get("GRAFT_CORPUS_N", "200000"),
+            GRAFT_MAX_URLS=os.environ.get("GRAFT_MAX_URLS", "192000"),
+            GRAFT_BATCH=os.environ.get("GRAFT_BATCH", "64000"),
+            GRAFT_NUM_SEEDS=os.environ.get("GRAFT_NUM_SEEDS", "64000"),
         )
         if lane is not None:
             e["GRAFT_OBJ_STORE_GB"] = "6"

@@ -16768,3 +16768,71 @@ ORACLE_SQL["events_type_overlap_kmv"] = (
            theta
     FROM stats"""
 )
+
+
+def _hll_overlap_oracle_sql() -> str:
+    """HLL set algebra in SQL — the events_approx_users estimator tail
+    applied three times over per-type and max-merged register sets
+    (union is the HLL-native register max; intersection is
+    inclusion–exclusion over the UNROUNDED estimates, mirroring
+    stages.sketch.hll_set_algebra)."""
+
+    def est(agg: str) -> str:
+        raw = (
+            f"((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0)"
+            f" / (CAST({agg}.s + (4096::HUGEINT - {agg}.n::HUGEINT)"
+            f"          * 9007199254740992::HUGEINT AS DOUBLE)"
+            f"    / 9007199254740992.0)"
+        )
+        return (
+            f"CASE WHEN {raw} <= 10240.0 AND (4096 - {agg}.n) > 0"
+            f" THEN 4096.0 * ln(4096.0 / (4096 - {agg}.n)) ELSE {raw} END"
+        )
+
+    return (
+        "WITH ev AS (SELECT event_type, user_id FROM events"
+        "             WHERE event_type IN ('click', 'view')), "
+        + _splitmix64_sql("ev")
+        + f""", rk AS (
+      SELECT event_type,
+             h // 4503599627370496::HUGEINT AS idx,
+             CASE WHEN (h * 4096::HUGEINT) % 18446744073709551616::HUGEINT
+                       = 0::HUGEINT THEN 53
+                  ELSE 65 - length(bin(
+                    (h * 4096::HUGEINT) % 18446744073709551616::HUGEINT))
+             END AS rank
+      FROM hashed
+    ), regs AS (
+      SELECT event_type, idx, max(rank) AS reg FROM rk GROUP BY event_type, idx
+    ), regs_u AS (
+      SELECT idx, max(reg) AS reg FROM regs GROUP BY idx
+    ), agg_a AS (
+      SELECT coalesce(sum(CAST(power(2.0, 53 - reg) AS HUGEINT)),
+                      0::HUGEINT) AS s,
+             count(*) AS n
+      FROM regs WHERE event_type = 'click'
+    ), agg_b AS (
+      SELECT coalesce(sum(CAST(power(2.0, 53 - reg) AS HUGEINT)),
+                      0::HUGEINT) AS s,
+             count(*) AS n
+      FROM regs WHERE event_type = 'view'
+    ), agg_u AS (
+      SELECT coalesce(sum(CAST(power(2.0, 53 - reg) AS HUGEINT)),
+                      0::HUGEINT) AS s,
+             count(*) AS n
+      FROM regs_u
+    ), est AS (
+      SELECT {est("a")} AS ea, {est("b")} AS eb, {est("u")} AS eu
+      FROM agg_a a, agg_b b, agg_u u
+    )
+    SELECT 'click' AS key_a, 'view' AS key_b,
+           CAST(round(ea) AS BIGINT) AS approx_a,
+           CAST(round(eb) AS BIGINT) AS approx_b,
+           CAST(round(eu) AS BIGINT) AS approx_union,
+           greatest(0, CAST(round(ea + eb - eu) AS BIGINT))
+             AS approx_intersection
+    FROM est"""
+    )
+
+
+ORACLE_SQL["events_type_overlap"] = _hll_overlap_oracle_sql()

@@ -124,12 +124,6 @@ def test_rows_only_queries_run(registry):
         and abs((df["loading"] ** 2).sum() - 1.0) < 1e-9
         and df["eigenvalue"].nunique() == 1
         and df["eigenvalue"].iloc[0] > 0,
-        "events_type_overlap": lambda df: len(df) == 1
-        and df["approx_union"].iloc[0]
-        <= df["approx_a"].iloc[0] + df["approx_b"].iloc[0]
-        and df["approx_intersection"].iloc[0] >= 0
-        and max(df["approx_a"].iloc[0], df["approx_b"].iloc[0])
-        <= df["approx_union"].iloc[0] * 1.05,
         "crawl_wave_phases": lambda df: len(df) >= 2
         and (df["issued"] > 0).all()
         and df["issued"].sum() == 120
@@ -156,11 +150,18 @@ def test_rows_only_queries_run(registry):
         and df["cdf"].is_monotonic_increasing
         and df["lut"].is_monotonic_increasing
         and df["lut"].between(0, 255).all(),
-        "events_type_overlap_kmv": lambda df: len(df) == 1
-        and 0 < df["theta"].iloc[0] <= 1.0
-        and df["approx_intersection"].iloc[0] >= 0
-        and df["approx_union"].iloc[0]
-        <= df["approx_a"].iloc[0] + df["approx_b"].iloc[0],
+        "embeddings_ivf_recall": lambda df: len(df) == 5
+        and df["recall"].between(0.0, 1.0).all()
+        and (df["n_hit"] == (df["recall"] * df["k"]).round()).all(),
+        # deep pin in test_mip_build_decode_back_equality
+        "corpus_mip_build": lambda df: df["image_id"].nunique() == 300
+        and df["level"].between(1, 3).all()
+        and (df["w_l"] > 0).all()
+        and df["mean_luma"].between(0.0, 255.0).all(),
+        # deep pin in test_corpus_curate_invariants
+        "corpus_curate": lambda df: 0 < len(df) < 300
+        and df["image_id"].is_unique
+        and (df["aspect_bucket"] == (df["w"] * 100) // df["h"]).all(),
         # deep pin in test_corpus_augment_decode_back_equality
         "corpus_augment": lambda df: len(df) > 250
         and df["image_id"].is_unique
@@ -193,18 +194,6 @@ def test_rows_only_queries_run(registry):
         "corpus_equalize": lambda df: len(df) == 300
         and df["image_id"].is_unique
         and df["mean_after"].between(0.0, 255.0).all(),
-        "embeddings_ivf_recall": lambda df: len(df) == 5
-        and df["recall"].between(0.0, 1.0).all()
-        and (df["n_hit"] == (df["recall"] * df["k"]).round()).all(),
-        # deep pin in test_mip_build_decode_back_equality
-        "corpus_mip_build": lambda df: df["image_id"].nunique() == 300
-        and df["level"].between(1, 3).all()
-        and (df["w_l"] > 0).all()
-        and df["mean_luma"].between(0.0, 255.0).all(),
-        # deep pin in test_corpus_curate_invariants
-        "corpus_curate": lambda df: 0 < len(df) < 300
-        and df["image_id"].is_unique
-        and (df["aspect_bucket"] == (df["w"] * 100) // df["h"]).all(),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
