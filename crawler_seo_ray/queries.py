@@ -13048,10 +13048,13 @@ def lineitem_zorder_layout(sf_dir: str, bits: int = 20, bucket_bits: int = 6):
     (l_partkey, l_suppkey); rows land in 2^``bucket_bits`` layout
     buckets by zkey prefix; per bucket the census reports count and
     min/max of BOTH dimensions — the pruning-effectiveness evidence
-    (each bucket spans a bounded rectangle, not a stripe). The bucket
-    shift adapts to the actual key domain (one cheap column-pruned max
-    pass: b = max bit-length of either key; shift = 2b −
-    ``bucket_bits``) so the census is meaningful at every sf.
+    (each bucket spans a bounded rectangle, not a stripe). Each key is
+    normalized to EXACTLY ``bits`` significant bits from its actual
+    domain (one cheap column-pruned max pass): narrow keys (bit_length
+    < bits) left-shift up, wide keys (bit_length > bits, TPC-H SF ≳ 5
+    for l_partkey) keep their TOP ``bits`` bits via right shift — so
+    the interleave never overflows 2·bits and the census stays
+    meaningful at every sf.
     Vectorized bit interleave per block + per-block Arrow group_by
     partials (map-side combine to ≤2^bucket_bits rows/block), tiny
     driver fold; bit math mirrored exactly in SQL
@@ -13066,13 +13069,16 @@ def lineitem_zorder_layout(sf_dir: str, bits: int = 20, bucket_bits: int = 6):
     shift = np.uint64(max(2 * bits - bucket_bits, 0))
 
     def partial(b: pa.Table) -> pa.Table:
-        # left-align each key to ``bits`` bits so BOTH dimensions'
-        # significant bits reach the bucket prefix (unequal key widths
-        # would otherwise leave the narrow dimension unpruned)
+        # normalize each key to exactly ``bits`` bits so BOTH
+        # dimensions' significant bits reach the bucket prefix: narrow
+        # keys left-align up (unequal widths would otherwise leave the
+        # narrow dimension unpruned), wide keys keep their top ``bits``
+        # bits (a raw left shift by a negative amount would wrap/raise
+        # in numpy and zero every bucket)
         p = b.column("l_partkey").to_numpy().astype(np.uint64)
         s = b.column("l_suppkey").to_numpy().astype(np.uint64)
-        pz = p << np.uint64(bits - bp)
-        sz = s << np.uint64(bits - bs)
+        pz = (p << np.uint64(max(bits - bp, 0))) >> np.uint64(max(bp - bits, 0))
+        sz = (s << np.uint64(max(bits - bs, 0))) >> np.uint64(max(bs - bits, 0))
         z = np.zeros(len(p), dtype=np.uint64)
         for i in range(bits):
             bit = np.uint64(i)
@@ -16607,7 +16613,10 @@ ORACLE_SQL["docs_zipf_census"] = """
     ), r AS (
       SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rn FROM tf
     )
-    SELECT CAST(floor(log2(rn)) AS INTEGER) AS octave,
+    -- integer octave: bit_length-1 == floor(log2) for positive BIGINT,
+    -- matching the engine's frexp derivation exactly (a libm log2
+    -- fractionally under k at rn = 2^k would shift the boundary)
+    SELECT CAST(length(bin(rn)) - 1 AS INTEGER) AS octave,
            count(*)::BIGINT AS n_terms,
            sum(n)::BIGINT AS total_freq,
            min(rn)::BIGINT AS min_rank
@@ -16690,12 +16699,18 @@ ORACLE_SQL["lineitem_zorder_layout"] = """
              length(bin(max(l_suppkey))) AS bs
       FROM lineitem
     ), z AS (
+      -- normalize to exactly 20 significant bits: narrow keys scale up
+      -- (× 2^(20-b)), wide keys keep their top 20 bits (// 2^(b-20)) —
+      -- greatest() keeps both exponents non-negative so power() never
+      -- truncates to 0 (mirrors the engine's two-sided shift)
       SELECT l_partkey, l_suppkey,
              (SELECT CAST(sum(
-                  (((l_partkey * CAST(power(2, 20 - mx.bp) AS BIGINT))
+                  ((((l_partkey * CAST(power(2, greatest(20 - mx.bp, 0)) AS BIGINT))
+                       // CAST(power(2, greatest(mx.bp - 20, 0)) AS BIGINT))
                       // CAST(power(2, i) AS BIGINT)) % 2)
                     * CAST(power(4, i) AS BIGINT)
-                + (((l_suppkey * CAST(power(2, 20 - mx.bs) AS BIGINT))
+                + ((((l_suppkey * CAST(power(2, greatest(20 - mx.bs, 0)) AS BIGINT))
+                       // CAST(power(2, greatest(mx.bs - 20, 0)) AS BIGINT))
                       // CAST(power(2, i) AS BIGINT)) % 2)
                     * 2 * CAST(power(4, i) AS BIGINT)) AS BIGINT)
               FROM range(20) t(i)) AS zkey

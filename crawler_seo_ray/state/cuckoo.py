@@ -75,6 +75,20 @@ class CuckooFilter:
 
     def add_many(self, h1: np.ndarray, h2: np.ndarray) -> None:
         i1, fp = self._derive(np.asarray(h1, np.uint64), np.asarray(h2, np.uint64))
+        # headroom gate BEFORE any slot is written: a mid-batch raise
+        # would leave earlier keys inserted and later ones not, and a
+        # caller that registered the batch elsewhere first (exact set,
+        # audit row) would hold a prefilter missing keys — a permanent
+        # false-negative, the one thing the prefilter contract forbids.
+        # 0.95·m·b is the b=4 load-factor ceiling (CoNEXT'14 §5); the
+        # constructor sizes m so `capacity` inserts never trip this.
+        if self.size + len(fp) > int(0.95 * self.m * self.bucket_size):
+            raise RuntimeError(
+                f"cuckoo filter over capacity before batch insert "
+                f"(size={self.size} + batch={len(fp)} > "
+                f"{int(0.95 * self.m * self.bucket_size)}, m={self.m}); "
+                "size the shard's prefilter capacity to its key range"
+            )
         i2 = self._alt(i1, fp)
         table = self.table
         for j in range(len(fp)):

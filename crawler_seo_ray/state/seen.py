@@ -125,9 +125,13 @@ class SeenShard:
         self.dup_count += dup
         if not best:
             return None
+        # prefilter BEFORE the exact set: if the prefilter raises
+        # (cuckoo over capacity) nothing was committed to self.seen, so
+        # the no-false-negative contract (every exact-set member is in
+        # the prefilter) survives the failure (ADVICE r03)
+        self.bloom.add_many(*digest_halves([url_digest(u) for u in best]))
         for u in best:
             seen[u] = False
-        self.bloom.add_many(*digest_halves([url_digest(u) for u in best]))
         return tbl.take(pa.array(sorted(best.values()), pa.int64()))
 
     def admit(self, urls: list[str], order_keys: list) -> list[int]:
@@ -138,17 +142,30 @@ class SeenShard:
         order = sorted(range(len(urls)), key=lambda k: order_keys[k])
         admitted: list[int] = []
         fresh: list[bytes] = []
+        fresh_urls: list[str] = []
+        batch_new: set[str] = set()
+        dup = 0
         for k in order:
             u = urls[k]
             if u in self.seen:
                 if not self.seen[u]:
-                    self.dup_count += 1
+                    dup += 1
                 continue
-            self.seen[u] = False
+            if u in batch_new:
+                dup += 1
+                continue
+            batch_new.add(u)
             fresh.append(url_digest(u))
+            fresh_urls.append(u)
             admitted.append(k)
+        # prefilter BEFORE the exact set — a cuckoo over-capacity raise
+        # must not leave URLs registered exactly but absent from the
+        # prefilter (permanent false negative, ADVICE r03)
         if fresh:
             self.bloom.add_many(*digest_halves(fresh))
+        for u in fresh_urls:
+            self.seen[u] = False
+        self.dup_count += dup
         return admitted
 
     def probe_bloom(self, urls: list[str]) -> list[bool]:
@@ -203,11 +220,12 @@ class SeenShard:
         return list(self.seen.keys()), list(self.seen.values())
 
     def restore(self, urls: list[str], issued: list[bool], dup_count: int = 0) -> None:
+        # prefilter first (same raise-consistency order as admit)
+        fresh = [url_digest(u) for u in urls]
+        if fresh:
+            self.bloom.add_many(*digest_halves(fresh))
         self.seen = dict(zip(urls, issued))
         # duplicate counter travels via the wave state.json (stats());
         # without it a resumed run undercounts total_duplicates vs an
         # uninterrupted one (ADVICE r01)
         self.dup_count = dup_count
-        fresh = [url_digest(u) for u in urls]
-        if fresh:
-            self.bloom.add_many(*digest_halves(fresh))

@@ -134,3 +134,46 @@ def test_evict_enables_recrawl_and_bloom_refuses(small_corpus):
     with pytest.raises(ray.exceptions.RayTaskError, match="deletion-capable"):
         ray.get(bloom_shard.evict.remote(urls[:5]))
     ray.kill(bloom_shard)
+
+
+def test_cuckoo_overflow_leaves_no_state_mutated():
+    """Over-capacity add_many must raise BEFORE inserting anything —
+    a partial batch would leave a caller's exact set holding keys the
+    prefilter lacks (permanent false negative, ADVICE r03)."""
+    cf = CuckooFilter(64)
+    ok = [f"https://c.example.test/{i}" for i in range(50)]
+    h1, h2 = _hashes(ok)
+    cf.add_many(h1, h2)
+    before = cf.table.copy()
+    size_before = cf.size
+    big = [f"https://c.example.test/ov/{i}" for i in range(100_000)]
+    b1, b2 = _hashes(big)
+    with pytest.raises(RuntimeError, match="over capacity"):
+        cf.add_many(b1, b2)
+    assert cf.size == size_before
+    assert np.array_equal(cf.table, before)
+    assert cf.contains_many(h1, h2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shard_admit_overflow_keeps_prefilter_consistent():
+    """If the cuckoo prefilter overflows during admit, the exact set
+    must NOT have committed the batch: every exact-set member must
+    still be present in the prefilter (no-false-negative contract the
+    probe-skip scale path depends on)."""
+    import ray
+
+    from crawler_seo_ray.state.seen import SeenShard
+
+    # tiny prefilter: ~67 slot ceiling at 0.95 load
+    shard = SeenShard.remote(0, bloom_capacity=64, prefilter="cuckoo")
+    first = [datagen.url(i) for i in range(40)]
+    assert len(ray.get(shard.admit.remote(first, list(range(40))))) == 40
+    big = [datagen.url(i) for i in range(1000, 1400)]
+    with pytest.raises(ray.exceptions.RayTaskError, match="over capacity"):
+        ray.get(shard.admit.remote(big, list(range(400))))
+    # contract: exact set unchanged by the failed batch, and every
+    # exact member still answers True from the prefilter
+    assert ray.get(shard.count.remote()) == 40
+    assert all(ray.get(shard.probe_bloom.remote(first)))
+    ray.kill(shard)

@@ -1145,3 +1145,40 @@ def test_edge_density_matches_numpy_replay(ray_session):
         assert int(got["n_edge"]) == int((e >= 128).sum())
         any_energy = any_energy or int(e.sum()) > 0
     assert any_energy
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zorder_wide_keys_beyond_20_bits(tmp_path):
+    """Keys wider than ``bits`` (l_partkey > 2^20, i.e. TPC-H SF ≳ 5)
+    must keep their TOP 20 bits — not wrap through a negative numpy
+    shift and collapse every row into bucket 0 (ADVICE r03). Engine and
+    SQL oracle must stay hash-equal in this regime, and the census must
+    spread over many buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_seo_ray import queries as Q
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    # 25-bit partkeys, 14-bit suppkeys — one wide, one narrow dimension
+    part = rng.integers(1, 1 << 25, size=n, dtype=np.int64)
+    part[0] = (1 << 25) - 1  # pin the max so bp = 25 deterministically
+    supp = rng.integers(1, 1 << 14, size=n, dtype=np.int64)
+    supp[0] = (1 << 14) - 1
+    pq.write_table(
+        pa.table({"l_partkey": part, "l_suppkey": supp}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    got = _canon(Q.lineitem_zorder_layout(str(tmp_path)).to_pandas())
+    assert got["n"].sum() == n
+    assert len(got) > 8, "wide keys collapsed into few buckets"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    want = _canon(con.sql(Q.ORACLE_SQL["lineitem_zorder_layout"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
