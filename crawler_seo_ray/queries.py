@@ -511,6 +511,13 @@ def docs_split(sf_dir: str):
 
 _BCAST_KEYS_GATE = 4_000_000
 
+# above this many vectors an all-vectors kNN stops collecting/
+# broadcasting the O(N·d) query matrix and routes through the
+# cell-partitioned IVF index (stages/similarity.knn_all_ivf) — at
+# d=64 float64 the gate is ~2 GB of matrix, the practical ceiling for
+# a per-task broadcast
+_ALLKNN_IVF_GATE = 4_000_000
+
 
 def _building_keys(sf_dir: str):
     """Sorted BUILDING-segment custkeys as ONE int64 array when the
@@ -9357,32 +9364,49 @@ def events_max_concurrency(sf_dir: str):
     )
 
 
-def embeddings_reciprocal_nn(sf_dir: str, k: int = 3):
+def embeddings_reciprocal_nn(
+    sf_dir: str,
+    k: int = 3,
+    ivf_gate: int | None = None,
+    nlist: int = 16,
+    nprobe: int | None = None,
+):
     """RECIPROCAL nearest-neighbor matching (mutual top-k): pairs where
     each vector ranks the other within its cosine top-k, self excluded
     — the high-precision matching rule used for cross-lingual /
     cross-modal pair mining (both directions must agree, which kills
-    hub false-positives one-directional kNN suffers). The distributed
-    part is the exact streamed all-vectors top-(k+1) scan (knn_brute:
-    broadcast query matrix, block-local top-k partials); the directed
-    edge list is N·k and the mutual intersection runs on it via one
-    hash of swapped keys. At open-web N the query matrix no longer
-    broadcasts — the scan becomes the IVF-bucketed path
-    (stages/similarity.build_ivf_index), same downstream edge
-    intersection."""
-    from .stages.similarity import _vec_matrix, knn_brute
+    hub false-positives one-directional kNN suffers). Below the gate
+    the scan is the exact streamed all-vectors top-(k+1)
+    (knn_brute: broadcast query matrix, block-local top-k partials);
+    ABOVE ``_ALLKNN_IVF_GATE`` rows the query matrix no longer
+    collects/broadcasts — the scan routes through the cell-partitioned
+    IVF index (stages/similarity.knn_all_ivf: tiled
+    (query_chunk × cell) matmuls keyed by (probe_cell, chunk), no
+    process holds O(N·d)). ``nprobe=None`` keeps the gated path EXACT
+    (every cell probed — same output as brute, equality-tested);
+    ``nprobe < nlist`` is the approximate production config. The
+    directed edge list is N·k and the mutual intersection runs on it
+    via one hash of swapped keys — identical downstream either way."""
+    from .stages.similarity import _vec_matrix, knn_all_ivf, knn_brute
     from .util import collect_arrow
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    t0 = collect_arrow(ds)
-    ids = t0.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    o = np.argsort(ids, kind="stable")
-    ids = ids[o]
-    queries = _vec_matrix(t0.column("embedding"))[o]
-    out = knn_brute(ds, "embedding", "vec_id", queries, k=k + 1)
-
-    src = ids[out.column("query_idx").to_numpy(zero_copy_only=False)]
-    dst = out.column("neighbor_id").to_numpy(zero_copy_only=False)
+    gate = _ALLKNN_IVF_GATE if ivf_gate is None else ivf_gate
+    if ds.count() > gate:
+        out = knn_all_ivf(
+            ds, "embedding", "vec_id", k=k + 1, nlist=nlist, nprobe=nprobe
+        )
+        src = out.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = out.column("neighbor_id").to_numpy(zero_copy_only=False)
+    else:
+        t0 = collect_arrow(ds)
+        ids = t0.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        queries = _vec_matrix(t0.column("embedding"))[o]
+        out = knn_brute(ds, "embedding", "vec_id", queries, k=k + 1)
+        src = ids[out.column("query_idx").to_numpy(zero_copy_only=False)]
+        dst = out.column("neighbor_id").to_numpy(zero_copy_only=False)
     keep = src != dst  # leave-one-out, order preserved
     src, dst = src[keep], dst[keep]
     # re-rank within each query after self-removal, then cut to k —
@@ -9396,7 +9420,7 @@ def embeddings_reciprocal_nn(sf_dir: str, k: int = 3):
 
     # mutual intersection on the N·k edge list: encode directed edges
     # as a single int64 key, binary-search the swapped key
-    base = int(ids.max()) + 1 if ids.size else 1
+    base = int(max(src.max(), dst.max())) + 1 if src.size else 1
     key = src * base + dst
     ko = np.argsort(key, kind="stable")
     key_sorted, rnk_sorted = key[ko], rnk[ko]

@@ -412,6 +412,167 @@ def knn_ivf(
             shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def knn_all_ivf(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int | None = None,
+    index_dir: str | None = None,
+    query_chunk: int = 4096,
+    scan_stats: dict | None = None,
+) -> pa.Table:
+    """ALL-vectors self-kNN via the cell-partitioned IVF index — the
+    open-web-N replacement for calling ``knn_brute`` with the whole
+    table as its query matrix (which collects AND broadcasts an O(N·d)
+    matrix: the round-3 scale seam). No process ever holds more than a
+    bounded tile:
+
+    1. ``build_ivf_index`` partitions the corpus into ``nlist`` cell
+       files (normalized vectors — one narrow shuffle, persisted).
+    2. Probe expansion streams the *index* (not the raw table): each
+       vector emits one row per probed cell, keyed by
+       (probe_cell, query_chunk) so a group is at most ``query_chunk``
+       queries against one cell — memory is (query_chunk + cell) × d
+       regardless of N or nprobe.
+    3. ``groupby(gkey).map_groups`` computes the tile matmul + local
+       top-k; ``groupby(query_id).map_groups`` merges the ≤ nprobe·k
+       partials per query into the final top-k.
+
+    ``nprobe=None`` (default) probes every cell — EXACT multi-probe:
+    identical output to ``knn_brute`` over the same table (total
+    compute is still the brute O(N²·d/cells) per tile, but tiled and
+    memory-bounded; shuffle volume is N·nprobe·d). Set ``nprobe`` <
+    ``nlist`` for the approximate production config where compute and
+    scan drop to ~nprobe/nlist of exact.
+
+    Returns (query_id, neighbor_id, rank) with REAL ids (not
+    positional indices), rank 1-based, self included at rank 1, ties
+    by (sim desc, id asc); sorted by (query_id, rank)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    own_dir = index_dir is None
+    if own_dir:
+        index_dir = tempfile.mkdtemp(prefix="ivf_allknn_")
+    try:
+        if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+            idx = build_ivf_index(ds, vec_col, id_col, nlist, index_dir)
+        else:
+            import json
+
+            cent = np.load(os.path.join(index_dir, "centroids.npy"))
+            with open(os.path.join(index_dir, "manifest.json")) as f:
+                manifest = {int(c): r for c, r in json.load(f).items()}
+            idx = {"centroids": cent, "manifest": manifest, "dir": index_dir}
+        cent, manifest = idx["centroids"], idx["manifest"]
+        rows_total = sum(manifest.values())
+        npv = len(manifest) if nprobe is None else max(1, min(nprobe, len(manifest)))
+        nchunks = max(1, -(-rows_total // query_chunk))
+        if scan_stats is not None:
+            scan_stats.update(
+                nprobe=npv, cells_total=len(manifest), rows_total=rows_total,
+                rows_scanned_per_query_avg=sum(
+                    sorted(manifest.values(), reverse=True)[:npv]
+                ),
+            )
+        valid = np.array(sorted(manifest), dtype=np.int64)
+        cent_ref = ray.put(cent)
+        valid_ref = ray.put(valid)
+
+        cells = rd.read_parquet(
+            [os.path.join(index_dir, f"cell={c:05d}.parquet") for c in sorted(manifest)]
+        )
+
+        def expand(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            ok = ray.get(valid_ref)
+            vecs = _vec_matrix(batch.column(vec_col))  # already normalized
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(-(vecs @ c.T), axis=1, kind="stable")[:, :npv]
+            pcell = order.ravel().astype(np.int64)
+            rep = np.repeat(np.arange(len(ids)), npv)
+            m = np.isin(pcell, ok)  # centroids with no members have no file
+            pcell, rep = pcell[m], rep[m]
+            qids = ids[rep]
+            d = vecs.shape[1]
+            flat = np.ascontiguousarray(vecs[rep]).reshape(-1)
+            return pa.table(
+                {
+                    "gkey": pa.array(pcell * nchunks + (qids % nchunks), pa.int64()),
+                    "pcell": pa.array(pcell, pa.int64()),
+                    "query_id": pa.array(qids, pa.int64()),
+                    vec_col: pa.FixedSizeListArray.from_arrays(
+                        pa.array(flat, pa.float64()), d
+                    ),
+                }
+            )
+
+        def probe_tile(g: pa.Table) -> pa.Table:
+            cell = g.column("pcell")[0].as_py()
+            tbl = pq.read_table(os.path.join(index_dir, f"cell={cell:05d}.parquet"))
+            cvecs = _vec_matrix(tbl.column(vec_col))
+            cids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            qv = _vec_matrix(g.column(vec_col))
+            qids = g.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = qv @ cvecs.T  # (chunk, cell) — the bounded tile
+            kk = min(k, len(cids))
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(qids)):
+                s = sims[qi]
+                order = np.lexsort((cids, -s))[:kk]
+                out_q.extend([int(qids[qi])] * len(order))
+                out_id.extend(cids[order].tolist())
+                out_sim.extend(s[order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_id, pa.int64()),
+                    "sim": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+        def merge_query(g: pa.Table) -> pa.Table:
+            qid = g.column("query_id")[0].as_py()
+            nid = g.column("neighbor_id").to_numpy(zero_copy_only=False)
+            sim = g.column("sim").to_numpy(zero_copy_only=False)
+            order = np.lexsort((nid, -sim))[:k]
+            return pa.table(
+                {
+                    "query_id": pa.array([qid] * len(order), pa.int64()),
+                    "neighbor_id": pa.array(nid[order], pa.int64()),
+                    "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+                }
+            )
+
+        out = collect_arrow(
+            cells.map_batches(expand, batch_format="pyarrow")
+            .groupby("gkey")
+            .map_groups(probe_tile, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(merge_query, batch_format="pyarrow"),
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("rank", pa.int64())]
+            ),
+        )
+        import pyarrow.compute as pc
+
+        return out.take(
+            pc.sort_indices(
+                out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
+            )
+        )
+    finally:
+        if own_dir:
+            import shutil
+
+            shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def train_pq(
     ds: Dataset,
     vec_col: str,

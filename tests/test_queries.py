@@ -1182,3 +1182,17 @@ def test_zorder_wide_keys_beyond_20_bits(tmp_path):
     )
     want = _canon(con.sql(Q.ORACLE_SQL["lineitem_zorder_layout"]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reciprocal_nn_ivf_path_equals_brute():
+    """ivf_gate=0 forces the cell-partitioned knn_all_ivf scan (no
+    O(N·d) query-matrix collect/broadcast — VERDICT r03 #1); in the
+    exact multi-probe config (nprobe=None → every cell) the mutual
+    pairs must equal the brute path's exactly."""
+    from crawler_seo_ray import queries as Q
+
+    a = _canon(_to_pandas(Q.embeddings_reciprocal_nn(SF)))
+    b = _canon(_to_pandas(Q.embeddings_reciprocal_nn(SF, ivf_gate=0)))
+    assert len(a) > 0, "fixture yields no mutual pairs"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
