@@ -518,6 +518,11 @@ _BCAST_KEYS_GATE = 4_000_000
 # a per-task broadcast
 _ALLKNN_IVF_GATE = 4_000_000
 
+# above this many (term, n) partial rows a vocabulary-sized driver
+# fold switches to the term-keyed distributed groupby (the
+# docs_tfidf_top_terms join-fallback pattern, VERDICT r03 #2)
+_VOCAB_FOLD_GATE = 4_000_000
+
 
 def _building_keys(sf_dir: str):
     """Sorted BUILDING-segment custkeys as ONE int64 array when the
@@ -2340,21 +2345,29 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3, df_broadcast_limit: int = 2_00
     ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
 
     def term_counts(batch: pa.Table) -> pa.Table:
-        ids, terms, tfs = [], [], []
-        for did, txt in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            counts: dict = {}
-            for t in (txt or "").split():
-                counts[t] = counts.get(t, 0) + 1
-            ids.extend([did] * len(counts))
-            terms.extend(counts.keys())
-            tfs.extend(counts.values())
+        # vectorized tokenize (the docs_heavy_terms kernel): RE2 \s+
+        # split → explode with doc_id repeated by list length → one
+        # Arrow group_by — no per-row Python dict loop in the hot text
+        # stage (VERDICT r03 #4). Boundary whitespace yields "" tokens;
+        # filtering them reproduces str.split()/trim semantics.
+        words = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        lens = np.diff(la.offsets.to_numpy())
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "term": la.flatten(),
+            }
+        )
+        t = t.filter(pc.not_equal(t.column("term"), ""))
+        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["doc_id", "term", "tf"])
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "term": pa.array(terms, pa.string()),
-                "tf": pa.array(tfs, pa.int64()),
+                "doc_id": g.column("doc_id"),
+                "term": g.column("term").cast(pa.string()),
+                "tf": g.column("tf").cast(pa.int64()),
             }
         )
 
@@ -12709,7 +12722,7 @@ def customer_fuzzy_groups(sf_dir: str):
     )
 
 
-def docs_dup_source_matrix(sf_dir: str):
+def docs_dup_source_matrix(sf_dir: str, decorate_gate: int | None = None):
     """Cross-source duplication matrix — which sources copy from which:
     per unordered source pair, how many verified near-duplicate
     document pairs straddle them (diagonal = within-source dups). The
@@ -12718,20 +12731,67 @@ def docs_dup_source_matrix(sf_dir: str):
     groups by page only (`reports/`), this adds the source axis an
     open-web corpus needs. Plan: the verified pair set comes from the
     SAME distributed minhash band-groupby + verify stage as
-    docs_minhash_dups (pairs are output-sized); each end decorates with
-    its source via one narrow (doc_id, source) scan folded driver-side
-    and searchsorted — the documented corpus-map broadcast seam (at
-    open-web doc counts decorate by joining the pair Dataset on doc_id
-    instead); the (src_a, src_b) census is one output-grain Arrow
-    group_by."""
+    docs_minhash_dups (pairs are output-sized). Below
+    ``_BCAST_KEYS_GATE`` documents, each end decorates with its source
+    via one narrow (doc_id, source) scan folded driver-side and
+    searchsorted; ABOVE it the corpus map never touches the driver —
+    the pair table joins the (doc_id, source) Dataset on each end
+    (id_a then id_b, the docs_tfidf_top_terms join-fallback pattern)
+    and only source-pair census partials are collected. Either way the
+    (src_a, src_b) census is one output-grain Arrow group_by."""
     from .stages.dedup import minhash_pipeline
     from .util import collect_arrow
 
+    gate = _BCAST_KEYS_GATE if decorate_gate is None else decorate_gate
     ds = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=16)
     pairs = minhash_pipeline(ds, "text", "doc_id", jaccard_threshold=0.5)["pairs"]
 
+    docs = _pq(sf_dir, "documents", ["doc_id", "source"], blocks=8)
+    if docs.count() > gate:
+        import ray.data as rd
+
+        nparts = _join_partitions()
+        pairs_ds = rd.from_arrow(pairs.select(["id_a", "id_b"]))
+        j1 = pairs_ds.join(docs, "inner", nparts, on=("id_a",), right_on=("doc_id",))
+        j1 = j1.map_batches(
+            lambda t: pa.table(
+                {"id_b": t.column("id_b"), "sa": t.column("source")}
+            ),
+            batch_format="pyarrow",
+        )
+        j2 = j1.join(docs, "inner", nparts, on=("id_b",), right_on=("doc_id",))
+
+        def census_partial(t: pa.Table) -> pa.Table:
+            sa = np.asarray(t.column("sa").to_pylist(), dtype=object)
+            sb = np.asarray(t.column("source").to_pylist(), dtype=object)
+            sa, sb = sa.astype(str), sb.astype(str)
+            a_low = sa <= sb
+            g = (
+                pa.table(
+                    {
+                        "src_a": pa.array(np.where(a_low, sa, sb), pa.string()),
+                        "src_b": pa.array(np.where(a_low, sb, sa), pa.string()),
+                    }
+                )
+                .group_by(["src_a", "src_b"])
+                .aggregate([([], "count_all")])
+            )
+            return g.rename_columns(["src_a", "src_b", "n_pairs"])
+
+        out = (
+            collect_arrow(j2.map_batches(census_partial, batch_format="pyarrow"))
+            .group_by(["src_a", "src_b"])
+            .aggregate([("n_pairs", "sum")])
+            .rename_columns(["src_a", "src_b", "n_pairs"])
+        )
+        return out.take(
+            pc.sort_indices(
+                out, sort_keys=[("src_a", "ascending"), ("src_b", "ascending")]
+            )
+        )
+
     src = collect_arrow(
-        _pq(sf_dir, "documents", ["doc_id", "source"], blocks=8),
+        docs,
         schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
     )
     d_ids = src.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -12950,22 +13010,30 @@ def docs_unigram_logprob(sf_dir: str):
     return drop_empty_blocks(ds.map_batches(score, batch_format="pyarrow"))
 
 
-def docs_zipf_census(sf_dir: str):
+def docs_zipf_census(sf_dir: str, vocab_gate: int | None = None):
     """Rank-octave frequency census of the corpus vocabulary — the
     Zipf-law diagnostic a curation pipeline runs to sanity-check a text
     source (a healthy natural-language corpus halves total frequency
     roughly per octave; templated/spam sources don't). Distributed
     per-block term-count partials (Arrow group_by inside the block =
-    map-side combine; only (term, n) rows leave a block), then a
-    vocabulary-sized driver fold — the same documented seam as
-    docs_tfidf_top_terms: above web-vocabulary scale swap the fold for
-    a term-keyed groupby. Terms are ranked by (count desc, term asc)
-    and ranks bucketed into octaves floor(log2(rank)) via integer frexp
-    exponents — never float log — so the output is all-integer and the
-    octave census is invariant to tie order (equal-count terms are
-    interchangeable across a boundary)."""
-    from .util import collect_arrow
+    map-side combine; only (term, n) rows leave a block). Below
+    ``_VOCAB_FOLD_GATE`` partial rows the (term, n) partials fold on
+    the driver; ABOVE it no vocabulary ever touches the driver: a
+    term-keyed distributed groupby totals counts, then per-block
+    (count → #terms) histogram partials collapse the exchange to the
+    DISTINCT-COUNT grain (O(√tokens) rows — Zipf's own tail bound),
+    and the census is derived on the driver from the count histogram
+    alone. The derivation is exact because the octave census is
+    tie-order invariant: terms sharing a count occupy a contiguous
+    rank run, so each count-group's overlap with the octave interval
+    [2^o, 2^(o+1)) is pure integer interval math. Terms rank by
+    (count desc, term asc); octaves use integer frexp exponents —
+    never float log — so the output is all-integer."""
+    from ray.data.aggregate import Sum as _Sum
 
+    from .util import collect_arrow, drop_empty_blocks
+
+    gate = _VOCAB_FOLD_GATE if vocab_gate is None else vocab_gate
     ds = _pq(sf_dir, "documents", ["text"], blocks=8)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -12978,21 +13046,66 @@ def docs_zipf_census(sf_dir: str):
             {"term": g.column("term"), "n": g.column("term_count").cast(pa.int64())}
         )
 
-    parts = collect_arrow(ds.map_batches(partial, batch_format="pyarrow"))
-    tot = parts.group_by("term").aggregate([("n", "sum")])
-    n = tot.column("n_sum").to_numpy()
-    terms = tot.column("term").to_numpy(zero_copy_only=False)
-    order = np.lexsort((terms, -n))
-    n_sorted = n[order]
-    rank = np.arange(1, len(n_sorted) + 1, dtype=np.int64)
-    octave = (np.frexp(rank.astype(np.float64))[1] - 1).astype(np.int32)
-    starts = np.r_[0, np.flatnonzero(np.diff(octave)) + 1]
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    # parts row count (Σ per-block vocab) bounds what a driver fold
+    # would collect — the honest gate signal, free on a materialized ds
+    if parts_ds.count() <= gate:
+        parts = collect_arrow(parts_ds)
+        tot = parts.group_by("term").aggregate([("n", "sum")])
+        n = tot.column("n_sum").to_numpy()
+        terms = tot.column("term").to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -n))
+        n_sorted = n[order]
+        rank = np.arange(1, len(n_sorted) + 1, dtype=np.int64)
+        octave = (np.frexp(rank.astype(np.float64))[1] - 1).astype(np.int32)
+        starts = np.r_[0, np.flatnonzero(np.diff(octave)) + 1]
+        return pa.table(
+            {
+                "octave": pa.array(octave[starts], pa.int32()),
+                "n_terms": pa.array(np.diff(np.r_[starts, len(rank)]), pa.int64()),
+                "total_freq": pa.array(np.add.reduceat(n_sorted, starts), pa.int64()),
+                "min_rank": pa.array(rank[starts], pa.int64()),
+            }
+        )
+
+    # distributed path: term-keyed groupby → per-block count-histogram
+    # partials — only (count, #terms) rows reach the driver
+    tot_ds = drop_empty_blocks(
+        parts_ds.groupby("term").aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("n").aggregate([([], "count_all")])
+        return g.rename_columns(["n", "m"])
+
+    hist = (
+        collect_arrow(tot_ds.map_batches(hist_partial, batch_format="pyarrow"))
+        .group_by("n")
+        .aggregate([("m", "sum")])
+    )
+    cnt = hist.column("n").to_numpy()
+    m = hist.column("m_sum").to_numpy()
+    order = np.argsort(-cnt, kind="stable")
+    cnt, m = cnt[order], m[order]
+    v = int(m.sum())
+    g_end = np.cumsum(m)  # count-group rank runs: [g_start, g_end]
+    g_start = g_end - m + 1
+    oct_out, nt_out, tf_out, mr_out = [], [], [], []
+    for o in range(max(v, 1).bit_length()):
+        lo, hi = 1 << o, min((1 << (o + 1)) - 1, v)
+        if lo > v:
+            break
+        ov = np.clip(np.minimum(g_end, hi) - np.maximum(g_start, lo) + 1, 0, None)
+        oct_out.append(o)
+        nt_out.append(hi - lo + 1)
+        tf_out.append(int((cnt * ov).sum()))
+        mr_out.append(lo)
     return pa.table(
         {
-            "octave": pa.array(octave[starts], pa.int32()),
-            "n_terms": pa.array(np.diff(np.r_[starts, len(rank)]), pa.int64()),
-            "total_freq": pa.array(np.add.reduceat(n_sorted, starts), pa.int64()),
-            "min_rank": pa.array(rank[starts], pa.int64()),
+            "octave": pa.array(oct_out, pa.int32()),
+            "n_terms": pa.array(nt_out, pa.int64()),
+            "total_freq": pa.array(tf_out, pa.int64()),
+            "min_rank": pa.array(mr_out, pa.int64()),
         }
     )
 

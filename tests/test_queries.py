@@ -1196,3 +1196,29 @@ def test_reciprocal_nn_ivf_path_equals_brute():
     b = _canon(_to_pandas(Q.embeddings_reciprocal_nn(SF, ivf_gate=0)))
     assert len(a) > 0, "fixture yields no mutual pairs"
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zipf_census_distributed_path_equals_fold():
+    """vocab_gate=0 forces the term-keyed groupby + count-histogram
+    census (no vocabulary on the driver — VERDICT r03 #2); must equal
+    the driver-fold path exactly (tie-order invariance makes the
+    histogram derivation exact)."""
+    from crawler_seo_ray import queries as Q
+
+    a = _canon(_to_pandas(Q.docs_zipf_census(SF)))
+    b = _canon(_to_pandas(Q.docs_zipf_census(SF, vocab_gate=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_source_matrix_join_path_equals_map():
+    """decorate_gate=0 forces the pair⋈(doc_id,source) join decorate
+    (no corpus map on the driver — VERDICT r03 #2); census must equal
+    the searchsorted-map path."""
+    from crawler_seo_ray import queries as Q
+
+    a = _canon(_to_pandas(Q.docs_dup_source_matrix(SF)))
+    b = _canon(_to_pandas(Q.docs_dup_source_matrix(SF, decorate_gate=0)))
+    assert len(a) > 0, "fixture yields no duplicate pairs"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
