@@ -523,6 +523,12 @@ _ALLKNN_IVF_GATE = 4_000_000
 # docs_tfidf_top_terms join-fallback pattern, VERDICT r03 #2)
 _VOCAB_FOLD_GATE = 4_000_000
 
+# above this many candidate IMAGES a pair-verify stage stops shipping
+# a driver-collected {id: bytes} lookup via ray.put and joins the pair
+# table against the corpus instead — image payloads are ~KBs-to-MBs
+# each, so the byte gate is far lower than the key gates above
+_PIXEL_BCAST_GATE = 65_536
+
 
 def _building_keys(sf_dir: str):
     """Sorted BUILDING-segment custkeys as ONE int64 array when the
@@ -11866,23 +11872,27 @@ def docs_bm25_search(sf_dir: str, k: int = 10):
     return parts.take(order[:k])
 
 
-def corpus_pair_ssim(sf_dir: str):
+def corpus_pair_ssim(sf_dir: str, decorate_gate: int | None = None):
     """SSIM-verified image near-dup pairs: the phash Hamming banding
     (corpus_phash_dups) proposes candidates, then a structural
     similarity score is computed on REAL decoded pixels per pair
-    (stages/multimodal.PairSSIM actor pool) — the image-axis analogue
-    of the text pipelines' exact-verify step, and the quality gate a
-    training pipeline applies before dropping near-dups. Plan: the
-    pair list is output-sized, so its id set prunes ONE corpus scan
-    (is_in filter — only candidate images' bytes leave the scan), the
-    candidate-sized lookup ships once via ray.put, and the pair stream
-    maps through the actor pool with per-actor decode caching. Pixel
-    math isn't SQL → rows-only; pinned by a numpy-replay equality test
+    (stages/multimodal actor pool) — the image-axis analogue of the
+    text pipelines' exact-verify step, and the quality gate a training
+    pipeline applies before dropping near-dups. Plan: the pair list is
+    output-sized. Below ``_PIXEL_BCAST_GATE`` candidate images, their
+    bytes prune ONE corpus scan (is_in filter) into a candidate-sized
+    lookup shipped once via ray.put (PairSSIM, per-actor decode
+    cache); ABOVE the gate no process holds O(candidates) bytes — the
+    pair table joins the corpus on id_a then id_b so pixels ride the
+    pair shuffle into the same actor-pool math (PairSSIMInline,
+    equality-tested byte-identical). Pixel math isn't SQL →
+    rows-only; pinned by a numpy-replay equality test
     (tests/test_queries.py)."""
     from .stages.dedup import phash_pairs
-    from .stages.multimodal import PairSSIM
+    from .stages.multimodal import PairSSIM, PairSSIMInline
     from .util import collect_arrow
 
+    gate = _PIXEL_BCAST_GATE if decorate_gate is None else decorate_gate
     pairs = phash_pairs(
         corpus_parquet(columns=["image_id", "phash"]), hamming_threshold=4
     )
@@ -11897,6 +11907,60 @@ def corpus_pair_ssim(sf_dir: str):
                 "hamming": pa.array([], pa.int32()),
                 "ssim": pa.array([], pa.float64()),
             }
+        )
+    if len(ids) > gate:
+        nparts = _join_partitions()
+        corpus = corpus_parquet(columns=["image_id", "bytes", "fmt"])
+        j1 = rd.from_arrow(pairs).join(
+            corpus, "inner", nparts, on=("id_a",), right_on=("image_id",)
+        )
+        j1 = j1.map_batches(
+            lambda t: pa.table(
+                {
+                    "id_a": t.column("id_a"),
+                    "id_b": t.column("id_b"),
+                    "hamming": t.column("hamming"),
+                    "bytes_a": t.column("bytes"),
+                    "fmt_a": t.column("fmt"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j2 = j1.join(corpus, "inner", nparts, on=("id_b",), right_on=("image_id",))
+        j2 = j2.map_batches(
+            lambda t: pa.table(
+                {
+                    "id_a": t.column("id_a"),
+                    "id_b": t.column("id_b"),
+                    "hamming": t.column("hamming"),
+                    "bytes_a": t.column("bytes_a"),
+                    "fmt_a": t.column("fmt_a"),
+                    "bytes_b": t.column("bytes"),
+                    "fmt_b": t.column("fmt"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        out = collect_arrow(
+            j2.map_batches(
+                PairSSIMInline,
+                concurrency=_safe_workers(2),
+                batch_size=256,
+                batch_format="pyarrow",
+            ),
+            schema=pa.schema(
+                [
+                    ("id_a", pa.string()),
+                    ("id_b", pa.string()),
+                    ("hamming", pa.int32()),
+                    ("ssim", pa.float64()),
+                ]
+            ),
+        )
+        return out.take(
+            pc.sort_indices(
+                out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
+            )
         )
     need = pa.array(ids, pa.string())
     lk = collect_arrow(

@@ -735,3 +735,69 @@ class PairSSIM:
             cov = float((da * db).mean())
             scores.append(ssim_from_moments(mu_a, mu_b, va, vb, cov))
         return batch.append_column("ssim", pa.array(scores, pa.float64()))
+
+
+class PairSSIMInline:
+    """Join-decorated variant of ``PairSSIM`` — the above-gate path
+    where each pair row carries BOTH images' bytes (pair ⋈ corpus on
+    id_a then id_b) instead of a driver-collected candidate lookup
+    shipped via ``ray.put``: no process ever holds O(candidates) image
+    bytes, the pixels ride the (output-sized) pair shuffle. Decode and
+    moment caches stay per-actor — near-dup candidates repeat ids
+    heavily across pairs — and the SSIM math is byte-identical to
+    ``PairSSIM`` (same moment cache keying, same covariance fold).
+    Input batches: (id_a, id_b, hamming, bytes_a, fmt_a, bytes_b,
+    fmt_b); output drops the byte columns."""
+
+    def __init__(self):
+        self._px = {}
+        self._mom = {}
+
+    def _pixels(self, image_id: str, data: bytes, fmt: str) -> np.ndarray:
+        got = self._px.get(image_id)
+        if got is None:
+            got = decode_image(data, fmt)
+            self._px[image_id] = got
+        return got
+
+    def _moments(self, image_id: str, px: np.ndarray):
+        from ..functions.imagecodec import ssim_moments
+
+        key = (image_id, px.shape[0], px.shape[1])
+        got = self._mom.get(key)
+        if got is None:
+            got = ssim_moments(px)
+            self._mom[key] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import ssim_from_moments
+
+        scores = []
+        for a, b, ba, fa, bb, fb in zip(
+            batch.column("id_a").to_pylist(),
+            batch.column("id_b").to_pylist(),
+            batch.column("bytes_a").to_pylist(),
+            batch.column("fmt_a").to_pylist(),
+            batch.column("bytes_b").to_pylist(),
+            batch.column("fmt_b").to_pylist(),
+        ):
+            pxa = self._pixels(a, ba, fa)
+            pxb = self._pixels(b, bb, fb)
+            if pxa.shape[:2] != pxb.shape[:2]:
+                h = min(pxa.shape[0], pxb.shape[0])
+                w = min(pxa.shape[1], pxb.shape[1])
+                pxa = resize_nearest(pxa, h, w)
+                pxb = resize_nearest(pxb, h, w)
+            da, mu_a, va = self._moments(a, pxa)
+            db, mu_b, vb = self._moments(b, pxb)
+            cov = float((da * db).mean())
+            scores.append(ssim_from_moments(mu_a, mu_b, va, vb, cov))
+        return pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "hamming": batch.column("hamming"),
+                "ssim": pa.array(scores, pa.float64()),
+            }
+        )

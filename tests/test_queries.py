@@ -1222,3 +1222,17 @@ def test_dup_source_matrix_join_path_equals_map():
     b = _canon(_to_pandas(Q.docs_dup_source_matrix(SF, decorate_gate=0)))
     assert len(a) > 0, "fixture yields no duplicate pairs"
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pair_ssim_join_path_equals_lookup():
+    """decorate_gate=0 forces the pair⋈corpus join decorate (pixels
+    ride the pair shuffle, no O(candidates) driver bytes — VERDICT r03
+    #3); SSIM scores must be byte-identical to the ray.put-lookup
+    path."""
+    from crawler_seo_ray import queries as Q
+
+    a = _canon(_to_pandas(Q.corpus_pair_ssim(SF)))
+    b = _canon(_to_pandas(Q.corpus_pair_ssim(SF, decorate_gate=0)))
+    assert len(a) > 0, "fixture yields no phash candidate pairs"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
