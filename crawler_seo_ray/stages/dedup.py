@@ -1485,6 +1485,191 @@ def dedup_against_minhash_index(
     )
 
 
+def extend_minhash_index(
+    ds_new: Dataset,
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    scan_stats: dict | None = None,
+) -> dict:
+    """Append a new wave to a frozen ``build_minhash_index`` — the
+    wave-N+1 production loop: after ``dedup_against_minhash_index``
+    reports the wave's cross-dups, the SURVIVING docs join the history
+    so wave N+2 sees them. Computes the wave's band rows and rewrites
+    ONLY the (band, bucket) partitions they land in (read existing
+    partition + concat + atomic rewrite; untouched partitions are
+    never opened — the touched fraction is reported via
+    ``scan_stats``). Manifest is updated in place. Single-writer
+    contract: one extend/evict at a time, same as checkpoint commits.
+
+    Returns {"dir", "params", "manifest"} like build_minhash_index."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        meta = json.load(f)
+    p = meta["params"]
+    rows = _band_payload_rows(
+        ds_new, text_col, id_col, p["num_perm"], p["bands"], p["shingle_k"]
+    )
+    num_buckets = p["num_buckets"]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy()
+        return batch.append_column(
+            "bucket", pa.array((bh % num_buckets).astype(np.int32), pa.int32())
+        )
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        band = g.column("band")[0].as_py()
+        bucket = g.column("bucket")[0].as_py()
+        path = os.path.join(index_dir, f"band={band:02d}_bucket={bucket:02d}.parquet")
+        fresh = g.drop_columns(["bucket"])
+        if os.path.exists(path):
+            fresh = pa.concat_tables([pq.read_table(path), fresh])
+        atomic_write_parquet(fresh, path)
+        return pa.table(
+            {
+                "band": pa.array([band], pa.int32()),
+                "bucket": pa.array([bucket], pa.int32()),
+                "rows": pa.array([fresh.num_rows], pa.int64()),
+            }
+        )
+
+    touched_tbl = collect_arrow(
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(merge_part, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("band", pa.int32()), ("bucket", pa.int32()), ("rows", pa.int64())]
+        ),
+    )
+    counts = {f"{b}:{k}": r for b, k, r in zip(
+        touched_tbl.column("band").to_pylist(),
+        touched_tbl.column("bucket").to_pylist(),
+        touched_tbl.column("rows").to_pylist(),
+    )}
+    total = p["bands"] * num_buckets
+    if scan_stats is not None:
+        scan_stats["partitions_rewritten"] = len(counts)
+        scan_stats["partitions_total"] = total
+        scan_stats["rewrite_fraction"] = len(counts) / max(1, total)
+    meta["rows"].update(counts)
+    _atomic_write_json(meta, os.path.join(index_dir, "manifest.json"))
+    manifest = {
+        tuple(int(x) for x in key.split(":")): r for key, r in meta["rows"].items()
+    }
+    return {"dir": index_dir, "params": p, "manifest": manifest}
+
+
+def evict_from_minhash_index(
+    index_dir: str, ids, scan_stats: dict | None = None
+) -> dict:
+    """TTL eviction for the incremental index — the ``SeenShard.evict``
+    analogue on the dedup side: drop every band row of ``ids`` so
+    evicted (expired / recrawl-due) documents stop pairing, and the
+    index's size stays flat under recrawl churn instead of growing
+    monotonically. One distributed pass over the partition FILES: each
+    task reads only the ``id`` column first (column pruning) and
+    rewrites a partition only if it actually holds an evicted id;
+    emptied partitions are deleted. Manifest updated in place; same
+    single-writer contract as extend.
+
+    Returns {"rows_removed", "partitions_rewritten", "partitions_total"}."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        meta = json.load(f)
+    evict = np.asarray(sorted({int(i) for i in ids}), dtype=np.int64)
+    files = sorted(glob.glob(os.path.join(index_dir, "band=*_bucket=*.parquet")))
+    if not files or evict.size == 0:
+        return {
+            "rows_removed": 0,
+            "partitions_rewritten": 0,
+            "partitions_total": len(files),
+        }
+    ev_ref = ray.put(evict)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        out = {"name": [], "rows": [], "removed": []}
+        for path in batch.column("path").to_pylist():
+            idcol = pq.read_table(path, columns=["id"]).column("id").to_numpy()
+            n_hit = int(np.isin(idcol, ev).sum())
+            if n_hit == 0:
+                continue
+            t = pq.read_table(path)
+            keep = ~np.isin(t.column("id").to_numpy(), ev)
+            kept = t.filter(pa.array(keep))
+            if kept.num_rows:
+                atomic_write_parquet(kept, path)
+            else:
+                os.remove(path)
+            out["name"].append(os.path.basename(path))
+            out["rows"].append(kept.num_rows)
+            out["removed"].append(n_hit)
+        return pa.table(
+            {
+                "name": pa.array(out["name"], pa.string()),
+                "rows": pa.array(out["rows"], pa.int64()),
+                "removed": pa.array(out["removed"], pa.int64()),
+            }
+        )
+
+    stats = collect_arrow(
+        rd.from_items([{"path": f} for f in files]).map_batches(
+            rewrite, batch_format="pyarrow"
+        ),
+        schema=pa.schema(
+            [("name", pa.string()), ("rows", pa.int64()), ("removed", pa.int64())]
+        ),
+    )
+    removed = 0
+    rewritten = 0
+    for name, rows_left, n_rm in zip(
+        stats.column("name").to_pylist(),
+        stats.column("rows").to_pylist(),
+        stats.column("removed").to_pylist(),
+    ):
+        band, bucket = (
+            int(name.split("=")[1][:2]),
+            int(name.split("=")[2].split(".")[0]),
+        )
+        key = f"{band}:{bucket}"
+        removed += n_rm
+        rewritten += 1
+        if rows_left:
+            meta["rows"][key] = rows_left
+        else:
+            meta["rows"].pop(key, None)
+    _atomic_write_json(meta, os.path.join(index_dir, "manifest.json"))
+    out = {
+        "rows_removed": removed,
+        "partitions_rewritten": rewritten,
+        "partitions_total": len(files),
+    }
+    if scan_stats is not None:
+        scan_stats.update(out)
+    return out
+
+
+def _atomic_write_json(obj, path: str) -> None:
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def build_hamming_index(
     ds: Dataset,
     sig_col: str,

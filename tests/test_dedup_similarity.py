@@ -621,3 +621,90 @@ def test_band_pairs_dense_path_equals_distributed(ray_session):
         id_type=pa.string(), dense_rows=ds.count(), dense_row_limit=0,
     )
     pd.testing.assert_frame_equal(dense.to_pandas(), dist.to_pandas())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_index_evict_extend_lifecycle(tmp_path):
+    """Recrawl lifecycle (VERDICT r03 #8): build → probe (pairs found)
+    → evict the matched history docs (their band rows leave the index,
+    touched partitions rewritten, manifest shrinks) → probe again
+    (evicted docs stop pairing) → extend with the wave (rewrites only
+    its touched partitions) → a re-probe of the SAME wave now pairs
+    against its just-admitted twin ids. Scan fraction stays bounded
+    throughout."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.dedup import (
+        build_minhash_index,
+        dedup_against_minhash_index,
+        evict_from_minhash_index,
+        extend_minhash_index,
+    )
+
+    words = [f"w{i:03d}" for i in range(500)]
+
+    def doc(i, n=40):
+        r = np.random.default_rng([23, i])
+        return " ".join(words[j] for j in r.integers(0, 500, n))
+
+    hist_ids = list(range(300))
+    hist_txt = [doc(i) for i in hist_ids]
+    hist = rd.from_arrow(
+        pa.table({"id": pa.array(hist_ids, pa.int64()),
+                  "text": pa.array(hist_txt, pa.string())})
+    ).repartition(4)
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(hist, "text", "id", idx, num_buckets=8)
+
+    # wave: exact copies of two history docs + one fresh doc
+    wave = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([2000, 2001, 2002], pa.int64()),
+                "text": pa.array(
+                    [hist_txt[11], hist_txt[42], doc(7001)], pa.string()
+                ),
+            }
+        )
+    )
+    out1 = dedup_against_minhash_index(wave, idx, jaccard_threshold=0.5)
+    pairs1 = set(zip(out1.column("id_a").to_pylist(), out1.column("id_b").to_pylist()))
+    assert (11, 2000) in pairs1 and (42, 2001) in pairs1
+
+    with open(os.path.join(idx, "manifest.json")) as f:
+        rows_before = sum(json.load(f)["rows"].values())
+
+    # evict the two matched history docs (recrawl-TTL expiry)
+    ss = {}
+    st = evict_from_minhash_index(idx, [11, 42], scan_stats=ss)
+    assert st["rows_removed"] == 32  # 2 docs × 16 bands
+    assert 0 < st["partitions_rewritten"] <= st["partitions_total"]
+    with open(os.path.join(idx, "manifest.json")) as f:
+        meta = json.load(f)
+    assert sum(meta["rows"].values()) == rows_before - 32
+
+    out2 = dedup_against_minhash_index(wave, idx, jaccard_threshold=0.5)
+    pairs2 = set(zip(out2.column("id_a").to_pylist(), out2.column("id_b").to_pylist()))
+    assert not {a for a, _ in pairs2} & {11, 42}, "evicted docs still pairing"
+
+    # admit the wave into history; only its touched partitions rewrite
+    ss2 = {}
+    extend_minhash_index(wave, "text", "id", idx, scan_stats=ss2)
+    assert 0 < ss2["partitions_rewritten"] <= 3 * 16
+    assert ss2["rewrite_fraction"] <= 0.5
+    with open(os.path.join(idx, "manifest.json")) as f:
+        assert sum(json.load(f)["rows"].values()) == rows_before - 32 + 48
+
+    # a recrawl of doc 11's text now pairs against its admitted twin
+    # (id 2000) — and NOT against the evicted 11
+    reprobe = rd.from_arrow(
+        pa.table({"id": pa.array([3000], pa.int64()),
+                  "text": pa.array([hist_txt[11]], pa.string())})
+    )
+    out3 = dedup_against_minhash_index(reprobe, idx, jaccard_threshold=0.5)
+    pairs3 = set(zip(out3.column("id_a").to_pylist(), out3.column("id_b").to_pylist()))
+    assert (2000, 3000) in pairs3
+    assert (11, 3000) not in pairs3
