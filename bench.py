@@ -327,6 +327,62 @@ def run_components(num_cpus: int) -> dict:
         } if full else {},
     }
 
+    # --- same skewed crawl with the CUCKOO seen-prefilter (VERDICT r03
+    # #7): the deletion-capable scale path must produce the IDENTICAL
+    # seen set (admission stays exact behind the prefilter), at crawl
+    # speed; fp-rate/occupancy evidence comes from replaying the run's
+    # seen set into one shard-equivalent filter and probing fresh URLs
+    ckpt_ck = "/tmp/crawler_seo_ray_cache/bench_ckpt_skew_cuckoo"
+    shutil.rmtree(ckpt_ck, ignore_errors=True)
+    t0 = time.perf_counter()
+    cfg_ck = EngineConfig(
+        num_seen_shards=8,
+        num_frontier_shards=8,
+        num_workers=max(2, num_cpus - 2),
+        psnr_every=1,
+        frontier_salt=4,
+        checkpoint_dir=ckpt_ck,
+        seen_prefilter="cuckoo",
+    )
+    res_ck = run_crawl(spec_skew, corpus, cfg_ck)
+    timings["crawl_skew_cuckoo"] = time.perf_counter() - t0
+    assert res_ck.seen == res_skew.seen, (
+        f"cuckoo-prefilter seen set diverged: {len(res_ck.seen)} vs "
+        f"{len(res_skew.seen)}"
+    )
+    assert res_ck.stats["visited"] == res_skew.stats["visited"]
+    import ray
+
+    from crawler_seo_ray.state.seen import SeenShard as _SeenShard
+
+    probe = _SeenShard.remote(0, prefilter="cuckoo")
+    seen_urls = sorted(res_ck.seen)
+    CH = 50_000
+    for i in range(0, len(seen_urls), CH):
+        ray.get(
+            probe.admit.remote(
+                seen_urls[i : i + CH], list(range(i, i + len(seen_urls[i : i + CH])))
+            )
+        )
+    n_probe = 20_000
+    fresh = [f"https://probe-{i}.fresh.example.test/p/{i}" for i in range(n_probe)]
+    hits = 0
+    for i in range(0, n_probe, CH):
+        hits += sum(ray.get(probe.probe_bloom.remote(fresh[i : i + CH])))
+    pstats = ray.get(probe.prefilter_stats.remote())
+    ray.kill(probe)
+    extras["skew_cuckoo"] = {
+        "urls": res_ck.stats["visited"],
+        "urls_per_sec": round(res_ck.stats["visited"] / timings["crawl_skew_cuckoo"], 1),
+        "seen_equal_exact_path": True,
+        "seen": len(seen_urls),
+        "fp_probes": n_probe,
+        "fp_hits": hits,
+        "fpr": round(hits / n_probe, 6),
+        "occupancy": round(pstats["occupancy"], 4),
+        "slots": pstats["slots"],
+    }
+
     # --- relational / text / similarity operators over $GRAFT_SF_DIR
     for name in (
         "lineitem_agg",
@@ -547,6 +603,8 @@ def main() -> None:
             line[k] = out["extras"][k]
     if "skew" in out["extras"]:
         line["skew"] = out["extras"]["skew"]
+    if "skew_cuckoo" in out["extras"]:
+        line["skew_cuckoo"] = out["extras"]["skew_cuckoo"]
     print(json.dumps(line))
 
 

@@ -213,6 +213,31 @@ class SeenShard:
     def count(self) -> int:
         return len(self.seen)
 
+    def prefilter_stats(self) -> dict:
+        """Occupancy evidence for the approximate-membership prefilter
+        (bench/ops surface): cuckoo load factor directly bounds its fp
+        rate (CoNEXT'14 §5), bloom fill fraction likewise."""
+        b = self.bloom
+        if isinstance(b, CuckooFilter):
+            slots = b.m * b.bucket_size
+            return {
+                "kind": "cuckoo",
+                "size": int(b.size),
+                "slots": int(slots),
+                "occupancy": b.size / slots,
+            }
+        import numpy as _np
+
+        set_bits = int(_np.bitwise_count(b.bits).sum()) if hasattr(
+            _np, "bitwise_count"
+        ) else int(sum(bin(int(w)).count("1") for w in b.bits))
+        return {
+            "kind": "bloom",
+            "set_bits": set_bits,
+            "m_bits": int(b.m),
+            "fill": set_bits / max(1, int(b.m)),
+        }
+
     def stats(self) -> dict:
         return {"shard": self.shard_id, "seen": len(self.seen), "duplicates": self.dup_count}
 
