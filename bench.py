@@ -464,6 +464,51 @@ def run_components(num_cpus: int) -> dict:
             out.count()
         timings[name] = time.perf_counter() - t0
 
+    # --- above-gate (distributed) plans (VERDICT r03 #3): every
+    # size-gated query benches its DENSE/broadcast path above; here each
+    # gate is forced to zero so the distributed plan — the one a user
+    # actually hits past the gate — gets a recorded wall time next to
+    # its dense sibling at the same input. (name, kwargs, module gate)
+    dist_specs = [
+        ("events_anti_join", {}, "_BCAST_KEYS_GATE"),
+        ("events_semi_join", {}, "_BCAST_KEYS_GATE"),
+        ("revenue_by_part_type", {}, "_BCAST_KEYS_GATE"),
+        ("revenue_by_nation", {}, "_BCAST_KEYS_GATE"),
+        ("nation_trade_matrix", {}, "_BCAST_KEYS_GATE"),
+        ("orders_shipping_priority", {}, "_BCAST_KEYS_GATE"),
+        ("orders_returned_customers", {}, "_BCAST_KEYS_GATE"),
+        ("events_hourly", {}, "_BCAST_KEYS_GATE"),
+        ("events_max_concurrency", {}, "_BCAST_KEYS_GATE"),
+        ("customer_order_histogram", {}, "_BCAST_KEYS_GATE"),
+        ("orders_customer_full_join", {}, "_BCAST_KEYS_GATE"),
+        ("nation_year_profit", {}, "_BCAST_KEYS_GATE"),
+        ("orders_urgent_by_status", {}, "_BCAST_KEYS_GATE"),
+        ("supplier_excess_share", {}, "_BCAST_KEYS_GATE"),
+        ("supplier_blame", {"dense_row_limit": 0}, None),
+        ("docs_dedup_spans", {"dense_gate": 0}, None),
+        ("docs_tfidf_top_terms", {"df_broadcast_limit": 0}, None),
+        ("embeddings_reciprocal_nn", {"ivf_gate": 0}, None),
+        ("docs_zipf_census", {"vocab_gate": 0}, None),
+        ("docs_dup_source_matrix", {"decorate_gate": 0}, None),
+        ("corpus_pair_ssim", {"decorate_gate": 0}, None),
+    ]
+    timings_dist = {}
+    for name, kwargs, gate_attr in dist_specs:
+        saved = getattr(Q, gate_attr) if gate_attr else None
+        if gate_attr:
+            setattr(Q, gate_attr, 0)
+        try:
+            t0 = time.perf_counter()
+            out = getattr(Q, name)(SF_DIR, **kwargs)
+            if hasattr(out, "materialize"):
+                out = out.materialize()
+                out.count()
+            timings_dist[name] = time.perf_counter() - t0
+        finally:
+            if gate_attr:
+                setattr(Q, gate_attr, saved)
+    extras["queries_distributed"] = {k: round(v, 3) for k, v in timings_dist.items()}
+
     # --- incremental dedup at sf scale with a FRESH index each run
     # (the /tmp cache the registry query uses would hide the build cost)
     import shutil
@@ -605,6 +650,11 @@ def main() -> None:
         line["skew"] = out["extras"]["skew"]
     if "skew_cuckoo" in out["extras"]:
         line["skew_cuckoo"] = out["extras"]["skew_cuckoo"]
+    if "queries_distributed" in out["extras"]:
+        # above-gate plan times, NOT summed into "value" (the headline
+        # stays comparable across rounds; these are the same queries
+        # again on their forced-distributed plans)
+        line["queries_distributed"] = out["extras"]["queries_distributed"]
     print(json.dumps(line))
 
 

@@ -4559,9 +4559,11 @@ def supplier_blame(sf_dir: str, dense_row_limit: int = 8_000_000):
     Size-gated dense plan (BASELINE.md): below the gate the distinct
     (orderkey, suppkey, late) pair partials — already block-deduped,
     ~|orders|·suppliers-per-order rows — fold driver-side with one
-    Arrow group_by + a reduceat sweep; above it the pair exchange +
-    aggregate groupby run distributed."""
-    from .util import collect_arrow, drop_empty_blocks
+    Arrow group_by + a reduceat sweep; above it ONE global (ok, sk)
+    sort makes every pair duplicate and order run contiguous, each
+    block runs the same vectorized kernel on its interior orders, and
+    the ≤2 boundary orders per block patch on the driver."""
+    from .util import collect_arrow
 
     cutoff = np.datetime64(_BLAME_CUTOFF + "T00:00:00", "us").astype(np.int64)
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"], blocks=16)
@@ -4618,60 +4620,118 @@ def supplier_blame(sf_dir: str, dense_row_limit: int = 8_000_000):
         )
         blamed = rd.from_arrow(blamed_tbl)
     else:
-        # Two exchanges: pair dedup (the exact-distinct requirement), then
-        # an order-keyed sum — each preceded by a block-local combine so
-        # the exchanges carry pair- and order-grain partials only. At
-        # sf0.1 this costs more fixed shuffle overhead than the old
-        # one-exchange groupby(ok).map_groups, but map_groups invokes
-        # Python once per ORDER (billions of calls at the target scale)
-        # while this shape stays Arrow-native end to end.
-        def ord_partial(b: pa.Table) -> pa.Table:
-            t = pa.table(
+        # ONE exchange: a global (orderkey, suppkey) SORT. Ray's
+        # groupby-aggregate walks groups in Python — ~600k pair groups
+        # cost ~5.5 s at sf0.1 where the raw sort shuffle is ~0.65 s
+        # (measured, BASELINE.md r4) — so the previous two-groupby plan
+        # grew proportionally with the group count. After the sort every
+        # (ok, sk) duplicate and every order run is CONTIGUOUS: each
+        # block evaluates its interior orders fully vectorized
+        # (consecutive-pair dedup + reduceat, the dense-path kernel) and
+        # only the ≤2 BOUNDARY orders per block ship raw rows for an
+        # identical driver-side patch. Partials leaving a block are
+        # supplier-grain blame counts + boundary rows — both tiny.
+        sorted_pairs = pair_ds.sort(["l_orderkey", "l_suppkey"])
+
+        def census(b: pa.Table) -> pa.Table:
+            empty = pa.table(
                 {
-                    "l_orderkey": b.column("l_orderkey"),
-                    "one": pa.array(np.ones(b.num_rows, np.int64)),
-                    "late": pc.cast(b.column("late"), pa.int64()),
-                    "lsk": pc.multiply(
-                        pc.cast(b.column("late"), pa.int64()),
-                        pc.cast(b.column("l_suppkey"), pa.int64()),
+                    "kind": pa.array([], pa.int8()),
+                    "k1": pa.array([], pa.int64()),
+                    "k2": pa.array([], pa.int64()),
+                    "k3": pa.array([], pa.int64()),
+                }
+            )
+            if b.num_rows == 0:
+                return empty
+            ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            lt = b.column("late").to_numpy(zero_copy_only=False).astype(np.int64)
+            # an order straddling a block boundary is edge in BOTH blocks
+            # (within one block an ok run is either wholly edge or wholly
+            # interior), so the driver patch sees all of its rows
+            edge = (ok == ok[0]) | (ok == ok[-1])
+            e_ok, e_sk, e_lt = ok[edge], sk[edge], lt[edge]
+            ok, sk, lt = ok[~edge], sk[~edge], lt[~edge]
+            out_sk = np.array([], np.int64)
+            out_n = np.array([], np.int64)
+            if ok.size:
+                # sorted ⇒ (ok, sk) duplicates are adjacent: dedup with
+                # late-max, then order-run quantifiers via reduceat
+                new = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+                starts = np.flatnonzero(new)
+                lt = np.maximum.reduceat(lt, starts)
+                ok, sk = ok[starts], sk[starts]
+                o_st = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+                n_supp = np.diff(np.r_[o_st, ok.size])
+                late_sum = np.add.reduceat(lt, o_st)
+                lsk_sum = np.add.reduceat(lt * sk, o_st)
+                blame_sk = lsk_sum[(n_supp > 1) & (late_sum == 1)]
+                out_sk, out_n = np.unique(blame_sk, return_counts=True)
+            return pa.table(
+                {
+                    "kind": pa.array(
+                        np.r_[np.zeros(e_ok.size, np.int8), np.ones(out_sk.size, np.int8)]
+                    ),
+                    "k1": pa.array(np.r_[e_ok, out_sk], pa.int64()),
+                    "k2": pa.array(np.r_[e_sk, out_n], pa.int64()),
+                    "k3": pa.array(
+                        np.r_[e_lt, np.zeros(out_sk.size, np.int64)], pa.int64()
                     ),
                 }
             )
-            return (
-                t.group_by("l_orderkey")
-                .aggregate([("one", "sum"), ("late", "sum"), ("lsk", "sum")])
-                .rename_columns(["l_orderkey", "one", "late", "lsk"])
-            )
 
-        pair_tagged = (
-            pair_ds.groupby(["l_orderkey", "l_suppkey"])
-            .aggregate(Max("late", alias_name="late"))
-            .map_batches(ord_partial, batch_format="pyarrow")
+        parts = collect_arrow(
+            sorted_pairs.map_batches(census, batch_format="pyarrow"),
+            schema=pa.schema(
+                [
+                    ("kind", pa.int8()),
+                    ("k1", pa.int64()),
+                    ("k2", pa.int64()),
+                    ("k3", pa.int64()),
+                ]
+            ),
         )
-        blamed = (
-            pair_tagged.groupby("l_orderkey")
-            .aggregate(
-                Sum("one", alias_name="n_supp"),
-                Sum("late", alias_name="late_sum"),
-                Sum("lsk", alias_name="lsk_sum"),
+        kind = parts.column("kind").to_numpy()
+        k1 = parts.column("k1").to_numpy()
+        k2 = parts.column("k2").to_numpy()
+        k3 = parts.column("k3").to_numpy()
+        # boundary patch: identical dense-path kernel on the edge rows
+        e_ok, e_sk, e_lt = k1[kind == 0], k2[kind == 0], k3[kind == 0]
+        b_sk = np.array([], np.int64)
+        b_n = np.array([], np.int64)
+        if e_ok.size:
+            o = np.lexsort((e_sk, e_ok))
+            eo, es, el = e_ok[o], e_sk[o], e_lt[o]
+            new = np.r_[True, (eo[1:] != eo[:-1]) | (es[1:] != es[:-1])]
+            starts = np.flatnonzero(new)
+            el = np.maximum.reduceat(el, starts)
+            eo, es = eo[starts], es[starts]
+            o_st = np.flatnonzero(np.r_[True, eo[1:] != eo[:-1]])
+            n_supp = np.diff(np.r_[o_st, eo.size])
+            late_sum = np.add.reduceat(el, o_st)
+            lsk_sum = np.add.reduceat(el * es, o_st)
+            b_sk, b_n = np.unique(
+                lsk_sum[(n_supp > 1) & (late_sum == 1)], return_counts=True
             )
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "l_suppkey": b.filter(
-                            pc.and_(
-                                pc.greater(b.column("n_supp"), 1),
-                                pc.equal(b.column("late_sum"), 1),
-                            )
-                        ).column("lsk_sum"),
-                    }
-                ),
-                batch_format="pyarrow",
+        fold = (
+            pa.table(
+                {
+                    "l_suppkey": pa.array(np.r_[k1[kind == 1], b_sk], pa.int64()),
+                    "n": pa.array(np.r_[k2[kind == 1], b_n], pa.int64()),
+                }
             )
-            .groupby("l_suppkey")
-            .count()
+            .group_by("l_suppkey")
+            .aggregate([("n", "sum")])
         )
-        blamed = drop_empty_blocks(blamed)
+        blamed = rd.from_arrow(
+            pa.table(
+                {
+                    "l_suppkey": fold.column("l_suppkey"),
+                    "count()": fold.column("n_sum"),
+                }
+            )
+        )
 
     names = collect_arrow(_pq(sf_dir, "supplier", ["s_suppkey", "s_name"]))
     order = pc.sort_indices(names.column("s_suppkey"))
