@@ -13142,20 +13142,18 @@ def docs_zipf_census(sf_dir: str, vocab_gate: int | None = None):
     per-block term-count partials (Arrow group_by inside the block =
     map-side combine; only (term, n) rows leave a block). Below
     ``_VOCAB_FOLD_GATE`` partial rows the (term, n) partials fold on
-    the driver; ABOVE it no vocabulary ever touches the driver: a
-    term-keyed distributed groupby totals counts, then per-block
-    (count → #terms) histogram partials collapse the exchange to the
-    DISTINCT-COUNT grain (O(√tokens) rows — Zipf's own tail bound),
-    and the census is derived on the driver from the count histogram
-    alone. The derivation is exact because the octave census is
+    the driver; ABOVE it no vocabulary ever touches the driver: ONE
+    global sort on term, each block reduceat-folds its interior term
+    runs straight into (count → #terms) histogram partials (the
+    boundary terms patch on the driver), collapsing the collected
+    rows to the DISTINCT-COUNT grain (O(√tokens) — Zipf's own tail
+    bound), and the census is derived from the count histogram alone. The derivation is exact because the octave census is
     tie-order invariant: terms sharing a count occupy a contiguous
     rank run, so each count-group's overlap with the octave interval
     [2^o, 2^(o+1)) is pure integer interval math. Terms rank by
     (count desc, term asc); octaves use integer frexp exponents —
     never float log — so the output is all-integer."""
-    from ray.data.aggregate import Sum as _Sum
-
-    from .util import collect_arrow, drop_empty_blocks
+    from .util import collect_arrow
 
     gate = _VOCAB_FOLD_GATE if vocab_gate is None else vocab_gate
     ds = _pq(sf_dir, "documents", ["text"], blocks=8)
@@ -13192,18 +13190,94 @@ def docs_zipf_census(sf_dir: str, vocab_gate: int | None = None):
             }
         )
 
-    # distributed path: term-keyed groupby → per-block count-histogram
-    # partials — only (count, #terms) rows reach the driver
-    tot_ds = drop_empty_blocks(
-        parts_ds.groupby("term").aggregate(_Sum("n", alias_name="n"))
+    # distributed path: ONE global sort on term (NOT a term-keyed
+    # groupby-aggregate — Ray's aggregate walks groups in Python at
+    # ~9 µs/group, input-proportional at web vocabulary; the
+    # supplier_blame sort-kernel lesson, BASELINE.md r4). After the
+    # sort every term's partial rows are contiguous: each block folds
+    # its INTERIOR term runs to totals via reduceat and collapses them
+    # straight to a (count → #terms) histogram partial; only the
+    # block's first/last term (which may straddle blocks) ships raw
+    # for the driver patch. Collected rows: distinct-count grain +
+    # ≤2 terms per block.
+    sorted_parts = parts_ds.sort("term")
+
+    def hist_fold(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "term": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        keys = b.column("term")
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        vals = b.column("n").to_numpy()
+        em = pc.or_(
+            pc.equal(keys, keys[0]), pc.equal(keys, keys[len(keys) - 1])
+        ).to_numpy(zero_copy_only=False)
+        e_terms = keys.filter(pa.array(em))
+        e_n = vals[em]
+        ik, iv = keys.filter(pa.array(~em)), vals[~em]
+        h_n = np.array([], np.int64)
+        h_m = np.array([], np.int64)
+        if len(ik):
+            change = np.r_[
+                True,
+                pc.not_equal(
+                    ik.slice(1), ik.slice(0, len(ik) - 1)
+                ).to_numpy(zero_copy_only=False),
+            ]
+            starts = np.flatnonzero(change)
+            totals = np.add.reduceat(iv, starts)
+            h_n, h_m = np.unique(totals, return_counts=True)
+        pad = pa.array([""] * len(h_n), pa.string())
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[np.zeros(len(e_n), np.int8), np.ones(len(h_n), np.int8)]
+                ),
+                "term": pa.concat_arrays([e_terms.cast(pa.string()), pad]),
+                "n": pa.array(np.r_[e_n, h_n], pa.int64()),
+                "m": pa.array(
+                    np.r_[np.zeros(len(e_n), np.int64), h_m], pa.int64()
+                ),
+            }
+        )
+
+    parts = collect_arrow(
+        sorted_parts.map_batches(hist_fold, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("kind", pa.int8()),
+                ("term", pa.string()),
+                ("n", pa.int64()),
+                ("m", pa.int64()),
+            ]
+        ),
     )
-
-    def hist_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by("n").aggregate([([], "count_all")])
-        return g.rename_columns(["n", "m"])
-
+    kind = parts.column("kind").to_numpy()
+    # boundary patch: fold the straddling terms' partials to totals,
+    # then merge into the histogram
+    edge = parts.filter(pa.array(kind == 0))
+    hist_n = parts.column("n").to_numpy()[kind == 1]
+    hist_m = parts.column("m").to_numpy()[kind == 1]
+    if edge.num_rows:
+        et = (
+            pa.table({"term": edge.column("term"), "n": edge.column("n")})
+            .group_by("term")
+            .aggregate([("n", "sum")])
+        )
+        b_n, b_m = np.unique(et.column("n_sum").to_numpy(), return_counts=True)
+        hist_n = np.r_[hist_n, b_n]
+        hist_m = np.r_[hist_m, b_m]
     hist = (
-        collect_arrow(tot_ds.map_batches(hist_partial, batch_format="pyarrow"))
+        pa.table(
+            {"n": pa.array(hist_n, pa.int64()), "m": pa.array(hist_m, pa.int64())}
+        )
         .group_by("n")
         .aggregate([("m", "sum")])
     )
