@@ -530,6 +530,78 @@ _VOCAB_FOLD_GATE = 4_000_000
 _PIXEL_BCAST_GATE = 65_536
 
 
+def _sorted_sum_by_key(ds, key_col: str, val_col: str, alias: str):
+    """Exact distributed SUM-per-key as a Dataset WITHOUT
+    ``groupby().aggregate()``: Ray's aggregate walks groups in Python
+    (~9 µs/group measured, BASELINE.md r4), which dominates whenever
+    the group count is input-proportional (vocabulary, users, pairs).
+    Shape: ONE global sort on the key; each block reduceat-folds its
+    INTERIOR key runs (contiguous after the sort) and keeps them
+    distributed; only the block's first/last key — the runs that may
+    straddle block boundaries, ≤2 per block — ship raw to the driver,
+    fold there, and union back as one small block. The
+    supplier_blame / zipf sort-kernel lesson as a reusable operator."""
+    import ray.data as rd
+
+    sorted_ds = ds.sort(key_col)
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    key_col: pa.array([], pa.string()),
+                    alias: pa.array([], pa.int64()),
+                }
+            )
+        keys = b.column(key_col)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        vals = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        em = pc.or_(
+            pc.equal(keys, keys[0]), pc.equal(keys, keys[len(keys) - 1])
+        ).to_numpy(zero_copy_only=False)
+        e_k, e_v = keys.filter(pa.array(em)), vals[em]
+        ik, iv = keys.filter(pa.array(~em)), vals[~em]
+        if len(ik):
+            change = np.r_[
+                True,
+                pc.not_equal(
+                    ik.slice(1), ik.slice(0, len(ik) - 1)
+                ).to_numpy(zero_copy_only=False),
+            ]
+            starts = np.flatnonzero(change)
+            sums = np.add.reduceat(iv, starts)
+            ik = ik.take(pa.array(starts, pa.int64()))
+        else:
+            sums = np.array([], np.int64)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[np.zeros(len(e_k), np.int8), np.ones(len(ik), np.int8)]
+                ),
+                key_col: pa.concat_arrays([e_k, ik]),
+                alias: pa.array(np.r_[e_v, sums], pa.int64()),
+            }
+        )
+
+    parts = sorted_ds.map_batches(fold, batch_format="pyarrow").materialize()
+    interior = parts.filter(expr="kind == 1").map_batches(
+        lambda b: b.drop_columns(["kind"]), batch_format="pyarrow"
+    )
+    from .util import collect_arrow
+
+    edge = collect_arrow(parts.filter(expr="kind == 0"))
+    if edge.num_rows == 0:
+        return interior
+    folded = (
+        pa.table({key_col: edge.column(key_col), alias: edge.column(alias)})
+        .group_by(key_col)
+        .aggregate([(alias, "sum")])
+        .rename_columns([key_col, alias])
+    )
+    return interior.union(rd.from_arrow(folded))
+
+
 def _building_keys(sf_dir: str):
     """Sorted BUILDING-segment custkeys as ONE int64 array when the
     customer dimension is below the broadcast gate (~32 MB of keys),
@@ -2384,9 +2456,11 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3, df_broadcast_limit: int = 2_00
             b.group_by("term").aggregate([([], "count_all")]).rename_columns(["term", "df"])
         )
 
-    df_ds = toks.map_batches(df_partial, batch_format="pyarrow").groupby(
-        "term"
-    ).aggregate(_Sum("df", alias_name="df"))
+    # DF totals via the sort-kernel sum (vocabulary-proportional group
+    # count — a groupby().aggregate() here walks every term in Python)
+    df_ds = _sorted_sum_by_key(
+        toks.map_batches(df_partial, batch_format="pyarrow"), "term", "df", "df"
+    )
 
     def topk(g: pa.Table) -> pa.Table:
         if "df" not in g.column_names:  # broadcast path: look the DF up
