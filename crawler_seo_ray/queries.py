@@ -6441,6 +6441,77 @@ def docs_dedup_incremental(sf_dir: str, scan_stats: dict | None = None):
     )
 
 
+def docs_dedup_index_lifecycle(sf_dir: str):
+    """FULL recrawl lifecycle of the incremental MinHash index — the
+    wave-N+1 production loop end to end: build the history index
+    (doc_id % 4 != 0), probe the wave (doc_id % 4 == 0) for cross
+    near-dups, TTL-EVICT the matched history docs (their band rows are
+    dropped with partition-local rewrites — stages/dedup.
+    evict_from_minhash_index, the SeenShard.evict analogue), re-probe
+    (evicted docs must stop pairing), then EXTEND the index with the
+    wave itself (partition-local appends) and re-probe once more (the
+    wave now pairs against its just-admitted twins, not the evicted
+    history). Returns an all-integer audit table of every phase:
+    pair counts, rows removed, partitions rewritten/total — the
+    evidence a 100 TB recrawl loop needs that index size stays flat
+    under churn and every maintenance op touches only its own
+    partitions. Rows-only (stateful on-disk index lifecycle is not
+    ANSI-SQL); the same invariants are pinned in
+    tests/test_dedup_similarity.py::test_minhash_index_evict_extend_lifecycle."""
+    import shutil
+    import tempfile
+
+    from .stages.dedup import (
+        build_minhash_index,
+        dedup_against_minhash_index,
+        evict_from_minhash_index,
+        extend_minhash_index,
+    )
+
+    base = _pq(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+
+    def _side(new: bool):
+        def kernel(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b.column("doc_id"), 3), pa.scalar(0, pa.int64()))
+            t = b.filter(m if new else pc.invert(m))
+            return pa.table({"id": t.column("doc_id"), "text": t.column("text")})
+
+        return base.map_batches(kernel, batch_format="pyarrow")
+
+    index_dir = tempfile.mkdtemp(prefix="mh_lifecycle_")
+    try:
+        build_minhash_index(_side(new=False), "text", "id", index_dir)
+        wave = _side(new=True)
+        p1 = dedup_against_minhash_index(wave, index_dir, jaccard_threshold=0.5)
+        matched_hist = sorted(set(p1.column("id_a").to_pylist()))
+        ev = evict_from_minhash_index(index_dir, matched_hist)
+        p2 = dedup_against_minhash_index(wave, index_dir, jaccard_threshold=0.5)
+        still = set(p2.column("id_a").to_pylist()) & set(matched_hist)
+        ss_ext: dict = {}
+        extend_minhash_index(wave, "text", "id", index_dir, scan_stats=ss_ext)
+        p3 = dedup_against_minhash_index(wave, index_dir, jaccard_threshold=0.5)
+        rows = [
+            ("probe_initial_pairs", p1.num_rows),
+            ("evicted_history_docs", len(matched_hist)),
+            ("evict_rows_removed", ev["rows_removed"]),
+            ("evict_partitions_rewritten", ev["partitions_rewritten"]),
+            ("evict_partitions_total", ev["partitions_total"]),
+            ("probe_after_evict_pairs", p2.num_rows),
+            ("evicted_still_pairing", len(still)),
+            ("extend_partitions_rewritten", ss_ext["partitions_rewritten"]),
+            ("extend_partitions_total", ss_ext["partitions_total"]),
+            ("probe_after_extend_pairs", p3.num_rows),
+        ]
+        return pa.table(
+            {
+                "metric": pa.array([r[0] for r in rows], pa.string()),
+                "value": pa.array([int(r[1]) for r in rows], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def docs_heavy_terms(sf_dir: str):
     """Heavy-hitter TERMS across the whole corpus via the mergeable
     distributed top-k sketch (stages/sketch.heavy_hitters): blocks ship
@@ -13681,6 +13752,7 @@ QUERIES = {
     "events_above_user_avg": events_above_user_avg,
     "docs_heavy_terms": docs_heavy_terms,
     "docs_dedup_incremental": docs_dedup_incremental,
+    "docs_dedup_index_lifecycle": docs_dedup_index_lifecycle,
     "events_funnel": events_funnel,
     "customer_order_stats": customer_order_stats,
     "lineitem_rollup": lineitem_rollup,

@@ -194,6 +194,13 @@ def test_rows_only_queries_run(registry):
         "corpus_equalize": lambda df: len(df) == 300
         and df["image_id"].is_unique
         and df["mean_after"].between(0.0, 255.0).all(),
+        # deep pin in test_minhash_index_evict_extend_lifecycle
+        "docs_dedup_index_lifecycle": lambda df: (
+            lambda s: s["evicted_still_pairing"] == 0
+            and s["probe_after_evict_pairs"] <= s["probe_initial_pairs"]
+            and s["evict_rows_removed"] == 16 * s["evicted_history_docs"]
+            and s["evict_partitions_rewritten"] <= s["evict_partitions_total"]
+        )(df.set_index("metric")["value"]),
     }
     for name, check in expectations.items():
         df = _to_pandas(queries[name](SF))
