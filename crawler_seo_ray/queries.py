@@ -11083,21 +11083,28 @@ def nation_trade_matrix(sf_dir: str):
     )
 
 
-def corpus_embed_knn(sf_dir: str, k: int = 3):
+def corpus_embed_knn(sf_dir: str, k: int = 3, ivf_gate: int | None = None):
     """END-TO-END multimodal retrieval: decode → feature-extract →
     cosine kNN, the decode→embed→ANN chain a contrastive-training or
     near-dup curation pipeline runs over an image corpus. Stage 1 is
     the `ImageFeatureVectors` actor pool (pixels never leave the
-    stage; a real vision encoder drops into the same signature);
-    stage 2 broadcasts the corpus-sized feature matrix (`ray.put`
-    once) and each block computes its rows' top-k neighbors with one
-    matmul — the embeddings_knn brute pattern; past broadcast scale
-    the IVF index path (stages/similarity.build_ivf_index) takes over.
-    Ties break by neighbor id. Rows-only (pixel decode isn't SQL);
-    pinned to a driver-side numpy replay in tests."""
+    stage; a real vision encoder drops into the same signature).
+    Stage 2, below ``_ALLKNN_IVF_GATE`` images, broadcasts the
+    corpus-sized feature matrix (`ray.put` once) and each block
+    computes its rows' top-k neighbors with one matmul — the
+    embeddings_knn brute pattern; ABOVE the gate the matrix never
+    collects: image ids map to dense ints against the sorted id
+    column (id-grain, the same grain this query's output already
+    collects) and the scan routes through the cell-partitioned
+    `stages/similarity.knn_all_ivf` (exact multi-probe default,
+    self dropped by id from a top-(k+1) fetch — equality-tested
+    against the broadcast path). Ties break by neighbor id.
+    Rows-only (pixel decode isn't SQL); pinned to a driver-side
+    numpy replay in tests."""
     from .stages.multimodal import FEATURE_DIM, ImageFeatureVectors
     from .util import collect_arrow
 
+    gate = _ALLKNN_IVF_GATE if ivf_gate is None else ivf_gate
     ds = corpus_parquet(columns=["image_id", "bytes", "fmt"])
     feats = ds.map_batches(
         ImageFeatureVectors,
@@ -11105,6 +11112,64 @@ def corpus_embed_knn(sf_dir: str, k: int = 3):
         batch_size=64,
         batch_format="pyarrow",
     ).materialize()
+
+    if feats.count() > gate:
+        from .stages.similarity import knn_all_ivf
+
+        id_t = collect_arrow(
+            feats.map_batches(
+                lambda b: b.select(["image_id"]), batch_format="pyarrow"
+            )
+        )
+        ids_sorted = np.sort(
+            np.asarray(id_t.column("image_id").to_pylist(), dtype=object)
+        )
+        ids_ref = ray.put(ids_sorted)
+
+        def to_int_ids(b: pa.Table) -> pa.Table:
+            lut = ray.get(ids_ref)
+            bid = np.asarray(b.column("image_id").to_pylist(), dtype=object)
+            return pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.searchsorted(lut, bid).astype(np.int64), pa.int64()
+                    ),
+                    "feat": b.column("feat"),
+                }
+            )
+
+        out = knn_all_ivf(
+            feats.map_batches(to_int_ids, batch_format="pyarrow"),
+            "feat",
+            "vec_id",
+            k=k + 1,
+            return_sim=True,
+        )
+        q = out.column("query_id").to_numpy(zero_copy_only=False)
+        nbr = out.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sim = out.column("sim").to_numpy(zero_copy_only=False)
+        keep = q != nbr  # drop self (rank order otherwise preserved)
+        q, nbr, sim = q[keep], nbr[keep], sim[keep]
+        # re-rank within each query after self-removal, cut to k
+        bounds = np.flatnonzero(np.diff(q)) + 1
+        starts = np.r_[0, bounds]
+        idx = np.arange(len(q))
+        rnk = idx - starts[np.searchsorted(bounds, idx, side="right")] + 1
+        cut = rnk <= k
+        q, nbr, sim, rnk = q[cut], nbr[cut], sim[cut], rnk[cut]
+        res = pa.table(
+            {
+                "image_id": pa.array(ids_sorted[q], pa.string()),
+                "neighbor_id": pa.array(ids_sorted[nbr], pa.string()),
+                "rank": pa.array(rnk, pa.int64()),
+                "cosine": pa.array(sim, pa.float64()),
+            }
+        )
+        return res.take(
+            pc.sort_indices(
+                res, sort_keys=[("image_id", "ascending"), ("rank", "ascending")]
+            )
+        )
 
     ft = collect_arrow(feats)
     ids_all = np.asarray(ft.column("image_id").to_pylist(), dtype=object)

@@ -422,6 +422,7 @@ def knn_all_ivf(
     index_dir: str | None = None,
     query_chunk: int = 4096,
     scan_stats: dict | None = None,
+    return_sim: bool = False,
 ) -> pa.Table:
     """ALL-vectors self-kNN via the cell-partitioned IVF index — the
     open-web-N replacement for calling ``knn_brute`` with the whole
@@ -541,23 +542,27 @@ def knn_all_ivf(
             nid = g.column("neighbor_id").to_numpy(zero_copy_only=False)
             sim = g.column("sim").to_numpy(zero_copy_only=False)
             order = np.lexsort((nid, -sim))[:k]
-            return pa.table(
-                {
-                    "query_id": pa.array([qid] * len(order), pa.int64()),
-                    "neighbor_id": pa.array(nid[order], pa.int64()),
-                    "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-                }
-            )
+            cols = {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+            if return_sim:
+                cols["sim"] = pa.array(sim[order], pa.float64())
+            return pa.table(cols)
 
+        out_schema = [
+            ("query_id", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("rank", pa.int64()),
+        ] + ([("sim", pa.float64())] if return_sim else [])
         out = collect_arrow(
             cells.map_batches(expand, batch_format="pyarrow")
             .groupby("gkey")
             .map_groups(probe_tile, batch_format="pyarrow")
             .groupby("query_id")
             .map_groups(merge_query, batch_format="pyarrow"),
-            schema=pa.schema(
-                [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("rank", pa.int64())]
-            ),
+            schema=pa.schema(out_schema),
         )
         import pyarrow.compute as pc
 

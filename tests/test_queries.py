@@ -1243,3 +1243,15 @@ def test_pair_ssim_join_path_equals_lookup():
     b = _canon(_to_pandas(Q.corpus_pair_ssim(SF, decorate_gate=0)))
     assert len(a) > 0, "fixture yields no phash candidate pairs"
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_embed_knn_ivf_path_equals_broadcast():
+    """ivf_gate=0 forces the knn_all_ivf scan for the image-feature
+    kNN (no corpus-sized matrix broadcast); exact multi-probe must
+    reproduce the broadcast path's neighbors, ranks and cosines."""
+    from crawler_seo_ray import queries as Q
+
+    a = _canon(_to_pandas(Q.corpus_embed_knn(SF)))
+    b = _canon(_to_pandas(Q.corpus_embed_knn(SF, ivf_gate=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
