@@ -455,6 +455,8 @@ def run_components(num_cpus: int) -> dict:
         "corpus_edge_density",
         "lineitem_zorder_layout",
         "events_key_skew",
+        "events_semi_join",
+        "docs_dedup_spans",
     ):
         t0 = time.perf_counter()
         out = Q.QUERIES[name](SF_DIR)
