@@ -530,8 +530,8 @@ _VOCAB_FOLD_GATE = 4_000_000
 _PIXEL_BCAST_GATE = 65_536
 
 
-def _sorted_sum_by_key(ds, key_col: str, val_col: str, alias: str):
-    """Exact distributed SUM-per-key as a Dataset WITHOUT
+def _sorted_sum_by_key(ds, key_col: str, val_col: str, alias: str, op: str = "sum"):
+    """Exact distributed SUM- (or MAX-) per-key as a Dataset WITHOUT
     ``groupby().aggregate()``: Ray's aggregate walks groups in Python
     (~9 µs/group measured, BASELINE.md r4), which dominates whenever
     the group count is input-proportional (vocabulary, users, pairs).
@@ -543,6 +543,7 @@ def _sorted_sum_by_key(ds, key_col: str, val_col: str, alias: str):
     supplier_blame / zipf sort-kernel lesson as a reusable operator."""
     import ray.data as rd
 
+    ufunc = {"sum": np.add, "max": np.maximum}[op]
     sorted_ds = ds.sort(key_col)
 
     def fold(b: pa.Table) -> pa.Table:
@@ -550,7 +551,7 @@ def _sorted_sum_by_key(ds, key_col: str, val_col: str, alias: str):
             return pa.table(
                 {
                     "kind": pa.array([], pa.int8()),
-                    key_col: pa.array([], pa.string()),
+                    key_col: pa.array([], b.schema.field(key_col).type),
                     alias: pa.array([], pa.int64()),
                 }
             )
@@ -570,7 +571,7 @@ def _sorted_sum_by_key(ds, key_col: str, val_col: str, alias: str):
                 ).to_numpy(zero_copy_only=False),
             ]
             starts = np.flatnonzero(change)
-            sums = np.add.reduceat(iv, starts)
+            sums = ufunc.reduceat(iv, starts)
             ik = ik.take(pa.array(starts, pa.int64()))
         else:
             sums = np.array([], np.int64)
@@ -596,7 +597,7 @@ def _sorted_sum_by_key(ds, key_col: str, val_col: str, alias: str):
     folded = (
         pa.table({key_col: edge.column(key_col), alias: edge.column(alias)})
         .group_by(key_col)
-        .aggregate([(alias, "sum")])
+        .aggregate([(alias, op)])
         .rename_columns([key_col, alias])
     )
     return interior.union(rd.from_arrow(folded))
@@ -2497,28 +2498,126 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = 3, df_broadcast_limit: int = 2_00
 def events_users_per_type(sf_dir: str):
     """Exact grouped distinct-count (the HLL sketch's exact
     counterpart): per-block pair dedup (map-side combine shrinks the
-    exchange to unique pairs) → one pair-keyed groupby → per-block
-    count partials + tiny merge."""
-    from ray.data.aggregate import Count as _Count
-
+    exchange to unique pairs) → ONE global (type, user) sort — not a
+    pair-keyed groupby-aggregate, whose per-group Python walk is
+    user-proportional (the sort-kernel lesson, BASELINE.md r4). After
+    the sort duplicate pairs are adjacent: each block counts its
+    interior distinct pairs per type vectorized; only rows equal to
+    the block's FIRST or LAST pair (the runs that may straddle
+    blocks) ship raw for the driver patch. Collected rows are
+    type-grain + ≤2 pairs per block."""
     from .util import collect_arrow
 
     ds = _pq(sf_dir, "events", ["event_type", "user_id"], blocks=16)
     pairs = ds.map_batches(
         lambda b: b.group_by(["event_type", "user_id"]).aggregate([]),
         batch_format="pyarrow",
-    ).groupby(["event_type", "user_id"]).aggregate(_Count(alias_name="c"))
+    ).sort(["event_type", "user_id"])
 
-    def count_partial(b: pa.Table) -> pa.Table:
-        return (
-            b.group_by("event_type")
+    def census(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "event_type": pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        et = b.column("event_type")
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        same_first = pc.and_(
+            pc.equal(et, et[0]), pa.array(uid == uid[0])
+        ).to_numpy(zero_copy_only=False)
+        same_last = pc.and_(
+            pc.equal(et, et[len(et) - 1]), pa.array(uid == uid[-1])
+        ).to_numpy(zero_copy_only=False)
+        em = same_first | same_last
+        e_t, e_u = et.filter(pa.array(em)), uid[em]
+        it, iu = et.filter(pa.array(~em)), uid[~em]
+        c_t = pa.array([], pa.string())
+        c_n = np.array([], np.int64)
+        if len(it):
+            # consecutive-dup mask, then distinct-pair count per type
+            new = np.r_[
+                True,
+                pc.not_equal(it.slice(1), it.slice(0, len(it) - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+                | (iu[1:] != iu[:-1]),
+            ]
+            firsts = it.filter(pa.array(new))
+            g = (
+                pa.table({"event_type": firsts})
+                .group_by("event_type")
+                .aggregate([([], "count_all")])
+            )
+            c_t = g.column("event_type").combine_chunks().cast(pa.string())
+            c_n = g.column("count_all").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[np.zeros(len(e_u), np.int8), np.ones(len(c_n), np.int8)]
+                ),
+                "event_type": pa.concat_arrays([e_t.cast(pa.string()), c_t]),
+                "v": pa.array(np.r_[e_u, c_n], pa.int64()),
+            }
+        )
+
+    parts = collect_arrow(
+        pairs.map_batches(census, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("kind", pa.int8()), ("event_type", pa.string()), ("v", pa.int64())]
+        ),
+    )
+    kind = parts.column("kind").to_numpy()
+    interior = (
+        pa.table(
+            {
+                "event_type": parts.column("event_type").filter(pa.array(kind == 1)),
+                "n_users": parts.column("v").filter(pa.array(kind == 1)),
+            }
+        )
+        .group_by("event_type")
+        .aggregate([("n_users", "sum")])
+        .rename_columns(["event_type", "n_users"])
+    )
+    edge = parts.filter(pa.array(kind == 0))
+    cols = {
+        "event_type": interior.column("event_type"),
+        "n_users": interior.column("n_users"),
+    }
+    if edge.num_rows:
+        eg = (
+            pa.table(
+                {
+                    "event_type": edge.column("event_type"),
+                    "user_id": edge.column("v"),
+                }
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+            .group_by("event_type")
             .aggregate([([], "count_all")])
             .rename_columns(["event_type", "n_users"])
         )
-
-    parts = collect_arrow(pairs.map_batches(count_partial, batch_format="pyarrow"))
+        cols = {
+            "event_type": pa.concat_arrays(
+                [
+                    interior.column("event_type").combine_chunks().cast(pa.string()),
+                    eg.column("event_type").combine_chunks().cast(pa.string()),
+                ]
+            ),
+            "n_users": pa.concat_arrays(
+                [
+                    interior.column("n_users").combine_chunks().cast(pa.int64()),
+                    eg.column("n_users").combine_chunks().cast(pa.int64()),
+                ]
+            ),
+        }
     merged = (
-        parts.group_by("event_type")
+        pa.table(cols)
+        .group_by("event_type")
         .aggregate([("n_users", "sum")])
         .rename_columns(["event_type", "n_users"])
     )
@@ -2572,8 +2671,9 @@ def events_ab_test(sf_dir: str):
     of ≥ $150, exact cents), and the pooled two-proportion z
     statistic. Distributed shape: per-user (arm, converted) facts from
     block-level partials (user grain — the block groupby is the
-    combiner) → one user-keyed groupby-max → arm-grain counts folded
-    at the edge (2 rows). All counts exact int64; the rate and z
+    combiner) → one user-keyed sort-kernel max (``_sorted_sum_by_key``
+    — no per-user Python walk) → arm-grain counts folded at the edge
+    (2 rows). All counts exact int64; the rate and z
     divisions are single ordered float expressions mirrored in SQL
     (z pinned to 0 when the pooled variance degenerates)."""
     import math
@@ -2599,10 +2699,16 @@ def events_ab_test(sf_dir: str):
             .rename_columns(["user_id", "conv"])
         )
 
+    # user-keyed MAX via the sort-kernel (user-proportional group count
+    # — Ray's groupby-aggregate walks every user in Python)
     per_user = drop_empty_blocks(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Max("conv", alias_name="conv"))
+        _sorted_sum_by_key(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "user_id",
+            "conv",
+            "conv",
+            op="max",
+        )
     )
 
     def arm_counts(b: pa.Table) -> pa.Table:
