@@ -9659,32 +9659,65 @@ def events_max_concurrency(sf_dir: str):
             }
         )
 
-    levels = marks_ds.groupby("ts").aggregate(Sum("d", alias_name="d"))
-    mat = drop_empty_blocks(levels.sort("ts")).materialize()
+    # distributed: block-combined marks → ONE global ts sort (no
+    # ts-keyed groupby-aggregate — distinct instants are session-
+    # proportional and Ray's aggregate walks them in Python, the
+    # sort-kernel lesson) → prefix-chained per-block peaks that read
+    # the level only at SETTLED instants: a ts straddling blocks
+    # settles in the LAST block holding it, so a block skips its final
+    # run when the next block starts with the same ts (the
+    # events_ks_drift skip_last pattern).
+    combined = marks_ds.map_batches(
+        lambda b: b.group_by("ts")
+        .aggregate([("d", "sum")])
+        .rename_columns(["ts", "d"]),
+        batch_format="pyarrow",
+    )
+    mat = drop_empty_blocks(combined.sort("ts")).materialize()
 
     @ray.remote
-    def block_sum(b: pa.Table) -> int:
-        return int(pc.sum(b.column("d")).as_py() or 0)
-
-    @ray.remote
-    def block_peak(b: pa.Table, offset: int) -> tuple[int, int]:
+    def block_meta(b: pa.Table) -> tuple[int, int, int]:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
         d = b.column("d").to_numpy(zero_copy_only=False)
+        return int(d.sum()), int(ts[0]), int(ts[-1])
+
+    @ray.remote
+    def block_peak(b: pa.Table, offset: int, skip_last: bool):
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column("d").to_numpy(zero_copy_only=False)
+        ends = np.flatnonzero(np.r_[ts[1:] != ts[:-1], True])
+        if skip_last:
+            ends = ends[:-1]
+        if ends.size == 0:
+            return None
         run = np.cumsum(d) + offset
-        i = int(np.argmax(run))  # first occurrence = earliest ts
-        return int(run[i]), int(b.column("ts")[i].as_py())
+        lv = run[ends]
+        i = int(np.argmax(lv))  # first occurrence = earliest ts
+        return int(lv[i]), int(ts[ends[i]])
 
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             if meta.num_rows is None or meta.num_rows > 0:
                 refs.append(ref)
-    sums = ray.get([block_sum.remote(r) for r in refs])
+    metas = ray.get([block_meta.remote(r) for r in refs])
     offsets = [0]
-    for v in sums[:-1]:
+    for v, _, _ in metas[:-1]:
         offsets.append(offsets[-1] + v)
-    peaks = ray.get(
-        [block_peak.remote(r, off) for r, off in zip(refs, offsets)]
-    )
+    skip = [
+        i + 1 < len(metas) and metas[i][2] == metas[i + 1][1]
+        for i in range(len(metas))
+    ]
+    peaks = [
+        p
+        for p in ray.get(
+            [
+                block_peak.remote(r, off, sk)
+                for r, off, sk in zip(refs, offsets, skip)
+            ]
+        )
+        if p is not None
+    ]
     best = max(peaks, key=lambda p: (p[0], -p[1]))
     return pa.table(
         {
@@ -12896,21 +12929,83 @@ def supplier_excess_share(sf_dir: str):
         np.add.at(tot, codes, q_arr)
         excess = 4 * q_arr > tot[codes]
     else:
-        agg = drop_empty_blocks(
-            li.groupby(["p", "s"]).aggregate(Sum("q", alias_name="q"))
+        # sort-kernel plan (the supplier_blame shape): ONE global
+        # (p, s) sort makes every pair duplicate and part run
+        # contiguous; each block dedup-sums its INTERIOR parts,
+        # computes part totals and the excess test vectorized, and
+        # ships ONLY qualifying (p, s) pairs (output grain — the old
+        # plan's two proportional groupby-aggregates, Dataset join and
+        # full-pair-table collect are gone) plus the ≤2 boundary
+        # parts' raw partials for the driver patch.
+        def _excess_pairs(p, s, q):
+            new = np.r_[True, (p[1:] != p[:-1]) | (s[1:] != s[:-1])]
+            st = np.flatnonzero(new)
+            q = np.add.reduceat(q, st)
+            p, s = p[st], s[st]
+            pchg = np.r_[True, p[1:] != p[:-1]]
+            tot = np.add.reduceat(q, np.flatnonzero(pchg))
+            codes = np.cumsum(pchg) - 1
+            m = 4 * q > tot[codes]
+            return p[m], s[m]
+
+        def census(b: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "k1": pa.array([], pa.int64()),
+                    "k2": pa.array([], pa.int64()),
+                    "k3": pa.array([], pa.int64()),
+                }
+            )
+            if b.num_rows == 0:
+                return empty
+            p = b.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+            s = b.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+            q = b.column("q").to_numpy(zero_copy_only=False).astype(np.int64)
+            edge = (p == p[0]) | (p == p[-1])
+            e_p, e_s, e_q = p[edge], s[edge], q[edge]
+            p, s, q = p[~edge], s[~edge], q[~edge]
+            out_p = np.array([], np.int64)
+            out_s = np.array([], np.int64)
+            if p.size:
+                out_p, out_s = _excess_pairs(p, s, q)
+            return pa.table(
+                {
+                    "kind": pa.array(
+                        np.r_[np.zeros(e_p.size, np.int8), np.ones(out_p.size, np.int8)]
+                    ),
+                    "k1": pa.array(np.r_[e_p, out_p], pa.int64()),
+                    "k2": pa.array(np.r_[e_s, out_s], pa.int64()),
+                    "k3": pa.array(
+                        np.r_[e_q, np.zeros(out_p.size, np.int64)], pa.int64()
+                    ),
+                }
+            )
+
+        parts = collect_arrow(
+            li.sort(["p", "s"]).map_batches(census, batch_format="pyarrow"),
+            schema=pa.schema(
+                [
+                    ("kind", pa.int8()),
+                    ("k1", pa.int64()),
+                    ("k2", pa.int64()),
+                    ("k3", pa.int64()),
+                ]
+            ),
         )
-        tot_ds = drop_empty_blocks(
-            agg.groupby("p").aggregate(Sum("q", alias_name="tq"))
-        )
-        j = collect_arrow(
-            agg.join(tot_ds, "inner", _join_partitions(), on=("p",))
-        )
-        p_arr = j.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
-        s_arr = j.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
-        q_arr = j.column("q").to_numpy(zero_copy_only=False).astype(np.int64)
-        excess = 4 * q_arr > j.column("tq").to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
+        kind = parts.column("kind").to_numpy()
+        k1 = parts.column("k1").to_numpy()
+        k2 = parts.column("k2").to_numpy()
+        k3 = parts.column("k3").to_numpy()
+        b_p = np.array([], np.int64)
+        b_s = np.array([], np.int64)
+        e_p, e_s, e_q = k1[kind == 0], k2[kind == 0], k3[kind == 0]
+        if e_p.size:
+            o = np.lexsort((e_s, e_p))
+            b_p, b_s = _excess_pairs(e_p[o], e_s[o], e_q[o])
+        p_arr = np.r_[k1[kind == 1], b_p]
+        s_arr = np.r_[k2[kind == 1], b_s]
+        excess = np.ones(len(s_arr), bool)
 
     # nested IN #2 + nation slice: decorate qualifying suppliers
     s_q = s_arr[excess]
