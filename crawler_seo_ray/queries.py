@@ -10285,16 +10285,21 @@ def orders_returned_customers(sf_dir: str):
     )
     j1 = li.join(ords, "inner", nparts, on=("_ok",), right_on=("o_orderkey",))
 
+    # custkey-proportional sum via the sort-kernel (no per-group
+    # Python walk; block groupby stays as the map-side combine)
     per_cust = drop_empty_blocks(
-        j1.map_batches(
-            lambda b: b.select(["_ck", "rev_cents"])
-            .group_by("_ck")
-            .aggregate([("rev_cents", "sum")])
-            .rename_columns(["_ck", "rev_cents"]),
-            batch_format="pyarrow",
+        _sorted_sum_by_key(
+            j1.map_batches(
+                lambda b: b.select(["_ck", "rev_cents"])
+                .group_by("_ck")
+                .aggregate([("rev_cents", "sum")])
+                .rename_columns(["_ck", "rev_cents"]),
+                batch_format="pyarrow",
+            ),
+            "_ck",
+            "rev_cents",
+            "rev_cents",
         )
-        .groupby("_ck")
-        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
     )
 
     cust = _pq(
