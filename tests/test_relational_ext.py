@@ -1288,3 +1288,54 @@ def test_tile_phash_dups_planted_quadrant():
         for a, b, n in zip(got["id_a"], got["id_b"], got["n_shared_tiles"])
     }
     assert got_map == dict(ref)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_agg_by_key_matches_pandas():
+    """The sort-kernel aggregation operator (r4): multi-agg, multi-key,
+    count, float min — must equal a pandas groupby bit-for-bit, emit
+    each key exactly once (the edge/interior split never divides a
+    key's rows: a key is first/last in EVERY block that holds it or in
+    none), and preserve value dtypes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_seo_ray.queries import _sorted_agg_by_key
+
+    rng = np.random.default_rng(3)
+    n = 60_000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 2500, n)),
+            "k2": pa.array(rng.integers(0, 3, n)),
+            "v": pa.array(rng.integers(0, 100, n)),
+            "f": pa.array(rng.random(n)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    out = _sorted_agg_by_key(
+        ds, "k", [("v", "sum", "sv"), ("v", "max", "mv"), ("f", "min", "mf"), (None, "count", "n")]
+    ).to_pandas()
+    assert out["k"].is_unique
+    ref = (
+        t.to_pandas()
+        .groupby("k")
+        .agg(sv=("v", "sum"), mv=("v", "max"), mf=("f", "min"), n=("v", "size"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values("k", ignore_index=True),
+        ref.sort_values("k", ignore_index=True),
+        check_dtype=False,
+    )
+
+    out2 = _sorted_agg_by_key(ds, ["k", "k2"], [("v", "sum", "sv")]).to_pandas()
+    assert out2.set_index(["k", "k2"]).index.is_unique
+    ref2 = t.to_pandas().groupby(["k", "k2"]).agg(sv=("v", "sum")).reset_index()
+    pd.testing.assert_frame_equal(
+        out2.sort_values(["k", "k2"], ignore_index=True),
+        ref2.sort_values(["k", "k2"], ignore_index=True),
+        check_dtype=False,
+    )
