@@ -229,10 +229,10 @@ def docs_dup_texts(sf_dir: str):
         first2 = pc.list_slice(pc.split_pattern_regex(trimmed, r"\s+"), 0, 2)
         return pa.table({"text_key": pc.utf8_lower(pc.binary_join(first2, " "))})
 
-    grouped = (
-        ds.map_batches(key, batch_format="pyarrow")
-        .groupby("text_key")
-        .aggregate(Count(alias_name="n"))
+    grouped = _sorted_agg_by_key(
+        ds.map_batches(key, batch_format="pyarrow"),
+        "text_key",
+        [(None, "count", "n")],
     )
     return grouped.filter(expr="n > 1")
 
@@ -2814,7 +2814,11 @@ def events_max_value_rows(sf_dir: str):
         ).rename_columns(["user_id", "mx"])
 
     mx = drop_empty_blocks(
-        ds.map_batches(local_max, batch_format="pyarrow").groupby("user_id").max("mx")
+        _sorted_agg_by_key(
+            ds.map_batches(local_max, batch_format="pyarrow"),
+            "user_id",
+            [("mx", "max", "max(mx)")],
+        )
     )
 
     joined = ds.join(mx, "inner", _join_partitions(), on=("user_id",))
@@ -2911,9 +2915,11 @@ def docs_curate(sf_dir: str):
         )
 
     keepers = (
-        ds.map_batches(keep_min, batch_format="pyarrow")
-        .groupby("text")
-        .min("doc_id")
+        _sorted_agg_by_key(
+            ds.map_batches(keep_min, batch_format="pyarrow"),
+            "text",
+            [("doc_id", "min", "min(doc_id)")],
+        )
         .map_batches(
             lambda b: pa.table({"doc_id": b.column("min(doc_id)")}),
             batch_format="pyarrow",
@@ -3977,10 +3983,10 @@ def customer_order_stats(sf_dir: str):
     from .util import drop_empty_blocks
 
     urgent = drop_empty_blocks(
-        orders.map_batches(urgent_partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("spent_cents", alias_name="spent_cents"), Sum("n", alias_name="n")
+        _sorted_agg_by_key(
+            orders.map_batches(urgent_partial, batch_format="pyarrow"),
+            "o_custkey",
+            [("spent_cents", "sum", "spent_cents"), ("n", "sum", "n")],
         )
     )
     joined = cust.join(
@@ -4187,10 +4193,10 @@ def docs_top_ngrams(sf_dir: str, k: int = 50):
             .rename_columns(["ngram", "n"])
         )
 
-    agg = (
-        ds.map_batches(bigram_counts, batch_format="pyarrow")
-        .groupby("ngram")
-        .aggregate(Sum("n", alias_name="n"))
+    agg = _sorted_agg_by_key(
+        ds.map_batches(bigram_counts, batch_format="pyarrow"),
+        "ngram",
+        [("n", "sum", "n")],
     )
 
     def local_topk(b: pa.Table) -> pa.Table:
@@ -4552,9 +4558,11 @@ def customer_order_histogram(sf_dir: str):
         )
 
     per_cust = (
-        orders.map_batches(local_cnt, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .sum("n")
+        _sorted_agg_by_key(
+            orders.map_batches(local_cnt, batch_format="pyarrow"),
+            "o_custkey",
+            [("n", "sum", "sum(n)")],
+        )
         .materialize()  # ≤ one row per customer, object-store resident;
         # lets the 0-bucket count reuse this shuffle instead of re-running it
     )
@@ -5449,7 +5457,9 @@ def part_value_concentration(sf_dir: str):
     )
     total = pc.sum(block_sums.column("s")).as_py()
 
-    agg = partials.groupby("l_partkey").sum("cents").materialize()
+    agg = _sorted_agg_by_key(
+        partials, "l_partkey", [("cents", "sum", "sum(cents)")]
+    ).materialize()
     n_parts = agg.count()
 
     def finish(b: pa.Table) -> pa.Table:
@@ -5729,10 +5739,11 @@ def customer_rfm(sf_dir: str):
         ).rename_columns(["custkey", "f", "m", "r"])
 
     cust = (
-        orders.map_batches(cust_partial, batch_format="pyarrow")
-        .groupby("custkey")
-        .aggregate(Sum("f", alias_name="f"), Sum("m", alias_name="m"),
-                   Max("r", alias_name="r"))
+        _sorted_agg_by_key(
+            orders.map_batches(cust_partial, batch_format="pyarrow"),
+            "custkey",
+            [("f", "sum", "f"), ("m", "sum", "m"), ("r", "max", "r")],
+        )
         .materialize()
     )
 
@@ -5863,10 +5874,10 @@ def customer_set_flags(sf_dir: str):
         .filter(expr="c_acctbal > 9000")
         .map_batches(flag_batch("c_custkey", 0), batch_format="pyarrow")
     )
-    return (
-        urgent.union(highbal)
-        .groupby("c_custkey")
-        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    return _sorted_agg_by_key(
+        urgent.union(highbal),
+        "c_custkey",
+        [("in_a", "max", "in_a"), ("in_b", "max", "in_b")],
     )
 
 
@@ -6213,9 +6224,11 @@ def docs_decontaminate(sf_dir: str):
         return pa.table({"ngram": ngram}).group_by("ngram").aggregate([])
 
     bench = collect_arrow(
-        docs.map_batches(bench_bigrams, batch_format="pyarrow")
-        .groupby("ngram")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        _sorted_agg_by_key(
+            docs.map_batches(bench_bigrams, batch_format="pyarrow"),
+            "ngram",
+            [(None, "count", "_c")],
+        ).map_batches(lambda b: b.drop_columns(["_c"]), batch_format="pyarrow")
     )
     bench_ref = ray.put(bench.column("ngram").combine_chunks())
 
@@ -6306,10 +6319,10 @@ def orders_customer_full_join(sf_dir: str):
         )
     else:
         agg = drop_empty_blocks(
-            orders.map_batches(f_partial, batch_format="pyarrow")
-            .groupby("o_custkey")
-            .aggregate(
-                Sum("spent_cents", alias_name="spent_cents"), Sum("n", alias_name="n")
+            _sorted_agg_by_key(
+                orders.map_batches(f_partial, batch_format="pyarrow"),
+                "o_custkey",
+                [("spent_cents", "sum", "spent_cents"), ("n", "sum", "n")],
             )
         )
         rich = cust.filter(expr="c_acctbal > 8000")
@@ -8869,9 +8882,11 @@ def docs_term_pmi(sf_dir: str, k: int = 100):
 
     df_tbl = collect_arrow(
         drop_empty_blocks(
-            ds.map_batches(df_partial, batch_format="pyarrow")
-            .groupby("term")
-            .aggregate(Sum("df", alias_name="df"))
+            _sorted_agg_by_key(
+                ds.map_batches(df_partial, batch_format="pyarrow"),
+                "term",
+                [("df", "sum", "df")],
+            )
         )
     )
     df_tbl = df_tbl.filter(pc.greater_equal(df_tbl.column("df"), min_df))
@@ -10114,10 +10129,12 @@ def orders_large_qty(sf_dir: str):
         )
 
     big = drop_empty_blocks(
-        _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"], blocks=16)
-        .map_batches(li_scan, batch_format="pyarrow")
-        .groupby("_ok")
-        .aggregate(Sum("qty_c", alias_name="qty_c"))
+        _sorted_agg_by_key(
+            _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"], blocks=16)
+            .map_batches(li_scan, batch_format="pyarrow"),
+            "_ok",
+            [("qty_c", "sum", "qty_c")],
+        )
         .map_batches(
             lambda b: b.filter(pc.greater(b.column("qty_c"), _Q18_MIN_QTY_CENTS)),
             batch_format="pyarrow",
@@ -10506,10 +10523,12 @@ def orders_priority_late(sf_dir: str):
         )
 
     li = drop_empty_blocks(
-        _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"], blocks=16)
-        .map_batches(li_scan, batch_format="pyarrow")
-        .groupby("_ok")
-        .aggregate(Max("ship_us", alias_name="ship_us"))
+        _sorted_agg_by_key(
+            _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"], blocks=16)
+            .map_batches(li_scan, batch_format="pyarrow"),
+            "_ok",
+            [("ship_us", "max", "ship_us")],
+        )
     )
 
     def ord_scan(b: pa.Table) -> pa.Table:
