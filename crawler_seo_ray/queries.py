@@ -412,10 +412,10 @@ def events_props_extract(sf_dir: str):
             }
         )
 
-    agg = (
-        ds.map_batches(extract, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    agg = _sorted_agg_by_key(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        "k",
+        [(None, "count", "n"), ("value_cents", "sum", "value_cents")],
     )
     return agg.map_batches(
         lambda b: _cents_to_dollars(b, "value_cents", "sum_value"),
@@ -7950,15 +7950,21 @@ def supplier_part_coverage(sf_dir: str, max_size: int = 2, k: int = 10):
         )
 
     sp = drop_empty_blocks(
-        ds.map_batches(block_distinct, batch_format="pyarrow")
-        .groupby(["s", "p"])
-        .aggregate(Count(alias_name="_c"))
+        _sorted_agg_by_key(
+            ds.map_batches(block_distinct, batch_format="pyarrow"),
+            ["s", "p"],
+            [(None, "count", "_c")],
+        )
     )
     universe_in_li = int(
-        drop_empty_blocks(sp.groupby("p").aggregate(Count(alias_name="_c"))).count()
+        drop_empty_blocks(
+            _sorted_agg_by_key(sp, "p", [(None, "count", "_c")])
+        ).count()
     )
     cov = collect_arrow(
-        drop_empty_blocks(sp.groupby("s").aggregate(Count(alias_name="n_parts"))),
+        drop_empty_blocks(
+            _sorted_agg_by_key(sp, "s", [(None, "count", "n_parts")])
+        ),
         schema=pa.schema([("s", pa.int64()), ("n_parts", pa.int64())]),
     )
     s_arr = cov.column("s").to_numpy(zero_copy_only=False)
@@ -8346,9 +8352,11 @@ def lineitem_weighted_median(sf_dir: str):
         )
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["k", "p"])
-        .aggregate(Sum("w", alias_name="w"))
+        _sorted_agg_by_key(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["k", "p"],
+            [("w", "sum", "w")],
+        )
         .groupby("k")
         .map_groups(pick, batch_format="pyarrow")
     )
@@ -9303,7 +9311,7 @@ def customer_fuzzy_pairs(sf_dir: str, bucket_cap: int = 2000):
             )
         )
 
-    caps = var_ds.groupby("key").aggregate(Count(alias_name="n"))
+    caps = _sorted_agg_by_key(var_ds, "key", [(None, "count", "n")])
 
     def check_cap(b: pa.Table) -> pa.Table:
         over = pc.greater(b.column("n"), bucket_cap)
@@ -10072,8 +10080,10 @@ def orders_shipping_priority(sf_dir: str):
     j2 = li.join(j1, "inner", nparts, on=("_ok",), right_on=("o_orderkey",))
 
     per_order = drop_empty_blocks(
-        j2.groupby(["_ok", "o_orderdate", "o_orderpriority"]).aggregate(
-            Sum("rev_cents", alias_name="rev_cents")
+        _sorted_agg_by_key(
+            j2,
+            ["_ok", "o_orderdate", "o_orderpriority"],
+            [("rev_cents", "sum", "rev_cents")],
         )
     )
 
@@ -11709,11 +11719,9 @@ def part_supplier_census(sf_dir: str):
             .rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
         )
 
-    pairs = (
-        pairs_partial.groupby(["_pk", "suppkey"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    pairs = _sorted_agg_by_key(
+        pairs_partial, ["_pk", "suppkey"], [(None, "count", "_n")]
+    ).drop_columns(["_n"])
     part = _pq(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
     joined = drop_empty_blocks(pairs).join(
         part, "inner", _join_partitions(), on=("_pk",), right_on=("p_partkey",)
@@ -11734,10 +11742,10 @@ def part_supplier_census(sf_dir: str):
             .select(["p_brand", "p_type", "p_size", "suppkey"])
         )
 
-    quads = (
-        joined.map_batches(quad_partial, batch_format="pyarrow")
-        .groupby(["p_brand", "p_type", "p_size", "suppkey"])
-        .aggregate(Count(alias_name="_n"))
+    quads = _sorted_agg_by_key(
+        joined.map_batches(quad_partial, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size", "suppkey"],
+        [(None, "count", "_n")],
     )
 
     def count_partial(b: pa.Table) -> pa.Table:
@@ -12226,8 +12234,9 @@ def _tile_pairs(tiles, bucket_cap: int = 2000):
         bucket_pairs, batch_format="pyarrow"
     )
     return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_shared_tiles"))
+        _sorted_agg_by_key(
+            pairs, ["id_a", "id_b"], [(None, "count", "n_shared_tiles")]
+        )
         .sort(["id_a", "id_b"])
     )
 
