@@ -530,116 +530,7 @@ _VOCAB_FOLD_GATE = 4_000_000
 _PIXEL_BCAST_GATE = 65_536
 
 
-def _sorted_agg_by_key(ds, key_cols, aggs):
-    """Exact distributed per-key aggregation as a Dataset WITHOUT
-    ``groupby().aggregate()``: Ray's aggregate walks rows AND groups in
-    Python (measured r4: ~5 µs/row + ~20 µs/group — 23 s for a 1M-group
-    sum whose raw sort shuffle costs 0.2 s), which dominates whenever
-    the group count is input-proportional (vocabulary, users, grams,
-    pairs). Shape: ONE global sort on the key(s); each block
-    reduceat-folds its INTERIOR key runs (contiguous after the sort)
-    and keeps them distributed; only rows equal to the block's
-    first/last key — the runs that may straddle block boundaries, ≤2
-    keys per block — ship raw to the driver, fold there, and union
-    back as one small block. The supplier_blame sort-kernel lesson as
-    a reusable operator.
-
-    ``key_cols``: one column name or a list. ``aggs``: list of
-    (val_col, op, alias) with op ∈ sum/max/min/count (count ignores
-    val_col). Output columns: keys then aliases; value dtypes follow
-    the inputs (count is int64)."""
-    import ray.data as rd
-
-    if isinstance(key_cols, str):
-        key_cols = [key_cols]
-    ufuncs = {"sum": np.add, "max": np.maximum, "min": np.minimum}
-    sort_key = key_cols if len(key_cols) > 1 else key_cols[0]
-    sorted_ds = ds.sort(sort_key)
-
-    def _val_np(b, col):
-        return b.column(col).to_numpy(zero_copy_only=False)
-
-    def fold(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            cols = {"kind": pa.array([], pa.int8())}
-            for kc in key_cols:
-                cols[kc] = pa.array([], b.schema.field(kc).type)
-            for vc, op, alias in aggs:
-                cols[alias] = pa.array(
-                    [], pa.int64() if op == "count" else b.schema.field(vc).type
-                )
-            return pa.table(cols)
-        karrs = []
-        for kc in key_cols:
-            a = b.column(kc)
-            karrs.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
-        n = b.num_rows
-        em = np.ones(n, bool)
-        el = np.ones(n, bool)
-        for a in karrs:
-            em &= pc.equal(a, a[0]).to_numpy(zero_copy_only=False)
-            el &= pc.equal(a, a[n - 1]).to_numpy(zero_copy_only=False)
-        em = em | el
-        keep = ~em
-        change = np.zeros(int(keep.sum()), bool)
-        if change.size:
-            change[0] = True
-            for a in karrs:
-                ia = a.filter(pa.array(keep))
-                change[1:] |= pc.not_equal(
-                    ia.slice(1), ia.slice(0, len(ia) - 1)
-                ).to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(change)
-        runlens = np.diff(np.r_[starts, change.size])
-        cols = {
-            "kind": pa.array(
-                np.r_[np.zeros(int(em.sum()), np.int8), np.ones(starts.size, np.int8)]
-            )
-        }
-        take_i = pa.array(starts, pa.int64())
-        for kc, a in zip(key_cols, karrs):
-            cols[kc] = pa.concat_arrays(
-                [a.filter(pa.array(em)), a.filter(pa.array(keep)).take(take_i)]
-            )
-        for vc, op, alias in aggs:
-            if op == "count":
-                e_v = np.ones(int(em.sum()), np.int64)
-                red = runlens.astype(np.int64)
-                typ = pa.int64()
-            else:
-                v = _val_np(b, vc)
-                e_v = v[em]
-                iv = v[keep]
-                red = (
-                    ufuncs[op].reduceat(iv, starts)
-                    if starts.size
-                    else iv[:0]
-                )
-                typ = b.schema.field(vc).type
-            cols[alias] = pa.array(np.r_[e_v, red]).cast(typ)
-        return pa.table(cols)
-
-    parts = sorted_ds.map_batches(fold, batch_format="pyarrow").materialize()
-    interior = parts.filter(expr="kind == 1").map_batches(
-        lambda b: b.drop_columns(["kind"]), batch_format="pyarrow"
-    )
-    from .util import collect_arrow
-
-    edge = collect_arrow(parts.filter(expr="kind == 0"))
-    if edge.num_rows == 0:
-        return interior
-    # driver patch: the edge rows are raw inputs EXCEPT count partials
-    # (already 1-per-row there), so count folds as a sum of the partial
-    arrow_aggs = [
-        (alias, "sum" if op == "count" else op) for _, op, alias in aggs
-    ]
-    folded = (
-        edge.select(key_cols + [a for _, _, a in aggs])
-        .group_by(key_cols)
-        .aggregate(arrow_aggs)
-        .rename_columns(key_cols + [a for _, _, a in aggs])
-    )
-    return interior.union(rd.from_arrow(folded))
+from .util import sorted_agg_by_key as _sorted_agg_by_key  # noqa: E402
 
 
 def _sorted_sum_by_key(ds, key_col: str, val_col: str, alias: str, op: str = "sum"):

@@ -341,10 +341,14 @@ def _bucket_candidate_pairs(
 
 def _distinct_pairs(pairs: Dataset) -> Dataset:
     """Distributed pair-dedup (a pair colliding in k bands is emitted k
-    times): one narrow groupby over the candidate-pair keys."""
-    from ray.data.aggregate import Count as _Count
+    times): one sort-kernel count over the candidate-pair keys (pair
+    count is input-proportional — Ray's groupby-aggregate would walk
+    every pair in Python, the r4 lesson)."""
+    from ..util import sorted_agg_by_key
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(_Count(alias_name="_n")).drop_columns(["_n"])
+    return sorted_agg_by_key(
+        pairs, ["id_a", "id_b"], [(None, "count", "_n")]
+    ).drop_columns(["_n"])
 
 
 def _attach_texts(pairs: Dataset, ds: Dataset, text_col: str, id_col: str,
@@ -577,10 +581,9 @@ def connected_components_distributed(
     """
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Min as _Min
     from ray.data.aggregate import Sum as _Sum
 
-    from ..util import drop_empty_blocks
+    from ..util import drop_empty_blocks, sorted_agg_by_key
 
     tbl = pairs if isinstance(pairs, pa.Table) else collect_arrow(pairs)
     id_type = tbl.schema.field("id_a").type
@@ -629,9 +632,9 @@ def connected_components_distributed(
             batch_format="pyarrow",
         )
         labels = drop_empty_blocks(  # groupby blocks break the next join
-            labels.union(msgs)
-            .groupby("id")
-            .aggregate(_Min("label", alias_name="label"))
+            sorted_agg_by_key(
+                labels.union(msgs), "id", [("label", "min", "label")]
+            )
         )
         cur = labels.aggregate(_Sum("label", alias_name="s"))["s"]
         if prev_sum is not None and cur == prev_sum:

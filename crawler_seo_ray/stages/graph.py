@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
-from ..util import collect_arrow, drop_empty_blocks
+from ..util import collect_arrow, drop_empty_blocks, sorted_agg_by_key
 
 
 def _pagerank_dense(et: pa.Table, damping: float, iterations: int) -> pa.Table:
@@ -90,10 +90,10 @@ def pagerank(
 
     # node universe = src nodes (with out-degree) ∪ dst-only nodes (deg 0)
     deg = drop_empty_blocks(
-        edges.groupby("src").aggregate(Count(alias_name="deg"))
+        sorted_agg_by_key(edges, "src", [(None, "count", "deg")])
     )
     dsts = drop_empty_blocks(
-        edges.groupby("dst").aggregate(Count(alias_name="_n"))
+        sorted_agg_by_key(edges, "dst", [(None, "count", "_n")])
     ).map_batches(
         lambda b: pa.table({"src": b.column("dst")}), batch_format="pyarrow"
     )
@@ -158,7 +158,7 @@ def pagerank(
             batch_format="pyarrow",
         )
         summed = drop_empty_blocks(
-            contrib.groupby("dst").aggregate(Sum("c", alias_name="c"))
+            sorted_agg_by_key(contrib, "dst", [("c", "sum", "c")])
         )
         add = base + damping * (dang / n)
         ranks = nodes.join(
@@ -351,7 +351,7 @@ def kcore(
 
     def _degrees(e: Dataset) -> Dataset:
         return drop_empty_blocks(
-            e.groupby("src").aggregate(Count(alias_name="degree"))
+            sorted_agg_by_key(e, "src", [(None, "count", "degree")])
         )
 
     empty = pa.table(
@@ -517,7 +517,7 @@ def bfs_depths(
             lambda b: pa.table({"id": b.column("dst")}), batch_format="pyarrow"
         )
         distinct = drop_empty_blocks(
-            nbrs.groupby("id").aggregate(Count(alias_name="_c"))
+            sorted_agg_by_key(nbrs, "id", [(None, "count", "_c")])
         ).map_batches(lambda b: b.drop_columns(["_c"]), batch_format="pyarrow")
         frontier = drop_empty_blocks(
             distinct.join(visited, "left_anti", num_partitions, on=("id",))
@@ -600,14 +600,14 @@ def hits(
     if edges.count() <= driver_edge_limit:
         return _hits_dense(collect_arrow(edges), iterations)
 
-    srcs = edges.groupby("src").aggregate(Count(alias_name="_n")).map_batches(
+    srcs = sorted_agg_by_key(edges, "src", [(None, "count", "_n")]).map_batches(
         lambda b: pa.table({"id": b.column("src")}), batch_format="pyarrow"
     )
-    dsts = edges.groupby("dst").aggregate(Count(alias_name="_n")).map_batches(
+    dsts = sorted_agg_by_key(edges, "dst", [(None, "count", "_n")]).map_batches(
         lambda b: pa.table({"id": b.column("dst")}), batch_format="pyarrow"
     )
-    nodes = drop_empty_blocks(srcs.union(dsts)).groupby("id").aggregate(
-        Count(alias_name="_n")
+    nodes = sorted_agg_by_key(
+        drop_empty_blocks(srcs.union(dsts)), "id", [(None, "count", "_n")]
     ).map_batches(
         lambda b: pa.table({"id": b.column("id")}), batch_format="pyarrow"
     ).materialize()
@@ -632,16 +632,18 @@ def hits(
     def half_step(scores, from_col, to_col):
         """to(x) = Σ_{edges} score(from side); L1-normalized."""
         raw = drop_empty_blocks(
-            edges.join(scores, "inner", num_partitions, on=(from_col,),
-                       right_on=("id",))
-            .map_batches(
-                lambda b: pa.table(
-                    {"id": b.column(to_col), "c": b.column("score")}
+            sorted_agg_by_key(
+                edges.join(scores, "inner", num_partitions, on=(from_col,),
+                           right_on=("id",))
+                .map_batches(
+                    lambda b: pa.table(
+                        {"id": b.column(to_col), "c": b.column("score")}
+                    ),
+                    batch_format="pyarrow",
                 ),
-                batch_format="pyarrow",
+                "id",
+                [("c", "sum", "c")],
             )
-            .groupby("id")
-            .aggregate(Sum("c", alias_name="c"))
         )
         norm = raw.map_batches(
             lambda b: pa.table(

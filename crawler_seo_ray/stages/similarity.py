@@ -537,33 +537,91 @@ def knn_all_ivf(
                 }
             )
 
-        def merge_query(g: pa.Table) -> pa.Table:
-            qid = g.column("query_id")[0].as_py()
-            nid = g.column("neighbor_id").to_numpy(zero_copy_only=False)
-            sim = g.column("sim").to_numpy(zero_copy_only=False)
-            order = np.lexsort((nid, -sim))[:k]
-            cols = {
-                "query_id": pa.array([qid] * len(order), pa.int64()),
-                "neighbor_id": pa.array(nid[order], pa.int64()),
-                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-            }
-            if return_sim:
-                cols["sim"] = pa.array(sim[order], pa.float64())
-            return pa.table(cols)
+        def _run_topk(qid: np.ndarray, nid: np.ndarray, sim: np.ndarray):
+            """Vectorized per-query top-k over MANY queries at once:
+            lexsort by (qid, sim desc, id asc), rank = position within
+            the qid run, keep rank < k — no per-query Python call (the
+            r4 sort-kernel lesson applied to this operator's own
+            merge)."""
+            o = np.lexsort((nid, -sim, qid))
+            q, nn, ss = qid[o], nid[o], sim[o]
+            starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+            pos = np.arange(len(q))
+            rnk = pos - starts[np.searchsorted(starts, pos, side="right") - 1]
+            keep = rnk < k
+            return q[keep], nn[keep], ss[keep], rnk[keep] + 1
 
-        out_schema = [
-            ("query_id", pa.int64()),
-            ("neighbor_id", pa.int64()),
-            ("rank", pa.int64()),
-        ] + ([("sim", pa.float64())] if return_sim else [])
-        out = collect_arrow(
+        def topk_runs(b: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+            if b.num_rows == 0:
+                return empty
+            qid = b.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            nid = b.column("neighbor_id").to_numpy(zero_copy_only=False)
+            sim = b.column("sim").to_numpy(zero_copy_only=False)
+            em = (qid == qid[0]) | (qid == qid[-1])
+            e_q, e_n, e_s = qid[em], nid[em], sim[em]
+            q, nn, ss, rnk = _run_topk(qid[~em], nid[~em], sim[~em])
+            return pa.table(
+                {
+                    "kind": pa.array(
+                        np.r_[np.zeros(e_q.size, np.int8), np.ones(q.size, np.int8)]
+                    ),
+                    "query_id": pa.array(np.r_[e_q, q], pa.int64()),
+                    "neighbor_id": pa.array(np.r_[e_n, nn], pa.int64()),
+                    "sim": pa.array(np.r_[e_s, ss], pa.float64()),
+                    "rank": pa.array(
+                        np.r_[np.zeros(e_q.size, np.int64), rnk], pa.int64()
+                    ),
+                }
+            )
+
+        parts = collect_arrow(
             cells.map_batches(expand, batch_format="pyarrow")
             .groupby("gkey")
             .map_groups(probe_tile, batch_format="pyarrow")
-            .groupby("query_id")
-            .map_groups(merge_query, batch_format="pyarrow"),
-            schema=pa.schema(out_schema),
+            .sort("query_id")
+            .map_batches(topk_runs, batch_format="pyarrow"),
+            schema=pa.schema(
+                [
+                    ("kind", pa.int8()),
+                    ("query_id", pa.int64()),
+                    ("neighbor_id", pa.int64()),
+                    ("sim", pa.float64()),
+                    ("rank", pa.int64()),
+                ]
+            ),
         )
+        kind = parts.column("kind").to_numpy()
+        qf = parts.column("query_id").to_numpy()
+        nf = parts.column("neighbor_id").to_numpy()
+        sf = parts.column("sim").to_numpy()
+        rf = parts.column("rank").to_numpy()
+        eq, en, es, er = (
+            qf[kind == 0],
+            nf[kind == 0],
+            sf[kind == 0],
+            None,
+        )
+        if eq.size:
+            eq, en, es, er = _run_topk(eq, en, es)
+        else:
+            er = np.array([], np.int64)
+        cols = {
+            "query_id": pa.array(np.r_[qf[kind == 1], eq], pa.int64()),
+            "neighbor_id": pa.array(np.r_[nf[kind == 1], en], pa.int64()),
+            "rank": pa.array(np.r_[rf[kind == 1], er], pa.int64()),
+        }
+        if return_sim:
+            cols["sim"] = pa.array(np.r_[sf[kind == 1], es], pa.float64())
+        out = pa.table(cols)
         import pyarrow.compute as pc
 
         return out.take(
