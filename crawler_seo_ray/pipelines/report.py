@@ -320,30 +320,158 @@ def score_ranking(final: Dataset, k: int = 100) -> Dataset:
 
 def duplicates_report(final: Dataset, text_col: str) -> Dataset:
     """Texts appearing on >1 page with their URL lists (G2;
-    metatags_analyzer.py:387-404)."""
+    metatags_analyzer.py:387-404). Sort-kernel shape (r4): one global
+    (text, visit_seq) sort, each block emits its interior duplicate
+    runs as finished (text, urls, count) rows fully vectorized
+    (ListArray over the run slices — no per-text Python call, which a
+    groupby(text).map_groups pays page-proportionally), boundary texts
+    patch on the driver through the identical kernel."""
+    import numpy as np
 
-    def per_group(g: pa.Table) -> pa.Table:
-        texts = g.column(text_col).to_pylist()
-        t = texts[0] if texts else None
-        if not t or g.num_rows < 2:
-            return pa.table(
-                {text_col: pa.array([], pa.string()),
-                 "urls": pa.array([], pa.list_(pa.string())),
-                 "count": pa.array([], pa.int64())}
-            )
-        import numpy as np
+    import ray.data as rd
 
-        order = np.argsort(g.column("visit_seq").to_numpy())
-        urls_list = g.column("url").to_pylist()
-        urls = [urls_list[i] for i in order]
-        return pa.table({text_col: [t], "urls": [urls], "count": [len(urls)]})
+    from ..util import collect_arrow
 
-    return (
+    def _dup_runs(tbl: pa.Table) -> pa.Table:
+        """tbl sorted by (text, visit_seq) → one finished row per text
+        with ≥2 pages."""
+        out_empty = pa.table(
+            {text_col: pa.array([], pa.string()),
+             "urls": pa.array([], pa.list_(pa.string())),
+             "count": pa.array([], pa.int64())}
+        )
+        if tbl.num_rows == 0:
+            return out_empty
+        it = tbl.column(text_col)
+        it = it.combine_chunks() if isinstance(it, pa.ChunkedArray) else it
+        change = np.r_[
+            True,
+            pc.not_equal(it.slice(1), it.slice(0, len(it) - 1)).to_numpy(
+                zero_copy_only=False
+            ),
+        ]
+        starts = np.flatnonzero(change)
+        runlens = np.diff(np.r_[starts, len(it)])
+        sel = runlens >= 2
+        if not sel.any():
+            return out_empty
+        starts_k, lens_k = starts[sel], runlens[sel]
+        total = int(lens_k.sum())
+        row_idx = np.repeat(starts_k, lens_k) + (
+            np.arange(total) - np.repeat(np.r_[0, np.cumsum(lens_k)[:-1]], lens_k)
+        )
+        urls_col = tbl.column("url")
+        urls_col = (
+            urls_col.combine_chunks()
+            if isinstance(urls_col, pa.ChunkedArray)
+            else urls_col
+        )
+        vals = urls_col.take(pa.array(row_idx, pa.int64()))
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(lens_k)], pa.int32()), vals
+        )
+        return pa.table(
+            {
+                text_col: it.take(pa.array(starts_k, pa.int64())),
+                "urls": lists,
+                "count": pa.array(lens_k.astype(np.int64), pa.int64()),
+            }
+        )
+
+    base = (
         _where_processed(final)
         .select_columns([text_col, "url", "visit_seq"])
-        .groupby(text_col)
-        .map_groups(per_group, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.is_valid(b.column(text_col)),
+                    pc.not_equal(pc.fill_null(b.column(text_col), ""), ""),
+                )
+            ),
+            batch_format="pyarrow",
+        )
     )
+
+    def runs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                text_col: pa.array([], pa.string()),
+                "url": pa.array([], pa.string()),
+                "visit_seq": pa.array([], pa.int64()),
+                "urls": pa.array([], pa.list_(pa.string())),
+                "count": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        it = b.column(text_col)
+        it = it.combine_chunks() if isinstance(it, pa.ChunkedArray) else it
+        em = pc.or_(
+            pc.equal(it, it[0]), pc.equal(it, it[len(it) - 1])
+        ).to_numpy(zero_copy_only=False)
+        e = b.filter(pa.array(em))
+        done = _dup_runs(b.filter(pa.array(~em)))
+        n_e, n_d = e.num_rows, done.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[np.zeros(n_e, np.int8), np.ones(n_d, np.int8)]
+                ),
+                text_col: pa.concat_arrays(
+                    [
+                        e.column(text_col).combine_chunks().cast(pa.string()),
+                        done.column(text_col).combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "url": pa.concat_arrays(
+                    [
+                        e.column("url").combine_chunks().cast(pa.string()),
+                        pa.array([""] * n_d, pa.string()),
+                    ]
+                ),
+                "visit_seq": pa.concat_arrays(
+                    [
+                        e.column("visit_seq").combine_chunks().cast(pa.int64()),
+                        pa.array([0] * n_d, pa.int64()),
+                    ]
+                ),
+                "urls": pa.concat_arrays(
+                    [
+                        pa.array([None] * n_e, pa.list_(pa.string())),
+                        done.column("urls").combine_chunks(),
+                    ]
+                ),
+                "count": pa.concat_arrays(
+                    [
+                        pa.array([0] * n_e, pa.int64()),
+                        done.column("count").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    parts = (
+        base.sort([text_col, "visit_seq"])
+        .map_batches(runs, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = parts.filter(expr="kind == 1").map_batches(
+        lambda b: b.select([text_col, "urls", "count"]), batch_format="pyarrow"
+    )
+    edge = collect_arrow(parts.filter(expr="kind == 0"))
+    if edge.num_rows == 0:
+        return interior
+    et = edge.select([text_col, "url", "visit_seq"])
+    et = et.take(
+        pc.sort_indices(
+            et, sort_keys=[(text_col, "ascending"), ("visit_seq", "ascending")]
+        )
+    )
+    folded = _dup_runs(et)
+    if folded.num_rows == 0:
+        return interior
+    return interior.union(rd.from_arrow(folded))
 
 
 def summary(final: Dataset) -> dict:
