@@ -320,17 +320,33 @@ def events_sessionize(sf_dir: str):
 
     ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
 
-    def sess(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id")[0].as_py()
-        t = np.sort(
-            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+    def _sessions(uid: np.ndarray, t: np.ndarray) -> pa.Table:
+        """(uid, t) sorted by (user, ts) → finished session rows, fully
+        vectorized across MANY users at once (sort-kernel form of the
+        per-user map_groups — no per-user Python call)."""
+        if uid.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                }
+            )
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_sess = new_user | np.r_[True, (t[1:] - t[:-1]) > GAP_US]
+        s_glob = np.cumsum(new_sess)
+        ustarts = np.flatnonzero(new_user)
+        base = np.repeat(
+            s_glob[ustarts] - 1, np.diff(np.r_[ustarts, uid.size])
         )
-        sid = np.concatenate(([0], np.cumsum(np.diff(t) > GAP_US))).astype(np.int64) + 1
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(sid)) + 1))
-        ends = np.concatenate((starts[1:] - 1, [len(t) - 1]))
+        sid = (s_glob - base).astype(np.int64)
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:] - 1, uid.size - 1]
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(starts), uid, dtype=np.int64)),
+                "user_id": pa.array(uid[starts], pa.int64()),
                 "session_id": pa.array(sid[starts]),
                 "n_events": pa.array((ends - starts + 1).astype(np.int64)),
                 "session_start": pa.array(t[starts]).cast(pa.timestamp("us")),
@@ -338,7 +354,101 @@ def events_sessionize(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
+    pre = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": pc.cast(b.column("user_id"), pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def runs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "user_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.int64()),
+                "session_end": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        em = (uid == uid[0]) | (uid == uid[-1])
+        done = _sessions(uid[~em], t[~em])
+        e_u, e_t = uid[em], t[em]
+        n_d = done.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(np.r_[np.zeros(e_u.size, np.int8), np.ones(n_d, np.int8)]),
+                "user_id": pa.array(
+                    np.r_[e_u, done.column("user_id").to_numpy()], pa.int64()
+                ),
+                "ts_us": pa.array(np.r_[e_t, np.zeros(n_d, np.int64)], pa.int64()),
+                "session_id": pa.array(
+                    np.r_[np.zeros(e_u.size, np.int64), done.column("session_id").to_numpy()],
+                    pa.int64(),
+                ),
+                "n_events": pa.array(
+                    np.r_[np.zeros(e_u.size, np.int64), done.column("n_events").to_numpy()],
+                    pa.int64(),
+                ),
+                "session_start": pa.array(
+                    np.r_[
+                        np.zeros(e_u.size, np.int64),
+                        pc.cast(done.column("session_start"), pa.int64()).to_numpy(),
+                    ],
+                    pa.int64(),
+                ),
+                "session_end": pa.array(
+                    np.r_[
+                        np.zeros(e_u.size, np.int64),
+                        pc.cast(done.column("session_end"), pa.int64()).to_numpy(),
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = (
+        pre.sort(["user_id", "ts_us"])
+        .map_batches(runs, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = parts.filter(expr="kind == 1").map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "session_id": b.column("session_id"),
+                "n_events": b.column("n_events"),
+                "session_start": pc.cast(
+                    b.column("session_start"), pa.timestamp("us")
+                ),
+                "session_end": pc.cast(b.column("session_end"), pa.timestamp("us")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from .util import collect_arrow
+
+    edge = collect_arrow(parts.filter(expr="kind == 0"))
+    if edge.num_rows == 0:
+        return interior
+    eu = edge.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    et = edge.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((et, eu))
+    folded = _sessions(eu[o], et[o])
+    if folded.num_rows == 0:
+        return interior
+    return interior.union(rd.from_arrow(folded))
 
 
 def events_funnel(sf_dir: str):
