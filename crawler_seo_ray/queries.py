@@ -475,12 +475,15 @@ def events_funnel(sf_dir: str):
             }
         )
 
-    def funnel(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id")[0].as_py()
-        et = g.column("event_type").to_numpy(zero_copy_only=False)
-        ts = g.column("ts").to_numpy()
-        vt = np.sort(ts[et == "view"])
-        if len(vt) == 0:
+    def _funnel_all(uid: np.ndarray, ts: np.ndarray, is_p: np.ndarray) -> pa.Table:
+        """(uid, ts, is_purchase) for COMPLETE users → per-user
+        (n_views, n_converted), vectorized across all users at once:
+        merge-sort views before purchases at equal (user, ts), so the
+        running purchase count AT each view row IS the global index of
+        that view's first same-or-later purchase in the (user, ts)-
+        ordered purchase array — one lexsort + one cumsum replace the
+        per-user searchsorted (sort-kernel form of the map_groups)."""
+        if uid.size == 0:
             return pa.table(
                 {
                     "user_id": pa.array([], pa.int64()),
@@ -488,23 +491,106 @@ def events_funnel(sf_dir: str):
                     "n_converted": pa.array([], pa.int64()),
                 }
             )
-        pt = np.sort(ts[et == "purchase"])
-        idx = np.searchsorted(pt, vt, side="left")
-        ok = idx < len(pt)
-        ok[ok] = pt[idx[ok]] <= vt[ok] + H_US
+        order = np.lexsort((is_p, ts, uid))  # view (0) before purchase at tie
+        u_s, t_s, p_s = uid[order], ts[order], is_p[order].astype(np.int64)
+        cum_p = np.cumsum(p_s) - p_s  # purchases strictly before this row
+        vmask = p_s == 0
+        vu, vt, idx_g = u_s[vmask], t_s[vmask], cum_p[vmask]
+        pt_all = t_s[~vmask]
+        pu_all = u_s[~vmask]
+        ok = idx_g < len(pt_all)
+        ok[ok] = (pu_all[idx_g[ok]] == vu[ok]) & (
+            pt_all[idx_g[ok]] <= vt[ok] + H_US
+        )
+        # per-user fold over the (user-sorted) view rows
+        starts = np.flatnonzero(np.r_[True, vu[1:] != vu[:-1]])
+        n_views = np.diff(np.r_[starts, vu.size])
+        n_conv = np.add.reduceat(ok.astype(np.int64), starts) if vu.size else ok
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_views": pa.array([len(vt)], pa.int64()),
-                "n_converted": pa.array([int(ok.sum())], pa.int64()),
+                "user_id": pa.array(vu[starts], pa.int64()),
+                "n_views": pa.array(n_views.astype(np.int64), pa.int64()),
+                "n_converted": pa.array(n_conv, pa.int64()),
             }
         )
 
-    return (
-        ds.map_batches(kernel, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(funnel, batch_format="pyarrow")
+    from .util import collect_arrow
+
+    pre = ds.map_batches(kernel, batch_format="pyarrow").map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": pc.cast(b.column("user_id"), pa.int64()),
+                "ts": b.column("ts"),
+                "is_p": pc.cast(
+                    pc.equal(b.column("event_type"), "purchase"), pa.int8()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
+
+    def runs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()),
+                "is_p": pa.array([], pa.int8()),
+                "n_views": pa.array([], pa.int64()),
+                "n_converted": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_p = b.column("is_p").to_numpy(zero_copy_only=False).astype(np.int8)
+        em = (uid == uid[0]) | (uid == uid[-1])
+        done = _funnel_all(uid[~em], ts[~em], is_p[~em])
+        n_e, n_d = int(em.sum()), done.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(np.r_[np.zeros(n_e, np.int8), np.ones(n_d, np.int8)]),
+                "user_id": pa.array(
+                    np.r_[uid[em], done.column("user_id").to_numpy()], pa.int64()
+                ),
+                "ts": pa.array(np.r_[ts[em], np.zeros(n_d, np.int64)], pa.int64()),
+                "is_p": pa.array(
+                    np.r_[is_p[em], np.zeros(n_d, np.int8)], pa.int8()
+                ),
+                "n_views": pa.array(
+                    np.r_[np.zeros(n_e, np.int64), done.column("n_views").to_numpy()],
+                    pa.int64(),
+                ),
+                "n_converted": pa.array(
+                    np.r_[
+                        np.zeros(n_e, np.int64), done.column("n_converted").to_numpy()
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = (
+        pre.sort(["user_id", "ts"])
+        .map_batches(runs, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = parts.filter(expr="kind == 1").map_batches(
+        lambda b: b.select(["user_id", "n_views", "n_converted"]),
+        batch_format="pyarrow",
+    )
+    edge = collect_arrow(parts.filter(expr="kind == 0"))
+    if edge.num_rows == 0:
+        return interior
+    folded = _funnel_all(
+        edge.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        edge.column("ts").to_numpy(zero_copy_only=False).astype(np.int64),
+        edge.column("is_p").to_numpy(zero_copy_only=False).astype(np.int8),
+    )
+    if folded.num_rows == 0:
+        return interior
+    return interior.union(rd.from_arrow(folded))
 
 
 def events_props_extract(sf_dir: str):
@@ -9610,47 +9696,154 @@ def lineitem_winsorized(sf_dir: str):
 def events_session_paths(sf_dir: str, k: int = 20):
     """Session SEQUENCE MINING: the top-k most common within-session
     event-type paths (the product-analytics "common journeys" query).
-    One groupby(user).map_groups does sessionization (30-min gap, the
-    events_sessionize convention) AND path assembly — sessions never
-    ride a second shuffle — then a path-keyed count groupby and a
-    deterministic (count desc, path asc) top-k on the distinct-path
-    table. Same-timestamp ordering is pinned by (ts, event_id), exactly
-    as the oracle's ORDER BY."""
+    Sort-kernel shape (r4): ONE global (user, ts, event_id) sort; each
+    block sessionizes its interior users vectorized across ALL of them
+    at once (gap-and-island run boundaries; path assembly is ONE
+    ``pc.binary_join`` over a ListArray of session slices — no Python
+    join per session) and emits (path, n) count partials; boundary
+    users fold on the driver through the identical kernel. Path totals
+    ride the sort-kernel sum (path-proportional group count), then
+    block-local top-k partials merge on the driver (blocks×k rows —
+    the distinct-path table itself never collects). Same-timestamp
+    ordering is pinned by (ts, event_id), exactly as the oracle's
+    ORDER BY."""
     GAP_US = 30 * 60 * 1_000_000
 
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"], blocks=16)
 
-    def paths(g: pa.Table) -> pa.Table:
-        t = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, t))
-        t = t[order]
-        types = np.asarray(
-            g.column("event_type").to_numpy(zero_copy_only=False), dtype=object
-        )[order]
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(t) > GAP_US) + 1))
-        ends = np.concatenate((starts[1:], [len(t)]))
+    def _path_counts(uid: np.ndarray, t: np.ndarray, types: pa.Array) -> pa.Table:
+        """(uid, t, types) sorted by (user, ts, eid) → per-path count
+        partial, fully vectorized."""
+        if uid.size == 0:
+            return pa.table(
+                {"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        new_sess = np.r_[True, (uid[1:] != uid[:-1]) | ((t[1:] - t[:-1]) > GAP_US)]
+        starts = np.flatnonzero(new_sess)
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, uid.size], pa.int32()),
+            types.cast(pa.string()),
+        )
+        paths = pc.binary_join(lists, ">")
+        g = pa.table({"path": paths}).group_by("path").aggregate([([], "count_all")])
+        return g.rename_columns(["path", "n"])
+
+    pre = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": pc.cast(b.column("user_id"), pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "event_type": b.column("event_type"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def runs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "user_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        em = (uid == uid[0]) | (uid == uid[-1])
+        et = b.column("event_type")
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        done = _path_counts(uid[~em], t[~em], et.filter(pa.array(~em)))
+        e = b.filter(pa.array(em))
+        n_e, n_d = e.num_rows, done.num_rows
         return pa.table(
             {
-                "path": pa.array(
-                    [">".join(types[s:e]) for s, e in zip(starts, ends)],
-                    pa.string(),
+                "kind": pa.array(np.r_[np.zeros(n_e, np.int8), np.ones(n_d, np.int8)]),
+                "user_id": pa.concat_arrays(
+                    [
+                        e.column("user_id").combine_chunks().cast(pa.int64()),
+                        pa.array([0] * n_d, pa.int64()),
+                    ]
                 ),
-                "n": pa.array(np.ones(len(starts), dtype=np.int64)),
+                "ts_us": pa.concat_arrays(
+                    [
+                        e.column("ts_us").combine_chunks().cast(pa.int64()),
+                        pa.array([0] * n_d, pa.int64()),
+                    ]
+                ),
+                "event_id": pa.concat_arrays(
+                    [
+                        e.column("event_id").combine_chunks().cast(pa.int64()),
+                        pa.array([0] * n_d, pa.int64()),
+                    ]
+                ),
+                "event_type": pa.concat_arrays(
+                    [
+                        e.column("event_type").combine_chunks().cast(pa.string()),
+                        pa.array([""] * n_d, pa.string()),
+                    ]
+                ),
+                "path": pa.concat_arrays(
+                    [
+                        pa.array([""] * n_e, pa.string()),
+                        done.column("path").combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "n": pa.concat_arrays(
+                    [
+                        pa.array([0] * n_e, pa.int64()),
+                        done.column("n").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
             }
         )
 
-    counts = (
-        ds.groupby("user_id")
-        .map_groups(paths, batch_format="pyarrow")
-        .groupby("path")
-        .aggregate(Sum("n", alias_name="n"))
-    )
     from .util import collect_arrow
 
-    t = collect_arrow(counts)
-    idx = pc.sort_indices(t, sort_keys=[("n", "descending"), ("path", "ascending")])
-    top = t.take(idx.slice(0, k))
+    parts = (
+        pre.sort(["user_id", "ts_us", "event_id"])
+        .map_batches(runs, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = parts.filter(expr="kind == 1").map_batches(
+        lambda b: b.select(["path", "n"]), batch_format="pyarrow"
+    )
+    edge = collect_arrow(parts.filter(expr="kind == 0"))
+    counts_in = interior
+    if edge.num_rows:
+        eu = edge.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ets = edge.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = edge.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((eid, ets, eu))
+        folded = _path_counts(
+            eu[o],
+            ets[o],
+            edge.column("event_type").combine_chunks().take(pa.array(o, pa.int64())),
+        )
+        if folded.num_rows:
+            counts_in = interior.union(rd.from_arrow(folded))
+    counts = _sorted_agg_by_key(counts_in, "path", [("n", "sum", "n")])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("n", "descending"), ("path", "ascending")]
+        )
+        return b.take(idx.slice(0, k))
+
+    cand = collect_arrow(
+        counts.map_batches(local_topk, batch_format="pyarrow"),
+        schema=pa.schema([("path", pa.string()), ("n", pa.int64())]),
+    )
+    idx = pc.sort_indices(cand, sort_keys=[("n", "descending"), ("path", "ascending")])
+    top = cand.take(idx.slice(0, k))
     return top.append_column(
         "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
     )
