@@ -8350,31 +8350,130 @@ def events_retention(sf_dir: str):
 
     ev = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
 
-    def per_user(g: pa.Table) -> pa.Table:
-        days = (
-            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64())
-            .to_numpy(zero_copy_only=False)
-            // US_PER_DAY
+    def _cells(uid: np.ndarray, day: np.ndarray) -> pa.Table:
+        """(uid, day) sorted by (user, day), COMPLETE users → cell
+        count partial (cohort_us, day_offset, n) — first-touch min,
+        per-user distinct-day dedup and the cohort emit all vectorized
+        across every user at once (sort-kernel form of the per-user
+        map_groups)."""
+        if uid.size == 0:
+            return pa.table(
+                {
+                    "cohort_us": pa.array([], pa.int64()),
+                    "day_offset": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        ustarts = np.flatnonzero(new_user)
+        first = np.repeat(day[ustarts], np.diff(np.r_[ustarts, uid.size]))
+        distinct = new_user | np.r_[True, day[1:] != day[:-1]]
+        g = (
+            pa.table(
+                {
+                    "cohort_us": pa.array(
+                        (first[distinct] * US_PER_DAY).astype(np.int64)
+                    ),
+                    "day_offset": pa.array(
+                        (day[distinct] - first[distinct]).astype(np.int64)
+                    ),
+                }
+            )
+            .group_by(["cohort_us", "day_offset"])
+            .aggregate([([], "count_all")])
         )
-        first = days.min()
-        off = np.unique(days - first)  # distinct offsets = distinct days
+        return g.rename_columns(["cohort_us", "day_offset", "n"])
+
+    pre = ev.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": pc.cast(b.column("user_id"), pa.int64()),
+                "day": pc.cast(
+                    pc.divide(
+                        pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()),
+                        US_PER_DAY,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def runs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "cohort_us": pa.array([], pa.int64()),
+                "day_offset": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = b.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        em = (uid == uid[0]) | (uid == uid[-1])
+        done = _cells(uid[~em], day[~em])
+        n_e, n_d = int(em.sum()), done.num_rows
         return pa.table(
             {
-                "cohort_us": pa.array(
-                    np.full(len(off), first * US_PER_DAY, dtype=np.int64)
+                "kind": pa.array(np.r_[np.zeros(n_e, np.int8), np.ones(n_d, np.int8)]),
+                "user_id": pa.array(
+                    np.r_[uid[em], np.zeros(n_d, np.int64)], pa.int64()
                 ),
-                "day_offset": pa.array(off.astype(np.int64)),
-                "n": pa.array(np.ones(len(off), dtype=np.int64)),
+                "day": pa.array(np.r_[day[em], np.zeros(n_d, np.int64)], pa.int64()),
+                "cohort_us": pa.array(
+                    np.r_[np.zeros(n_e, np.int64), done.column("cohort_us").to_numpy()],
+                    pa.int64(),
+                ),
+                "day_offset": pa.array(
+                    np.r_[np.zeros(n_e, np.int64), done.column("day_offset").to_numpy()],
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    np.r_[np.zeros(n_e, np.int64), done.column("n").to_numpy()],
+                    pa.int64(),
+                ),
             }
         )
 
-    agg = (
-        ev.groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
-        .groupby(["cohort_us", "day_offset"])
-        .aggregate(Sum("n", alias_name="n_users"))
+    parts = collect_arrow(
+        pre.sort(["user_id", "day"]).map_batches(runs, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("kind", pa.int8()),
+                ("user_id", pa.int64()),
+                ("day", pa.int64()),
+                ("cohort_us", pa.int64()),
+                ("day_offset", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
     )
-    t = collect_arrow(agg)
+    kind = parts.column("kind").to_numpy()
+    cells = [
+        pa.table(
+            {
+                "cohort_us": parts.column("cohort_us").filter(pa.array(kind == 1)),
+                "day_offset": parts.column("day_offset").filter(pa.array(kind == 1)),
+                "n": parts.column("n").filter(pa.array(kind == 1)),
+            }
+        )
+    ]
+    eu = parts.column("user_id").to_numpy()[kind == 0]
+    ed = parts.column("day").to_numpy()[kind == 0]
+    if eu.size:
+        o = np.lexsort((ed, eu))
+        cells.append(_cells(eu[o], ed[o]))
+    t = (
+        pa.concat_tables(cells)
+        .group_by(["cohort_us", "day_offset"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["cohort_us", "day_offset", "n_users"])
+    )
     out = pa.table(
         {
             "cohort_day": pc.cast(t.column("cohort_us"), pa.timestamp("us")),
