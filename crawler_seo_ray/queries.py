@@ -291,8 +291,10 @@ def events_hourly(sf_dir: str):
         )
         return _cents_to_dollars(cells, "value_cents", "sum_value")
 
-    agg = mapped.groupby(["user_id", "hour"]).aggregate(
-        Count(alias_name="n"), Sum("value_cents", alias_name="value_cents")
+    agg = _sorted_agg_by_key(
+        mapped,
+        ["user_id", "hour"],
+        [(None, "count", "n"), ("value_cents", "sum", "value_cents")],
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -4012,9 +4014,11 @@ def events_above_user_avg(sf_dir: str):
     from .util import drop_empty_blocks
 
     stats = drop_empty_blocks(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("sum_cents", alias_name="sum_cents"), Sum("n", alias_name="n"))
+        _sorted_agg_by_key(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "user_id",
+            [("sum_cents", "sum", "sum_cents"), ("n", "sum", "n")],
+        )
     )
     joined = ds.join(
         stats, "inner", _join_partitions(), on=("user_id",), right_on=("user_id",)
@@ -4191,10 +4195,10 @@ def events_pivot(sf_dir: str):
             .rename_columns(names)
         )
 
-    return (
-        ds.map_batches(indicators, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES])
+    return _sorted_agg_by_key(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        "user_id",
+        [(f"n_{t}", "sum", f"n_{t}") for t in _EVENT_TYPES],
     )
 
 
@@ -5286,18 +5290,17 @@ def docs_dup_span_census(sf_dir: str):
         return g.rename_columns(["gram", "nd"])
 
     df = drop_empty_blocks(
-        pair_ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("gram")
-        .sum("nd")
-        .map_batches(
-            lambda b: pa.table(
-                {"gram": b.column("gram"), "nd": b.column("sum(nd)")}
-            ).filter(pc.greater_equal(b.column("sum(nd)"), 2)),
+        _sorted_agg_by_key(
+            pair_ds.map_batches(df_partial, batch_format="pyarrow"),
+            "gram",
+            [("nd", "sum", "nd")],
+        ).map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("nd"), 2)),
             batch_format="pyarrow",
         )
     )
 
-    dup = (
+    dup = _sorted_agg_by_key(
         drop_empty_blocks(pair_ds)
         .join(df, "inner", _join_partitions(), on=("gram",))
         .map_batches(
@@ -5306,9 +5309,9 @@ def docs_dup_span_census(sf_dir: str):
             .aggregate([([], "count_all")])
             .rename_columns(["doc_id", "n_dup"]),
             batch_format="pyarrow",
-        )
-        .groupby("doc_id")
-        .sum("n_dup")
+        ),
+        "doc_id",
+        [("n_dup", "sum", "sum(n_dup)")],
     )
 
     tot = ds.map_batches(totals, batch_format="pyarrow")
@@ -7526,14 +7529,16 @@ def _basket_pair_counts(sf_dir: str, nparts: int):
     else:
         gparts = max(nparts, min(16, _join_partitions() * 4))
         counts = drop_empty_blocks(
-            pair_parts.map_batches(
-                lambda t: pa.table(
-                    {"ant": t.column("a"), "cons": t.column("b"), "c": t.column("c")}
+            _sorted_agg_by_key(
+                pair_parts.map_batches(
+                    lambda t: pa.table(
+                        {"ant": t.column("a"), "cons": t.column("b"), "c": t.column("c")}
+                    ),
+                    batch_format="pyarrow",
                 ),
-                batch_format="pyarrow",
+                ["ant", "cons"],
+                [("c", "sum", "sup")],
             )
-            .groupby(["ant", "cons"], num_partitions=gparts)
-            .aggregate(Sum("c", alias_name="sup"))
         )
     item_parts = drop_empty_blocks(mixed.filter(expr="kind == 2"))
     if side_items is not None:
@@ -7559,12 +7564,14 @@ def _basket_pair_counts(sf_dir: str, nparts: int):
         )
     else:
         items = drop_empty_blocks(
-            item_parts.map_batches(
-                lambda t: pa.table({"p": t.column("a"), "c": t.column("c")}),
-                batch_format="pyarrow",
+            _sorted_agg_by_key(
+                item_parts.map_batches(
+                    lambda t: pa.table({"p": t.column("a"), "c": t.column("c")}),
+                    batch_format="pyarrow",
+                ),
+                "p",
+                [("c", "sum", "sup")],
             )
-            .groupby("p")
-            .aggregate(Sum("c", alias_name="sup"))
         )
     return ds, counts, items, n_orders
 
@@ -8877,9 +8884,11 @@ def events_engagement_gini(sf_dir: str):
         return g.rename_columns(["user_id", "n"])
 
     uc = drop_empty_blocks(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n"))
+        _sorted_agg_by_key(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "user_id",
+            [("n", "sum", "n")],
+        )
     )
     ranked = global_row_number(uc, ["n", "user_id"], out_col="i")
 
@@ -9134,9 +9143,11 @@ def docs_term_pmi(sf_dir: str, k: int = 100):
 
     c_ab = collect_arrow(
         drop_empty_blocks(
-            ds.map_batches(pair_partial, batch_format="pyarrow")
-            .groupby(["term_a", "term_b"])
-            .aggregate(Sum("c_ab", alias_name="c_ab"))
+            _sorted_agg_by_key(
+                ds.map_batches(pair_partial, batch_format="pyarrow"),
+                ["term_a", "term_b"],
+                [("c_ab", "sum", "c_ab")],
+            )
         )
     )
     ta = c_ab.column("term_a").to_pylist()
@@ -9201,10 +9212,10 @@ def events_auc(sf_dir: str):
         g = t.group_by("c").aggregate([("np_", "sum"), ("nt", "sum")])
         return g.rename_columns(["c", "np_", "nt"])
 
-    dist = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby("c")
-        .aggregate(Sum("np_", alias_name="np_"), Sum("nt", alias_name="nt"))
+    dist = _sorted_agg_by_key(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "c",
+        [("np_", "sum", "np_"), ("nt", "sum", "nt")],
     )
     mat = drop_empty_blocks(dist.sort("c")).materialize()
 
