@@ -8628,42 +8628,162 @@ def events_user_entropy(sf_dir: str):
     """Shannon entropy of each user's event-type distribution — the
     behavioral-diversity feature (bot / power-user detection: H≈0 is a
     single-action account, H≈ln(types) is uniform). ONE exchange:
-    block-local (user, type) count partials ride a
-    ``groupby(user).map_groups`` that folds partials, sorts types and
-    accumulates Σ c·ln(c) STRICTLY left-to-right in type order — the
-    oracle mirrors that order with DuckDB's ordered-aggregate
-    ``sum(... ORDER BY event_type)``, making the doubles bit-equal
-    (verified) via H = ln(n) − Σ c·ln(c) / n (counts are exact ints,
-    so only this final expression is float)."""
-    import math
-
+    block-local (user, type) count partials ride a global (user, type)
+    SORT; each block folds its interior users fully vectorized
+    (consecutive-pair dedup-sum, per-user reduceat of Σ c·ln(c) in
+    type order — numpy reduces the ≤|types|-term segments strictly
+    left-to-right, the order the oracle mirrors with DuckDB's
+    ordered-aggregate ``sum(... ORDER BY event_type)``), boundary
+    users patch on the driver through the identical kernel. H = ln(n)
+    − Σ c·ln(c) / n (counts exact ints, only this expression is
+    float); no per-user Python call."""
     ds = _pq(sf_dir, "events", ["user_id", "event_type"], blocks=16)
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
         return g.rename_columns(["user_id", "event_type", "c"])
 
-    def entropy(g: pa.Table) -> pa.Table:
-        t = g.group_by("event_type").aggregate([("c", "sum")]).sort_by("event_type")
-        cs = t.column("c_sum").to_numpy(zero_copy_only=False)
-        n = int(cs.sum())
-        s = 0.0
-        for c in cs:  # ≤ |event types| terms; order IS the semantics
-            s += float(c) * math.log(float(c))
+    def _entropy_all(uid: np.ndarray, et: pa.Array, c: np.ndarray) -> pa.Table:
+        """(uid, type, c) sorted by (user, type), COMPLETE users →
+        per-user entropy rows, vectorized across every user (sort-
+        kernel form of the map_groups). Σ c·ln(c) runs per user run
+        via reduceat over ≤|types| terms — numpy reduces such short
+        segments strictly left-to-right, the ordered-aggregate
+        semantics the oracle mirrors."""
+        if uid.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        import math
+
+        def libm_log(vals: np.ndarray) -> np.ndarray:
+            # libm log via a unique-value LUT: numpy's SIMD np.log can
+            # differ from libm by 1 ulp, and the oracle's DuckDB ln IS
+            # libm — counts repeat heavily so the LUT is tiny
+            uq, inv = np.unique(vals, return_inverse=True)
+            lut = np.array([math.log(float(v)) for v in uq], np.float64)
+            return lut[inv]
+
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        pair_new = new_user | np.r_[
+            True,
+            pc.not_equal(et.slice(1), et.slice(0, len(et) - 1)).to_numpy(
+                zero_copy_only=False
+            ),
+        ]
+        pstarts = np.flatnonzero(pair_new)
+        c_tot = np.add.reduceat(c, pstarts).astype(np.float64)
+        u_p = uid[pstarts]
+        ustarts = np.flatnonzero(np.r_[True, u_p[1:] != u_p[:-1]])
+        n_types = np.diff(np.r_[ustarts, u_p.size])
+        n = np.add.reduceat(c_tot, ustarts)  # ints in float64 — exact
+        # strict LEFT-TO-RIGHT per-user float sum, vectorized ACROSS
+        # users: pad each user's c·ln(c) terms into a (users, ≤|types|)
+        # matrix and fold its columns sequentially (reduceat/pairwise
+        # would change the accumulation order the oracle's ordered
+        # aggregate pins; adding the 0.0 padding is bit-neutral)
+        terms = c_tot * libm_log(c_tot)
+        width = int(n_types.max())
+        pos = np.arange(u_p.size) - np.repeat(ustarts, n_types)
+        M = np.zeros((ustarts.size, width), np.float64)
+        M[np.repeat(np.arange(ustarts.size), n_types), pos] = terms
+        s = M[:, 0].copy()
+        for j in range(1, width):
+            s = s + M[:, j]
         return pa.table(
             {
-                "user_id": pa.array([g.column("user_id")[0].as_py()], pa.int64()),
-                "n": pa.array([n], pa.int64()),
-                "n_types": pa.array([t.num_rows], pa.int64()),
-                "entropy": pa.array([math.log(float(n)) - s / float(n)], pa.float64()),
+                "user_id": pa.array(u_p[ustarts], pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "n_types": pa.array(n_types.astype(np.int64), pa.int64()),
+                "entropy": pa.array(libm_log(n) - s / n, pa.float64()),
             }
         )
 
-    return (
+    from .util import collect_arrow
+
+    def runs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "n_types": pa.array([], pa.int64()),
+                "entropy": pa.array([], pa.float64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = b.column("event_type")
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        em = (uid == uid[0]) | (uid == uid[-1])
+        done = _entropy_all(uid[~em], et.filter(pa.array(~em)), c[~em])
+        n_e, n_d = int(em.sum()), done.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(np.r_[np.zeros(n_e, np.int8), np.ones(n_d, np.int8)]),
+                "user_id": pa.array(
+                    np.r_[uid[em], done.column("user_id").to_numpy()], pa.int64()
+                ),
+                "event_type": pa.concat_arrays(
+                    [
+                        et.filter(pa.array(em)).cast(pa.string()),
+                        pa.array([""] * n_d, pa.string()),
+                    ]
+                ),
+                "c": pa.array(np.r_[c[em], np.zeros(n_d, np.int64)], pa.int64()),
+                "n": pa.array(
+                    np.r_[np.zeros(n_e, np.int64), done.column("n").to_numpy()],
+                    pa.int64(),
+                ),
+                "n_types": pa.array(
+                    np.r_[np.zeros(n_e, np.int64), done.column("n_types").to_numpy()],
+                    pa.int64(),
+                ),
+                "entropy": pa.array(
+                    np.r_[np.zeros(n_e, np.float64), done.column("entropy").to_numpy()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    parts = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(entropy, batch_format="pyarrow")
+        .sort(["user_id", "event_type"])
+        .map_batches(runs, batch_format="pyarrow")
+        .materialize()
     )
+    interior = parts.filter(expr="kind == 1").map_batches(
+        lambda b: b.select(["user_id", "n", "n_types", "entropy"]),
+        batch_format="pyarrow",
+    )
+    edge = collect_arrow(parts.filter(expr="kind == 0"))
+    if edge.num_rows == 0:
+        return interior
+    eu = edge.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    et_e = edge.column("event_type").combine_chunks()
+    ec = edge.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    t_e = pa.table({"user_id": pa.array(eu), "event_type": et_e, "c": pa.array(ec)})
+    o = pc.sort_indices(
+        t_e, sort_keys=[("user_id", "ascending"), ("event_type", "ascending")]
+    )
+    t_e = t_e.take(o)
+    folded = _entropy_all(
+        t_e.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        t_e.column("event_type").combine_chunks(),
+        t_e.column("c").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    if folded.num_rows == 0:
+        return interior
+    return interior.union(rd.from_arrow(folded))
 
 
 def events_trailing_hour_sum(sf_dir: str):
