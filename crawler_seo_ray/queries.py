@@ -485,19 +485,22 @@ def events_funnel(sf_dir: str):
         that view's first same-or-later purchase in the (user, ts)-
         ordered purchase array — one lexsort + one cumsum replace the
         per-user searchsorted (sort-kernel form of the map_groups)."""
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_views": pa.array([], pa.int64()),
+                "n_converted": pa.array([], pa.int64()),
+            }
+        )
         if uid.size == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "n_views": pa.array([], pa.int64()),
-                    "n_converted": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         order = np.lexsort((is_p, ts, uid))  # view (0) before purchase at tie
         u_s, t_s, p_s = uid[order], ts[order], is_p[order].astype(np.int64)
         cum_p = np.cumsum(p_s) - p_s  # purchases strictly before this row
         vmask = p_s == 0
         vu, vt, idx_g = u_s[vmask], t_s[vmask], cum_p[vmask]
+        if vu.size == 0:  # purchase-only slice: no view rows → no output
+            return empty
         pt_all = t_s[~vmask]
         pu_all = u_s[~vmask]
         ok = idx_g < len(pt_all)

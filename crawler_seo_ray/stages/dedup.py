@@ -1532,6 +1532,22 @@ def extend_minhash_index(
         fresh = g.drop_columns(["bucket"])
         if os.path.exists(path):
             fresh = pa.concat_tables([pq.read_table(path), fresh])
+        # At-least-once hardening (ADVICE r4): Ray may re-execute this
+        # task after its first attempt already published the file; the
+        # retry then re-reads its own output and would append the
+        # wave's rows twice. A doc has exactly one row per band, so
+        # dedup on (id, band_hash) — keep='first' preserves the
+        # already-persisted row — makes the rewrite idempotent.
+        import pandas as pd
+
+        dup = pd.DataFrame(
+            {
+                "id": fresh.column("id").to_pandas(),
+                "bh": fresh.column("band_hash").to_pandas(),
+            }
+        ).duplicated().to_numpy()
+        if dup.any():
+            fresh = fresh.filter(pa.array(~dup))
         atomic_write_parquet(fresh, path)
         return pa.table(
             {

@@ -74,16 +74,23 @@ def sorted_agg_by_key(ds, key_cols, aggs):
     the group count is input-proportional (vocabulary, users, grams,
     pairs). Shape: ONE global sort on the key(s); each block
     reduceat-folds its INTERIOR key runs (contiguous after the sort)
-    and keeps them distributed; only rows equal to the block's
-    first/last key — the runs that may straddle block boundaries, ≤2
-    keys per block — ship raw to the driver, fold there, and union
-    back as one small block. The supplier_blame sort-kernel lesson as
-    a reusable operator.
+    and keeps them distributed; only the block's first/last key — the
+    runs that may straddle block boundaries — reach the driver, and
+    each such run is PRE-FOLDED inside the block to one
+    (key, partial) row, so the driver edge is ≤2 ROWS per block under
+    ANY key distribution (r4 shipped the straddling runs raw, making
+    the driver slab Θ(hot-key rows) under skew — sum/max/min/count
+    are all commutative monoids, so partials merge exactly). The
+    supplier_blame sort-kernel lesson as a reusable operator.
 
     ``key_cols``: one column name or a list. ``aggs``: list of
     (val_col, op, alias) with op ∈ sum/max/min/count (count ignores
     val_col). Output columns: keys then aliases; value dtypes follow
-    the inputs (count is int64)."""
+    the inputs (count is int64). Value columns should be int64 or
+    float64: partial folds compute in the numpy default (int64 /
+    float64) and CAST back to the input dtype at the end, so a narrow
+    int column whose true total overflows its own dtype would wrap —
+    same contract as the caller's declared output type."""
     import numpy as np
     import pyarrow.compute as pc
     import ray.data as rd
@@ -112,12 +119,17 @@ def sorted_agg_by_key(ds, key_cols, aggs):
             a = b.column(kc)
             karrs.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
         n = b.num_rows
-        em = np.ones(n, bool)
-        el = np.ones(n, bool)
+        mf = np.ones(n, bool)
+        ml = np.ones(n, bool)
         for a in karrs:
-            em &= pc.equal(a, a[0]).to_numpy(zero_copy_only=False)
-            el &= pc.equal(a, a[n - 1]).to_numpy(zero_copy_only=False)
-        em = em | el
+            mf &= pc.equal(a, a[0]).to_numpy(zero_copy_only=False)
+            ml &= pc.equal(a, a[n - 1]).to_numpy(zero_copy_only=False)
+        ml &= ~mf  # distinct last-key run (empty when the block is one key)
+        edge_masks = [mf] + ([ml] if ml.any() else [])
+        edge_idx = pa.array(
+            [0] + ([n - 1] if len(edge_masks) == 2 else []), pa.int64()
+        )
+        em = mf | ml
         keep = ~em
         change = np.zeros(int(keep.sum()), bool)
         if change.size:
@@ -131,22 +143,26 @@ def sorted_agg_by_key(ds, key_cols, aggs):
         runlens = np.diff(np.r_[starts, change.size])
         cols = {
             "kind": pa.array(
-                np.r_[np.zeros(int(em.sum()), np.int8), np.ones(starts.size, np.int8)]
+                np.r_[
+                    np.zeros(len(edge_masks), np.int8),
+                    np.ones(starts.size, np.int8),
+                ]
             )
         }
         take_i = pa.array(starts, pa.int64())
         for kc, a in zip(key_cols, karrs):
             cols[kc] = pa.concat_arrays(
-                [a.filter(pa.array(em)), a.filter(pa.array(keep)).take(take_i)]
+                [a.take(edge_idx), a.filter(pa.array(keep)).take(take_i)]
             )
+        fold1 = {"sum": np.sum, "max": np.max, "min": np.min}
         for vc, op, alias in aggs:
             if op == "count":
-                e_v = np.ones(int(em.sum()), np.int64)
+                e_v = np.array([int(m.sum()) for m in edge_masks], np.int64)
                 red = runlens.astype(np.int64)
                 typ = pa.int64()
             else:
                 v = _val_np(b, vc)
-                e_v = v[em]
+                e_v = np.array([fold1[op](v[m]) for m in edge_masks])
                 iv = v[keep]
                 red = (
                     ufuncs[op].reduceat(iv, starts)
@@ -164,8 +180,8 @@ def sorted_agg_by_key(ds, key_cols, aggs):
     edge = collect_arrow(parts.filter(expr="kind == 0"))
     if edge.num_rows == 0:
         return interior
-    # driver patch: the edge rows are raw inputs EXCEPT count partials
-    # (already 1-per-row there), so count folds as a sum of the partial
+    # driver patch: edge rows are per-block PARTIALS (≤2 per block), so
+    # count partials merge as a sum and sum/max/min merge as themselves
     arrow_aggs = [
         (alias, "sum" if op == "count" else op) for _, op, alias in aggs
     ]
@@ -174,5 +190,14 @@ def sorted_agg_by_key(ds, key_cols, aggs):
         .group_by(key_cols)
         .aggregate(arrow_aggs)
         .rename_columns(key_cols + [a for _, _, a in aggs])
+    )
+    # Arrow's group_by sum promotes narrow ints to int64; cast each
+    # alias back to the block-side dtype so interior ∪ edge schemas
+    # match exactly.
+    folded = pa.table(
+        {
+            c: folded.column(c).cast(edge.schema.field(c).type)
+            for c in folded.column_names
+        }
     )
     return interior.union(rd.from_arrow(folded))

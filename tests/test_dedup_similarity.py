@@ -698,6 +698,13 @@ def test_minhash_index_evict_extend_lifecycle(tmp_path):
     with open(os.path.join(idx, "manifest.json")) as f:
         assert sum(json.load(f)["rows"].values()) == rows_before - 32 + 48
 
+    # at-least-once hardening (ADVICE r4): re-applying the SAME wave —
+    # what a Ray retry of merge_part after a successful publish does —
+    # must be a no-op, not a silent double-append
+    extend_minhash_index(wave, "text", "id", idx, scan_stats={})
+    with open(os.path.join(idx, "manifest.json")) as f:
+        assert sum(json.load(f)["rows"].values()) == rows_before - 32 + 48
+
     # a recrawl of doc 11's text now pairs against its admitted twin
     # (id 2000) — and NOT against the evicted 11
     reprobe = rd.from_arrow(

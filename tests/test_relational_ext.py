@@ -1339,3 +1339,100 @@ def test_sorted_agg_by_key_matches_pandas():
         ref2.sort_values(["k", "k2"], ignore_index=True),
         check_dtype=False,
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_agg_by_key_hot_key_edge_bound(monkeypatch):
+    """Skew-proofing (r5): a key holding 50% of all rows spans many
+    blocks after the global sort; every straddling run must reach the
+    driver as ONE pre-folded (key, partial) row per block — not raw
+    rows — so the driver edge is ≤2 rows/block under any skew. r4
+    shipped straddling runs raw (Θ(hot-key rows) driver-side). Also
+    covers the narrow-dtype path: int32 values must come back int32
+    from both the interior fold and the driver patch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import crawler_seo_ray.util as U
+
+    rng = np.random.default_rng(7)
+    n = 200_000
+    k = rng.integers(1, 4000, n)
+    k[: n // 2] = 0  # one hot key = 50% of rows
+    rng.shuffle(k)
+    t = pa.table(
+        {
+            "k": pa.array(k),
+            "v": pa.array(rng.integers(0, 100, n).astype(np.int32), pa.int32()),
+            "f": pa.array(rng.random(n)),
+        }
+    )
+    captured = {}
+    real_collect = U.collect_arrow
+
+    def spy(ds, schema=None):
+        out = real_collect(ds, schema)
+        captured["edge_rows"] = out.num_rows
+        return out
+
+    monkeypatch.setattr(U, "collect_arrow", spy)
+    ds = rd.from_arrow(t).repartition(16)
+    out = U.sorted_agg_by_key(
+        ds,
+        "k",
+        [("v", "sum", "sv"), ("v", "max", "mv"), ("f", "min", "mf"), (None, "count", "n")],
+    )
+    out_t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+    )
+    # schema invariant (ADVICE r4): int32 values stay int32 everywhere,
+    # so interior ∪ edge blocks concat without promotion
+    assert out_t.schema.field("sv").type == pa.int32()
+    assert out_t.schema.field("mv").type == pa.int32()
+    out_df = out_t.to_pandas()
+    # edge volume: ≤2 pre-folded rows per fold batch; map_batches folds
+    # ≥1024-row batches, so the bound is far under the hot key's 100k
+    # rows (the r4 behavior). Allow generous slack over 2×(n/1024).
+    assert captured["edge_rows"] <= 2 * (n // 1024 + 16), captured
+    assert out_df["k"].is_unique
+    ref = (
+        t.to_pandas()
+        .groupby("k")
+        .agg(sv=("v", "sum"), mv=("v", "max"), mf=("f", "min"), n=("v", "size"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        out_df.sort_values("k", ignore_index=True),
+        ref.sort_values("k", ignore_index=True),
+        check_dtype=False,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_funnel_purchase_only_interior_users(tmp_path):
+    """Regression (ADVICE r4): a sorted block whose interior users are
+    ALL purchase-only used to make _funnel_all index an empty view
+    array (vu[starts] with starts=[0]). 48 purchase-only users between
+    two view-only users forces that shape through the real pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_seo_ray import queries as q
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for u in range(50):
+        etype = "view" if u in (0, 49) else "purchase"
+        for i in range(30):
+            rows.append((u * 100 + i, base + pd.Timedelta(minutes=i), u, etype, 1.0, "{}"))
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet")
+    out = q.events_funnel(str(tmp_path)).to_pandas().sort_values("user_id", ignore_index=True)
+    assert list(out["user_id"]) == [0, 49]
+    assert list(out["n_views"]) == [30, 30]
+    assert list(out["n_converted"]) == [0, 0]
