@@ -671,20 +671,43 @@ def events_hopping(sf_dir: str):
 
 def events_top3_per_user(sf_dir: str):
     """Per-group top-k (grouped window-rank): each user's three highest-
-    value events — groupby(key).map_groups with a deterministic
-    (value desc, event_id asc) tie-break."""
+    value events with a deterministic (value desc, event_id asc)
+    tie-break. r5: ONE global (user, value DESC, event_id) sort + an
+    across-user segment-rank kernel via util.sorted_group_apply — the
+    per-user map_groups dispatch paid ~20 µs/user, the wrong scaling
+    term at 10^9 users."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "value"], blocks=16)
 
-    def top3(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[("value", "descending"), ("event_id", "ascending")]
-        )
-        out = g.take(idx[:3])
-        return out.append_column(
-            "rk", pa.array(range(1, out.num_rows + 1), pa.int64())
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        runlens = np.diff(np.r_[starts, uid.size])
+        rk = np.arange(uid.size, dtype=np.int64) - np.repeat(starts, runlens)
+        keep = rk < 3
+        out = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": pc.cast(out.column("user_id"), pa.int64()),
+                "event_id": pc.cast(out.column("event_id"), pa.int64()),
+                "value": pc.cast(out.column("value"), pa.float64()),
+                "rk": pa.array(rk[keep] + 1, pa.int64()),
+            }
         )
 
-    return ds.groupby("user_id").map_groups(top3, batch_format="pyarrow")
+    return sorted_group_apply(
+        ds, "user_id", ["value", "event_id"], kernel, descending=[True, False]
+    )
 
 
 def docs_split(sf_dir: str):
@@ -2448,25 +2471,41 @@ def orders_price_band(sf_dir: str):
 
 def events_running_total(sf_dir: str):
     """Cumulative window: per-user running sum of event value ordered
-    by (ts, event_id) — groupby(key).map_groups with an in-group sort +
-    int64-cents cumsum (exact regardless of accumulation order)."""
+    by (ts, event_id), in int64 cents (exact regardless of
+    accumulation order). r5: ONE global (user, ts, event_id) sort +
+    an across-user cumsum with boundary reset via
+    util.sorted_group_apply — no per-user Python dispatch."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"], blocks=16)
 
-    def running(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
-        g = g.take(idx)
-        cents = _cents(g.column("value")).to_numpy()
-        run = np.cumsum(cents)
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "running_value": pa.array([], pa.float64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("value")).to_numpy()
+        cum = np.cumsum(cents)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        runlens = np.diff(np.r_[starts, uid.size])
+        base = np.repeat((cum - cents)[starts], runlens)
+        run = cum - base
         return pa.table(
             {
-                "user_id": g.column("user_id"),
-                "event_id": g.column("event_id"),
-                "ts": pc.cast(g.column("ts"), pa.timestamp("us")),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
                 "running_value": pa.array(run.astype(np.float64) / 100.0, pa.float64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
+    return sorted_group_apply(ds, "user_id", ["ts", "event_id"], kernel)
 
 
 def events_cusum(sf_dir: str, k_cents: int = 6000, h_cents: int = 5000):
@@ -2481,26 +2520,54 @@ def events_cusum(sf_dir: str, k_cents: int = 6000, h_cents: int = 5000):
     edge; the SQL pair is the same identity as two window CTEs, so
     values hash-exact."""
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"], blocks=16)
+    from .util import sorted_group_apply
 
-    def cusum(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = g.take(idx)
-        x = _cents(g.column("value")).to_numpy() - k_cents
-        p = np.cumsum(x)
-        s = p - np.minimum(0, np.minimum.accumulate(p))
+    def kernel(t: pa.Table) -> pa.Table:
+        """r5 across-user form: per-group prefix sum via boundary-reset
+        cumsum; the per-group RUNNING min uses the group-offset trick —
+        add (n_groups − gi)·BIG so earlier groups sit strictly above
+        later ones and a single np.minimum.accumulate can never leak a
+        minimum across a group boundary (exact in int64; BIG is the
+        block's prefix-sum range, cent-scale values keep the product
+        far below 2^62, guarded with a per-group fallback)."""
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "cusum": pa.array([], pa.float64()),
+                    "alarm": pa.array([], pa.int32()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        x = _cents(t.column("value")).to_numpy() - k_cents
+        cum = np.cumsum(x)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        runlens = np.diff(np.r_[starts, uid.size])
+        base = np.repeat((cum - x)[starts], runlens)
+        p = cum - base
+        gi = np.repeat(np.arange(starts.size, dtype=np.int64), runlens)
+        big = int(p.max()) - int(p.min()) + 1
+        if starts.size * big < 2**62:
+            off = (starts.size - 1 - gi) * big
+            runmin = np.minimum.accumulate(p + off) - off
+        else:  # unreachable at cent scale; exact per-group fallback
+            runmin = np.empty_like(p)
+            for s0, ln in zip(starts, runlens):
+                runmin[s0 : s0 + ln] = np.minimum.accumulate(p[s0 : s0 + ln])
+        s = p - np.minimum(0, runmin)
         return pa.table(
             {
-                "user_id": g.column("user_id"),
-                "event_id": g.column("event_id"),
-                "ts": pc.cast(g.column("ts"), pa.timestamp("us")),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
                 "cusum": pa.array(s.astype(np.float64) / 100.0, pa.float64()),
                 "alarm": pa.array((s > h_cents).astype(np.int32)),
             }
         )
 
-    return ds.groupby("user_id").map_groups(cusum, batch_format="pyarrow")
+    return sorted_group_apply(ds, "user_id", ["ts", "event_id"], kernel)
 
 
 def docs_stratified_sample(sf_dir: str):
@@ -4209,31 +4276,39 @@ def events_lead_lag(sf_dir: str):
     """Lag window function: per-user delta vs the previous event (value
     delta in exact cents, gap in µs), ordered by (ts, event_id); each
     user's first event keeps NULL deltas — the null-row semantics that
-    distinguish lag() from a self-join. groupby(key).map_groups with an
-    in-group lexsort; only (user, ts, id, cents) ride the shuffle."""
+    distinguish lag() from a self-join. r5: ONE global
+    (user, ts, event_id) sort + shifted-array diffs masked at user-run
+    starts via util.sorted_group_apply — no per-user Python dispatch."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"], blocks=16)
 
-    def lag_group(g: pa.Table) -> pa.Table:
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        eid = g.column("event_id").to_numpy()
-        vc = _cents(g.column("value")).to_numpy()
-        order = np.lexsort((eid, ts))
-        ts, eid, vc = ts[order], eid[order], vc[order]
-        n = len(ts)
-        mask = np.zeros(n, dtype=bool)
-        mask[0] = True  # first row per user: NULL deltas
-        dv = np.concatenate(([0], np.diff(vc)))
-        gap = np.concatenate(([0], np.diff(ts)))
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "dv_cents": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        vc = _cents(t.column("value")).to_numpy()
+        mask = np.r_[True, uid[1:] != uid[:-1]]  # first row per user: NULL
+        dv = np.r_[0, np.diff(vc)]
+        gap = np.r_[0, np.diff(ts)]
         return pa.table(
             {
-                "user_id": g.column("user_id").take(pa.array(order)),
-                "event_id": pa.array(eid),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
                 "dv_cents": pa.array(dv, pa.int64(), mask=mask),
                 "gap_us": pa.array(gap, pa.int64(), mask=mask),
             }
         )
 
-    return ds.groupby("user_id").map_groups(lag_group, batch_format="pyarrow")
+    return sorted_group_apply(ds, "user_id", ["ts", "event_id"], kernel)
 
 
 def _bigram_expand(texts) -> tuple:
@@ -4792,32 +4867,44 @@ def events_flipflop(sf_dir: str):
     """LAG-based change detection — per user, how often the event type
     FLIPS between consecutive events in time order (the behavioral
     volatility / alternation metric; also the shape of status-change
-    counting over any change-data stream).  One groupby(user) exchange;
-    inside each group the kernel is fully vectorized: lexsort by
-    (ts, event_id), dictionary-encode the type column once, and count
-    code transitions with one shifted comparison — no Python loop, no
-    LAG materialization."""
+    counting over any change-data stream).  r5: ONE global
+    (user, ts, event_id) sort + an across-user kernel via
+    util.sorted_group_apply — dictionary-encode once per block, one
+    shifted comparison masked at user-run boundaries, one reduceat —
+    no per-user Python dispatch."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"], blocks=16)
 
-    def flips(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id")[0].as_py()
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        eid = g.column("event_id").to_numpy()
-        order = np.lexsort((eid, ts))
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_changes": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
         codes = pc.dictionary_encode(
-            g.column("event_type").combine_chunks()
-        ).indices.to_numpy()[order]
+            t.column("event_type").combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False)
+        same_user = uid[1:] == uid[:-1]
+        chg = np.r_[
+            np.zeros(1, np.int64),
+            ((codes[1:] != codes[:-1]) & same_user).astype(np.int64),
+        ]
+        starts = np.flatnonzero(np.r_[True, ~same_user])
+        runlens = np.diff(np.r_[starts, uid.size])
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_events": pa.array([g.num_rows], pa.int64()),
-                "n_changes": pa.array(
-                    [int((codes[1:] != codes[:-1]).sum())], pa.int64()
-                ),
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_events": pa.array(runlens.astype(np.int64), pa.int64()),
+                "n_changes": pa.array(np.add.reduceat(chg, starts), pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(flips, batch_format="pyarrow")
+    return sorted_group_apply(ds, "user_id", ["ts", "event_id"], kernel)
 
 
 def events_scd2(sf_dir: str):
@@ -4825,42 +4912,52 @@ def events_scd2(sf_dir: str):
     event-type stream into runs, each with ``[valid_from, valid_to)``
     where valid_to is the NEXT run's start (NULL while current) — the
     snapshot-reconstruction shape every CDC/warehouse pipeline needs.
-    One groupby(user) exchange; the in-group kernel is one lexsort +
-    one dictionary-encode + one shifted comparison, and the interval
-    endpoints are pure index arithmetic on the change positions (no
-    LAG/LEAD materialization, no second window pass)."""
+    r5: ONE global (user, ts, event_id) sort + an across-user kernel
+    via util.sorted_group_apply: a segment starts at every type change
+    OR user change, the NEXT segment's start is valid_to only when it
+    belongs to the same user (each user's live segment keeps NULL) —
+    pure index arithmetic, no per-user Python dispatch."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"], blocks=16)
 
-    def runs(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id")[0].as_py()
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        eid = g.column("event_id").to_numpy()
-        order = np.lexsort((eid, ts))
-        ts = ts[order]
-        enc = pc.dictionary_encode(g.column("event_type").combine_chunks())
-        codes = enc.indices.to_numpy()[order]
-        vocab = enc.dictionary.to_pylist()
-        chg = np.concatenate(([True], codes[1:] != codes[:-1]))
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "valid_from": pa.array([], pa.timestamp("us")),
+                    "valid_to": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        etype = t.column("event_type").combine_chunks()
+        codes = pc.dictionary_encode(etype).indices.to_numpy(zero_copy_only=False)
+        chg = np.r_[
+            True, (codes[1:] != codes[:-1]) | (uid[1:] != uid[:-1])
+        ]
         idx = np.flatnonzero(chg)
-        n_seg = len(idx)
-        seg_len = np.diff(np.concatenate((idx, [len(ts)]))).astype(np.int64)
+        seg_len = np.diff(np.r_[idx, uid.size]).astype(np.int64)
+        seg_user = uid[idx]
         valid_from = ts[idx]
+        live = np.r_[seg_user[1:] != seg_user[:-1], True]  # last seg per user
         valid_to = pa.array(
-            np.concatenate((valid_from[1:], [0])),
-            pa.int64(),
-            mask=np.concatenate((np.zeros(n_seg - 1, dtype=bool), [True])),
+            np.r_[valid_from[1:], 0], pa.int64(), mask=live
         )
         return pa.table(
             {
-                "user_id": pa.array(np.full(n_seg, uid, dtype=np.int64)),
-                "event_type": pa.array([vocab[c] for c in codes[idx]], pa.string()),
+                "user_id": pa.array(seg_user, pa.int64()),
+                "event_type": etype.take(pa.array(idx, pa.int64())),
                 "valid_from": pa.array(valid_from).cast(pa.timestamp("us")),
                 "valid_to": valid_to.cast(pa.timestamp("us")),
                 "n_events": pa.array(seg_len),
             }
         )
 
-    return ds.groupby("user_id").map_groups(runs, batch_format="pyarrow")
+    return sorted_group_apply(ds, "user_id", ["ts", "event_id"], kernel)
 
 
 _BLAME_CUTOFF = "2001-06-01"
@@ -5574,36 +5671,58 @@ def part_value_concentration(sf_dir: str):
 def events_gap_stats(sf_dir: str):
     """Per-user inter-arrival gap statistics (min/max/mean seconds
     between consecutive events) — the cadence profile behind bot
-    detection and session-timeout tuning.  One groupby(user) exchange;
-    the in-group kernel is one lexsort + one ``np.diff`` — gaps stay
-    exact int64 microseconds until the single float division per
-    aggregate, written identically in the oracle."""
+    detection and session-timeout tuning.  r5: ONE global
+    (user, ts, event_id) sort + an across-user kernel via
+    util.sorted_group_apply: the gap ENDING at each row is neutral at
+    user-run starts (+∞/−∞/0 for min/max/sum), so one reduceat per
+    statistic folds every user at once; gaps stay exact int64
+    microseconds until the single float division per aggregate,
+    written identically in the oracle."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id"], blocks=16)
 
-    def gaps(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id")[0].as_py()
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        eid = g.column("event_id").to_numpy()
-        ts = ts[np.lexsort((eid, ts))]
-        d = np.diff(ts)
-        n = len(d)
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "min_gap_s": pa.array([], pa.float64()),
+                    "max_gap_s": pa.array([], pa.float64()),
+                    "mean_gap_s": pa.array([], pa.float64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        bound = np.r_[True, uid[1:] != uid[:-1]]
+        d = np.r_[0, np.diff(ts)]  # gap ending at row i (0 at run starts)
+        starts = np.flatnonzero(bound)
+        runlens = np.diff(np.r_[starts, uid.size])
+        n_gaps = (runlens - 1).astype(np.int64)
+        hi = np.iinfo(np.int64).max
+        dmin = np.where(bound, hi, d)
+        dmax = np.where(bound, -hi, d)
+        dsum = np.where(bound, 0, d)
+        mins = np.minimum.reduceat(dmin, starts)
+        maxs = np.maximum.reduceat(dmax, starts)
+        sums = np.add.reduceat(dsum, starts)
+        has = n_gaps > 0
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_gaps": pa.array([n], pa.int64()),
-                "min_gap_s": pa.array(
-                    [int(d.min()) / 1_000_000.0 if n else None], pa.float64()
-                ),
-                "max_gap_s": pa.array(
-                    [int(d.max()) / 1_000_000.0 if n else None], pa.float64()
-                ),
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_gaps": pa.array(n_gaps, pa.int64()),
+                "min_gap_s": pa.array(mins / 1_000_000.0, pa.float64(), mask=~has),
+                "max_gap_s": pa.array(maxs / 1_000_000.0, pa.float64(), mask=~has),
                 "mean_gap_s": pa.array(
-                    [int(d.sum()) / n / 1_000_000.0 if n else None], pa.float64()
+                    sums / np.maximum(n_gaps, 1) / 1_000_000.0,
+                    pa.float64(),
+                    mask=~has,
                 ),
             }
         )
 
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+    return sorted_group_apply(ds, "user_id", ["ts", "event_id"], kernel)
 
 
 def orders_monthly_growth(sf_dir: str):
@@ -6804,10 +6923,14 @@ def docs_heavy_terms(sf_dir: str):
 def events_moving_avg(sf_dir: str):
     """ROWS-frame moving window aggregate: 4-row trailing mean of value
     per user ordered by (ts, event_id) — the frame-based window the
-    lag/ntile entries don't cover. groupby(user).map_groups with an
-    in-group lexsort + one cumsum sliding window; only (user, id, ts,
-    cents) ride the shuffle and the mean is exact-cents arithmetic
-    mirrored by the oracle."""
+    lag/ntile entries don't cover. r5: ONE global (user, ts, event_id)
+    sort + an across-user kernel via util.sorted_group_apply — the
+    window's low edge is clamped to each user-run's start with index
+    arithmetic on a single global cents cumsum (the frame never
+    crosses a run boundary), exact-cents mean mirrored by the
+    oracle."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"], blocks=16)
 
     def prep(b: pa.Table) -> pa.Table:
@@ -6820,31 +6943,39 @@ def events_moving_avg(sf_dir: str):
             }
         )
 
-    def win(g: pa.Table) -> pa.Table:
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        eid = g.column("event_id").to_numpy()
-        c = g.column("cents").to_numpy()
-        order = np.lexsort((eid, ts))
-        c, eid = c[order], eid[order]
-        n = len(c)
-        cs = np.concatenate(([0], np.cumsum(c)))
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "mov_avg": pa.array([], pa.float64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        n = uid.size
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        runlens = np.diff(np.r_[starts, n])
+        rel = np.arange(n, dtype=np.int64) - np.repeat(starts, runlens)
+        cs = np.r_[0, np.cumsum(c)]
         idx = np.arange(n)
-        lo = np.maximum(0, idx - 3)
+        lo = idx - np.minimum(rel, 3)
         wsum = cs[idx + 1] - cs[lo]
-        wn = idx + 1 - lo
-        mov = (wsum / 100.0) / wn
+        wn = np.minimum(rel, 3) + 1
         return pa.table(
             {
-                "user_id": g.column("user_id").take(pa.array(order)),
-                "event_id": pa.array(eid),
-                "mov_avg": pa.array(mov, pa.float64()),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "mov_avg": pa.array((wsum / 100.0) / wn, pa.float64()),
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(win, batch_format="pyarrow")
+    return sorted_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        kernel,
     )
 
 
@@ -8286,21 +8417,17 @@ def orders_pareto(sf_dir: str):
 def events_transitions(sf_dir: str):
     """First-order Markov transition counts over each user's event
     sequence ordered by (ts, event_id) — the sequence-mining /
-    session-model estimation primitive. ``groupby(user).map_groups``
-    emits (prev, next) pairs PRE-COUNTED per group (combiner), so the
-    exchanges are the narrow user groupby and a |types|²-row pair
-    groupby; counts are int64 end-to-end."""
-    from .util import collect_arrow
+    session-model estimation primitive. r5: ONE global
+    (user, ts, event_id) sort + an across-user kernel via
+    util.sorted_group_apply that shifts the type column once and keeps
+    only same-user adjacencies, PRE-COUNTED per block (combiner), so
+    the remaining exchange is the |types|²-row pair groupby; counts
+    are int64 end-to-end."""
+    from .util import collect_arrow, sorted_group_apply
 
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"], blocks=16)
 
-    def pairs(g: pa.Table) -> pa.Table:
-        ts = (
-            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
+    def kernel(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "prev_type": pa.array([], pa.string()),
@@ -8308,16 +8435,20 @@ def events_transitions(sf_dir: str):
                 "n": pa.array([], pa.int64()),
             }
         )
-        if len(order) < 2:
+        if t.num_rows < 2:
             return empty
-        et = g.column("event_type").take(pa.array(order)).combine_chunks()
-        t = pa.table(
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").combine_chunks()
+        same = pa.array(uid[1:] == uid[:-1])
+        prs = pa.table(
             {
-                "prev_type": et.slice(0, len(order) - 1),
-                "event_type": et.slice(1),
+                "prev_type": et.slice(0, len(et) - 1).filter(same),
+                "event_type": et.slice(1).filter(same),
             }
         )
-        gb = t.group_by(["prev_type", "event_type"]).aggregate([([], "count_all")])
+        if prs.num_rows == 0:
+            return empty
+        gb = prs.group_by(["prev_type", "event_type"]).aggregate([([], "count_all")])
         return pa.table(
             {
                 "prev_type": gb.column("prev_type"),
@@ -8327,8 +8458,7 @@ def events_transitions(sf_dir: str):
         )
 
     agg = (
-        ds.groupby("user_id")
-        .map_groups(pairs, batch_format="pyarrow")
+        sorted_group_apply(ds, "user_id", ["ts", "event_id"], kernel)
         .groupby(["prev_type", "event_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -8794,11 +8924,16 @@ def events_trailing_hour_sum(sf_dir: str):
     event values within the trailing hour **by timestamp value**
     (RANGE … INTERVAL 1 HOUR PRECEDING — peers at the SAME ts are all
     included, unlike the ROWS frame in events_moving_avg; that peer
-    rule is the semantics this operator pins). ONE
-    ``groupby(user).map_groups`` exchange of narrow int columns;
-    in-group it is two vectorized searchsorted probes against a prefix
-    sum (window start side='left', peer-run end side='right') — exact
-    int64 cents, no per-row loop."""
+    rule is the semantics this operator pins). r5: ONE global
+    (user, ts, event_id) sort + an across-user kernel via
+    util.sorted_group_apply — each user-run's timestamps are rebased
+    to the run start and lifted into a disjoint band (run index ×
+    (span + hour + 2)), so a SINGLE pair of searchsorted probes over
+    the whole block resolves every user's window bounds at once
+    against one global prefix sum; exact int64 cents, overflow-guarded
+    with a per-run fallback."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"], blocks=16)
 
     def prep(b: pa.Table) -> pa.Table:
@@ -8813,31 +8948,54 @@ def events_trailing_hour_sum(sf_dir: str):
 
     HOUR = 3_600_000_000
 
-    def trailing(g: pa.Table) -> pa.Table:
-        ts = g.column("ts").to_numpy(zero_copy_only=False)
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        cents = g.column("cents").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts, eid, cents = ts[order], eid[order], cents[order]
-        prefix = np.zeros(len(ts) + 1, dtype=np.int64)
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "trailing_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        n = uid.size
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        runlens = np.diff(np.r_[starts, n])
+        rebase = np.repeat(ts[starts], runlens)
+        rel = ts - rebase  # ≥0, ascending within each run
+        prefix = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(cents, out=prefix[1:])
-        lo = np.searchsorted(ts, ts - HOUR, side="left")
-        hi = np.searchsorted(ts, ts, side="right")  # include ts peers
+        span = int(rel.max()) if n else 0
+        shift = span + HOUR + 2
+        if starts.size * shift < 2**62:
+            gi = np.repeat(np.arange(starts.size, dtype=np.int64), runlens)
+            lifted = rel + gi * shift  # globally ascending, runs disjoint
+            lo = np.searchsorted(lifted, lifted - HOUR, side="left")
+            hi = np.searchsorted(lifted, lifted, side="right")
+        else:  # unreachable for µs spans; exact per-run fallback
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            for s0, ln in zip(starts, runlens):
+                sl = ts[s0 : s0 + ln]
+                lo[s0 : s0 + ln] = s0 + np.searchsorted(sl, sl - HOUR, "left")
+                hi[s0 : s0 + ln] = s0 + np.searchsorted(sl, sl, "right")
         return pa.table(
             {
-                "event_id": pa.array(eid),
-                "user_id": pa.array(
-                    np.full(len(ts), g.column("user_id")[0].as_py(), dtype=np.int64)
-                ),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
                 "ts": pa.array(ts).cast(pa.timestamp("us")),
                 "trailing_cents": pa.array(prefix[hi] - prefix[lo]),
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(trailing, batch_format="pyarrow")
+    return sorted_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        kernel,
     )
 
 
@@ -8847,12 +9005,15 @@ def events_active_time(sf_dir: str, window_min: int = 30):
     overlapping intervals into islands (the gaps-and-islands operator)
     and report total covered time, island count and event count — the
     engagement-duration metric sessionization alone can't give
-    (overlaps must not double-count). ONE narrow
-    ``groupby(user).map_groups``; in-group the sweep is vectorized:
-    running-max of interval ends, break mask where the next start
-    clears it, segment reduceat for island bounds. Integer µs
-    end-to-end; the oracle is the classic lag/running-max
-    gaps-and-islands CTE."""
+    (overlaps must not double-count). r5: ONE global (user, ts) sort +
+    an across-user kernel via util.sorted_group_apply — with ts
+    ascending per run, each interval's running-max end IS its own end,
+    so islands break where the gap to the previous event exceeds W or
+    the user changes; island bounds and per-user folds are pure
+    reduceat index arithmetic. Integer µs end-to-end; the oracle is
+    the classic lag/running-max gaps-and-islands CTE."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
     W = window_min * 60_000_000
 
@@ -8864,34 +9025,42 @@ def events_active_time(sf_dir: str, window_min: int = 30):
             }
         )
 
-    def islands(g: pa.Table) -> pa.Table:
-        ts = np.sort(g.column("ts").to_numpy(zero_copy_only=False))
-        ends = ts + W
-        cm = np.maximum.accumulate(ends)
-        brk = np.empty(len(ts), dtype=bool)
-        brk[0] = True
-        brk[1:] = ts[1:] > cm[:-1]
-        starts_idx = np.flatnonzero(brk)
-        island_start = ts[starts_idx]
-        bounds = np.append(starts_idx[1:], len(ts)) - 1
-        island_end = cm[bounds]
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_islands": pa.array([], pa.int64()),
+                    "active_us": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        n = uid.size
+        run_start = np.r_[True, uid[1:] != uid[:-1]]
+        brk = run_start.copy()
+        brk[1:] |= ts[1:] > ts[:-1] + W
+        isl_idx = np.flatnonzero(brk)
+        isl_start = ts[isl_idx]
+        isl_end = ts[np.r_[isl_idx[1:], n] - 1] + W
+        isl_user_break = run_start[isl_idx]  # island opens a new user?
+        u_starts = np.flatnonzero(isl_user_break)
+        row_starts = np.flatnonzero(run_start)
+        runlens = np.diff(np.r_[row_starts, n])
+        n_islands = np.diff(np.r_[u_starts, isl_idx.size]).astype(np.int64)
+        active = np.add.reduceat(isl_end - isl_start, u_starts)
         return pa.table(
             {
-                "user_id": pa.array(
-                    [g.column("user_id")[0].as_py()], pa.int64()
-                ),
-                "n_events": pa.array([len(ts)], pa.int64()),
-                "n_islands": pa.array([len(starts_idx)], pa.int64()),
-                "active_us": pa.array(
-                    [int((island_end - island_start).sum())], pa.int64()
-                ),
+                "user_id": pa.array(uid[row_starts], pa.int64()),
+                "n_events": pa.array(runlens.astype(np.int64), pa.int64()),
+                "n_islands": pa.array(n_islands, pa.int64()),
+                "active_us": pa.array(active.astype(np.int64), pa.int64()),
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(islands, batch_format="pyarrow")
+    return sorted_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", ["ts"], kernel
     )
 
 
@@ -9076,39 +9245,51 @@ def events_weekly_active(sf_dir: str):
     count-distinct window, which no plain windowed aggregate expresses
     (DISTINCT doesn't decompose over overlapping frames). Shape: the
     per-user distinct-day dedup AND the ×7 window expansion both key on
-    user_id, so — like events_retention — one
-    ``groupby(user).map_groups`` computes the user's distinct event
-    days, expands each into the 7 window-end days it contributes to and
-    re-dedups in place (≤ 7·|days| pre-counted rows per user); a tiny
-    (day)-keyed groupby sums the contributions. ONE fact-sized
-    exchange; a naive plan (distinct (user,day) → 7× flat-map →
-    distinct (user,wday) → count) needs three. A day d is reported iff
-    some event fell in [d−6, d]."""
-    from .util import collect_arrow
+    user_id. r5: ONE global (user, ts) sort + an across-user kernel
+    via util.sorted_group_apply — distinct (user, day) rows fall out
+    of the sorted runs, the ×7 expansion + per-user re-dedup is one
+    lexsort over the block, and the kernel PRE-COUNTS contributions
+    per window-day (combiner), so the only remaining exchange is a
+    tiny (day)-keyed groupby. A day d is reported iff some event fell
+    in [d−6, d]."""
+    from .util import collect_arrow, sorted_group_apply
 
     US_PER_DAY = 86_400_000_000
 
     ev = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
 
-    def per_user(g: pa.Table) -> pa.Table:
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "wday_us": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
         days = (
-            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64())
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
             .to_numpy(zero_copy_only=False)
             // US_PER_DAY
         )
-        wdays = np.unique(
-            (np.unique(days)[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
-        )
+        new_run = np.r_[True, uid[1:] != uid[:-1]]
+        dmask = new_run | np.r_[False, days[1:] != days[:-1]]
+        uu, du = uid[dmask], days[dmask]
+        wu = np.repeat(uu, 7)
+        wd = (du[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+        order = np.lexsort((wd, wu))
+        wu, wd = wu[order], wd[order]
+        uniq = np.r_[True, (wu[1:] != wu[:-1]) | (wd[1:] != wd[:-1])]
+        wdays, counts = np.unique(wd[uniq], return_counts=True)
         return pa.table(
             {
                 "wday_us": pa.array(wdays * US_PER_DAY),
-                "n": pa.array(np.ones(len(wdays), dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
             }
         )
 
     agg = (
-        ev.groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        sorted_group_apply(ev, "user_id", ["ts"], kernel)
         .groupby("wday_us")
         .aggregate(Sum("n", alias_name="active_users"))
     )
@@ -11018,31 +11199,51 @@ def events_cumulative_distinct(sf_dir: str):
     distinct event types seen up to and including each event (ordered
     by ts, event_id). The classic streaming-dashboard window that SQL
     needs a two-window trick for (first-occurrence flag → running
-    sum). Distributed: one groupby(user).map_groups; inside the group
-    a numpy lexsort orders events, np.unique codes the types, and a
-    minimum.at scatter finds each code's first position — the running
-    sum of first-occurrence flags is a cumsum. No driver rows, no
-    per-row Python."""
+    sum). r5: ONE global (user, ts, event_id) sort + an across-user
+    kernel via util.sorted_group_apply — a second lexsort groups rows
+    by (user, type) while keeping time order, so each (user, type)
+    pair's FIRST position falls out of one shifted comparison and
+    scatters back as a flag; the running count is a boundary-reset
+    cumsum. No per-user Python dispatch."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"], blocks=8)
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        eid = g.column("event_id").to_numpy()
-        order = np.lexsort((eid, ts))
-        types = g.column("event_type").to_numpy(zero_copy_only=False)[order]
-        codes = np.unique(types, return_inverse=True)[1]
-        first_pos = np.full(codes.max() + 1, len(codes), dtype=np.int64)
-        np.minimum.at(first_pos, codes, np.arange(len(codes)))
-        flags = (np.arange(len(codes)) == first_pos[codes]).astype(np.int64)
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "distinct_types": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = uid.size
+        codes = (
+            pc.dictionary_encode(t.column("event_type").combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # group by (user, type), stable in time order
+        o2 = np.lexsort((np.arange(n), codes, uid))
+        u2, c2 = uid[o2], codes[o2]
+        first = np.r_[True, (u2[1:] != u2[:-1]) | (c2[1:] != c2[:-1])]
+        flags = np.zeros(n, np.int64)
+        flags[o2[first]] = 1
+        cum = np.cumsum(flags)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        runlens = np.diff(np.r_[starts, n])
+        base = np.repeat((cum - flags)[starts], runlens)
         return pa.table(
             {
-                "user_id": g.column("user_id").take(pa.array(order)),
-                "event_id": pa.array(eid[order]),
-                "distinct_types": pa.array(np.cumsum(flags)),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "distinct_types": pa.array(cum - base),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return sorted_group_apply(ds, "user_id", ["ts", "event_id"], kernel)
 
 
 _SPLIT_TRAIN, _SPLIT_VAL = 0.8, 0.9
@@ -11197,50 +11398,59 @@ def docs_boolean_and(sf_dir: str):
 def events_dau_wau(sf_dir: str):
     """DAU / trailing-7-day WAU stickiness — the product-analytics
     staple whose SQL form needs a sliding COUNT(DISTINCT) no window
-    frame supports. Distributed shape: ONE user-keyed exchange
-    (groupby(user).map_groups); inside each group the user's distinct
-    active days come from np.unique, the sliding distinct becomes a
-    bounded ×7 window expansion deduped IN THE GROUP (all of a user's
-    days are co-located, so the group-local unique IS the global
-    dedup), and the group emits pre-counted (day, dau_flag, wau_flag)
-    rows — day-sized partials folded once at the edge. Window days no
-    user was actually active on are pruned against the observed-day
-    set during the fold. The ×7 fan-out is the price of exactness and
-    is the standard trade against a sliding HLL sketch
-    (events_approx_users) when the window is short."""
-    from .util import collect_arrow
+    frame supports. r5: ONE global (user, ts) sort + an across-user
+    kernel via util.sorted_group_apply; distinct (user, day) pairs
+    fall out of the sorted runs, the sliding distinct becomes a
+    bounded ×7 window expansion deduped per user with one block-level
+    lexsort, and the block emits PRE-COUNTED (day, dau, wau) partials
+    — day-sized, calendar-bounded. Window days no user was actually
+    active on are pruned against the observed-day set during the
+    fold. The ×7 fan-out is the price of exactness and is the
+    standard trade against a sliding HLL sketch (events_approx_users)
+    when the window is short."""
+    from .util import collect_arrow, sorted_group_apply
 
     ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
     DAY_US = 86_400_000_000
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        days = np.unique((ts // DAY_US) * DAY_US)
-        wdays = np.unique(
-            (days[:, None] + np.arange(7, dtype=np.int64) * DAY_US).ravel()
-        )
-        day_all = np.concatenate([days, wdays])
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "dau": pa.array([], pa.int64()),
+                    "wau": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        days = (
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // DAY_US
+        ) * DAY_US
+        new_run = np.r_[True, uid[1:] != uid[:-1]]
+        dmask = new_run | np.r_[False, days[1:] != days[:-1]]
+        uu, du = uid[dmask], days[dmask]
+        d_days, d_counts = np.unique(du, return_counts=True)
+        wu = np.repeat(uu, 7)
+        wd = (du[:, None] + np.arange(7, dtype=np.int64)[None, :] * DAY_US).ravel()
+        order = np.lexsort((wd, wu))
+        wu, wd = wu[order], wd[order]
+        uniq = np.r_[True, (wu[1:] != wu[:-1]) | (wd[1:] != wd[:-1])]
+        w_days, w_counts = np.unique(wd[uniq], return_counts=True)
         return pa.table(
             {
-                "day": pa.array(day_all),
+                "day": pa.array(np.r_[d_days, w_days]),
                 "dau": pa.array(
-                    np.concatenate(
-                        [np.ones(len(days), dtype=np.int64),
-                         np.zeros(len(wdays), dtype=np.int64)]
-                    )
+                    np.r_[d_counts, np.zeros(w_days.size)].astype(np.int64)
                 ),
                 "wau": pa.array(
-                    np.concatenate(
-                        [np.zeros(len(days), dtype=np.int64),
-                         np.ones(len(wdays), dtype=np.int64)]
-                    )
+                    np.r_[np.zeros(d_days.size), w_counts].astype(np.int64)
                 ),
             }
         )
 
-    parts = collect_arrow(
-        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    )
+    parts = collect_arrow(sorted_group_apply(ds, "user_id", ["ts"], kernel))
     folded = (
         parts.group_by("day")
         .aggregate([("dau", "sum"), ("wau", "sum")])
@@ -11266,31 +11476,36 @@ def events_session_conversion(sf_dir: str):
     share of 30-min-gap sessions contain both a view AND a purchase.
     The composition a growth team actually runs: gap-and-island
     sessionization (events_sessionize's verified kernel) chained into
-    per-session flags and a day-grain conditional aggregate — ONE
-    groupby(user).map_groups emits per-session rows pre-reduced to
-    (day, n_sessions, n_converted) partials, one tiny day groupby
-    finishes. Sessions never leave their group; the exchange is
-    day-sized."""
-    from .util import collect_arrow, drop_empty_blocks
+    per-session flags and a day-grain conditional aggregate. r5: ONE
+    global (user, ts) sort + an across-user kernel via
+    util.sorted_group_apply — a session breaks at a user change OR a
+    30-min gap, so every block sessionizes ALL its interior users in
+    one pass and emits (day, n_sessions, n_converted) partials; one
+    tiny day groupby finishes. The exchange is day-sized."""
+    from .util import collect_arrow, drop_empty_blocks, sorted_group_apply
 
     GAP_US = 30 * 60 * 1_000_000
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"], blocks=16)
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        order = np.argsort(ts, kind="stable")
-        t = ts[order]
-        et = g.column("event_type").to_numpy(zero_copy_only=False)[order]
-        new_s = np.ones(len(t), dtype=np.int64)
-        new_s[1:] = (t[1:] - t[:-1] > GAP_US).astype(np.int64)
-        sid = np.cumsum(new_s) - 1
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_converted": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        n = uid.size
+        new_s = np.r_[True, (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > GAP_US)]
         starts = np.flatnonzero(new_s)
-        ends = np.append(starts[1:], len(t))
-        s_start = t[starts]
-        is_view = (et == "view").astype(np.int64)
-        is_buy = (et == "purchase").astype(np.int64)
-        cv = np.concatenate(([0], np.cumsum(is_view)))
-        cb = np.concatenate(([0], np.cumsum(is_buy)))
+        ends = np.append(starts[1:], n)
+        s_start = ts[starts]
+        cv = np.r_[0, np.cumsum((et == "view").astype(np.int64))]
+        cb = np.r_[0, np.cumsum((et == "purchase").astype(np.int64))]
         has_both = ((cv[ends] - cv[starts]) > 0) & ((cb[ends] - cb[starts]) > 0)
         day = (s_start // 86_400_000_000) * 86_400_000_000
         t_out = pa.table(
@@ -11307,8 +11522,7 @@ def events_session_conversion(sf_dir: str):
         )
 
     agg = drop_empty_blocks(
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        sorted_group_apply(ds, "user_id", ["ts"], kernel)
         .groupby("day")
         .aggregate(
             Sum("n_sessions", alias_name="n_sessions"),
@@ -11337,49 +11551,61 @@ def events_pattern_chain(sf_dir: str):
     semantics): per user, the FIRST completed view → click → purchase
     chain — first view, then the first click strictly after it, then
     the first purchase strictly after that; users who never complete
-    the chain are absent. Distributed shape: ONE groupby(user)
-    .map_groups; inside the group each step is a vectorized
-    searchsorted over the per-type sorted timestamp arrays — no scan
-    re-reads, no joins, the exchange is user-keyed events once. The
-    SQL form needs three nested correlated mins; the engine form is
-    three array lookups."""
-    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"], blocks=16)
+    the chain are absent. r5: ONE global (user, ts) sort + an
+    across-user kernel via util.sorted_group_apply — each chain step
+    is a reduceat-min over candidate row indices gated by a per-row
+    threshold broadcast from the previous step (the correlated min as
+    segment arithmetic); no per-user Python dispatch, no joins. The
+    SQL form needs three nested correlated mins."""
+    from .util import sorted_group_apply
 
-    def per_user(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "user_id": pa.array([], pa.int64()),
-                "view_ts": pa.array([], pa.timestamp("us")),
-                "click_ts": pa.array([], pa.timestamp("us")),
-                "purchase_ts": pa.array([], pa.timestamp("us")),
-            }
-        )
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        et = g.column("event_type").to_numpy(zero_copy_only=False)
-        v = np.sort(ts[et == "view"])
-        c = np.sort(ts[et == "click"])
-        p = np.sort(ts[et == "purchase"])
-        if not (len(v) and len(c) and len(p)):
-            return empty
-        v0 = v[0]
-        ci = np.searchsorted(c, v0, side="right")
-        if ci >= len(c):
-            return empty
-        c0 = c[ci]
-        pi = np.searchsorted(p, c0, side="right")
-        if pi >= len(p):
-            return empty
-        p0 = p[pi]
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"], blocks=16)
+    LO, HI = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "view_ts": pa.array([], pa.timestamp("us")),
+                    "click_ts": pa.array([], pa.timestamp("us")),
+                    "purchase_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        n = uid.size
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        runlens = np.diff(np.r_[starts, n])
+        idx = np.arange(n, dtype=np.int64)
+
+        def first_after(mask, thresh_per_group):
+            """Per group: min row index with mask AND ts strictly above
+            the group's threshold (HI threshold ⇒ no match)."""
+            cand = np.where(
+                mask & (ts > np.repeat(thresh_per_group, runlens)), idx, n
+            )
+            return np.minimum.reduceat(cand, starts)
+
+        fv = first_after(et == "view", np.full(starts.size, LO))
+        v_ts = np.where(fv < n, ts[np.minimum(fv, n - 1)], HI)
+        fc = first_after(et == "click", v_ts)
+        c_ts = np.where(fc < n, ts[np.minimum(fc, n - 1)], HI)
+        fp = first_after(et == "purchase", c_ts)
+        ok = fp < n
         return pa.table(
             {
-                "user_id": pa.array([g.column("user_id")[0].as_py()], pa.int64()),
-                "view_ts": pa.array([v0], pa.int64()).cast(pa.timestamp("us")),
-                "click_ts": pa.array([c0], pa.int64()).cast(pa.timestamp("us")),
-                "purchase_ts": pa.array([p0], pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array(uid[starts][ok], pa.int64()),
+                "view_ts": pa.array(v_ts[ok], pa.int64()).cast(pa.timestamp("us")),
+                "click_ts": pa.array(c_ts[ok], pa.int64()).cast(pa.timestamp("us")),
+                "purchase_ts": pa.array(
+                    ts[np.minimum(fp, n - 1)][ok], pa.int64()
+                ).cast(pa.timestamp("us")),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return sorted_group_apply(ds, "user_id", ["ts"], kernel)
 
 
 def orders_cohort_ltv(sf_dir: str):
@@ -11871,31 +12097,65 @@ def events_linear_attribution(sf_dir: str):
     Exactness is the point: credit_i = cents//n + (rank_i ≤ cents%n) —
     the remainder goes to the EARLIEST touches, so the per-channel
     sums are integers and hash-stable (a float 1/n split would
-    accumulate in block order). Distributed shape: ONE
-    groupby(user).map_groups; inside the group searchsorted windows
-    per purchase, np.repeat fan-out of per-purchase touch slices,
-    vectorized remainder assignment, and a group-local channel
-    pre-sum — the exchange after the group pass is channel-sized."""
+    accumulate in block order). r5: ONE global (user, ts, event_id)
+    sort + an across-user kernel via util.sorted_group_apply — every
+    user's touch timestamps are rebased to the user's first event and
+    lifted into disjoint bands (run index × (span + window + 2)), so
+    a SINGLE searchsorted pair over the block's whole touch array
+    resolves every purchase's window (a purchase whose user has no
+    touches lands between bands, n = 0 → 'direct'); np.repeat
+    fan-out, vectorized remainder assignment, bincount channel
+    pre-sum — the remaining exchange is channel-sized."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"], blocks=16)
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        eid = g.column("event_id").to_numpy()
-        et = g.column("event_type").to_numpy(zero_copy_only=False)
-        cents_all = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "channel": pa.array([], pa.string()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        cents_all = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        m = uid.size
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        runlens = np.diff(np.r_[starts, m])
+        rel = ts - np.repeat(ts[starts], runlens)
+        gi = np.repeat(np.arange(starts.size, dtype=np.int64), runlens)
+        span = int(rel.max())
+        shift = span + _ATTR_WINDOW_US + 2
         touch = (et == "view") | (et == "click")
-        t_ts, t_eid, t_et = ts[touch], eid[touch], et[touch]
-        t_order = np.lexsort((t_eid, t_ts))
-        t_ts, t_eid, t_et = t_ts[t_order], t_eid[t_order], t_et[t_order]
         buy = et == "purchase"
-        b_ts, b_cents = ts[buy], cents_all[buy]
-        b_order = np.lexsort((eid[buy], b_ts))
-        b_ts, b_cents = b_ts[b_order], b_cents[b_order]
-        lo = np.searchsorted(t_ts, b_ts - _ATTR_WINDOW_US, side="left")
-        hi = np.searchsorted(t_ts, b_ts, side="left")  # strictly before
+        t_et = et[touch]
+        b_cents = cents_all[buy]
+        if starts.size * shift < 2**62:
+            lifted = rel + gi * shift
+            t_l = lifted[touch]
+            b_l = lifted[buy]
+            lo = np.searchsorted(t_l, b_l - _ATTR_WINDOW_US, side="left")
+            hi = np.searchsorted(t_l, b_l, side="left")  # strictly before
+        else:  # unreachable for µs spans; exact per-run fallback
+            t_user, b_user = uid[touch], uid[buy]
+            t_ts_a, b_ts_a = ts[touch], ts[buy]
+            lo = np.empty(b_user.size, np.int64)
+            hi = np.empty(b_user.size, np.int64)
+            t_runs = np.searchsorted(t_user, uid[starts], side="left")
+            t_ends = np.searchsorted(t_user, uid[starts], side="right")
+            for k in range(starts.size):
+                s0, e0 = t_runs[k], t_ends[k]
+                bm = b_user == uid[starts[k]]
+                lo[bm] = s0 + np.searchsorted(
+                    t_ts_a[s0:e0], b_ts_a[bm] - _ATTR_WINDOW_US, "left"
+                )
+                hi[bm] = s0 + np.searchsorted(t_ts_a[s0:e0], b_ts_a[bm], "left")
         n = hi - lo
         out: dict[str, int] = {}
-        # purchases with no touches → 'direct'
         none = n == 0
         if none.any():
             out["direct"] = int(b_cents[none].sum())
@@ -11912,9 +12172,13 @@ def events_linear_attribution(sf_dir: str):
             per = np.repeat(cc // nn, nn)
             rem = np.repeat(cc % nn, nn)
             credit = per + (within < rem)
-            ch = t_et[pos]
-            for c in np.unique(ch):
-                out[str(c)] = out.get(str(c), 0) + int(credit[ch == c].sum())
+            chu, chi = np.unique(t_et[pos], return_inverse=True)
+            sums = np.zeros(chu.size, np.int64)
+            np.add.at(sums, chi, credit)  # exact int64 channel pre-sum
+            for c, s in zip(chu, sums):
+                out[str(c)] = out.get(str(c), 0) + int(s)
+        if not out:
+            return empty
         return pa.table(
             {
                 "channel": pa.array(list(out.keys()), pa.string()),
@@ -11923,8 +12187,7 @@ def events_linear_attribution(sf_dir: str):
         )
 
     agg = (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        sorted_group_apply(ds, "user_id", ["ts", "event_id"], kernel)
         .groupby("channel")
         .aggregate(Sum("cents", alias_name="cents"))
     )
@@ -11947,28 +12210,40 @@ def events_hourly_ohlc(sf_dir: str):
     value (open), max (high), min (low), last (close), and the event
     count — the classic resample a metrics store runs before plotting.
     First/last are argmin/argmax by (ts, event_id) so ties are pinned.
-    Distributed shape: ONE groupby(user).map_groups; in-group lexsort
-    by (ts, event_id), hour boundaries by np.unique on the hour key,
-    O/C by slice endpoints, H/L via np.minimum/maximum.reduceat — no
-    per-row Python, exchange is the user-keyed events once, output is
-    (user × active hours)-sized. Exact int64 cents; the mirrored ÷100
-    at the edge."""
+    r5: ONE global (user, ts, event_id) sort + an across-user kernel
+    via util.sorted_group_apply — an OHLC bucket breaks at a user
+    change OR an hour change, so slice endpoints and H/L reduceat fold
+    every (user, hour) of the block at once; no per-user Python
+    dispatch, output is (user × active hours)-sized. Exact int64
+    cents; the mirrored ÷100 at the edge."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "value"], blocks=16)
     HOUR_US = 3_600_000_000
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        eid = g.column("event_id").to_numpy()
-        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts, cents = ts[order], cents[order]
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "open": pa.array([], pa.int64()),
+                    "high": pa.array([], pa.int64()),
+                    "low": pa.array([], pa.int64()),
+                    "close": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
         hour = (ts // HOUR_US) * HOUR_US
-        starts = np.flatnonzero(np.concatenate(([True], hour[1:] != hour[:-1])))
-        ends = np.append(starts[1:], len(hour))
-        uid = g.column("user_id")[0].as_py()
+        brk = np.r_[True, (uid[1:] != uid[:-1]) | (hour[1:] != hour[:-1])]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], uid.size)
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(starts), uid, dtype=np.int64)),
+                "user_id": pa.array(uid[starts], pa.int64()),
                 "hour": pa.array(hour[starts], pa.int64()).cast(pa.timestamp("us")),
                 "open": pa.array(cents[starts]),
                 "high": pa.array(np.maximum.reduceat(cents, starts)),
@@ -11978,7 +12253,7 @@ def events_hourly_ohlc(sf_dir: str):
             }
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    out = sorted_group_apply(ds, "user_id", ["ts", "event_id"], kernel)
 
     def dollars(b: pa.Table) -> pa.Table:
         cols = {"user_id": b.column("user_id"), "hour": b.column("hour")}
@@ -12197,16 +12472,18 @@ def part_supplier_census(sf_dir: str):
     )
 
 
-def region_best_supplier(sf_dir: str):
+def region_best_supplier(sf_dir: str, dense_row_limit: int = 5_000_000):
     """TPC-H Q2-shaped correlated max: for every part, the ASIA-region
     supplier(s) with the highest account balance among the suppliers
     that shipped it (ties survive — the correlated scalar-subquery
     keeps every row equal to the per-part max). Distributed plan: the
     eligible-supplier attributes broadcast once (region⋈nation⋈supplier
     is dimension-sized; sorted arrays probed with searchsorted), blocks
-    emit distinct (partkey, suppkey, bal_cents) candidate rows, ONE
-    groupby(partkey).map_groups keeps the in-group max with ties, and
-    names annotate from the same broadcast."""
+    emit distinct (partkey, suppkey, bal_cents) candidate rows, and the
+    per-part max-with-ties folds across ALL parts at once on a
+    (part, bal DESC) sort via util.sorted_group_apply (r5 — no
+    per-part Python dispatch); names annotate from the same
+    broadcast."""
     from .util import collect_arrow
 
     nat = collect_arrow(_pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
@@ -12255,19 +12532,31 @@ def region_best_supplier(sf_dir: str):
             .select(["p_partkey", "s_suppkey", "bal_cents"])
         )
 
-    def keep_max(g: pa.Table) -> pa.Table:
-        bal = g.column("bal_cents").to_numpy(zero_copy_only=False)
-        mx = bal.max()
-        at = g.filter(pa.array(bal == mx))
-        sk = np.unique(at.column("s_suppkey").to_numpy(zero_copy_only=False))
-        n = len(sk)
+    def keep_max_all(t: pa.Table) -> pa.Table:
+        """r5 across-part form (sorted (part, bal DESC, suppkey)): a
+        run's first row carries its max; keep ties, drop duplicate
+        (part, suppkey) rows from different source blocks."""
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "bal_cents": pa.array([], pa.int64()),
+                }
+            )
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        sk = t.column("s_suppkey").to_numpy(zero_copy_only=False)
+        bal = t.column("bal_cents").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        runlens = np.diff(np.r_[starts, pk.size])
+        mx = np.repeat(bal[starts], runlens)
+        uniq = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        keep = (bal == mx) & uniq
         return pa.table(
             {
-                "p_partkey": pa.array(
-                    np.full(n, g.column("p_partkey")[0].as_py(), dtype=np.int64)
-                ),
-                "s_suppkey": pa.array(sk),
-                "bal_cents": pa.array(np.full(n, mx, dtype=np.int64)),
+                "p_partkey": pa.array(pk[keep], pa.int64()),
+                "s_suppkey": pa.array(sk[keep], pa.int64()),
+                "bal_cents": pa.array(bal[keep], pa.int64()),
             }
         )
 
@@ -12278,7 +12567,7 @@ def region_best_supplier(sf_dir: str):
     # Size-gated dense path: the candidate partials are bounded by the
     # distinct (part, eligible-supplier) pairs; when driver-sized, one
     # pyarrow group_by-max + equality filter replaces the exchange.
-    if cand.count() <= 5_000_000:
+    if cand.count() <= dense_row_limit:
         t = collect_arrow(
             cand,
             schema=pa.schema(
@@ -12318,7 +12607,15 @@ def region_best_supplier(sf_dir: str):
             }
         )
 
-    best = cand.groupby("p_partkey").map_groups(keep_max, batch_format="pyarrow")
+    from .util import sorted_group_apply
+
+    best = sorted_group_apply(
+        cand,
+        "p_partkey",
+        ["bal_cents", "s_suppkey"],
+        keep_max_all,
+        descending=[True, False],
+    )
 
     def finish(b: pa.Table) -> pa.Table:
         lut = ray.get(lut_ref)

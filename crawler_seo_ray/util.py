@@ -66,6 +66,110 @@ def atomic_write_parquet(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+def sorted_group_apply(ds, key_cols, order_cols, kernel, descending=None):
+    """Multi-group WINDOW sort-kernel — the generalization of
+    ``sorted_agg_by_key`` to arbitrary per-group logic (running sums,
+    lead/lag, per-group top-k, session stats): replaces
+    ``groupby(key).map_groups(fn)``, whose per-group Python dispatch
+    costs ~20 µs/group and scales with the wrong term when the group
+    count is input-proportional (users, docs, orders).
+
+    Shape: ONE global sort on (key, *order_cols); per block, rows of
+    the block's FIRST/LAST key — the only groups that can straddle a
+    block boundary, ≤2 keys per block — ship raw to the driver
+    (bounded by group size, the events_funnel/sessionize contract),
+    while every INTERIOR group is complete in-block and is processed
+    by one vectorized ``kernel`` call. Driver-side the collected edge
+    rows are re-sorted and folded by the same kernel, and the result
+    unions back as one small block.
+
+    ``kernel(table) -> table``: receives rows already sorted by
+    (key, *order_cols), possibly MANY groups at once — it must be
+    vectorized ACROSS groups (boundary-masked cumsum / reduceat /
+    shifted arrays keyed on run starts), and must return its empty
+    output schema for a zero-row input. Input and output column names
+    may overlap freely (edge rows ride under ``_in_*`` aliases in the
+    tagged union, so dtypes never clash)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    sort_cols = list(key_cols) + list(order_cols)
+    # keys always ascend; ``descending`` (aligned with order_cols) lets
+    # a kernel see e.g. (user, value DESC) runs for top-k shapes
+    desc = [False] * len(key_cols) + list(
+        descending if descending is not None else [False] * len(order_cols)
+    )
+    sorted_ds = ds.sort(
+        sort_cols if len(sort_cols) > 1 else sort_cols[0],
+        descending=desc if any(desc) else False,
+    )
+
+    def runs(b: pa.Table) -> pa.Table:
+        out_empty = kernel(b.schema.empty_table())
+        in_fields = [(f"_in_{n}", b.schema.field(n).type) for n in b.schema.names]
+        out_fields = [(n, out_empty.schema.field(n).type) for n in out_empty.schema.names]
+        schema = pa.schema(
+            [("kind", pa.int8())] + in_fields + out_fields
+        )
+        if b.num_rows == 0:
+            return schema.empty_table()
+        n = b.num_rows
+        em = np.ones(n, bool)
+        el = np.ones(n, bool)
+        for kc in key_cols:
+            a = b.column(kc)
+            a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            em &= pc.equal(a, a[0]).to_numpy(zero_copy_only=False)
+            el &= pc.equal(a, a[n - 1]).to_numpy(zero_copy_only=False)
+        em = em | el
+        edge_t = b.filter(pa.array(em))
+        done_t = kernel(b.filter(pa.array(~em)))
+        n_e, n_d = edge_t.num_rows, done_t.num_rows
+        cols = {
+            "kind": pa.array(np.r_[np.zeros(n_e, np.int8), np.ones(n_d, np.int8)])
+        }
+        for alias, typ in in_fields:
+            src = edge_t.column(alias[4:]).cast(typ).combine_chunks()
+            cols[alias] = pa.concat_arrays([src, pa.nulls(n_d, typ)])
+        for name, typ in out_fields:
+            src = done_t.column(name).cast(typ).combine_chunks()
+            cols[name] = pa.concat_arrays([pa.nulls(n_e, typ), src])
+        return pa.table(cols, schema=schema)
+
+    parts = sorted_ds.map_batches(runs, batch_format="pyarrow").materialize()
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(
+            [n for n in b.schema.names if n != "kind" and not n.startswith("_in_")]
+        )
+
+    interior = parts.filter(expr="kind == 1").map_batches(
+        strip, batch_format="pyarrow"
+    )
+    edge = collect_arrow(parts.filter(expr="kind == 0"))
+    if edge.num_rows == 0:
+        return interior
+    edge_in = pa.table(
+        {n[4:]: edge.column(n) for n in edge.schema.names if n.startswith("_in_")}
+    )
+    edge_in = edge_in.take(
+        pc.sort_indices(
+            edge_in,
+            sort_keys=[
+                (c, "descending" if d else "ascending")
+                for c, d in zip(sort_cols, desc)
+            ],
+        )
+    )
+    folded = kernel(edge_in)
+    if folded.num_rows == 0:
+        return interior
+    return interior.union(rd.from_arrow(folded))
+
+
 def sorted_agg_by_key(ds, key_cols, aggs):
     """Exact distributed per-key aggregation as a Dataset WITHOUT
     ``groupby().aggregate()``: Ray's aggregate walks rows AND groups in

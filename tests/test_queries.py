@@ -254,6 +254,18 @@ def test_dense_gate_queries_match_distributed_path(monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_region_best_supplier_distributed_path_equals_dense():
+    """dense_row_limit=0 forces the sorted_group_apply max-with-ties
+    plan (r5) over the candidate exchange; must equal the driver-side
+    dense fold the oracle pins."""
+    from crawler_seo_ray import queries as Q
+
+    a = _canon(_to_pandas(Q.region_best_supplier(SF)))
+    b = _canon(_to_pandas(Q.region_best_supplier(SF, dense_row_limit=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dedup_spans_distributed_path_equals_dense():
     """dense_gate=0 forces the gram-join + per-doc start co-location
     plan in docs_dedup_spans; its rewrite must equal the broadcast
