@@ -2276,31 +2276,46 @@ def events_debounce(sf_dir: str, min_gap_us: int = 600_000_000):
     """Windowed deduplication (debounce): keep an event only if it is
     the first, or ≥ 10 minutes after the previous event of the same
     (user, event_type) — the duplicate-suppression primitive for noisy
-    event streams. Same distributed shape as lag(): a two-key
-    groupby(user, type).map_groups with one in-group lexsort and a
-    vectorized diff; only narrow columns ride the shuffle."""
+    event streams. r5: ONE global (user, type, ts, event_id) sort + an
+    across-group kernel via util.sorted_group_apply — the keep mask is
+    a single shifted diff reset at (user, type) run starts; only
+    narrow columns ride the shuffle, no per-group Python dispatch."""
+    from .util import sorted_group_apply
+
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"], blocks=16)
 
-    def keep_first_gapped(g: pa.Table) -> pa.Table:
-        ts = (
-            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts_s = ts[order]
-        keep = np.concatenate(([True], np.diff(ts_s) >= min_gap_us))
-        idx = pa.array(order[keep])
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        et = t.column("event_type").combine_chunks()
+        n = uid.size
+        new_run = np.r_[
+            True,
+            (uid[1:] != uid[:-1])
+            | pc.not_equal(et.slice(1), et.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            ),
+        ]
+        keep = new_run | np.r_[False, np.diff(ts) >= min_gap_us]
+        out = t.filter(pa.array(keep))
         return pa.table(
             {
-                "event_id": g.column("event_id").take(idx),
-                "user_id": g.column("user_id").take(idx),
-                "event_type": g.column("event_type").take(idx),
+                "event_id": pc.cast(out.column("event_id"), pa.int64()),
+                "user_id": pc.cast(out.column("user_id"), pa.int64()),
+                "event_type": pc.cast(out.column("event_type"), pa.string()),
             }
         )
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(
-        keep_first_gapped, batch_format="pyarrow"
+    return sorted_group_apply(
+        ds, ["user_id", "event_type"], ["ts", "event_id"], kernel
     )
 
 
@@ -8163,10 +8178,15 @@ def orders_time_decay(sf_dir: str, half_life_days: int = 30):
     weighted LTV feature (weight halves every ``half_life_days``).
     Days-from-anchor is exact integer µs arithmetic (mirrored via
     epoch_us in SQL); each customer's Σ cents·2^(−days/half_life) is
-    accumulated STRICTLY in (o_orderdate, o_orderkey) order inside one
-    ``groupby(custkey).map_groups`` (narrow fact-sized exchange), and
-    the oracle mirrors the order with sum(… ORDER BY …) — doubles
-    bit-equal given libm pow parity (verified on this box)."""
+    accumulated STRICTLY in (o_orderdate, o_orderkey) order. r5: ONE
+    global (cust, days DESC, orderkey) sort + an across-customer
+    kernel via util.sorted_group_apply — terms fold column-by-column
+    over a (customers × max-orders) padded matrix, which reproduces
+    the strict left-to-right addition bit-for-bit (x + 0.0 ≡ x; the
+    reduceat shortcut would re-associate, see BASELINE.md r4 entropy
+    note), and the 2^(−d/h) weights come from a Python-pow LUT over
+    the ≤ few-thousand distinct day values so libm pow parity with
+    the oracle is preserved. No per-customer Python dispatch."""
     ds = _pq(
         sf_dir,
         "orders",
@@ -8190,33 +8210,53 @@ def orders_time_decay(sf_dir: str, half_life_days: int = 30):
             }
         )
 
-    def decay(g: pa.Table) -> pa.Table:
-        order = np.lexsort(
-            (
-                g.column("ok").to_numpy(zero_copy_only=False),
-                g.column("days").to_numpy(zero_copy_only=False) * -1,
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "decayed_cents": pa.array([], pa.float64()),
+                }
             )
+        cust = t.column("cust").to_numpy(zero_copy_only=False)
+        days = t.column("days").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        n = cust.size
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        runlens = np.diff(np.r_[starts, n])
+        # libm-pow LUT over distinct day values (Python 2.0**x, not a
+        # numpy SIMD pow — bit parity with the oracle's pow)
+        ud = np.unique(days)
+        lut = np.array(
+            [2.0 ** (-float(d) / float(half_life_days)) for d in ud], np.float64
         )
-        # days DESC == orderdate ASC; ties broken by orderkey ASC
-        days = g.column("days").to_numpy(zero_copy_only=False)[order]
-        cents = g.column("cents").to_numpy(zero_copy_only=False)[order]
-        s = 0.0
-        for d, c in zip(days, cents):
-            s += float(c) * 2.0 ** (-float(d) / float(half_life_days))
+        terms = cents.astype(np.float64) * lut[np.searchsorted(ud, days)]
+        g_count = starts.size
+        width = int(runlens.max())
+        M = np.zeros((g_count, width), np.float64)
+        gi = np.repeat(np.arange(g_count, dtype=np.int64), runlens)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, runlens)
+        M[gi, pos] = terms
+        s = np.zeros(g_count, np.float64)
+        for j in range(width):  # strict in-order fold, all customers at once
+            s = s + M[:, j]
         return pa.table(
             {
-                "o_custkey": pa.array(
-                    [g.column("cust")[0].as_py()], pa.int64()
-                ),
-                "n_orders": pa.array([g.num_rows], pa.int64()),
-                "decayed_cents": pa.array([s], pa.float64()),
+                "o_custkey": pa.array(cust[starts], pa.int64()),
+                "n_orders": pa.array(runlens.astype(np.int64), pa.int64()),
+                "decayed_cents": pa.array(s, pa.float64()),
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("cust")
-        .map_groups(decay, batch_format="pyarrow")
+    from .util import sorted_group_apply
+
+    return sorted_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "cust",
+        ["days", "ok"],
+        kernel,
+        descending=[True, False],
     )
 
 
@@ -10364,15 +10404,23 @@ def events_max_concurrency(sf_dir: str):
 
     ds = _pq(sf_dir, "events", ["user_id", "ts"], blocks=16)
 
-    def marks(g: pa.Table) -> pa.Table:
-        t = np.sort(
-            pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
-        )
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(t) > GAP_US) + 1))
-        ends = np.concatenate((starts[1:] - 1, [len(t) - 1]))
+    def marks_all(t: pa.Table) -> pa.Table:
+        """r5 across-user sessionize-to-marks (sorted (user, ts)): a
+        session breaks at a user change or a GAP_US gap, so every
+        interior user's ±1 marks fall out of one boundary mask."""
+        if t.num_rows == 0:
+            return pa.table(
+                {"ts": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        tsv = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()).to_numpy()
+        n = uid.size
+        brk = np.r_[True, (uid[1:] != uid[:-1]) | (np.diff(tsv) > GAP_US)]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n) - 1
         return pa.table(
             {
-                "ts": pa.array(np.concatenate([t[starts], t[ends] + 1])),
+                "ts": pa.array(np.concatenate([tsv[starts], tsv[ends] + 1])),
                 "d": pa.array(
                     np.concatenate(
                         [
@@ -10384,9 +10432,9 @@ def events_max_concurrency(sf_dir: str):
             }
         )
 
-    from .util import collect_arrow, drop_empty_blocks
+    from .util import collect_arrow, drop_empty_blocks, sorted_group_apply
 
-    marks_ds = ds.groupby("user_id").map_groups(marks, batch_format="pyarrow")
+    marks_ds = sorted_group_apply(ds, "user_id", ["ts"], marks_all)
 
     if ds.count() <= _BCAST_KEYS_GATE:
         t = collect_arrow(

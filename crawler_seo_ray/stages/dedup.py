@@ -50,13 +50,29 @@ _MERSENNE = (1 << 31) - 1
 def exact_dedup(ds: Dataset, key_col: str, order_col: str) -> Dataset:
     """Keep the first row (min order_col) of every key group — the
     reference's keep-first URL-dedup semantics (SURVEY.md §2.7) applied
-    relationally."""
+    relationally. r5: ONE global (key, order) sort via
+    util.sorted_group_apply — each run's first row IS the keeper, so
+    the kernel is a boundary mask (the key count is input-proportional;
+    a groupby.map_groups here pays per-key Python dispatch).
+    ``order_col`` must be unique within a key (every caller passes a
+    row id) so the keeper is well-defined under sort ties."""
+    import pyarrow.compute as pc
 
-    def first_by_order(g: pa.Table) -> pa.Table:
-        idx = pa.compute.sort_indices(g, sort_keys=[(order_col, "ascending")])
-        return g.take(idx[:1])
+    from ..util import sorted_group_apply
 
-    return ds.groupby(key_col).map_groups(first_by_order, batch_format="pyarrow")
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ka = t.column(key_col).combine_chunks()
+        chg = np.r_[
+            True,
+            pc.not_equal(
+                ka.slice(1), ka.slice(0, len(ka) - 1)
+            ).to_numpy(zero_copy_only=False),
+        ]
+        return t.filter(pa.array(chg))
+
+    return sorted_group_apply(ds, key_col, [order_col], kernel)
 
 
 def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
