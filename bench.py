@@ -573,6 +573,40 @@ def run_components(num_cpus: int) -> dict:
     )
     timings["corpus_phash_knn"] = time.perf_counter() - t0
 
+    # --- registry-wide coverage (VERDICT r4 #5): one COLD + one STEADY
+    # repeat for EVERY queries() entry, so BENCH_r{N} carries a line
+    # (or an explicit skip reason) per registered query, not just the
+    # curated component list above. Guarded by a wall budget so the
+    # per-round driver bench stays bounded; anything unvisited when the
+    # budget runs out is recorded as skipped with that reason.
+    if os.environ.get("GRAFT_BENCH_ALL", "1") != "0":
+        budget = float(os.environ.get("GRAFT_BENCH_ALL_BUDGET_SEC", "900"))
+        all_t: dict[str, dict] = {}
+        skipped: dict[str, str] = {}
+        t_start = time.perf_counter()
+
+        def _consume(res) -> None:
+            if hasattr(res, "materialize"):
+                res.materialize().count()
+
+        for name in sorted(Q.QUERIES):
+            if time.perf_counter() - t_start > budget:
+                skipped[name] = "time_budget"
+                continue
+            try:
+                t0 = time.perf_counter()
+                _consume(Q.QUERIES[name](SF_DIR))
+                cold = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _consume(Q.QUERIES[name](SF_DIR))
+                steady = time.perf_counter() - t0
+                all_t[name] = {"cold": round(cold, 3), "steady": round(steady, 3)}
+            except Exception as e:  # record, don't abort the bench
+                skipped[name] = f"error: {type(e).__name__}: {e}"[:200]
+        extras["queries_all"] = all_t
+        if skipped:
+            extras["queries_all_skipped"] = skipped
+
     return {"timings": timings, "extras": extras}
 
 
@@ -657,6 +691,10 @@ def main() -> None:
         # stays comparable across rounds; these are the same queries
         # again on their forced-distributed plans)
         line["queries_distributed"] = out["extras"]["queries_distributed"]
+    for k in ("queries_all", "queries_all_skipped"):
+        # registry-wide cold+steady coverage — not summed into "value"
+        if k in out["extras"]:
+            line[k] = out["extras"][k]
     print(json.dumps(line))
 
 
