@@ -3,9 +3,10 @@
 ``asof_join`` — backward/forward/nearest as-of join (each left row picks the latest
 right row with right_ts <= left_ts for the same key), expressed as the
 union-tag + co-partition pattern: both sides are projected to one
-aligned narrow schema, unioned, hash-partitioned ONCE by key through
-``groupby(key).map_groups``, and merged inside the group with a
-vectorized ``np.searchsorted`` — no driver-side state, one shuffle.
+aligned narrow schema, unioned, co-located ONCE by a global key sort
+(``util.sorted_group_apply`` — r5: every interior key of a block merges
+in one vectorized pass via band-lifted searchsorted, no per-key Python
+dispatch), — no driver-side state, one shuffle.
 Partitioning assumption: a single key's rows fit in one worker's heap
 (same assumption as any per-key window; salt hot keys upstream if not).
 
@@ -95,7 +96,17 @@ def asof_join(
         )
     )
 
-    def merge(g: pa.Table) -> pa.Table:
+    def merge_all(g: pa.Table) -> pa.Table:
+        """r5 multi-key merge (sorted by key): the block's interior
+        keys fold in ONE pass — the right side gets one Arrow
+        (key, ts, *right_cols) sort, each key's timestamps are rebased
+        to the key's min ts (both sides) and lifted into a disjoint
+        int64 band (key index × (span + 2)), so a single searchsorted
+        pair over the whole right array resolves every left row's
+        candidate; per-key run bounds from searchsorted on the sorted
+        key column gate the matched mask. Same direction/tie
+        semantics as the per-group kernel (pandas merge_asof parity,
+        property-tested); overflow-guarded with a per-key fallback."""
         side = g.column("__side").to_numpy(zero_copy_only=False)
         lmask, rmask = side == 1, side == 0
         lt = g.filter(pa.array(lmask))
@@ -112,32 +123,73 @@ def asof_join(
             for c in right_cols:
                 out[c] = pa.nulls(lt.num_rows, g.schema.field(c).type)
             return pa.table(out)
-        # sort right ascending by (ts, *right_cols): searchsorted(side
+        # right ascending by (key, ts, *right_cols): searchsorted(side
         # ='right')-1 then lands on the max-tiebreak row among equal ts
         rt = rt.take(
-            pc.sort_indices(rt, sort_keys=[("__ts", "ascending")] + [(c, "ascending") for c in right_cols])
+            pc.sort_indices(
+                rt,
+                sort_keys=[(key, "ascending"), ("__ts", "ascending")]
+                + [(c, "ascending") for c in right_cols],
+            )
         )
-        rts = rt.column("__ts").to_numpy()
-        lts = lt.column("__ts").to_numpy()
+        rkeys = rt.column(key).to_numpy(zero_copy_only=False)
+        rts = rt.column("__ts").to_numpy(zero_copy_only=False)
+        lkeys = lt.column(key).to_numpy(zero_copy_only=False)
+        lts = lt.column("__ts").to_numpy(zero_copy_only=False)
+        r_lo = np.searchsorted(rkeys, lkeys, side="left")
+        r_hi = np.searchsorted(rkeys, lkeys, side="right")
+        uk = np.unique(np.concatenate([rkeys, lkeys]))
+        gi_r = np.searchsorted(uk, rkeys)
+        gi_l = np.searchsorted(uk, lkeys)
+        base = np.full(uk.size, np.iinfo(np.int64).max)
+        np.minimum.at(base, gi_r, rts)
+        np.minimum.at(base, gi_l, lts)
+        rel_r = rts - base[gi_r]
+        rel_l = lts - base[gi_l]
+        span = max(int(rel_r.max(initial=0)), int(rel_l.max(initial=0)))
+        shift = span + 2
+        if uk.size * shift < 2**62:
+            lr = rel_r + gi_r * shift  # globally ascending, keys disjoint
+            lq = rel_l + gi_l * shift
+        else:  # unreachable for µs spans; exact but slower per-key path
+            lr, lq = None, None
         if direction == "backward":
-            idx = np.searchsorted(rts, lts, side="right") - 1
-            matched = idx >= 0
+            if lr is not None:
+                idx = np.searchsorted(lr, lq, side="right") - 1
+            else:
+                idx = _per_key_ss(rkeys, rts, lkeys, lts, r_lo, "right") - 1
+            matched = idx >= r_lo
         elif direction == "forward":
-            idx = np.searchsorted(rts, lts, side="left")
-            matched = idx < len(rts)
+            if lr is not None:
+                idx = np.searchsorted(lr, lq, side="left")
+            else:
+                idx = _per_key_ss(rkeys, rts, lkeys, lts, r_lo, "left")
+            matched = idx < r_hi
             idx = np.minimum(idx, len(rts) - 1)
         else:  # nearest
-            bidx = np.searchsorted(rts, lts, side="right") - 1
-            fidx = np.searchsorted(rts, lts, side="left")
-            bok = bidx >= 0
-            fok = fidx < len(rts)
+            if lr is not None:
+                bidx = np.searchsorted(lr, lq, side="right") - 1
+                fidx = np.searchsorted(lr, lq, side="left")
+            else:
+                bidx = _per_key_ss(rkeys, rts, lkeys, lts, r_lo, "right") - 1
+                fidx = _per_key_ss(rkeys, rts, lkeys, lts, r_lo, "left")
+            bok = bidx >= r_lo
+            fok = fidx < r_hi
             big = np.iinfo(np.int64).max
             bdt = np.where(bok, lts - rts[np.maximum(bidx, 0)], big)
             fdt = np.where(fok, rts[np.minimum(fidx, len(rts) - 1)] - lts, big)
             use_b = bok & (~fok | (bdt <= fdt))
             # re-tiebreak the backward candidate to the FIRST row of its
-            # ts run: nearest uses min-(*right_cols) on BOTH sides
-            bfirst = np.searchsorted(rts, rts[np.maximum(bidx, 0)], side="left")
+            # (key, ts) run: nearest uses min-(*right_cols) on BOTH sides
+            if lr is not None:
+                bfirst = np.searchsorted(lr, lr[np.maximum(bidx, 0)], side="left")
+            else:
+                bfirst = _per_key_ss(
+                    rkeys, rts, rkeys[np.maximum(bidx, 0)],
+                    rts[np.maximum(bidx, 0)],
+                    np.searchsorted(rkeys, rkeys[np.maximum(bidx, 0)], side="left"),
+                    "left",
+                )
             idx = np.where(use_b, bfirst, np.minimum(fidx, len(rts) - 1))
             matched = bok | fok
         take_idx = pa.array(
@@ -147,7 +199,24 @@ def asof_join(
             out[c] = rt.column(c).take(take_idx)
         return pa.table(out)
 
-    return tagged.groupby(key).map_groups(merge, batch_format="pyarrow")
+    from ..util import sorted_group_apply
+
+    return sorted_group_apply(tagged, key, [], merge_all)
+
+
+def _per_key_ss(rkeys, rts, lkeys, lts, r_lo, side_):
+    """Per-key searchsorted fallback for the (astronomically unlikely)
+    int64 band-lift overflow in ``merge_all``: Python loop over the
+    query rows' distinct keys, exact same positions as the lifted
+    path."""
+    out = np.empty(lkeys.size, np.int64)
+    r_hi_all = np.searchsorted(rkeys, lkeys, side="right")
+    for k in np.unique(lkeys):
+        m = lkeys == k
+        lo = int(r_lo[m][0])
+        hi = int(r_hi_all[m][0])
+        out[m] = lo + np.searchsorted(rts[lo:hi], lts[m], side=side_)
+    return out
 
 
 def _empty_out(g: pa.Table, key, left_ts, left_cols, right_cols) -> pa.Table:
