@@ -13028,32 +13028,13 @@ def corpus_tile_phash_dups(sf_dir: str, bucket_cap: int = 2000):
     return _tile_pairs(tiles, bucket_cap)
 
 
-def _tile_pairs(tiles, bucket_cap: int = 2000):
+def _tile_pairs(tiles, bucket_cap: int = 2000, dense_limit: int = 5_000_000):
     """Shared-tile pair counting over (image_id, tile_idx, tile_phash)
     rows — the exchange/dense-path body of corpus_tile_phash_dups,
     factored out so tests can drive it with planted tile sets."""
     from .util import collect_arrow
 
-    def bucket_pairs(t: pa.Table) -> pa.Table:
-        """Distinct-image pair emission within one tile_phash bucket."""
-        ids = np.unique(np.asarray(t.column("image_id").to_pylist(), dtype=object))
-        if len(ids) > bucket_cap:
-            raise RuntimeError(
-                f"degenerate tile-phash bucket: {len(ids)} images share one "
-                f"tile hash (cap {bucket_cap}) — split by a secondary tile "
-                "statistic before raising the cap"
-            )
-        if len(ids) < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {"id_a": pa.array(list(ids[ia]), pa.string()),
-             "id_b": pa.array(list(ids[ib]), pa.string())}
-        )
-
-    if tiles.count() <= 5_000_000:
+    if tiles.count() <= dense_limit:
         t = collect_arrow(
             tiles,
             schema=pa.schema(
@@ -13110,9 +13091,56 @@ def _tile_pairs(tiles, bucket_cap: int = 2000):
         )
         return out.take(order)
 
-    pairs = tiles.groupby("tile_phash").map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    def bucket_pairs_all(t: pa.Table) -> pa.Table:
+        """r5 multi-bucket pair emission over (tile_phash, image_id)-
+        sorted rows: adjacent (hash, image) dedup + index-arithmetic
+        pair fan-out for ALL tile buckets at once — no per-bucket
+        Python dispatch (tile-hash count is corpus-proportional)."""
+        empty = pa.table(
+            {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+        )
+        if t.num_rows == 0:
+            return empty
+        h = t.column("tile_phash").to_numpy(zero_copy_only=False)
+        ids = t.column("image_id").combine_chunks()
+        n = h.size
+        hchg = np.r_[True, h[1:] != h[:-1]]
+        uniq = hchg | np.r_[
+            True,
+            pc.not_equal(ids.slice(1), ids.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            ),
+        ]
+        ids_u = ids.filter(pa.array(uniq))
+        m = len(ids_u)
+        starts = np.flatnonzero(hchg[uniq])
+        runlens = np.diff(np.r_[starts, m])
+        if int(runlens.max(initial=0)) > bucket_cap:
+            raise RuntimeError(
+                f"degenerate tile-phash bucket: {int(runlens.max())} images "
+                f"share one tile hash (cap {bucket_cap}) — split by a "
+                "secondary tile statistic before raising the cap"
+            )
+        within = np.arange(m, dtype=np.int64) - np.repeat(starts, runlens)
+        cnt = np.repeat(runlens, runlens) - 1 - within
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        ia = np.repeat(np.arange(m, dtype=np.int64), cnt)
+        ofs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        ib = ia + 1 + ofs
+        return pa.table(
+            {
+                "id_a": pc.cast(ids_u.take(pa.array(ia)), pa.string()),
+                "id_b": pc.cast(ids_u.take(pa.array(ib)), pa.string()),
+            }
+        )
+
+    from .util import sorted_group_apply
+
+    pairs = sorted_group_apply(tiles, "tile_phash", ["image_id"], bucket_pairs_all)
     return (
         _sorted_agg_by_key(
             pairs, ["id_a", "id_b"], [(None, "count", "n_shared_tiles")]
@@ -14134,7 +14162,11 @@ def corpus_caption_conflicts(sf_dir: str, bucket_cap: int = 10_000):
 
     ds = corpus_parquet(columns=["image_id", "caption", "phash"])
 
-    def pairs(g: pa.Table) -> pa.Table:
+    def pairs_all(t: pa.Table) -> pa.Table:
+        """r5 across-caption kernel (sorted (caption, image_id)): pair
+        fan-out + one byte-LUT xor-popcount for EVERY caption group of
+        the block at once — caption count is corpus-proportional, so
+        no per-group Python dispatch."""
         empty = pa.table(
             {
                 "id_a": pa.array([], pa.string()),
@@ -14143,38 +14175,54 @@ def corpus_caption_conflicts(sf_dir: str, bucket_cap: int = 10_000):
                 "hamming": pa.array([], pa.int32()),
             }
         )
-        n = g.num_rows
-        if n < 2:
+        if t.num_rows == 0:
             return empty
-        if n > bucket_cap:
+        cap_arr = pc.cast(t.column("caption"), pa.string()).combine_chunks()
+        n = len(cap_arr)
+        chg = np.r_[
+            True,
+            pc.not_equal(
+                cap_arr.slice(1), cap_arr.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False),
+        ]
+        starts = np.flatnonzero(chg)
+        runlens = np.diff(np.r_[starts, n])
+        if int(runlens.max()) > bucket_cap:
             raise ValueError(
-                f"caption group over cap={bucket_cap} ({n} ids): raise the "
-                "cap or pre-split the degenerate caption"
+                f"caption group over cap={bucket_cap} ({int(runlens.max())} "
+                "ids): raise the cap or pre-split the degenerate caption"
             )
-        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
-        order = np.argsort(ids.astype(str), kind="stable")
-        ids = ids[order]
-        hp = (
-            pc.cast(g.column("phash"), pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .view(np.uint64)[order]
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, runlens)
+        cnt = np.repeat(runlens, runlens) - 1 - within
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        ia = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        ofs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
         )
-        ia, ib = np.triu_indices(n, 1)
-        x = hp[ia] ^ hp[ib]
-        d = _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1, dtype=np.int32)
+        ib = ia + 1 + ofs
+        hp = (
+            pc.cast(t.column("phash"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .view(np.uint64)
+        )
+        x = np.ascontiguousarray(hp[ia] ^ hp[ib])
+        d = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1, dtype=np.int32)
         keep = d > 4
+        ids = t.column("image_id").combine_chunks()
         return pa.table(
             {
-                "id_a": pa.array(ids[ia[keep]].tolist(), pa.string()),
-                "id_b": pa.array(ids[ib[keep]].tolist(), pa.string()),
-                "caption": pa.array(
-                    [g.column("caption")[0].as_py()] * int(keep.sum()), pa.string()
-                ),
+                "id_a": pc.cast(ids.take(pa.array(ia[keep])), pa.string()),
+                "id_b": pc.cast(ids.take(pa.array(ib[keep])), pa.string()),
+                "caption": cap_arr.take(pa.array(ia[keep])),
                 "hamming": pa.array(d[keep], pa.int32()),
             }
         )
 
-    return ds.groupby("caption").map_groups(pairs, batch_format="pyarrow")
+    from .util import sorted_group_apply
+
+    return sorted_group_apply(ds, "caption", ["image_id"], pairs_all)
 
 
 def customer_fuzzy_groups(sf_dir: str):

@@ -789,33 +789,59 @@ def _signature_band_pairs(
             }
         )
 
-    def bucket_verified_pairs(g: pa.Table) -> pa.Table:
-        ids = g.column(id_col).to_pylist()
-        hs = g.column(sig_col).to_pylist()
-        order = sorted(range(len(ids)), key=lambda k: ids[k])
-        if len(order) > cap:
+    def buckets_verified_pairs_all(t: pa.Table) -> pa.Table:
+        """r5 multi-bucket kernel: ALL (band, band_val) buckets of an
+        id-sorted slab verify in one vectorized pass — run detection,
+        index-arithmetic pair fan-out (m·(m−1)/2 per run), one
+        byte-LUT xor-popcount over the pair arrays. Replaces both the
+        per-group map_groups walk (~20 µs/bucket Python) and the
+        per-pair Python loop."""
+        from .similarity import _POP8
+
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        bd = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = t.column("band_val").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = bd.size
+        new = np.r_[True, (bd[1:] != bd[:-1]) | (bv[1:] != bv[:-1])]
+        starts = np.flatnonzero(new)
+        runlens = np.diff(np.r_[starts, n])
+        if int(runlens.max()) > cap:
             # raise (driver-visible) rather than silently losing recall
             # — a worker-side print disappears under log_to_driver=False
             raise ValueError(
-                f"signature bucket over cap={cap} ({len(order)} ids): "
+                f"signature bucket over cap={cap} ({int(runlens.max())} ids): "
                 "raise the cap or pre-split the degenerate bucket"
             )
-        out_a, out_b, out_d = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                d = bin((hs[i] ^ hs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if d <= hamming_threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_d.append(d)
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, runlens)
+        cnt = np.repeat(runlens, runlens) - 1 - within  # pairs led by this row
+        total = int(cnt.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        ia = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        ofs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        ib = ia + 1 + ofs
+        hs = (
+            pc.cast(t.column(sig_col), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .view(np.uint64)
+        )
+        x = np.ascontiguousarray(hs[ia] ^ hs[ib])
+        d = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1, dtype=np.int32)
+        ok = d <= hamming_threshold
+        ids = t.column(id_col).combine_chunks()
+        ida = ids.take(pa.array(ia[ok]))
+        idb = ids.take(pa.array(ib[ok]))
+        neq = pc.not_equal(ida, idb)  # duplicate-id rows inside a bucket
         return pa.table(
             {
-                "id_a": pa.array(out_a, id_type),
-                "id_b": pa.array(out_b, id_type),
-                "hamming": pa.array(out_d, pa.int32()),
+                "id_a": ida.filter(neq).cast(id_type),
+                "id_b": idb.filter(neq).cast(id_type),
+                "hamming": pa.array(
+                    d[ok][neq.to_numpy(zero_copy_only=False)], pa.int32()
+                ),
             }
         )
 
@@ -843,27 +869,23 @@ def _signature_band_pairs(
                 ]
             ),
         )
-        bd = tbl.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
-        bv = tbl.column("band_val").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((bv, bd))
-        bd_s, bv_s = bd[order], bv[order]
-        new = np.empty(len(order), dtype=bool)
-        new[:1] = True
-        new[1:] = (bd_s[1:] != bd_s[:-1]) | (bv_s[1:] != bv_s[:-1])
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(order))
-        parts = [
-            bucket_verified_pairs(tbl.take(pa.array(order[s:e])))
-            for s, e in zip(starts, ends)
-            if e - s >= 2
-        ]
-        verified = (
-            pa.concat_tables(parts) if parts else pair_schema.empty_table()
+        tbl = tbl.take(
+            pc.sort_indices(
+                tbl,
+                sort_keys=[
+                    ("band", "ascending"),
+                    ("band_val", "ascending"),
+                    (id_col, "ascending"),
+                ],
+            )
         )
+        verified = buckets_verified_pairs_all(tbl)
     else:
+        from ..util import sorted_group_apply
+
         verified = collect_arrow(
-            band_ds.groupby(["band", "band_val"]).map_groups(
-                bucket_verified_pairs, batch_format="pyarrow"
+            sorted_group_apply(
+                band_ds, ["band", "band_val"], [id_col], buckets_verified_pairs_all
             ),
             schema=pair_schema,
         )
@@ -1037,27 +1059,103 @@ def _prefix_keys_via_join(
     )
     with_rank = exploded.join(rank_ds, "inner", 4, on=("tok",))
 
-    def emit_keys(g: pa.Table) -> pa.Table:
-        ht = ray.get(hot_ref)
-        idx = pc.sort_indices(g.column("rank"))
-        ranked = g.column("tok").take(idx).to_pylist()
-        doc = g.column(id_col)[0].as_py()
-        ntok = g.column("ntok")[0].as_py()
-        keys = _prefix_block_keys(ranked, threshold, ht)
-        pl = (
-            g.column("rank").take(idx).to_numpy(zero_copy_only=False)
-            .astype(np.int32).tobytes()
+    def emit_keys_all(t: pa.Table) -> pa.Table:
+        """r5 across-doc key emission over (doc, rank)-sorted rows —
+        the _prefix_block_keys semantics (prefix lemma + hot-token
+        2-key split) computed for EVERY doc of the block at once:
+        per-run prefix/extended masks from index arithmetic, hot
+        membership via one pc.is_in, the 2-key fan-out via repeat
+        offsets, and each doc's int32 rank payload sliced zero-copy
+        out of the block's contiguous rank buffer. No per-doc Python
+        dispatch (doc count is input-proportional)."""
+        import math
+
+        empty = pa.table(
+            {
+                "bkey": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "ntok": pa.array([], pa.int64()),
+                "ranks": pa.array([], pa.binary()),
+            }
         )
+        if t.num_rows == 0:
+            return empty
+        ht = ray.get(hot_ref)
+        did = t.column(id_col).to_numpy(zero_copy_only=False)
+        ranks = (
+            t.column("rank").to_numpy(zero_copy_only=False).astype("<i4")
+        )
+        ntok = t.column("ntok").to_numpy(zero_copy_only=False)
+        toks = pc.cast(t.column("tok"), pa.string()).combine_chunks()
+        n = did.size
+        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        runlens = np.diff(np.r_[starts, n])
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, runlens)
+        nt = ntok[starts].astype(np.int64)
+        p = nt - np.ceil(threshold * nt).astype(np.int64) + 1
+        p_row = np.repeat(p, runlens)
+        ext_len = np.minimum(p + 1, runlens)
+        ext_row = np.repeat(ext_len, runlens)
+        in_prefix = within < p_row
+        if ht:
+            is_hot = pc.is_in(
+                toks, value_set=pa.array(sorted(ht), pa.string())
+            ).to_numpy(zero_copy_only=False)
+        else:
+            is_hot = np.zeros(n, bool)
+        cold_mask = in_prefix & (~is_hot | (ext_row < 2))
+        hot_mask = in_prefix & is_hot & (ext_row >= 2)
+        gi = np.repeat(np.arange(starts.size, dtype=np.int64), runlens)
+        # per-doc payload: binary array whose offsets slice the block's
+        # contiguous little-endian int32 rank buffer
+        off_np = (np.r_[starts, n] * 4).astype(np.int32)
+        payload = pa.Array.from_buffers(
+            pa.binary(),
+            int(starts.size),
+            [None, pa.py_buffer(off_np.tobytes()), pa.py_buffer(ranks.tobytes())],
+        )
+        out_key, out_row = [], []
+        cold_idx = np.flatnonzero(cold_mask)
+        if cold_idx.size:
+            ck = pc.binary_join_element_wise(
+                pa.scalar("1"), toks.take(pa.array(cold_idx)), "\x00"
+            )
+            out_key.append(ck)
+            out_row.append(cold_idx)
+        hidx = np.flatnonzero(hot_mask)
+        if hidx.size:
+            e = ext_row[hidx]
+            tot = int(e.sum())
+            ia = np.repeat(hidx, e)
+            base = np.repeat(starts[gi[hidx]], e)
+            ofs = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(e) - e, e)
+            jb = base + ofs
+            keep = jb != ia  # x != w (tokens are distinct within a doc)
+            ia, jb = ia[keep], jb[keep]
+            hk = pc.binary_join_element_wise(
+                pa.scalar("2"),
+                toks.take(pa.array(ia)),
+                toks.take(pa.array(jb)),
+                "\x00",
+            )
+            out_key.append(hk)
+            out_row.append(ia)
+        if not out_key:
+            return empty
+        rows = np.concatenate(out_row)
+        keys = pa.concat_arrays([k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k for k in out_key])
         return pa.table(
             {
-                "bkey": pa.array(keys, pa.string()),
-                id_col: pa.array([doc] * len(keys), pa.int64()),
-                "ntok": pa.array([ntok] * len(keys), pa.int64()),
-                "ranks": pa.array([pl] * len(keys), pa.binary()),
+                "bkey": pc.cast(keys, pa.string()),
+                id_col: pa.array(did[rows], pa.int64()),
+                "ntok": pa.array(ntok[rows].astype(np.int64), pa.int64()),
+                "ranks": payload.take(pa.array(gi[rows])),
             }
         )
 
-    return with_rank.groupby(id_col).map_groups(emit_keys, batch_format="pyarrow")
+    from ..util import sorted_group_apply
+
+    return sorted_group_apply(with_rank, id_col, ["rank"], emit_keys_all)
 
 
 def token_jaccard_pipeline(

@@ -1253,6 +1253,15 @@ def test_tile_phash_dups_planted_quadrant():
         TilePhashes, concurrency=1, batch_format="pyarrow"
     )
     pairs = q._tile_pairs(tiles).to_pandas().set_index(["id_a", "id_b"])
+    # dense_limit=0 forces the distributed sorted_group_apply pair
+    # emission (r5 multi-bucket kernel) — must equal the dense fold
+    dist = (
+        q._tile_pairs(tiles, dense_limit=0)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+        .set_index(["id_a", "id_b"])
+    )
+    pd.testing.assert_frame_equal(pairs.sort_index(), dist.sort_index(), check_dtype=False)
     assert pairs.loc[("img_base", "img_dup"), "n_shared_tiles"] == 4
     assert pairs.loc[("img_base", "img_crop"), "n_shared_tiles"] == 1
     assert pairs.loc[("img_crop", "img_dup"), "n_shared_tiles"] == 1
