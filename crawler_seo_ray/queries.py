@@ -5633,21 +5633,36 @@ def docs_dedup_spans(sf_dir: str, dense_gate: int = 4_000_000):
         dupg, "inner", _join_partitions(), on=("gram",)
     )
 
-    def starts_group(g: pa.Table) -> pa.Table:
+    def starts_all(t: pa.Table) -> pa.Table:
+        # r5 across-doc serialization on the (doc, start) sort — one
+        # ListArray + binary_join per block, no per-doc Python.
         # comma-joined string, not list<int64>: Acero hash joins reject
         # list-typed payload columns, strings ride through fine
-        s = np.sort(g.column("start").to_numpy(zero_copy_only=False))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "starts": pa.array([], pa.string()),
+                }
+            )
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = did.size
+        run_starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        strs = pc.cast(t.column("start").combine_chunks(), pa.string())
+        la = pa.LargeListArray.from_arrays(
+            pa.array(np.r_[run_starts, n], pa.int64()), strs
+        )
         return pa.table(
             {
-                "doc_id": pa.array([g.column("doc_id")[0].as_py()], pa.int64()),
-                "starts": pa.array([",".join(map(str, s))], pa.string()),
+                "doc_id": pa.array(did[run_starts], pa.int64()),
+                "starts": pc.cast(pc.binary_join(la, ","), pa.string()),
             }
         )
 
-    starts_tbl = (
-        hits.select_columns(["doc_id", "start"])
-        .groupby("doc_id")
-        .map_groups(starts_group, batch_format="pyarrow")
+    from .util import sorted_group_apply
+
+    starts_tbl = sorted_group_apply(
+        hits.select_columns(["doc_id", "start"]), "doc_id", ["start"], starts_all
     )
     joined = ds.join(
         drop_empty_blocks(starts_tbl),

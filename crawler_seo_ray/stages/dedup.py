@@ -939,28 +939,30 @@ def embedding_cosine_pairs(
     bucketed = ds.map_batches(bucket, batch_format="pyarrow")
 
     def in_bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = g.column(id_col).to_pylist()
+        """r5: id-sorted members → one matmul → upper-triangle mask —
+        the per-pair Python loop is gone (bucket size is corpus/2^planes,
+        so the loop was an O(m²) row walk at scale)."""
+        ids = np.asarray(g.column(id_col).to_pylist(), dtype=np.int64)
         from .similarity import _vec_matrix
 
-        vecs = _vec_matrix(g.column("vec"))
-        if len(ids) < 2:
+        if ids.size < 2:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                  "cosine": pa.array([], pa.float64())}
             )
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = _vec_matrix(g.column("vec"))[order]
         sims = vecs @ vecs.T
-        order = np.argsort(ids)
-        out_a, out_b, out_c = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                i, j = order[x], order[y]
-                if sims[i, j] >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_c.append(float(sims[i, j]))
+        iu, ju = np.triu_indices(ids.size, 1)
+        vals = sims[iu, ju]
+        keep = vals >= threshold
         return pa.table(
-            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64()),
-             "cosine": pa.array(out_c, pa.float64())}
+            {
+                "id_a": pa.array(ids[iu[keep]], pa.int64()),
+                "id_b": pa.array(ids[ju[keep]], pa.int64()),
+                "cosine": pa.array(vals[keep], pa.float64()),
+            }
         )
 
     out = collect_arrow(
