@@ -715,3 +715,27 @@ def test_minhash_index_evict_extend_lifecycle(tmp_path):
     pairs3 = set(zip(out3.column("id_a").to_pylist(), out3.column("id_b").to_pylist()))
     assert (2000, 3000) in pairs3
     assert (11, 3000) not in pairs3
+
+
+def test_embedding_cosine_pairs_finds_planted_pair():
+    """The vectorized in-bucket kernel (r5: triu mask instead of a
+    per-pair Python loop) must still surface a planted near-dup and
+    order pairs id_a < id_b."""
+    import ray.data as rd
+
+    from crawler_seo_ray.stages.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(32)
+    near = base + rng.standard_normal(32) * 0.01
+    vecs = [base, near] + [rng.standard_normal(32) for _ in range(50)]
+    t = pa.table(
+        {
+            "id": pa.array(range(len(vecs)), pa.int64()),
+            "v": pa.array([list(map(float, x)) for x in vecs], pa.list_(pa.float64())),
+        }
+    )
+    out = embedding_cosine_pairs(rd.from_arrow(t), "v", "id", threshold=0.95, num_planes=4)
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)

@@ -1445,3 +1445,103 @@ def test_events_funnel_purchase_only_interior_users(tmp_path):
     assert list(out["user_id"]) == [0, 49]
     assert list(out["n_views"]) == [30, 30]
     assert list(out["n_converted"]) == [0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_group_apply_matches_pandas_groupby_apply():
+    """Direct contract test for the r5 window sort-kernel: a per-group
+    running sum + per-group top-2 (descending order path) computed
+    through sorted_group_apply must equal a pandas groupby reference,
+    with every group emitted exactly once even when hot keys straddle
+    many blocks (one key = 30% of rows)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from crawler_seo_ray.util import sorted_group_apply
+
+    rng = np.random.default_rng(11)
+    n = 120_000
+    k = rng.integers(1, 5000, n)
+    k[: int(n * 0.3)] = 0  # hot key straddles blocks after the sort
+    rng.shuffle(k)
+    t = pa.table(
+        {
+            "k": pa.array(k),
+            "o": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 1000, n)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(16)
+
+    def running(tt: pa.Table) -> pa.Table:
+        if tt.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "o": pa.array([], pa.int64()),
+                    "run": pa.array([], pa.int64()),
+                }
+            )
+        kk = tt.column("k").to_numpy(zero_copy_only=False)
+        vv = tt.column("v").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(vv)
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        runlens = np.diff(np.r_[starts, kk.size])
+        base = np.repeat((cum - vv)[starts], runlens)
+        return pa.table(
+            {
+                "k": pc.cast(tt.column("k"), pa.int64()),
+                "o": pc.cast(tt.column("o"), pa.int64()),
+                "run": pa.array(cum - base),
+            }
+        )
+
+    out = sorted_group_apply(ds, "k", ["o"], running).to_pandas()
+    df = t.to_pandas().sort_values(["k", "o"])
+    df["run"] = df.groupby("k")["v"].cumsum()
+    ref = df[["k", "o", "run"]]
+    pd.testing.assert_frame_equal(
+        out.sort_values(["k", "o"], ignore_index=True),
+        ref.sort_values(["k", "o"], ignore_index=True).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    def top2(tt: pa.Table) -> pa.Table:
+        if tt.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        kk = tt.column("k").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        runlens = np.diff(np.r_[starts, kk.size])
+        rk = np.arange(kk.size, dtype=np.int64) - np.repeat(starts, runlens)
+        keep = rk < 2
+        outt = tt.filter(pa.array(keep))
+        return pa.table(
+            {
+                "k": pc.cast(outt.column("k"), pa.int64()),
+                "v": pc.cast(outt.column("v"), pa.int64()),
+                "rk": pa.array(rk[keep] + 1, pa.int64()),
+            }
+        )
+
+    out2 = sorted_group_apply(
+        ds, "k", ["v", "o"], top2, descending=[True, False]
+    ).to_pandas()
+    df2 = t.to_pandas().sort_values(
+        ["k", "v", "o"], ascending=[True, False, True]
+    )
+    df2["rk"] = df2.groupby("k").cumcount() + 1
+    ref2 = df2[df2["rk"] <= 2][["k", "v", "rk"]]
+    pd.testing.assert_frame_equal(
+        out2.sort_values(["k", "rk"], ignore_index=True),
+        ref2.sort_values(["k", "rk"], ignore_index=True).reset_index(drop=True),
+        check_dtype=False,
+    )
