@@ -89,7 +89,16 @@ def sorted_group_apply(ds, key_cols, order_cols, kernel, descending=None):
     shifted arrays keyed on run starts), and must return its empty
     output schema for a zero-row input. Input and output column names
     may overlap freely (edge rows ride under ``_in_*`` aliases in the
-    tagged union, so dtypes never clash)."""
+    tagged union, so dtypes never clash).
+
+    Cardinality contract: this operator is for keys whose COUNT is
+    input-proportional (users, docs, terms, join keys) — then blocks
+    hold many complete groups and the driver edge is small. With a
+    LOW-cardinality key (≲ the block count) most blocks are single-key
+    and everything routes through the driver fold — use a bounded-key
+    ``groupby().map_groups`` (or a driver fold directly) there
+    instead. Same per-group bound as any keyed window: one key's rows
+    must fit a worker's heap; salt hot keys upstream if not."""
     import numpy as np
     import pyarrow.compute as pc
     import ray.data as rd
