@@ -102,6 +102,14 @@ def test_token_jaccard_degenerate_bucket_splits_instead_of_raising():
     out = token_jaccard_pipeline(ds, "text", "doc_id", threshold=0.7, bucket_cap=8)
     got = set(zip(out.column("id_a").to_pylist(), out.column("id_b").to_pylist()))
     assert got == _brute_jaccard_pairs(texts, 0.7)
+    # same corpus through the JOIN rank path (broadcast_rank_limit=0):
+    # exercises the r5 across-doc key-emission kernel's HOT-token 2-key
+    # fan-out (every doc shares the over-cap prefix token)
+    out2 = token_jaccard_pipeline(
+        ds, "text", "doc_id", threshold=0.7, bucket_cap=8, broadcast_rank_limit=0
+    )
+    got2 = set(zip(out2.column("id_a").to_pylist(), out2.column("id_b").to_pylist()))
+    assert got2 == got
 
 
 @pytest.mark.usefixtures("ray_session")
