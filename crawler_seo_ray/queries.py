@@ -6494,6 +6494,99 @@ def docs_sample_per_source(sf_dir: str, k: int = 20):
     )
 
 
+def docs_mix_temperature(sf_dir: str, target: int = 100):
+    """Temperature-based SOURCE MIXING — the multi-source/multilingual
+    training-data allocation op (T5/mT5/LLaMA style): a `target`-doc
+    budget splits across sources with weight |source|^(1/2)
+    (temperature T=2 flattens the natural source distribution so small
+    sources aren't drowned), and each source's quota is drawn
+    deterministically by FNV-hash order (reproducible, partition-
+    independent — the docs_sample_per_source draw). The quota
+    arithmetic is PURE INTEGER so the SQL pair is hash-exact: weight =
+    floor(sqrt(n)) (IEEE sqrt of an exact integer is correctly
+    rounded, so it equals isqrt in both engines), base quota =
+    target·w // Σw, and the leftover goes to the largest INTEGER
+    remainders (rem DESC, source ASC) — no float ever reaches a
+    boundary decision. Distributed shape: the source census is
+    dimension-sized (block partials → driver fold), quotas broadcast
+    by closure, each block prunes to its local per-source quota-top
+    (vectorized run-rank), and a bounded per-source finish takes the
+    global top — only ≤ blocks×quota rows move."""
+    import math
+
+    from .util import collect_arrow
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"], blocks=8)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("source")
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "n"])
+        )
+
+    counts = (
+        collect_arrow(ds.map_batches(count_partial, batch_format="pyarrow"))
+        .group_by("source")
+        .aggregate([("n", "sum")])
+        .rename_columns(["source", "n"])
+    )
+    src = counts.column("source").to_pylist()
+    n_s = [int(x) for x in counts.column("n").to_pylist()]
+    w = {s: math.isqrt(n) for s, n in zip(src, n_s)}
+    tot = sum(w.values())
+    base = {s: (target * w[s]) // tot for s in src}
+    rem = {s: (target * w[s]) % tot for s in src}
+    leftover = target - sum(base.values())
+    quota = dict(base)
+    for s in sorted(src, key=lambda s: (-rem[s], s))[:leftover]:
+        quota[s] += 1
+
+    def local_prune(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "doc_id": b.column("doc_id"),
+                "hk": pa.array(_fnv64(ids), pa.uint64()),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("source", "ascending"),
+                ("hk", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        srcs = t.column("source").to_numpy(zero_copy_only=False)
+        n = len(srcs)
+        pos = np.arange(n, dtype=np.int64)
+        new_run = np.r_[True, srcs[1:] != srcs[:-1]]
+        starts = np.zeros(n, dtype=np.int64)
+        starts[new_run] = pos[new_run]
+        np.maximum.accumulate(starts, out=starts)
+        runlens = np.diff(np.r_[pos[new_run], n])
+        k_row = np.repeat(
+            np.array([quota.get(s, 0) for s in srcs[new_run]], np.int64), runlens
+        )
+        return t.filter(pa.array(pos - starts < k_row))
+
+    def finish(g: pa.Table) -> pa.Table:
+        q = quota.get(g.column("source")[0].as_py(), 0)
+        idx = pc.sort_indices(
+            g, sort_keys=[("hk", "ascending"), ("doc_id", "ascending")]
+        )
+        return g.take(idx[:q]).select(["source", "doc_id"])
+
+    return (
+        ds.map_batches(local_prune, batch_format="pyarrow")
+        .groupby("source")  # bounded: one group per source
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def docs_decontaminate(sf_dir: str):
     """Benchmark decontamination — the n-gram-overlap pass every LLM
     training corpus runs before release: docs sharing ≥30% of their
@@ -15052,6 +15145,7 @@ QUERIES = {
     "orders_price_window": orders_price_window,
     "lineitem_corr": lineitem_corr,
     "docs_sample_per_source": docs_sample_per_source,
+    "docs_mix_temperature": docs_mix_temperature,
     "docs_decontaminate": docs_decontaminate,
     "lineitem_price_quantile_sketch": lineitem_price_quantile_sketch,
     "orders_customer_full_join": orders_customer_full_join,
@@ -16485,6 +16579,37 @@ ORACLE_SQL["docs_sample_per_source"] = """
              row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
       FROM h) t
     WHERE rn <= 20
+"""
+
+ORACLE_SQL["docs_mix_temperature"] = """
+    WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM c),
+    t AS (SELECT sum(wt) AS tot FROM w),
+    q AS (SELECT source, n, (100 * wt) // tot AS base, (100 * wt) % tot AS rem
+          FROM w, t),
+    l AS (SELECT 100 - sum(base) AS leftover FROM q),
+    a AS (SELECT source,
+                 base + CASE WHEN row_number()
+                                  OVER (ORDER BY rem DESC, source ASC)
+                             <= (SELECT leftover FROM l)
+                        THEN 1 ELSE 0 END AS quota
+          FROM q),
+    h AS (
+      SELECT d.source, d.doc_id, a.quota,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(0, 8), k ->
+                   (doc_id::HUGEINT // CAST(power(2, 8*k) AS HUGEINT)) % 256)),
+               (acc, b) -> (xor(acc::HUGEINT, b::HUGEINT)
+                            * 1099511628211::HUGEINT)
+                           % 18446744073709551616::HUGEINT
+             ) AS hk
+      FROM documents d JOIN a USING (source))
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id, quota,
+             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+      FROM h) t
+    WHERE rn <= quota
 """
 
 ORACLE_SQL["docs_decontaminate"] = """
