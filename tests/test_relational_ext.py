@@ -1545,3 +1545,78 @@ def test_sorted_group_apply_matches_pandas_groupby_apply():
         ref2.sort_values(["k", "rk"], ignore_index=True).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_kernels_property_vs_pandas():
+    """Property test (hypothesis): sorted_agg_by_key and
+    sorted_group_apply equal pandas references under randomized key
+    cardinality (1 key → n keys, incl. degenerate single-key and
+    all-unique), value signs, and partition counts — the shapes that
+    stress the interior/edge split."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from crawler_seo_ray.util import sorted_agg_by_key, sorted_group_apply
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=400),   # rows
+        st.integers(min_value=1, max_value=50),    # key cardinality
+        st.integers(min_value=1, max_value=7),     # partitions
+        st.integers(min_value=0, max_value=2**31), # seed
+    )
+    def check(n, kc, parts, seed):
+        rng = np.random.default_rng(seed)
+        k = rng.integers(0, kc, n)
+        v = rng.integers(-1000, 1000, n)
+        o = rng.permutation(n).astype(np.int64)
+        t = pa.table({"k": pa.array(k), "o": pa.array(o), "v": pa.array(v)})
+        ds = rd.from_arrow(t).repartition(parts)
+        agg = sorted_agg_by_key(
+            ds, "k", [("v", "sum", "s"), ("v", "min", "mn"), (None, "count", "c")]
+        ).to_pandas()
+        ref = (
+            t.to_pandas().groupby("k")
+            .agg(s=("v", "sum"), mn=("v", "min"), c=("v", "size"))
+            .reset_index()
+        )
+        pd.testing.assert_frame_equal(
+            agg.sort_values("k", ignore_index=True),
+            ref.sort_values("k", ignore_index=True),
+            check_dtype=False,
+        )
+
+        def lastval(tt: pa.Table) -> pa.Table:
+            if tt.num_rows == 0:
+                return pa.table(
+                    {"k": pa.array([], pa.int64()), "lv": pa.array([], pa.int64())}
+                )
+            kk = tt.column("k").to_numpy(zero_copy_only=False)
+            vv = tt.column("v").to_numpy(zero_copy_only=False)
+            ends = np.r_[np.flatnonzero(kk[1:] != kk[:-1]), kk.size - 1]
+            return pa.table(
+                {
+                    "k": pa.array(kk[ends], pa.int64()),
+                    "lv": pa.array(vv[ends], pa.int64()),
+                }
+            )
+
+        win = sorted_group_apply(ds, "k", ["o"], lastval).to_pandas()
+        ref2 = (
+            t.to_pandas().sort_values(["k", "o"]).groupby("k").last()
+            .reset_index()[["k", "v"]].rename(columns={"v": "lv"})
+        )
+        pd.testing.assert_frame_equal(
+            win.sort_values("k", ignore_index=True),
+            ref2.sort_values("k", ignore_index=True),
+            check_dtype=False,
+        )
+
+    check()
