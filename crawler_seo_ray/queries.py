@@ -6535,6 +6535,10 @@ def docs_mix_temperature(sf_dir: str, target: int = 100):
     n_s = [int(x) for x in counts.column("n").to_pylist()]
     w = {s: math.isqrt(n) for s, n in zip(src, n_s)}
     tot = sum(w.values())
+    if tot == 0:  # empty corpus: nothing to allocate
+        return pa.table(
+            {"source": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+        )
     base = {s: (target * w[s]) // tot for s in src}
     rem = {s: (target * w[s]) % tot for s in src}
     leftover = target - sum(base.values())
