@@ -165,27 +165,61 @@ def _emit_pairs(
     """Map window index pairs to normalized (id_a < id_b) id pairs; with
     token-set payloads, verify EXACT set Jaccard in place (the verify
     step runs inside the owning bucket task — candidates never ride a
-    shuffle)."""
+    shuffle). r5: the verify is a BITSET-matrix pass — members map
+    their rank arrays onto the bucket's local vocabulary once
+    (per-member, ≤ cap rows), then every candidate pair's
+    |A∩B| is one vectorized AND + byte-LUT popcount, chunked to bound
+    the (pairs × vocab/8) scratch. The old per-pair Python set
+    union/intersection walked millions of candidates at bench scale."""
     if sets_a is not None and len(ia):
-        keep_a, keep_b = [], []
-        for x, y in zip(ia.tolist(), ib.tolist()):
-            sa, sb = sets_a[x], sets_b[y]
-            u = len(sa | sb)
-            if u and len(sa & sb) / u >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-        ia = np.asarray(keep_a, dtype=np.int64)
-        ib = np.asarray(keep_b, dtype=np.int64)
+        from .similarity import _POP8
+
+        same = sets_a is sets_b
+        arrs = list(sets_a) if same else list(sets_a) + list(sets_b)
+        off_b = 0 if same else len(sets_a)
+        vocab = np.unique(
+            np.concatenate([a for a in arrs if a.size] or [np.empty(0, np.int32)])
+        )
+        words = max(1, (vocab.size + 63) // 64)
+        bits = np.zeros((len(arrs), words), np.uint64)
+        lens = np.empty(len(arrs), np.int64)
+        for m, arr in enumerate(arrs):  # per MEMBER (≤ cap), not per pair
+            lens[m] = arr.size
+            if arr.size:
+                pos = np.searchsorted(vocab, arr)
+                np.bitwise_or.at(
+                    bits[m],
+                    pos >> 6,
+                    np.uint64(1) << (pos & 63).astype(np.uint64),
+                )
+        xb = ib + off_b
+        keep_mask = np.zeros(len(ia), bool)
+        CH = max(1, 16_000_000 // (words * 8))  # ~128 MB scratch cap
+        for s in range(0, len(ia), CH):
+            e = min(s + CH, len(ia))
+            inter_bits = bits[ia[s:e]] & bits[xb[s:e]]
+            inter = _POP8[
+                inter_bits.view(np.uint8).reshape(e - s, words * 8)
+            ].sum(axis=1, dtype=np.int64)
+            union = lens[ia[s:e]] + lens[xb[s:e]] - inter
+            ok = union > 0
+            ok[ok] = (inter[ok] / union[ok]) >= threshold
+            keep_mask[s:e] = ok
+        ia = ia[keep_mask]
+        ib = ib[keep_mask]
     a = ids_a[ia] if len(ia) else np.empty(0, np.int64)
     b = ids_b[ib] if len(ib) else np.empty(0, np.int64)
     return np.minimum(a, b), np.maximum(a, b)
 
 
 def _decode_sets(payloads: list) -> list:
-    """Binary-packed sorted int32 token-rank arrays → python sets (one
-    per member; exact — ranks are vocabulary positions, not hashes)."""
+    """Binary-packed sorted int32 token-rank arrays → one numpy array
+    per member (exact — ranks are vocabulary positions, not hashes);
+    consumed by _emit_pairs' bitset verify."""
     return [
-        set(np.frombuffer(p, dtype=np.int32).tolist()) if p is not None else set()
+        np.frombuffer(p, dtype=np.int32)
+        if p is not None
+        else np.empty(0, np.int32)
         for p in payloads
     ]
 
