@@ -140,6 +140,26 @@ def shingles(text: str, k: int = 5) -> set[int]:
     return set(acc.tolist())
 
 
+def shingle_array(text: str, k: int = 5) -> np.ndarray:
+    """``shingles`` as a SORTED UNIQUE uint64 array (r5) — the form the
+    minhash kernels consume: no Python set materialization, and
+    np.unique IS the set semantics (duplicate windows collapse; min
+    over duplicates is unchanged)."""
+    toks = [t.lower() for t in _TOKEN_RE.findall(text or "")]
+    if len(toks) < k:
+        if not toks:
+            return np.empty(0, np.uint64)
+        return np.array([fingerprint64(" ".join(toks))], np.uint64)
+    H = _token_hash_array(toks)
+    n = len(toks) - k + 1
+    with np.errstate(over="ignore"):
+        acc = np.full(n, 14695981039346656037, dtype=np.uint64)
+        prime = np.uint64(1099511628211)
+        for j in range(k):
+            acc = (acc ^ H[j : j + n]) * prime
+    return np.unique(acc)
+
+
 _BIT_IDX = np.arange(64, dtype=np.uint64)
 
 

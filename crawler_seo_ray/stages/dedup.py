@@ -82,6 +82,44 @@ def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
+def _batch_signatures(texts, shingle_k: int, aa: np.ndarray, bb: np.ndarray):
+    """r5: minhash signatures for a WHOLE batch in doc-chunked numpy —
+    per-doc sorted-unique shingle arrays concatenate into one uint64
+    stream, the (shingles × perms) affine pass runs per chunk, and each
+    doc's signature is one minimum.reduceat over its segment; the only
+    per-doc Python left is the shingle window chain itself (already
+    vectorized within a doc). Values are bit-identical to the old
+    per-doc kernel (all operands < 2^31, so no uint64 wrap).
+
+    Returns (keep_indices, shingle_arrays, sigs[m × num_perm])."""
+    from ..functions.text import shingle_array
+
+    arrs_all = [shingle_array(t, shingle_k) for t in texts]
+    keep = [i for i, a in enumerate(arrs_all) if a.size]
+    if not keep:
+        return [], [], np.empty((0, aa.size), np.uint64)
+    arrs = [arrs_all[i] for i in keep]
+    lens = np.array([a.size for a in arrs], np.int64)
+    M = np.uint64(_MERSENNE)
+    X = np.concatenate(arrs) % M
+    bounds = np.r_[0, np.cumsum(lens)]
+    m = len(arrs)
+    sigs = np.empty((m, aa.size), np.uint64)
+    CH = 400_000  # shingles per chunk bounds the (CH × perms) scratch
+    c0 = 0
+    while c0 < m:
+        c1 = c0 + 1
+        while c1 < m and bounds[c1 + 1] - bounds[c0] <= CH:
+            c1 += 1
+        seg = X[bounds[c0] : bounds[c1]]
+        H = (seg[:, None] * aa[None, :] + bb[None, :]) % M
+        sigs[c0:c1] = np.minimum.reduceat(
+            H, bounds[c0:c1] - bounds[c0], axis=0
+        )
+        c0 = c1
+    return keep, arrs, sigs
+
+
 def _stable_hash64(data: bytes) -> int:
     """Process-stable 63-bit hash (Python's hash() is salted per process
     — unusable for cross-worker bucketing)."""
@@ -457,19 +495,15 @@ def minhash_pipeline(
         aa, bb = ray.get(a_ref), ray.get(b_ref)
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
+        keep, _, sigs = _batch_signatures(texts, shingle_k, aa, bb)
         out_ids, out_band, out_hash = [], [], []
-        for i, t in zip(ids, texts):
-            sh = shingles(t, shingle_k)
-            if not sh:
-                continue
-            x = np.fromiter(sh, dtype=np.uint64, count=len(sh)) % np.uint64(_MERSENNE)
-            sig = ((x[:, None] * aa[None, :] + bb[None, :]) % np.uint64(_MERSENNE)).min(axis=0)
+        for row, i in enumerate(keep):
+            sig = sigs[row]
             for band in range(bands):
                 seg = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                bh = _stable_hash64(seg.tobytes())
-                out_ids.append(i)
+                out_ids.append(ids[i])
                 out_band.append(band)
-                out_hash.append(bh)
+                out_hash.append(_stable_hash64(seg.tobytes()))
         return pa.table(
             {
                 id_col: pa.array(out_ids, pa.int64()),
@@ -1382,24 +1416,21 @@ def _band_payload_rows(
         aa, bb = ray.get(a_ref), ray.get(b_ref)
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
+        # r5: batched signatures (one doc-chunked numpy pass, see
+        # _batch_signatures); payload stays the sorted-unique shingle
+        # array bytes — identical to the old per-doc set→sort form
+        keep, arrs, sigs = _batch_signatures(texts, shingle_k, aa, bb)
         out = {"id": [], "band": [], "band_hash": [], "slen": [], "payload": []}
-        for i, t in zip(ids, texts):
-            sh = shingles(t, shingle_k)
-            if not sh:
-                continue
-            arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-            arr.sort()
-            payload = arr.tobytes()
-            x = arr % np.uint64(_MERSENNE)
-            sig = ((x[:, None] * aa[None, :] + bb[None, :]) % np.uint64(_MERSENNE)).min(
-                axis=0
-            )
+        for row, i in enumerate(keep):
+            payload = arrs[row].tobytes()
+            slen = int(arrs[row].size)
+            sig = sigs[row]
             for band in range(bands):
                 seg = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                out["id"].append(i)
+                out["id"].append(ids[i])
                 out["band"].append(band)
                 out["band_hash"].append(_stable_hash64(seg.tobytes()))
-                out["slen"].append(len(arr))
+                out["slen"].append(slen)
                 out["payload"].append(payload)
         return pa.table(
             {
